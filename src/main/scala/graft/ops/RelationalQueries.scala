@@ -1,0 +1,521 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2 Part B): scans, joins
+  * (broadcast/sort-merge/semi/anti/range/as-of), aggregations
+  * (hash/distinct/rollup/cube/grouping-sets), window functions, top-k,
+  * set ops, scalar/JSON functions.
+  *
+  * Every query here is paired with DuckDB oracle SQL that must
+  * hash-match exactly. Conventions for that (SURVEY.md §7 hard-parts):
+  *   - double aggregates are integerized (`round(x*100) → cents` as
+  *     BIGINT) so sums are order-independent and exact in both engines;
+  *   - every result has a total ORDER BY with explicit null ordering;
+  *   - timestamps only pass through unchanged or via date_trunc, never
+  *     through float arithmetic.
+  *
+  * Scale notes (100 TB): dimension joins are explicitly `broadcast`;
+  * fact-fact joins shuffle on their keys and rely on AQE; per-group
+  * top-k uses windows (no global sort of the fact table); nothing
+  * collects to the driver.
+  */
+object RelationalQueries {
+  import Tables._
+
+  /** sum(round(x*100)) as exact integer cents — order-independent. */
+  private def cents(c: Column): Column = sum(round(c * 100).cast("long"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- scans
+
+  /** Projection + filter meant to reach the parquet scan as
+    * PushedFilters/ReadSchema (verified in PlanSpec). */
+  val q_scan_pushdown: Q = (s, d) =>
+    part(s, d)
+      .filter(col("p_size") >= 25 && col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  // ----------------------------------------------------------- aggregation
+
+  /** TPC-H Q1 shape: the flagship aggregation. */
+  val q1_pricing_summary: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        cents(col("l_extendedprice")).as("sum_base_cents"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q6 shape: single-pass filtered aggregate, no grouping. */
+  val q6_revenue_delta: Q = (s, d) =>
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.04, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(cents(col("l_extendedprice") * col("l_discount")).as("revenue_cents"))
+
+  val q_distinct_agg: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** approx_count_distinct: sketch differs from DuckDB's, so no oracle
+    * (rows-only check). Kept as the scale path for 100 TB distincts. */
+  val q_approx_distinct: Q = (s, d) =>
+    lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  val q_rollup: Q = (s, d) =>
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val q_cube: Q = (s, d) =>
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** GROUPING SETS via SQL — distinct grouping-set shapes vs rollup/cube. */
+  val q_grouping_sets: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  // ----------------------------------------------------------------- joins
+
+  /** TPC-H Q3 shape: fact-fact shuffle join + broadcast dim + group +
+    * per-key top-k via limit after sort of the small aggregate. */
+  val q3_top_unshipped: Q = (s, d) => {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join — all dims broadcast, one fact shuffle. */
+  val q5_region_revenue: Q = (s, d) => {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val n = nation(s, d)
+    val r = region(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+  }
+
+  /** left_semi = EXISTS — customers having at least one URGENT order. */
+  val q_semi_join: Q = (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** left_anti = NOT EXISTS — customers with no orders at all. */
+  val q_anti_join: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Outer join preserving empty dims: nation left join customer counts. */
+  val q_outer_join: Q = (s, d) =>
+    nation(s, d)
+      .join(customer(s, d), col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy(col("n_name"))
+
+  /** Range bucketing: orders binned into quarters via a broadcast
+    * range-join against a tiny generated calendar dim (the Spark side
+    * exercises a genuine non-equi broadcast join; the oracle reproduces
+    * the identical result arithmetically). */
+  val q_range_join: Q = (s, d) => {
+    import s.implicits._
+    val quarters = (1995 to 2001).flatMap { y =>
+      (1 to 4).map { q =>
+        val m0 = (q - 1) * 3 + 1
+        val (y1, m1) = if (q == 4) (y + 1, 1) else (y, m0 + 3)
+        (f"$y%04dQ$q", f"$y%04d-$m0%02d-01 00:00:00", f"$y1%04d-$m1%02d-01 00:00:00")
+      }
+    }.toDF("bucket", "start_s", "end_s")
+      .select(col("bucket"),
+              col("start_s").cast("timestamp").as("start_ts"),
+              col("end_s").cast("timestamp").as("end_ts"))
+    orders(s, d)
+      .join(broadcast(quarters),
+            col("o_orderdate") >= col("start_ts") && col("o_orderdate") < col("end_ts"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  /** As-of join: for each click event, the most recent error timestamp
+    * for the same user at or before it. Expressed as a running MAX over
+    * a RANGE frame (tie-safe), not a self-join — one shuffle by user. */
+  val q_asof_join: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("last_error_ts",
+        max(when(col("event_type") === "error", col("ts"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_error_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Null-safe equality (<=>) in a join: events bucketed by nullable
+    * derived key joined null-safely against a tiny key dim. */
+  val q_nullsafe_eq: Q = (s, d) => {
+    import s.implicits._
+    val dim = Seq(Some("click"), Some("view"), None).toDF("k")
+    events(s, d)
+      .withColumn("k2", when(col("event_type").isin("click", "view"), col("event_type")))
+      .join(broadcast(dim), col("k2") <=> col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  // --------------------------------------------------------------- windows
+
+  /** rank/dense_rank/row_number per nation over customer balances. */
+  val q_window_rank: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(desc("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** lag/lead over each customer's order history (deterministic
+    * tie-break on orderkey). */
+  val q_window_lag_lead: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Running sum with explicit ROWS frame over exact integer cents. */
+  val q_window_running_sum: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("running_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Per-group top-k via window, NOT a global sort (the 100 TB shape). */
+  val q_topk_per_group: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  /** Global sort + limit (top 100 orders by value). */
+  val q_sort_limit: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .orderBy(desc("price_cents"), col("o_orderkey"))
+      .limit(100)
+
+  // --------------------------------------------------------------- set ops
+
+  val q_set_ops: Q = (s, d) => {
+    val auto = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_nationkey"))
+    val bld = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey"))
+    val u = auto.union(bld).distinct().withColumn("op", lit("union"))
+    val i = auto.intersect(bld).withColumn("op", lit("intersect"))
+    val e = auto.except(bld).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .orderBy(col("op"), col("c_nationkey"))
+  }
+
+  // ------------------------------------------------------------ scalar fns
+
+  /** String/date/math scalar functions in one projection. */
+  val q_scalar_fns: Q = (s, d) =>
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        substring(col("c_name"), 10, 9).as("cust_id_str"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("cust_id_num"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("tag"),
+        abs(round(col("c_acctbal") * 100)).cast("long").as("abs_bal_cents"),
+        (col("c_custkey") % 7).as("bucket7"))
+      .orderBy(col("c_custkey"))
+
+  val q_date_fns: Q = (s, d) =>
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .orderBy(col("o_orderkey"))
+
+  /** JSON extraction over events.props (from_json → typed column). */
+  val q_json_events: Q = (s, d) =>
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  /** CASE WHEN + conditional aggregation (pivot-ish shape). */
+  val q_conditional_agg: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+        sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("n_low"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_pushdown" -> q_scan_pushdown,
+    "q1_pricing_summary" -> q1_pricing_summary,
+    "q6_revenue_delta" -> q6_revenue_delta,
+    "q_distinct_agg" -> q_distinct_agg,
+    "q_approx_distinct" -> q_approx_distinct,
+    "q_rollup" -> q_rollup,
+    "q_cube" -> q_cube,
+    "q_grouping_sets" -> q_grouping_sets,
+    "q3_top_unshipped" -> q3_top_unshipped,
+    "q5_region_revenue" -> q5_region_revenue,
+    "q_semi_join" -> q_semi_join,
+    "q_anti_join" -> q_anti_join,
+    "q_outer_join" -> q_outer_join,
+    "q_range_join" -> q_range_join,
+    "q_asof_join" -> q_asof_join,
+    "q_nullsafe_eq" -> q_nullsafe_eq,
+    "q_window_rank" -> q_window_rank,
+    "q_window_lag_lead" -> q_window_lag_lead,
+    "q_window_running_sum" -> q_window_running_sum,
+    "q_topk_per_group" -> q_topk_per_group,
+    "q_sort_limit" -> q_sort_limit,
+    "q_set_ops" -> q_set_ops,
+    "q_scalar_fns" -> q_scalar_fns,
+    "q_date_fns" -> q_date_fns,
+    "q_json_events" -> q_json_events,
+    "q_conditional_agg" -> q_conditional_agg,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_pushdown" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE p_size >= 25 AND p_type = 'PROMO' ORDER BY p_partkey""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  COUNT(1) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_revenue_delta" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q3_top_unshipped" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(1) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_outer_join" ->
+      """SELECT n_name, COUNT(c_custkey) AS n_customers
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_range_join" ->
+      """SELECT CAST(year(o_orderdate) AS VARCHAR) || 'Q' ||
+        |    CAST(quarter(o_orderdate) AS VARCHAR) AS bucket,
+        |  COUNT(1) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, ts, last_error_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'error' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_ts
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    "q_nullsafe_eq" ->
+      """SELECT k, COUNT(1) AS n FROM (
+        |  SELECT CASE WHEN event_type IN ('click','view') THEN event_type END AS k2
+        |  FROM events) e
+        |JOIN (VALUES ('click'), ('view'), (NULL)) dim(k)
+        |  ON e.k2 IS NOT DISTINCT FROM dim.k
+        |GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_nationkey, c_custkey, rn, rk, drk FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |    CAST(RANK() OVER w AS INTEGER) AS rk,
+        |    CAST(DENSE_RANK() OVER w AS INTEGER) AS drk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE rn <= 5 ORDER BY c_nationkey, rn""".stripMargin,
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  LAG(o_orderkey, 1) OVER w AS prev_orderkey,
+        |  LEAD(o_orderkey, 1) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INTEGER) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_set_ops" ->
+      """WITH auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |     bld  AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_nationkey, op FROM (
+        |  SELECT DISTINCT c_nationkey, 'union' AS op FROM (
+        |    SELECT * FROM auto UNION ALL SELECT * FROM bld) u
+        |  UNION ALL
+        |  SELECT c_nationkey, 'intersect' AS op FROM (
+        |    SELECT * FROM auto INTERSECT SELECT * FROM bld) i
+        |  UNION ALL
+        |  SELECT c_nationkey, 'except' AS op FROM (
+        |    SELECT * FROM auto EXCEPT SELECT * FROM bld) e) t
+        |ORDER BY op, c_nationkey""".stripMargin,
+    "q_scalar_fns" ->
+      """SELECT c_custkey, UPPER(c_mktsegment) AS seg_upper,
+        |  SUBSTRING(c_name, 10, 9) AS cust_id_str,
+        |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_id_num,
+        |  CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+        |  c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag,
+        |  CAST(ABS(ROUND(c_acctbal * 100)) AS BIGINT) AS abs_bal_cents,
+        |  c_custkey % 7 AS bucket7
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_fns" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_json_events" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(json_extract_string(props, '$.k')) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  COUNT(1) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+}
+
+class RelationalQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and is non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = withClue(name)(fn(spark, sf).count())
+      // q_anti_join can legitimately be 0 (every customer may have orders)
+      if (name != "q_anti_join") assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("q1 aggregates are exact integers by construction") {
+    val row = ops.RelationalQueries.q1_pricing_summary(spark, sf).head()
+    assert(row.schema("sum_base_cents").dataType.typeName == "long")
+  }
+
+  test("scan pushdown reaches parquet (PushedFilters non-empty)") {
+    val plan = ops.RelationalQueries.q_scan_pushdown(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size)") || plan.contains("GreaterThanOrEqual(p_size"))
+  }
+
+  test("q5 star join broadcasts all dimension tables") {
+    val plan = ops.RelationalQueries.q5_region_revenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
