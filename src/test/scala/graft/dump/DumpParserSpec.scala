@@ -1,0 +1,183 @@
+package graft.dump
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of the reference's own unit tests
+  * (`/root/reference/src/main.rs:183-218`,
+  * `line_parser.rs:287-397`) plus the SURVEY.md §1.2 semantic quirks. */
+class DumpParserSpec extends AnyFunSuite {
+
+  // --- cleanup_key: the 7 reference cases (main.rs:188-217)
+  val cleanupCases = Seq(
+    "KEY `facebookConnectId_index` (`facebookConnectId`)" ->
+      "KEY `facebookConnectId_index` (`facebookConnectId`)",
+    "KEY `facebookConnectId_index` (`facebookConnectId`(144))" ->
+      "KEY `facebookConnectId_index` (`facebookConnectId`)",
+    "KEY `facebookConnectId_index` (`facebookConnectId`(144),`plop`)" ->
+      "KEY `facebookConnectId_index` (`facebookConnectId`,`plop`)",
+    "KEY `facebookConnectId_index` (`facebookConnectId`(144),`plop`(12))" ->
+      "KEY `facebookConnectId_index` (`facebookConnectId`,`plop`)",
+    "KEY `facebookConnectId_index` (`facebookConnectId`,`plop`(12))" ->
+      "KEY `facebookConnectId_index` (`facebookConnectId`,`plop`)",
+    "FOREIGN KEY (`facebookConnectId`)" -> "FOREIGN KEY (`facebookConnectId`)",
+    "FOREIGN KEY (`facebookConnectId`(144))" -> "FOREIGN KEY (`facebookConnectId`)",
+  )
+  test("cleanupKey: reference cases") {
+    cleanupCases.foreach { case (in, want) =>
+      assert(StatementReader.cleanupKey(in) == want, s"input: $in")
+    }
+  }
+
+  // --- parse_create_table (line_parser.rs:330-397 / FIXTURES.md A1)
+  val createFixture =
+    """CREATE TABLE `user` (
+      |  `id` bigint NOT NULL,
+      |  `shortName` varchar(255) CHARACTER SET utf8mb3 COLLATE utf8mb3_bin NOT NULL,
+      |  `avatarUuid` varchar(36) CHARACTER SET utf8mb3 COLLATE utf8mb3_bin DEFAULT NULL,
+      |  `registrationDate` timestamp NOT NULL DEFAULT CURRENT_TIMESTAMP,
+      |  `premiumExpirationDate` timestamp NULL DEFAULT NULL,
+      |  `excluded` tinyint(1) NOT NULL DEFAULT '0',
+      |  `company_lid` bigint DEFAULT NULL,
+      |  PRIMARY KEY (`lid`),
+      |  UNIQUE KEY `email_index` (`email`),
+      |  UNIQUE KEY `tel_key` (`tel`),
+      |  KEY `authKey_index` (`authKey`),
+      |  KEY `name_index` (`shortName`),
+      |  KEY `registrationDate_index` (`registrationDate`),
+      |  KEY `country_index` (`country`),
+      |  KEY `company_lid` (`company_lid`),
+      |  KEY `premiumExpirationDate` (`premiumExpirationDate`),
+      |  CONSTRAINT `user_ibfk_1` FOREIGN KEY (`company_lid`) REFERENCES `company` (`lid`)
+      |) ENGINE=InnoDB DEFAULT CHARSET=utf8mb3 COLLATE=utf8mb3_bin;""".stripMargin
+
+  test("parseCreateTable: reference user fixture (assembled through StatementReader)") {
+    val stmts = StatementReader.statements(createFixture.linesIterator).toList
+    assert(stmts.size == 1)
+    val ct = DumpParser.parseCreateTable(stmts.head)
+    assert(ct.table == "user")
+    val want = Seq(
+      ("id", LongType, false),
+      ("shortname", StringType, false),
+      ("avataruuid", StringType, true),
+      ("registrationdate", TimestampType, false),
+      ("premiumexpirationdate", TimestampType, true),
+      ("excluded", LongType, false), // tinyint(1) is NOT boolean (line_parser.rs:130-131)
+      ("company_lid", LongType, true),
+    )
+    assert(ct.schema.fields.toSeq.map(f => (f.name, f.dataType, f.nullable)) == want)
+  }
+
+  // --- parse_insert_into (line_parser.rs:287-329 / FIXTURES.md A2)
+  test("parseInsert: reference extended-INSERT fixture") {
+    val stmt = "INSERT INTO `user` VALUES (1, 'foobar', NULL, '2012-01-02 12:55:22', 0)," +
+      "(1, 'foobar', NULL, '2012-01-02 12:55:22', 0)," +
+      "(1, 'foobar', NULL, '2012-01-02 12:55:22', 0)," +
+      "(1, 'foobar', NULL, '2012-01-02 12:55:22', -123);"
+    val ins = DumpParser.parseInsert(stmt)
+    assert(ins.table == "user")
+    assert(ins.rows.size == 4)
+    assert(ins.rows(0).toSeq == Seq(1L, "foobar", null, "2012-01-02 12:55:22", 0L))
+    assert(ins.rows(3).toSeq == Seq(1L, "foobar", null, "2012-01-02 12:55:22", -123L))
+  }
+
+  // --- §1.2 quirks
+  test("DECIMAL maps to LongType; integral values pass, fractional error") {
+    val ct = DumpParser.parseCreateTable("CREATE TABLE `t` (`d` decimal(10,2));")
+    assert(ct.schema("d").dataType == LongType)
+    val ok = DumpParser.parseInsert("INSERT INTO `t` VALUES (12);")
+    assert(DumpParser.coerceRow("t", ct.schema, ok.rows.head).get(0) == 12L)
+    val bad = DumpParser.parseInsert("INSERT INTO `t` VALUES (12.34);")
+    assertThrows[DumpParser.DumpParseException](
+      DumpParser.coerceRow("t", ct.schema, bad.rows.head))
+  }
+
+  test("BOOLEAN columns are supported (deviation: reference panics)") {
+    val ct = DumpParser.parseCreateTable("CREATE TABLE `t` (`b` BOOL, `c` boolean NOT NULL);")
+    assert(ct.schema("b").dataType == BooleanType && ct.schema("b").nullable)
+    assert(!ct.schema("c").nullable)
+    val ins = DumpParser.parseInsert("INSERT INTO `t` VALUES (TRUE, false),(0, 1);")
+    val r0 = DumpParser.coerceRow("t", ct.schema, ins.rows(0))
+    val r1 = DumpParser.coerceRow("t", ct.schema, ins.rows(1))
+    assert(r0.getBoolean(0) && !r0.getBoolean(1))
+    assert(!r1.getBoolean(0) && r1.getBoolean(1))
+  }
+
+  test("integer literal widens to Double in Float column (parquet_writer.rs:162)") {
+    val ct = DumpParser.parseCreateTable("CREATE TABLE `t` (`f` double);")
+    val ins = DumpParser.parseInsert("INSERT INTO `t` VALUES (3),(4.5),(-2.5e2);")
+    val rows = ins.rows.map(DumpParser.coerceRow("t", ct.schema, _))
+    assert(rows.map(_.get(0)) == Seq(3.0, 4.5, -250.0))
+  }
+
+  test("timestamps parse as UTC wall-clock; date-only midnight-pads (deviation)") {
+    val ts = DumpParser.parseTimestamp("2012-01-02 12:55:22", "t", "c")
+    assert(ts.toInstant.getEpochSecond == 1325508922L) // 2012-01-02T12:55:22Z
+    val d = DumpParser.parseTimestamp("2012-01-02", "t", "c")
+    assert(d.toInstant.getEpochSecond == 1325462400L) // midnight UTC
+    val frac = DumpParser.parseTimestamp("2012-01-02 12:55:22.125", "t", "c")
+    assert(frac.toInstant.getNano == 125000000)
+  }
+
+  test("column names lowercased; nullability: NOT NULL, inline PRIMARY KEY, first-wins") {
+    val ct = DumpParser.parseCreateTable(
+      "CREATE TABLE `T` (`Id` int PRIMARY KEY, `A` int NOT NULL NULL, `B` int NULL NOT NULL, `C` int DEFAULT NULL);")
+    val f = ct.schema
+    assert(f.fieldNames.toSeq == Seq("id", "a", "b", "c"))
+    assert(!f("id").nullable)  // inline PRIMARY KEY
+    assert(!f("a").nullable)   // NOT NULL first
+    assert(f("b").nullable)    // NULL first wins over later NOT NULL
+    assert(f("c").nullable)    // DEFAULT NULL is not a NULL option
+  }
+
+  test("unsigned bigint above i64 range errors (line_parser.rs:247)") {
+    assertThrows[DumpParser.DumpParseException](
+      DumpParser.parseInsert("INSERT INTO `t` VALUES (99999999999999999999);"))
+  }
+
+  test("unknown column type errors") {
+    assertThrows[DumpParser.DumpParseException](
+      DumpParser.parseCreateTable("CREATE TABLE `t` (`g` geometry);"))
+  }
+
+  test("string escapes: backslash quote, doubled quote, newline, semicolon in string") {
+    val ins = DumpParser.parseInsert(
+      """INSERT INTO `t` VALUES ('a\'b'),('c''d'),('x\ny'),('end; not a terminator'),('back\\slash');""")
+    assert(ins.rows.map(_(0)) == Vector("a'b", "c'd", "x\ny", "end; not a terminator", "back\\slash"))
+  }
+
+  test("ENUM type with quoted args containing commas/parens") {
+    val ct = DumpParser.parseCreateTable(
+      "CREATE TABLE `t` (`e` enum('a,b','c)d','e''f') NOT NULL, `x` int);")
+    assert(ct.schema("e").dataType == StringType && !ct.schema("e").nullable)
+    assert(ct.schema.fieldNames.toSeq == Seq("e", "x"))
+  }
+
+  test("statement assembler: comment filtering, noise statements dropped, no-separator join") {
+    val dump =
+      """-- comment line
+        |/*!40101 SET something */;
+        |
+        |DROP TABLE IF EXISTS `t`;
+        |LOCK TABLES `t` WRITE;
+        |CREATE TABLE `t` (
+        |  `a` int,
+        |  KEY `k` (`a`(10))
+        |);
+        |INSERT INTO `t` VALUES (1),(2);
+        |UNLOCK TABLES;
+        |""".stripMargin
+    val stmts = StatementReader.statements(dump.linesIterator).toList
+    assert(stmts.size == 2)
+    assert(stmts.head == "CREATE TABLE `t` (`a` int,KEY `k` (`a`));")
+    assert(stmts(1) == "INSERT INTO `t` VALUES (1),(2);")
+  }
+
+  test("quote-aware terminator: trailing ; inside an open literal does not split") {
+    // A statement whose literal spans lines would break the reference;
+    // our quote-parity guard keeps accumulating.
+    val lines = Seq("INSERT INTO `t` VALUES ('multi;", "line');")
+    val stmts = StatementReader.statements(lines.iterator).toList
+    assert(stmts == List("INSERT INTO `t` VALUES ('multi;line');"))
+  }
+}

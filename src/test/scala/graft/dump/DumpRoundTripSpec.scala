@@ -1,0 +1,79 @@
+package graft.dump
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property round-trips: random (schema, rows) → rendered mysqldump →
+  * StatementReader + DumpParser → identical rows. Pure JVM (no Spark
+  * job) so hundreds of cases run in seconds. */
+class DumpRoundTripSpec extends AnyFunSuite {
+
+  private def checkProp(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  val genType: Gen[DataType] =
+    Gen.oneOf(LongType, DoubleType, StringType, TimestampType, BooleanType)
+
+  // strings exercising the tokenizer: quotes, escapes, semicolons, unicode
+  val genString: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr.map(_.take(20)),
+    Gen.oneOf("it's", "a;b", "c''d", "tab\there", "nl\nline", "back\\slash",
+      "quote'and;semi", "naïve-ünïcode", ""),
+  )
+
+  def genValue(dt: DataType): Gen[Any] = {
+    val v: Gen[Any] = dt match {
+      case LongType    => Gen.chooseNum(Long.MinValue + 1, Long.MaxValue).map(Long.box)
+      case DoubleType  => Gen.chooseNum(-1e6, 1e6).map(d => Double.box(math.rint(d * 100) / 100))
+      case StringType  => genString
+      case BooleanType => Gen.oneOf(true, false).map(Boolean.box)
+      case TimestampType => Gen.chooseNum(0L, 4102444800L).map(sec =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)))
+      case other => throw new MatchError(other)
+    }
+    Gen.frequency(8 -> v, 2 -> Gen.const(null))
+  }
+
+  val genTable: Gen[(StructType, List[Row])] = for {
+    nCols <- Gen.chooseNum(1, 6)
+    types <- Gen.listOfN(nCols, genType)
+    schema = StructType(types.zipWithIndex.map {
+      case (dt, i) => StructField(s"c$i", dt, nullable = true)
+    })
+    nRows <- Gen.chooseNum(0, 30)
+    rows <- Gen.listOfN(nRows, Gen.sequence[List[Any], Any](types.map(genValue))
+      .map(vs => Row.fromSeq(vs)))
+  } yield (schema, rows)
+
+  test("render → assemble → parse → coerce reproduces every row") {
+    checkProp(Prop.forAll(genTable) { case (schema, rows) =>
+      val text = DumpRenderer.dump(Seq(("t", schema, rows)), batchSize = 7)
+      val stmts = StatementReader.statements(text.linesIterator).toList
+      val creates = stmts.filter(_.startsWith("CREATE TABLE"))
+      val parsedSchema = DumpParser.parseCreateTable(creates.head).schema
+      val got = stmts.filter(_.startsWith("INSERT INTO")).flatMap { s =>
+        DumpParser.parseInsert(s).rows.map(DumpParser.coerceRow("t", parsedSchema, _))
+      }
+      (parsedSchema.length == schema.length) :| "schema arity" &&
+        (got == rows) :| s"rows: got=${got.take(3)} want=${rows.take(3)}"
+    })
+  }
+
+  test("statement splitter never splits inside string literals") {
+    checkProp(Prop.forAll(Gen.listOfN(5, genString)) { strs =>
+      val rows = strs.map(s => Row(s))
+      val schema = StructType(Seq(StructField("s", StringType)))
+      val text = DumpRenderer.dump(Seq(("t", schema, rows)), batchSize = 2)
+      val stmts = StatementReader.statements(text.linesIterator).toList
+      val got = stmts.filter(_.startsWith("INSERT INTO")).flatMap { s =>
+        DumpParser.parseInsert(s).rows.map(_(0))
+      }
+      got == strs
+    })
+  }
+}
