@@ -44,15 +44,29 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label").as("cent_id"), expr("transform(pm, x -> x.m)").as("cvec"))
 
+  /** Nearest-`nprobe` centroid assignment as a NARROW map: the (tiny)
+    * centroid set is folded into one array-of-structs row, broadcast,
+    * and each vector ranks it with per-row array ops (`transform` →
+    * `array_sort` → `slice`). No shuffle, no window — at 100 TB this is
+    * a single codegen'd pass over the candidates, vs the row_number
+    * formulation which sorts the whole table. Ties break on cent_id
+    * (struct sort order: dist, then cent_id). */
   private def assignNearest(vecs: DataFrame, cents: DataFrame, vecCol: String,
                             outCol: String, nprobe: Int): DataFrame = {
-    val joined = vecs.crossJoin(broadcast(cents))
-      .withColumn("dist", l2Sq(col(vecCol).cast("array<double>"), col("cvec")))
-    val w = Window.partitionBy(vecs.columns.map(col).head).orderBy(col("dist"), col("cent_id"))
-    joined.withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= nprobe)
-      .drop("cvec", "dist", "crk")
-      .withColumnRenamed("cent_id", outCol)
+    val centArr = cents.agg(collect_list(struct(col("cent_id"), col("cvec"))).as("cents"))
+    val ranked =
+      s"""transform(
+         |  slice(
+         |    array_sort(transform(cents, c -> struct(
+         |      aggregate(zip_with(CAST($vecCol AS array<double>), c.cvec,
+         |                         (x, y) -> (x - y) * (x - y)),
+         |                0.0D, (acc, v) -> acc + v) AS dist,
+         |      c.cent_id AS cent_id))),
+         |    1, $nprobe),
+         |  s -> s.cent_id)""".stripMargin
+    vecs.crossJoin(broadcast(centArr))
+      .withColumn(outCol, explode(expr(ranked)))
+      .drop("cents")
   }
 
   /** IVF: assign candidates to 1 centroid, probe `nprobe` centroids per
@@ -88,7 +102,7 @@ object SimilarityOps {
 
   val s_ann_ivf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    ivfTopK(e, querySide(e), k = 5, nprobe = 3)
+    ivfTopK(e, querySide(e), k = 5, nprobe = 5)
       .orderBy(col("qid"), col("rk"))
   }
 

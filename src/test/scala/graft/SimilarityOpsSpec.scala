@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{SimilarityOps, Tables}
+import graft.functions.ArrayAggregators
+
+/** Verifies the similarity-search surface promised at
+  * SimilarityOps.scala: the IVF approximate path is measured against
+  * the brute-force exact baseline (recall@k), and the element-wise
+  * UDAFs that power the sketch operators aggregate correctly with
+  * map-side partial aggregation.
+  */
+class SimilarityOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("brute-force cosine top-k is k rows per query, cosine in [-1,1]") {
+    val r = SimilarityOps.s_cosine_topk(spark, sf)
+    val perQuery = r.groupBy("qid").count().collect()
+    assert(perQuery.nonEmpty)
+    assert(perQuery.forall(_.getLong(1) == 5L))
+    val bounds = r.agg(min("cos_e6"), max("cos_e6")).head()
+    assert(bounds.getLong(0) >= -1000000L && bounds.getLong(1) <= 1000000L)
+  }
+
+  test("IVF top-k recall@5 vs brute force is at least 0.6") {
+    val exact = SimilarityOps.s_cosine_topk(spark, sf)
+      .select(col("qid"), col("cid")).withColumn("src", lit("exact"))
+    val approx = SimilarityOps.s_ann_ivf(spark, sf)
+      .select(col("qid"), col("cid"))
+    val nExact = exact.count()
+    val hit = approx.join(exact, Seq("qid", "cid"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    assert(nExact > 0)
+    // nprobe=5 of 10 label-mean centroids on the synthetic fixture.
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("IVF probes buckets, not all pairs: each query scores <= nprobe buckets") {
+    val r = SimilarityOps.s_ann_ivf(spark, sf)
+    val buckets = r.groupBy("qid").agg(countDistinct("cent").as("nb")).collect()
+    assert(buckets.forall(_.getLong(1) <= 5L))
+  }
+
+  test("elementwiseMin UDAF computes per-group element-wise minimum") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(5L, 1L, 9L)),
+      ("a", Seq(3L, 7L, 2L)),
+      ("b", Seq(10L, 10L, 10L))
+    ).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(ArrayAggregators.elementwiseMin(3)(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a") == Seq(3L, 1L, 2L))
+    assert(out("b") == Seq(10L, 10L, 10L))
+  }
+
+  test("elementwiseSum UDAF computes per-group element-wise sum") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1L, -1L)),
+      ("a", Seq(2L, -2L)),
+      ("a", Seq(3L, -3L))
+    ).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(ArrayAggregators.elementwiseSum(2)(col("v")).as("s"))
+      .head().getSeq[Long](1)
+    assert(out == Seq(6L, -6L))
+  }
+
+  test("embeddings fixture has the declared shape") {
+    val e = Tables.embeddings(spark, sf)
+    val dims = e.select(size(col("embedding")).as("d")).distinct().collect()
+    assert(dims.map(_.getInt(0)).toSeq == Seq(SimilarityOps.Dim))
+  }
+}
