@@ -1,0 +1,86 @@
+package graft.dump
+
+import java.io.InputStream
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — parity with the reference's clap surface
+  * (`/root/reference/src/main.rs:25-33`):
+  *
+  * {{{
+  *   mysqldump-to-parquet [-o|--output DIR] [INPUT]
+  * }}}
+  *
+  * INPUT may be a plain `.sql` or gzip `.sql.gz` dump; when absent the
+  * dump is read from stdin (`main.rs:56`). Output defaults to `.`.
+  *
+  * DEVIATION: the reference streams stdin straight through its
+  * single-pass pipeline; Spark needs a re-readable input (the converter
+  * makes a metadata pass plus a parse pass), so stdin is first spooled
+  * to a temp file — memory stays bounded, disk holds one dump copy.
+  * On a real cluster you'd put the dump on shared storage and pass a
+  * path; the stdin path exists for drop-in CLI compatibility.
+  */
+object DumpCli {
+
+  private[dump] def parseArgs(args: Array[String]): (String, Option[String]) = {
+    var out = "."
+    var input: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-o" | "--output" =>
+          require(i + 1 < args.length, s"${args(i)} requires a value")
+          out = args(i + 1); i += 2
+        case flag if flag.startsWith("-") =>
+          throw new IllegalArgumentException(s"unknown flag $flag")
+        case pos =>
+          require(input.isEmpty, s"unexpected extra argument $pos")
+          input = Some(pos); i += 1
+      }
+    }
+    (out, input)
+  }
+
+  /** Stream stdin to a temp file in bounded memory (8 MB buffer, like
+    * the reference's BufReader, `main.rs:42-53`). */
+  private[dump] def spool(in: InputStream): Path = {
+    val tmp = Files.createTempFile("graft-stdin-", ".sql")
+    val outStream = Files.newOutputStream(tmp)
+    try {
+      val buf = new Array[Byte](8 * 1024 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        outStream.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally outStream.close()
+    tmp
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (outDir, inputArg) = parseArgs(args)
+    val spark = SparkSession.builder()
+      .appName("mysqldump-to-parquet")
+      .config("spark.master",
+        sys.props.get("spark.master").orElse(sys.env.get("MASTER")).getOrElse("local[*]"))
+      .getOrCreate()
+    val (input, cleanup) = inputArg match {
+      case Some(p) => (p, None)
+      case None =>
+        val tmp = spool(System.in)
+        (tmp.toString, Some(tmp))
+    }
+    try {
+      val res = DumpConverter.convert(spark, input, outDir)
+      // Progress summary — the reference's three indicatif counters end
+      // state (`main.rs:63-86`), minus the live spinners.
+      res.tables.foreach { t =>
+        System.err.println(s"[dump] $t: ${res.rowsWritten(t)} rows -> $outDir/$t")
+      }
+      System.err.println(
+        s"[dump] done: ${res.tables.size} table(s), " +
+          s"${res.rowsWritten.values.sum} row(s), ${res.droppedInserts} dropped insert(s)")
+    } finally cleanup.foreach(Files.deleteIfExists(_))
+  }
+}

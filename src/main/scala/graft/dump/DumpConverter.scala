@@ -1,6 +1,7 @@
 package graft.dump
 
-import org.apache.spark.rdd.RDD
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
@@ -18,33 +19,41 @@ import org.apache.spark.storage.StorageLevel
   *   2. Each partition assembles statements with
   *      [[StatementReader.assemblePartition]] — a streaming fold whose
   *      memory is bounded by one statement. Partition-boundary
-  *      fragments (only multi-line CREATE TABLE blocks span lines in
-  *      mysqldump format) are healed on the driver: O(#partitions)
-  *      data, not O(input).
+  *      fragments are healed on the driver — O(#partitions) data, not
+  *      O(input) — chaining the carry through terminator-less
+  *      partitions so a statement larger than a partition survives.
   *   3. Every statement carries a position `(2*pid+1, seq)` — healed
   *      boundary statements sort before the body of the partition whose
   *      head completed them at `(2*pid, seq)` — restoring the file's
   *      total statement order without a sort of the data.
   *   4. CREATE TABLEs (tiny) are collected and parsed to StructTypes on
-  *      the driver. Re-creating a table rotates the reference's writer
-  *      onto the same output path (`parquet_writer.rs:82-91`), so rows
-  *      inserted before the LAST CREATE of a table end up overwritten;
-  *      we reproduce that net effect positionally: only INSERTs after
-  *      the table's last CREATE are written.
-  *   5. Per table, INSERT statements are routed by a cheap prefix parse
-  *      of the target name, rows parsed + type-coerced on executors,
-  *      and written `overwrite`/snappy to `{out}/{table}`. Assembled
-  *      statements persist MEMORY_AND_DISK_SER so per-table passes
-  *      don't re-read and re-assemble the raw dump (at 100 TB this
-  *      persisted stage is the staging area; tables then convert in
-  *      independent jobs, each deserializing only its own inserts).
+  *      the driver — in the SAME collect that fetches the boundary
+  *      fragments, so the persisted statement set is scanned once for
+  *      all driver-side metadata. Re-creating a table rotates the
+  *      reference's writer onto the same output path
+  *      (`parquet_writer.rs:82-91`); we reproduce that positionally:
+  *      only INSERTs after the table's last CREATE are written.
+  *   5. ONE parse pass routes every INSERT: rows are parsed + coerced
+  *      on executors and hash-partitioned by (table, salt) with
+  *      [[TablePartitioner]], which gives each table a private,
+  *      statically-known range of `saltsPerTable` partitions (the salt
+  *      spreads a huge table over multiple reducers instead of one).
+  *      Each per-table write then reads ONLY its own partitions via
+  *      `PartitionPruningRDD` — total work is O(dump) + O(output), not
+  *      the O(tables × dump) of a filter-per-table design.
+  *   6. Row/drop counts come from accumulators folded into the same
+  *      stages — no post-write re-read, no dedicated counting job.
+  *      (Accumulator counts are at-least-once under task retry; counts
+  *      are reporting metadata here, matching the reference's stderr
+  *      progress counters, and the data path itself is exactly-once
+  *      via Spark's output commit protocol.)
   *
   * DEVIATION from the reference: interleaved dumps (a table's INSERTs
   * split around other tables' sections) are SUPPORTED — statements are
   * grouped by parsed table name, not "current writer" state
   * (`parquet_writer.rs:93-95` warns and DROPS those rows). INSERTs
-  * whose table has no preceding CREATE TABLE are dropped with a
-  * warning, matching the reference's observable behavior.
+  * whose table has no (sufficiently early) CREATE TABLE are dropped
+  * with a warning, matching the reference's observable behavior.
   */
 object DumpConverter {
 
@@ -52,39 +61,51 @@ object DumpConverter {
 
   case class Result(tables: Seq[String], rowsWritten: Map[String, Long], droppedInserts: Long)
 
+  /** Routes (table, salt) keys so table `i` owns exactly partitions
+    * [i*salts, (i+1)*salts) — the static layout PartitionPruningRDD
+    * needs to read one table without touching the others. */
+  private class TablePartitioner(index: Map[String, Int], salts: Int)
+      extends Partitioner {
+    def numPartitions: Int = math.max(1, index.size * salts)
+    def getPartition(key: Any): Int = key match {
+      case (t: String, s: Int) => index(t) * salts + s
+      case other => throw new IllegalArgumentException(s"bad key $other")
+    }
+  }
+
   def convert(spark: SparkSession, input: String, outDir: String,
-              minPartitions: Int = 1): Result = {
+              minPartitions: Int = 1, saltsPerTable: Int = 8): Result = {
     val sc = spark.sparkContext
     val lines = sc.textFile(input, minPartitions)
 
     val segs = lines.mapPartitions(StatementReader.assemblePartition)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      // Partition-boundary fragments → healed statements (driver, tiny).
-      val frags: Array[(Int, StatementReader.Seg)] = segs
-        .mapPartitionsWithIndex { (pid, it) =>
-          it.collect {
-            case h: StatementReader.Head => (pid, h: StatementReader.Seg)
-            case t: StatementReader.Tail => (pid, t: StatementReader.Seg)
+      // One driver-side collect for ALL tiny metadata: partition-boundary
+      // fragments (healed below) and CREATE TABLE statements with their
+      // positions. Both are O(#partitions + #tables), never O(rows).
+      val small: Array[(Int, Either[StatementReader.Seg, (Pos, String)])] =
+        segs.mapPartitionsWithIndex { (pid, it) =>
+          var seq = -1L
+          it.flatMap {
+            case h: StatementReader.Head => Iterator((pid, Left(h: StatementReader.Seg)))
+            case t: StatementReader.Tail => Iterator((pid, Left(t: StatementReader.Seg)))
+            case StatementReader.Stmt(s) =>
+              seq += 1
+              if (s.startsWith("CREATE TABLE"))
+                Iterator((pid, Right(((2L * pid + 1, seq): Pos, s))))
+              else Iterator.empty
           }
         }.collect()
+
+      val frags = small.collect { case (pid, Left(seg)) => (pid, seg) }
       val healed: Seq[(Pos, String)] = heal(frags)
 
-      val body: RDD[(Pos, String)] = segs.mapPartitionsWithIndex { (pid, it) =>
-        var seq = -1L
-        it.collect { case StatementReader.Stmt(s) =>
-          seq += 1
-          ((2L * pid + 1, seq): Pos, s)
-        }
-      }
-      val all: RDD[(Pos, String)] = body.union(sc.parallelize(healed, 1))
-
-      // Schemas + last-CREATE position per table (driver-side, tiny).
+      val ordering = implicitly[Ordering[Pos]]
       val creates: Seq[(Pos, DumpParser.CreateTable)] =
-        (body.filter(_._2.startsWith("CREATE TABLE")).collect().toSeq ++
+        (small.collect { case (_, Right(pc)) => pc }.toSeq ++
           healed.filter(_._2.startsWith("CREATE TABLE")))
           .map { case (pos, text) => (pos, DumpParser.parseCreateTable(text)) }
-      val ordering = implicitly[Ordering[Pos]]
       val lastCreate: Map[String, (Pos, StructType)] =
         creates.groupBy(_._2.table).map { case (t, cs) =>
           val (pos, ct) = cs.maxBy(_._1)(ordering)
@@ -96,39 +117,68 @@ object DumpConverter {
         creates.sortBy(_._1)(ordering).foreach(c => seen += c._2.table)
         seen.toSeq
       }
+      val tableIndex: Map[String, Int] = tableOrder.zipWithIndex.toMap
 
-      val inserts = all.filter(_._2.startsWith("INSERT INTO"))
+      val body: RDD[(Pos, String)] = segs.mapPartitionsWithIndex { (pid, it) =>
+        var seq = -1L
+        it.collect { case StatementReader.Stmt(s) =>
+          seq += 1
+          ((2L * pid + 1, seq): Pos, s)
+        }
+      }
+      val all: RDD[(Pos, String)] = body.union(sc.parallelize(healed, 1))
+
+      val lastCreateB = sc.broadcast(lastCreate)
+      val dropped = sc.longAccumulator("droppedInserts")
+      val salts = math.max(1, saltsPerTable)
+
+      // The single parse pass: INSERT → coerced Rows keyed for routing.
+      val keyed: RDD[((String, Int), Row)] = all.flatMap { case (pos, s) =>
+        if (!s.startsWith("INSERT INTO")) Iterator.empty
+        else {
+          val t = DumpParser.insertTarget(s)
+          lastCreateB.value.get(t) match {
+            case Some((cpos, schema))
+                if pos._1 > cpos._1 || (pos._1 == cpos._1 && pos._2 > cpos._2) =>
+              val salt = (pos.hashCode & Int.MaxValue) % salts
+              DumpParser.parseInsert(s).rows.iterator
+                .map(v => ((t, salt), DumpParser.coerceRow(t, schema, v)))
+            case _ =>
+              dropped.add(1)
+              Iterator.empty
+          }
+        }
+      }
+
+      if (tableOrder.isEmpty) {
+        // No CREATE TABLE anywhere: still run the pass so orphan INSERTs
+        // are counted (and warned about) like the reference.
+        keyed.foreach(_ => ())
+        if (dropped.value > 0)
+          System.err.println(s"[dump] dropped ${dropped.value} INSERT statement(s) with no (preceding) CREATE TABLE")
+        return Result(Nil, Map.empty, dropped.value)
+      }
+
+      val routed = keyed
+        .partitionBy(new TablePartitioner(tableIndex, salts))
+        .values
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       try {
-        val lastCreateB = sc.broadcast(lastCreate)
-        val dropped = sc.longAccumulator("droppedInserts")
-        inserts.foreach { case (pos, s) =>
-          val t = DumpParser.insertTarget(s)
-          val keep = lastCreateB.value.get(t).exists { case (cpos, _) =>
-            implicitly[Ordering[Pos]].compare(pos, cpos) > 0
-          }
-          if (!keep) dropped.add(1)
-        }
-
-        val counts = tableOrder.map { table =>
-          val (cpos, schema) = lastCreate(table)
-          val rows: RDD[Row] = inserts
-            .filter { case (pos, s) =>
-              ordering.compare(pos, cpos) > 0 && DumpParser.insertTarget(s) == table
-            }
-            .flatMap { case (_, s) =>
-              DumpParser.parseInsert(s).rows.iterator
-                .map(DumpParser.coerceRow(table, schema, _))
-            }
-          spark.createDataFrame(rows, schema)
+        val rowsAcc = tableOrder.map(t => t -> sc.longAccumulator(s"rows_$t")).toMap
+        tableOrder.foreach { table =>
+          val idx = tableIndex(table)
+          val schema = lastCreate(table)._2
+          val acc = rowsAcc(table)
+          val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
+          val counted = mine.map { r => acc.add(1); r }
+          spark.createDataFrame(counted, schema)
             .write.mode("overwrite").option("compression", "snappy")
             .parquet(s"$outDir/$table")
-          table -> spark.read.parquet(s"$outDir/$table").count()
         }
         if (dropped.value > 0)
           System.err.println(s"[dump] dropped ${dropped.value} INSERT statement(s) with no (preceding) CREATE TABLE")
-        Result(tableOrder, counts.toMap, dropped.value)
-      } finally inserts.unpersist(blocking = false)
+        Result(tableOrder, rowsAcc.map { case (t, a) => t -> a.value }, dropped.value)
+      } finally routed.unpersist(blocking = false)
     } finally segs.unpersist(blocking = false)
   }
 
@@ -149,12 +199,20 @@ object DumpConverter {
       val segsHere = byPid(pid).map(_._2)
       val head = segsHere.collectFirst { case StatementReader.Head(l) => l }.getOrElse(Vector.empty)
       val tail = segsHere.collectFirst { case StatementReader.Tail(l) => l }.getOrElse(Vector.empty)
-      var k = -1L
-      StatementReader.statements((carry ++ head).iterator).foreach { s =>
-        k += 1
-        out += (((2L * pid, k), s))
+      if (StatementReader.terminates(head)) {
+        var k = -1L
+        StatementReader.statements((carry ++ head).iterator).foreach { s =>
+          k += 1
+          out += (((2L * pid, k), s))
+        }
+        carry = tail
+      } else {
+        // No terminator anywhere in this partition (its Tail is empty by
+        // construction): a single statement spans the entire partition.
+        // Chain the whole thing into the carry so the statement survives
+        // to the partition where it finally terminates.
+        carry = carry ++ head ++ tail
       }
-      carry = tail
     }
     out.result()
   }

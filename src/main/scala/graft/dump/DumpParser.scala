@@ -387,8 +387,12 @@ object DumpParser extends Serializable {
   /** Type-check and coerce one raw row against the table schema,
     * mirroring the writer's enforcement (`parquet_writer.rs:120-218`):
     * strict on mismatch, Long→Double widening in Float columns, string
-    * timestamps parsed as UTC wall-clock, NULL accepted anywhere (the
-    * reference never enforces NOT NULL at write either). */
+    * timestamps parsed as UTC wall-clock. A NULL in a NOT NULL column
+    * is rejected HERE with a clear error — the reference appends the
+    * null (`parquet_writer.rs:140,151,...`) and then panics deep inside
+    * `RecordBatch::try_new` when the non-nullable arrow field sees it;
+    * we surface the same hard failure at the parser boundary instead of
+    * a confusing downstream parquet-write error. */
   def coerceRow(table: String, schema: StructType, raw: Array[Any]): org.apache.spark.sql.Row = {
     if (raw.length != schema.length)
       fail(s"table $table: row has ${raw.length} values but schema has ${schema.length} columns")
@@ -397,6 +401,8 @@ object DumpParser extends Serializable {
     while (i < raw.length) {
       val f = schema(i)
       val v = raw(i)
+      if (v == null && !f.nullable)
+        fail(s"table $table column ${f.name}: NULL in NOT NULL column")
       out(i) =
         if (v == null) null
         else f.dataType match {

@@ -42,11 +42,19 @@ object DumpRenderer {
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss")
     .withZone(java.time.ZoneOffset.UTC)
+  // mysqldump emits fractional seconds for DATETIME(6) columns; render
+  // them whenever the instant has sub-second precision so round-trips
+  // through DumpParser.parseTimestamp (micros) are lossless.
+  private val tsFracFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
 
   def literal(v: Any): String = v match {
     case null                  => "NULL"
     case s: String             => s"'${escape(s)}'"
-    case t: java.sql.Timestamp => s"'${tsFmt.format(t.toInstant)}'"
+    case t: java.sql.Timestamp =>
+      val fmt = if (t.toInstant.getNano == 0) tsFmt else tsFracFmt
+      s"'${fmt.format(t.toInstant)}'"
     case b: Boolean            => if (b) "TRUE" else "FALSE"
     case b: java.lang.Boolean  => if (b) "TRUE" else "FALSE"
     case other                 => other.toString

@@ -120,6 +120,24 @@ object StatementReader {
   case class Stmt(text: String) extends Seg
   case class Tail(lines: Vector[String]) extends Seg
 
+  /** Whether this line sequence contains a statement-terminating line
+    * (same test as the assemblers: non-comment line ending `;` at
+    * balanced quote state). A partition whose Head does NOT terminate
+    * held no terminator at all — the healer must treat the whole
+    * partition as continuation of the carried statement, or the
+    * residue would be silently dropped (the round-1 data-loss bug). */
+  private[dump] def terminates(lines: Seq[String]): Boolean = {
+    var quote = false
+    lines.exists { raw =>
+      val trimmed = raw.trim
+      if (isComment(trimmed)) false
+      else {
+        quote = quoteStateAfter(trimmed, quote)
+        !quote && trimmed.endsWith(";")
+      }
+    }
+  }
+
   /** Single streaming pass over one partition's lines; memory is
     * bounded by the largest single statement, never the partition. */
   def assemblePartition(lines: Iterator[String]): Iterator[Seg] = new Iterator[Seg] {

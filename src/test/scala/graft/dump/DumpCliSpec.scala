@@ -1,0 +1,53 @@
+package graft.dump
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class DumpCliSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+
+  val dump =
+    """CREATE TABLE `t` (`id` int NOT NULL, `name` varchar(10));
+      |INSERT INTO `t` VALUES (1,'a'),(2,'b');
+      |""".stripMargin
+
+  test("arg parsing: -o/--output, optional positional input, errors") {
+    assert(DumpCli.parseArgs(Array()) == (".", None))
+    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql")))
+    assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) == ("out", Some("in.sql")))
+    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None))
+    assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) == ("out", Some("in.sql")))
+    intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-x")))
+    intercept[IllegalArgumentException](DumpCli.parseArgs(Array("a", "b")))
+    intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-o")))
+  }
+
+  test("e2e: main with file input writes parquet (main.rs:25-33 parity)") {
+    spark // ensure the shared test session exists before main's getOrCreate
+    val in = Files.createTempDirectory("cli-in")
+    val out = Files.createTempDirectory("cli-out")
+    Files.writeString(in.resolve("dump.sql"), dump)
+    DumpCli.main(Array("-o", out.toString, s"$in/dump.sql"))
+    val back = spark.read.parquet(s"$out/t").collect().sortBy(_.getLong(0))
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back.map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("e2e: main with no input reads stdin (main.rs:56 parity)") {
+    spark
+    val out = Files.createTempDirectory("cli-stdin-out")
+    val oldIn = System.in
+    try {
+      System.setIn(new java.io.ByteArrayInputStream(dump.getBytes("UTF-8")))
+      DumpCli.main(Array("--output", out.toString))
+    } finally System.setIn(oldIn)
+    assert(spark.read.parquet(s"$out/t").count() == 2)
+  }
+
+  test("spool streams bounded and byte-exact") {
+    val payload = ("x" * 1000 + "\n") * 100
+    val tmp = DumpCli.spool(new java.io.ByteArrayInputStream(payload.getBytes("UTF-8")))
+    try assert(Files.readString(tmp) == payload)
+    finally Files.deleteIfExists(tmp)
+  }
+}

@@ -96,6 +96,33 @@ class DumpConverterSpec extends AnyFunSuite {
     assert(back.agg(sum("id")).head.getLong(0) == 500L * 501 / 2)
   }
 
+  test("statement spanning entire partitions is not lost (heal carry-chain)") {
+    val in = tmpDir("dump-span-in")
+    val out = tmpDir("dump-span-out")
+    // A CREATE TABLE block of ~120 lines read with minPartitions=40:
+    // partitions are ~3 lines each, so the statement spans many whole
+    // partitions with no terminator — the round-1 healer dropped it.
+    val cols = (1 to 118).map(i => s"  `c$i` int,").mkString("\n")
+    val text =
+      s"""CREATE TABLE `wide` (
+         |$cols
+         |  `last` int
+         |);
+         |INSERT INTO `wide` VALUES (${(1 to 119).mkString(",")});
+         |INSERT INTO `wide` VALUES (${(201 to 319).mkString(",")});
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), text)
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out, minPartitions = 40)
+    assert(res.tables == Seq("wide"))
+    assert(res.rowsWritten("wide") == 2)
+    assert(res.droppedInserts == 0)
+    val back = spark.read.parquet(s"$out/wide")
+    assert(back.schema.fields.length == 119)
+    import org.apache.spark.sql.functions._
+    assert(back.agg(sum("c1"), sum("last")).head() ==
+      Row(1L + 201L, 119L + 319L))
+  }
+
   test("re-CREATE of a table wins (writer rotation, parquet_writer.rs:82-91)") {
     val in = tmpDir("dump-recreate-in")
     val out = tmpDir("dump-recreate-out")

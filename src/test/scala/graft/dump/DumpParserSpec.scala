@@ -119,6 +119,27 @@ class DumpParserSpec extends AnyFunSuite {
     assert(frac.toInstant.getNano == 125000000)
   }
 
+  test("NULL in NOT NULL column fails at coercion with a clear error") {
+    val ct = DumpParser.parseCreateTable("CREATE TABLE `t` (`id` int NOT NULL, `x` int);")
+    val ok = DumpParser.parseInsert("INSERT INTO `t` VALUES (1, NULL);")
+    assert(DumpParser.coerceRow("t", ct.schema, ok.rows.head).get(1) == null)
+    val bad = DumpParser.parseInsert("INSERT INTO `t` VALUES (NULL, 2);")
+    val e = intercept[DumpParser.DumpParseException](
+      DumpParser.coerceRow("t", ct.schema, bad.rows.head))
+    assert(e.getMessage.contains("NULL in NOT NULL"))
+  }
+
+  test("renderer emits fractional seconds; round-trips through the parser losslessly") {
+    val t = java.sql.Timestamp.from(java.time.Instant.parse("2012-01-02T12:55:22.123456Z"))
+    val lit = DumpRenderer.literal(t)
+    assert(lit == "'2012-01-02 12:55:22.123456'")
+    val back = DumpParser.parseTimestamp(lit.stripPrefix("'").stripSuffix("'"), "t", "c")
+    assert(back == t)
+    // whole seconds stay in the compact mysqldump form
+    val w = java.sql.Timestamp.from(java.time.Instant.parse("2012-01-02T12:55:22Z"))
+    assert(DumpRenderer.literal(w) == "'2012-01-02 12:55:22'")
+  }
+
   test("column names lowercased; nullability: NOT NULL, inline PRIMARY KEY, first-wins") {
     val ct = DumpParser.parseCreateTable(
       "CREATE TABLE `T` (`Id` int PRIMARY KEY, `A` int NOT NULL NULL, `B` int NULL NOT NULL, `C` int DEFAULT NULL);")
