@@ -1,0 +1,286 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayAggregators
+import graft.functions.VectorFunctions._
+
+/** Deduplication over the `documents` corpus — the highest-frequency
+  * LLM-pipeline operation family. Five pipelines, each in its 100 TB
+  * shape (NO all-pairs joins except the documented exact-baseline for
+  * embeddings):
+  *
+  *   - [[d_dedup_exact]]: content-hash exact dedup (`sha2` → min-key
+  *     groupBy with map-side partial agg). One shuffle on the hash.
+  *   - [[d_ngram_jaccard]]: EXACT n-gram Jaccard near-dup via an
+  *     inverted-index self-join on shingles — candidate pairs are only
+  *     docs sharing ≥1 shingle, never the cross product. DuckDB oracle.
+  *   - [[d_dedup_minhash]]: the sketch path — per-shingle 64-hash
+  *     family → element-wise-min signature (map-side partial agg: ONE
+  *     64-long row per doc reaches the shuffle) → banded LSH self-join
+  *     (16 bands × 4 rows) → exact-Jaccard verification of the tiny
+  *     candidate set. At the 0.5 output threshold the LSH miss
+  *     probability for a true pair is ≤ (1 - 0.5^4)^16 ≈ 0.35 in the
+  *     worst case at exactly j=0.5 but ≈ 4e-8 at the j≥0.9 pairs this
+  *     corpus contains, so the verified output equals the exact answer
+  *     and is DuckDB-oracle-checked.
+  *   - [[d_dedup_simhash]]: 64-bit frequency-weighted SimHash
+  *     fingerprints (element-wise-sum UDAF) + 4×16-bit block LSH join
+  *     (pigeonhole: hamming ≤ 3 ⇒ some block equal) + exact hamming
+  *     filter. Approximate by nature → rows-only check + measured
+  *     precision/recall in DedupOpsSpec.
+  *   - [[d_dedup_embedding]]: cosine near-dup pairs over embeddings.
+  *     Exact all-pairs baseline (the fixture is one parquet of 500
+  *     vectors; the 100 TB path is bucketed candidate generation as in
+  *     [[SimilarityOps.ivfTopK]]), integerized for an exact oracle.
+  */
+object DedupOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ shingling
+
+  /** doc_id + the DISTINCT word 3-gram shingles of `text`, as an array
+    * column (one narrow projection, no shuffle). */
+  private[ops] def shingled(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")))
+          .otherwise(expr("CAST(array() AS array<string>)"))
+          .as("sh"))
+
+  /** Exploded (doc_id, shingle) inverted-index rows. */
+  private[ops] def shingleIndex(docs: DataFrame): DataFrame =
+    shingled(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Exact Jaccard over candidate pairs given per-doc shingle arrays:
+    * |A ∩ B| / |A ∪ B| computed from array_intersect on the joined
+    * arrays. `pairs` must have (doc_a, doc_b). */
+  private def exactJaccard(pairs: DataFrame, arrays: DataFrame): DataFrame = {
+    val a = arrays.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = arrays.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("u", size(col("sha")) + size(col("shb")) - col("c"))
+      .filter(col("c") * lit(2) >= col("u")) // c/u >= 0.5, integer-exact
+      .select(col("doc_a"), col("doc_b"),
+        round(lit(1000000.0) * col("c") / col("u")).cast("long").as("jac_e6"))
+  }
+
+  private val jaccardOracle =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT ia AS doc_a, ib AS doc_b,
+      |  CAST(ROUND(1000000.0 * c / (na.n + nb.n - c)) AS BIGINT) AS jac_e6
+      |FROM common
+      |JOIN sizes na ON ia = na.doc_id
+      |JOIN sizes nb ON ib = nb.doc_id
+      |WHERE 2 * c >= (na.n + nb.n - c)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------- exact dedup
+
+  /** Simulated re-crawl: the corpus unioned with its `src0` slice, then
+    * exact-deduplicated by content hash. Keeper = min doc_id per hash;
+    * `n_copies` proves the duplicates were actually seen. */
+  val d_dedup_exact: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.unionByName(docs.filter(col("source") === "src0"))
+    corpus
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), substring(col("content_hash"), 1, 16).as("hash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------- exact jaccard
+
+  /** Inverted-index exact n-gram Jaccard: pairs sharing ≥1 shingle,
+    * scored exactly. The shuffle is on shingle then on (doc_a, doc_b) —
+    * never a cross join. */
+  val d_ngram_jaccard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = shingleIndex(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("u", col("na") + col("nb") - col("c"))
+      .filter(col("c") * lit(2) >= col("u"))
+      .select(col("doc_a"), col("doc_b"),
+        round(lit(1000000.0) * col("c") / col("u")).cast("long").as("jac_e6"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  private val NumHashes = 64
+  private val NumBands = 16
+  private val BandRows = 4 // NumBands * BandRows == NumHashes
+
+  /** Deterministic universal hash family h_i(u) = (a_i*u + b_i) mod p
+    * over the 32-bit image of xxhash64, p prime > 2^32. The modulus is
+    * what breaks monotonicity — WITHOUT it an affine map with positive
+    * a_i preserves the ordering of u, every h_i elects the same min-u
+    * shingle, and all 64 signature components collapse into one
+    * perfectly-correlated estimator. Ranges keep ANSI Long arithmetic
+    * overflow-free: a_i < 2^30, u < 2^32 ⇒ a_i*u + b_i < 2^63. */
+  private val HashP = 4294967311L // smallest prime > 2^32
+  private val (hashA, hashB): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(42)
+    val a = Seq.fill(NumHashes)((rng.nextLong() & ((1L << 30) - 1)) | 1L)
+    val b = Seq.fill(NumHashes)(rng.nextLong() & ((1L << 30) - 1))
+    (a, b)
+  }
+
+  /** (doc_id, sig) MinHash signatures: per-shingle 64 affine hashes of
+    * xxhash64(shingle), reduced by the elementwise-min UDAF — partial
+    * aggregation means one 64-long buffer per doc per partition crosses
+    * the shuffle, not one row per shingle. */
+  private[ops] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val aLit = typedLit(hashA)
+    val bLit = typedLit(hashB)
+    shingleIndex(docs)
+      .select(col("doc_id"),
+        xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFFL)).as("u"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(NumHashes - 1)),
+          i => pmod(element_at(aLit, i + 1) * col("u") + element_at(bLit, i + 1), lit(HashP)))
+          .as("hs"))
+      .groupBy("doc_id")
+      .agg(ArrayAggregators.elementwiseMin(NumHashes)(col("hs")).as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs from signatures: fold each 4-long band
+    * to a key, self-join buckets on (band, key). */
+  private[ops] def lshCandidates(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      posexplode(
+        transform(sequence(lit(0), lit(NumBands - 1)),
+          k => aggregate(
+            slice(col("sig"), k * lit(BandRows) + 1, lit(BandRows)),
+            lit(0L),
+            // modular fold keeps acc < 2^31 so acc*p + x stays < 2^63
+            // (ANSI-safe); collisions only cost extra verified candidates
+            (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L)))))
+        .as(Seq("band", "key")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification
+    * of the candidates (standard production shape: cheap sketch for
+    * candidates, exact check before acting on a merge). */
+  val d_dedup_minhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cands = lshCandidates(minhashSignatures(docs))
+    exactJaccard(cands, shingled(docs))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** (doc_id, f) 64-bit frequency-weighted SimHash fingerprints. Bit i
+    * of xxhash64(token) votes ±count; fingerprint bit = sign of tally.
+    * The tally is the elementwise-sum UDAF — again one 64-long buffer
+    * per doc crosses the shuffle. */
+  private[ops] def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 63), i -> CASE WHEN (shiftright(xxhash64(tok), i) & 1) = 1 THEN c ELSE -c END)")
+        .as("votes"))
+      .groupBy("doc_id")
+      .agg(ArrayAggregators.elementwiseSum(64)(col("votes")).as("bits"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> CASE WHEN element_at(bits, i + 1) > 0 THEN acc | shiftleft(1L, i) ELSE acc END)")
+        .as("f"))
+
+  /** SimHash near-dup pairs at hamming ≤ 3 via 4×16-bit block LSH:
+    * pigeonhole guarantees any pair within distance 3 agrees on at
+    * least one of the 4 blocks, so the block join loses nothing. */
+  val d_dedup_simhash: Q = (s, d) => {
+    val fps = simhashFingerprints(Tables.documents(s, d))
+    val blocked = fps.select(col("doc_id"), col("f"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> shiftright(f, k * 16) & 65535)"))
+        .as(Seq("blk", "key")))
+    blocked.as("x")
+      .join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.f").bitwiseXOR(col("y.f"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Cosine near-dup pairs over embeddings at cos ≥ 0.45 (integerized
+    * threshold so both engines cut identically). Exact all-pairs
+    * baseline — see scaladoc for the bucketed 100 TB path. */
+  val d_dedup_embedding: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_e6",
+        round(cosineFold(col("ea"), col("eb"), SimilarityOps.Dim) * 1e6).cast("long"))
+      .filter(col("cos_e6") >= 450000L)
+      .select(col("id_a"), col("id_b"), col("cos_e6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "d_dedup_exact" -> d_dedup_exact,
+    "d_ngram_jaccard" -> d_ngram_jaccard,
+    "d_dedup_minhash" -> d_dedup_minhash,
+    "d_dedup_simhash" -> d_dedup_simhash,
+    "d_dedup_embedding" -> d_dedup_embedding,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT * FROM documents WHERE source = 'src0')
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+        |  substr(sha256(text), 1, 16) AS hash16
+        |FROM corpus GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "d_ngram_jaccard" -> jaccardOracle,
+    "d_dedup_minhash" -> jaccardOracle,
+    // d_dedup_simhash: approximate sketch, no SQL equivalent — measured
+    // precision/recall vs exact Jaccard asserted in DedupOpsSpec.
+    "d_dedup_embedding" -> {
+      val cos = oracleCosineSql("a.embedding", "b.embedding", SimilarityOps.Dim)
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE CAST(ROUND($cos * 1000000) AS BIGINT) >= 450000
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactPairs: Set[(Long, Long)] = pairSet(DedupOps.d_ngram_jaccard(spark, sf))
+
+  test("exact dedup: src0 docs have 2 copies, everything else 1") {
+    val r = DedupOps.d_dedup_exact(spark, sf)
+    val src0 = Tables.documents(spark, sf).filter(col("source") === "src0").count()
+    val total = Tables.documents(spark, sf).count()
+    assert(r.count() == total) // one keeper per distinct content
+    assert(r.filter(col("n_copies") === 2).count() == src0)
+    assert(r.filter(col("n_copies") === 1).count() == total - src0)
+  }
+
+  test("ngram jaccard finds the planted near-dup pairs, all above 0.5") {
+    assert(exactPairs.nonEmpty)
+    val r = DedupOps.d_ngram_jaccard(spark, sf)
+    assert(r.filter(col("jac_e6") < 500000L).count() == 0)
+    // near-dups are planted pairs: jaccard well above threshold
+    assert(r.filter(col("jac_e6") >= 900000L).count() >= (exactPairs.size * 8) / 10)
+  }
+
+  test("minhash-LSH + exact verification reproduces the exact jaccard answer") {
+    val mh = pairSet(DedupOps.d_dedup_minhash(spark, sf))
+    assert(mh == exactPairs)
+  }
+
+  test("minhash signatures are 64 longs and deterministic across runs") {
+    val sigs = DedupOps.minhashSignatures(Tables.documents(spark, sf))
+    assert(sigs.select(size(col("sig"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))
+    val a = sigs.orderBy("doc_id").limit(5).collect().map(_.getSeq[Long](1))
+    val b = DedupOps.minhashSignatures(Tables.documents(spark, sf))
+      .orderBy("doc_id").limit(5).collect().map(_.getSeq[Long](1))
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
+  }
+
+  test("simhash near-dup: recall >= 0.7 and few false positives vs exact jaccard") {
+    val sh = pairSet(DedupOps.d_dedup_simhash(spark, sf))
+    val recall = (sh & exactPairs).size.toDouble / exactPairs.size
+    val falsePos = (sh -- exactPairs).size
+    assert(recall >= 0.7, s"recall=$recall found=${sh.size} exact=${exactPairs.size}")
+    assert(falsePos <= 10, s"false positives=$falsePos")
+  }
+
+  test("embedding near-dup pairs are symmetric-free, thresholded, nonzero") {
+    val r = DedupOps.d_dedup_embedding(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(x => x.getLong(0) < x.getLong(1)))
+    assert(rows.forall(_.getLong(2) >= 450000L))
+  }
+}
