@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus — the per-doc
+  * scoring / profiling passes a training-data pipeline runs before
+  * filtering. Every query is a narrow projection or a single
+  * aggregation (no self-joins); at 100 TB each is one codegen'd scan.
+  *
+  *   - [[t_text_stats]]: per-language corpus statistics.
+  *   - [[t_token_count]]: whitespace tokens + regex (BPE-ish piece)
+  *     token counts per doc.
+  *   - [[t_lang_id]]: deterministic stopword-profile language ID —
+  *     score = profile-token hits per language, argmax with (score
+  *     desc, lang asc) tie-break, `und` when nothing matches. (The
+  *     fixture's `lang` column is a synthetic label, not a property of
+  *     the text, so the oracle checks the classifier's deterministic
+  *     output, not label recovery.)
+  *   - [[t_quality_score]]: length/stopword/word-length quality score,
+  *     integerized to e4 for exact cross-engine comparison.
+  *   - [[t_fingerprint]]: sha2 content hash + Karp-Rabin rolling-hash
+  *     fingerprints (min + distinct count over 8-gram polynomial
+  *     hashes, mod 1000003 — pure integer arithmetic, reproduced
+  *     exactly in DuckDB).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is")
+
+  /** (lang, token) stopword profiles for the language scorer. */
+  private val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "de", "fr" -> "un",
+    "es" -> "el", "es" -> "de", "es" -> "y", "es" -> "un", "es" -> "en",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "ein", "de" -> "ist",
+    "zh" -> "的", "zh" -> "了", "zh" -> "是", "zh" -> "在", "zh" -> "我",
+  )
+
+  val t_text_stats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")) * 100).cast("long").as("avg_chars_e2"))
+      .orderBy(col("lang"))
+
+  val t_token_count: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).as("alpha_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("piece_tokens"))
+      .orderBy(col("doc_id"))
+
+  val t_lang_id: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val prof = LangProfiles.toDF("plang", "tok")
+    val scores = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(prof), "tok")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("score"))
+    // argmax via min(struct(-score, lang)): (score desc, lang asc)
+    val best = scores
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("plang").as("pl"))).as("b"))
+      .select(col("doc_id"), col("b.pl").as("bl"), (-col("b.ns")).as("bs"))
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("bl"), lit("und")).as("pred_lang"),
+        coalesce(col("bs"), lit(0L)).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t_quality_score: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        expr(s"size(filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")})))")
+          .as("stop_hits"),
+        expr("aggregate(w, 0, (acc, x) -> acc + length(x))").as("sum_tok_chars"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_hits"),
+        round(lit(10000.0) * (
+          lit(0.4) * least(col("n_tokens").cast("double"), lit(100.0)) / 100.0 +
+          lit(0.3) * col("stop_hits").cast("double") / col("n_tokens") +
+          lit(0.3) * least(col("sum_tok_chars").cast("double") / col("n_tokens") / 10.0, lit(1.0))
+        )).cast("long").as("score_e4"))
+      .orderBy(col("doc_id"))
+
+  val t_fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        expr(
+          """transform(sequence(1, length(text) - 7),
+            |  i -> aggregate(sequence(0, 7),
+            |         0L,
+            |         (acc, j) -> pmod(acc * 257 + ascii(substring(text, i + j, 1)), 1000003)))"""
+            .stripMargin).as("hs"))
+      .select(
+        col("doc_id"),
+        substring(sha2(col("text"), 256), 1, 16).as("hash16"),
+        array_min(col("hs")).as("fp_min"),
+        size(array_distinct(col("hs"))).as("fp_distinct"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "t_text_stats" -> t_text_stats,
+    "t_token_count" -> t_token_count,
+    "t_lang_id" -> t_lang_id,
+    "t_quality_score" -> t_quality_score,
+    "t_fingerprint" -> t_fingerprint,
+  )
+
+  private val profValues =
+    LangProfiles.map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+  private val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "t_text_stats" ->
+      """SELECT lang, COUNT(1) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(ROUND(AVG(n_chars) * 100) AS BIGINT) AS avg_chars_e2
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS piece_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |prof(plang, tok) AS (VALUES $profValues),
+         |sc AS (SELECT doc_id, plang, COUNT(1) AS score
+         |       FROM toks JOIN prof USING (tok) GROUP BY 1, 2),
+         |best AS (SELECT doc_id, plang, score,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+         |         FROM sc)
+         |SELECT d.doc_id, COALESCE(b.plang, 'und') AS pred_lang,
+         |  CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "t_quality_score" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id,
+         |        CAST(len(w) AS INTEGER) AS n_tokens,
+         |        CAST(len(list_filter(w, x -> x IN ($stopList))) AS INTEGER) AS stop_hits,
+         |        CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS INTEGER) AS sum_tok_chars
+         |      FROM w)
+         |SELECT doc_id, n_tokens, stop_hits,
+         |  CAST(ROUND(10000.0 * (
+         |    0.4 * LEAST(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 +
+         |    0.3 * CAST(stop_hits AS DOUBLE) / n_tokens +
+         |    0.3 * LEAST(CAST(sum_tok_chars AS DOUBLE) / n_tokens / 10.0, 1.0)
+         |  )) AS BIGINT) AS score_e4
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id, substr(sha256(text), 1, 16) AS hash16,
+        |  CAST(list_aggregate(
+        |    list_transform(generate_series(1, length(text) - 7),
+        |      i -> list_reduce(
+        |             list_prepend(0, list_transform(generate_series(0, 7),
+        |               j -> ascii(substr(text, i + j, 1)))),
+        |             (acc, x) -> (acc * 257 + x) % 1000003)),
+        |    'min') AS BIGINT) AS fp_min,
+        |  CAST(len(list_distinct(
+        |    list_transform(generate_series(1, length(text) - 7),
+        |      i -> list_reduce(
+        |             list_prepend(0, list_transform(generate_series(0, 7),
+        |               j -> ascii(substr(text, i + j, 1)))),
+        |             (acc, x) -> (acc * 257 + x) % 1000003)))) AS INTEGER) AS fp_distinct
+        |FROM documents WHERE length(text) >= 8 ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("text stats cover every language with sane bounds") {
+    val r = TextOps.t_text_stats(spark, sf).collect()
+    assert(r.map(_.getString(0)).toSet == Set("en", "fr", "es", "de", "zh"))
+    r.foreach { row =>
+      assert(row.getLong(1) > 0)
+      assert(row.getLong(4) >= row.getLong(5) / 100) // max >= avg
+    }
+  }
+
+  test("token counts: ws tokens == alpha+noise relation holds per doc") {
+    val r = TextOps.t_token_count(spark, sf)
+    assert(r.count() == Tables.documents(spark, sf).count())
+    // corpus is lowercase words joined by single spaces: alpha == ws
+    assert(r.filter(col("alpha_tokens") =!= col("ws_tokens")).count() == 0)
+    assert(r.filter(col("piece_tokens") < col("alpha_tokens")).count() == 0)
+  }
+
+  test("lang-id is deterministic, covers every doc, argmax tie-break stable") {
+    val a = TextOps.t_lang_id(spark, sf).collect()
+    val b = TextOps.t_lang_id(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == Tables.documents(spark, sf).count())
+    // docs containing 'the'/'a' must score en >= 1; und only when score 0
+    a.foreach { row =>
+      val (lang, score) = (row.getString(1), row.getLong(2))
+      assert((lang == "und") == (score == 0L), row.toString)
+    }
+  }
+
+  test("quality score bounded in [0, 10000] and monotone in stopword hits") {
+    val r = TextOps.t_quality_score(spark, sf)
+    val bounds = r.agg(min("score_e4"), max("score_e4")).head()
+    assert(bounds.getLong(0) >= 0L && bounds.getLong(1) <= 10000L)
+    assert(r.filter(col("stop_hits") > col("n_tokens")).count() == 0)
+  }
+
+  test("fingerprints: distinct docs get distinct sha2; rolling stats sane") {
+    val r = TextOps.t_fingerprint(spark, sf)
+    val n = r.count()
+    assert(r.select("hash16").distinct().count() == n)
+    assert(r.filter(col("fp_min") < 0 || col("fp_min") >= 1000003).count() == 0)
+    assert(r.filter(col("fp_distinct") < 1).count() == 0)
+  }
+}
