@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.queries ++ ops.ConverterQueries.queries ++
-      ops.SimilarityOps.queries ++ ops.DedupOps.queries ++ ops.TextOps.queries
+      ops.SimilarityOps.queries ++ ops.DedupOps.queries ++ ops.TextOps.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracles ++ ops.ConverterQueries.oracles ++
-      ops.SimilarityOps.oracles ++ ops.DedupOps.oracles ++ ops.TextOps.oracles
+      ops.SimilarityOps.oracles ++ ops.DedupOps.oracles ++ ops.TextOps.oracles ++
+      streaming.StreamingOps.oracles
 }
