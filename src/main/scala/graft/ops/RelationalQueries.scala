@@ -93,34 +93,37 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
-  /** GROUPING SETS via SQL — distinct grouping-set shapes vs rollup/cube. */
-  val q_grouping_sets: Q = (s, d) => {
-    orders(s, d).createOrReplaceTempView("orders_gs")
-    s.sql(
-      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
-        |FROM orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
-        |""".stripMargin)
-  }
+  /** GROUPING SETS via the DataFrame API — distinct grouping-set shapes
+    * vs rollup/cube, with no session-global temp-view side effect. */
+  val q_grouping_sets: Q = (s, d) =>
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
   // ----------------------------------------------------------------- joins
 
-  /** TPC-H Q3 shape: fact-fact shuffle join + broadcast dim + group +
-    * per-key top-k via limit after sort of the small aggregate. */
+  /** TPC-H Q3 shape: fact-fact shuffle join + dim join + group + top-k
+    * via limit after sort of the small aggregate. Customer is a SCALING
+    * table — no forced broadcast; AQE picks broadcast when the filtered
+    * side fits and falls back to shuffle join at 100× scale. */
   val q3_top_unshipped: Q = (s, d) => {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val l = lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
       .orderBy(desc("revenue_cents"), col("l_orderkey"))
       .limit(10)
   }
 
-  /** TPC-H Q5 shape: star join — all dims broadcast, one fact shuffle. */
+  /** TPC-H Q5 shape: star join — the FIXED-SIZE dims (nation 25 rows,
+    * region 5 rows) broadcast unconditionally; customer scales with SF
+    * so AQE decides its join side. One fact shuffle either way. */
   val q5_region_revenue: Q = (s, d) => {
     val l = lineitem(s, d)
     val o = orders(s, d)
@@ -128,7 +131,7 @@ object RelationalQueries {
     val n = nation(s, d)
     val r = region(s, d)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -146,10 +149,14 @@ object RelationalQueries {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
-  /** left_anti = NOT EXISTS — customers with no orders at all. */
+  /** left_anti = NOT EXISTS — customers with no URGENT order. (Every
+    * customer has SOME order in the fixture, so the filter keeps the
+    * result non-empty: a hash match on a non-trivial set, not on ∅.) */
   val q_anti_join: Q = (s, d) =>
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
@@ -164,10 +171,16 @@ object RelationalQueries {
   /** Range bucketing: orders binned into quarters via a broadcast
     * range-join against a tiny generated calendar dim (the Spark side
     * exercises a genuine non-equi broadcast join; the oracle reproduces
-    * the identical result arithmetically). */
+    * the identical result arithmetically). The calendar bounds are
+    * DERIVED from the data (one scalar aggregate job over a pruned
+    * scan) so the join covers every order regardless of the fixture's
+    * date span — no silently dropped out-of-range rows. */
   val q_range_join: Q = (s, d) => {
     import s.implicits._
-    val quarters = (1995 to 2001).flatMap { y =>
+    val yr = orders(s, d)
+      .agg(min(year(col("o_orderdate"))).as("y0"), max(year(col("o_orderdate"))).as("y1"))
+      .head()
+    val quarters = (yr.getInt(0) to yr.getInt(1)).flatMap { y =>
       (1 to 4).map { q =>
         val m0 = (q - 1) * 3 + 1
         val (y1, m1) = if (q == 4) (y + 1, 1) else (y, m0 + 3)
@@ -248,13 +261,26 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** Per-group top-k via window, NOT a global sort (the 100 TB shape). */
+  /** Per-group top-k, de-skewed: `l_returnflag` has only 3 distinct
+    * values, so a single window over it would sort the whole fact table
+    * inside 3 partitions. Phase 1 takes a local top-k per (group, salt)
+    * — 32-way salted, so the big sort spreads over 96 partitions and
+    * each emits ≤ k rows; phase 2 re-ranks the ≤ group×salt×k
+    * survivors (tiny) exactly. Same answer, no unbounded skew. */
   val q_topk_per_group: Q = (s, d) => {
-    val w = Window.partitionBy(col("l_returnflag"))
+    val k = 3
+    val salted = lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(32)))
+    val w1 = Window.partitionBy(col("l_returnflag"), col("salt"))
       .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    lineitem(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    val local = salted
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= k)
+    val w2 = Window.partitionBy(col("l_returnflag"))
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    local
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
       .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("l_returnflag"), col("rn"))
   }
@@ -315,6 +341,39 @@ object RelationalQueries {
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
       .orderBy(col("event_type"))
 
+  /** Map functions: `from_json` → MapType(String,String) over
+    * events.props, map_concat with a literal map, map_keys/element_at/
+    * size — the typed-map surface SURVEY §2 names (vs the string-only
+    * get_json_object path in [[q_json_events]]). */
+  val q_map_fns: Q = (s, d) => {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), MapType(StringType, StringType)).as("m"))
+      .withColumn("m2", map_concat(col("m"), map(lit("et"), col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(element_at(col("m"), "k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"),
+        min(array_join(array_sort(map_keys(col("m"))), ",")).as("keys_csv"),
+        sum(size(col("m2"))).as("total_keys"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Supplier coverage: per-nation supplier stats + deterministic
+    * top-balance supplier via a struct-max argmax (broadcast dim join,
+    * one fact shuffle). */
+  val q_supplier_stats: Q = (s, d) =>
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        cents(col("s_acctbal")).as("bal_cents"),
+        max(struct(round(col("s_acctbal") * 100).cast("long").as("b"),
+          col("s_suppkey").as("k"))).getField("k").as("top_suppkey"))
+      .orderBy(col("n_name"))
+
   /** CASE WHEN + conditional aggregation (pivot-ish shape). */
   val q_conditional_agg: Q = (s, d) =>
     orders(s, d)
@@ -353,6 +412,8 @@ object RelationalQueries {
     "q_scalar_fns" -> q_scalar_fns,
     "q_date_fns" -> q_date_fns,
     "q_json_events" -> q_json_events,
+    "q_map_fns" -> q_map_fns,
+    "q_supplier_stats" -> q_supplier_stats,
     "q_conditional_agg" -> q_conditional_agg,
   )
 
@@ -419,7 +480,8 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q_outer_join" ->
       """SELECT n_name, COUNT(c_custkey) AS n_customers
@@ -511,6 +573,23 @@ object RelationalQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(json_extract_string(props, '$.k')) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_map_fns" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(1) AS n,
+        |  MIN(array_to_string(list_sort(json_keys(props)), ',')) AS keys_csv,
+        |  CAST(SUM(len(json_keys(props)) + 1) AS BIGINT) AS total_keys
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_supplier_stats" ->
+      """WITH s AS (
+        |  SELECT n_name, s_suppkey, s_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT) DESC, s_suppkey DESC) AS rn
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, COUNT(1) AS n_supp,
+        |  CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN s_suppkey END) AS BIGINT) AS top_suppkey
+        |FROM s GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_conditional_agg" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,

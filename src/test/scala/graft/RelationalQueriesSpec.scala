@@ -25,8 +25,7 @@ class RelationalQueriesSpec extends AnyFunSuite {
   test("every declared query runs and is non-empty at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = withClue(name)(fn(spark, sf).count())
-      // q_anti_join can legitimately be 0 (every customer may have orders)
-      if (name != "q_anti_join") assert(n > 0, s"$name returned 0 rows")
+      assert(n > 0, s"$name returned 0 rows")
     }
   }
 
@@ -46,9 +45,29 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(p_size)") || plan.contains("GreaterThanOrEqual(p_size"))
   }
 
-  test("q5 star join broadcasts all dimension tables") {
+  test("q5 star join broadcasts the fixed-size dimension tables") {
     val plan = ops.RelationalQueries.q5_region_revenue(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("no forced broadcast of the scaling customer table (AQE decides)") {
+    // q3 joins customer with no hint at all; q5 hints exactly its two
+    // fixed-size dims (nation, region), never customer.
+    val q3 = ops.RelationalQueries.q3_top_unshipped(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!q3.contains("strategy=broadcast"), s"unexpected hint in q3:\n$q3")
+    val q5 = ops.RelationalQueries.q5_region_revenue(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(q5.split("strategy=broadcast").length - 1 == 2,
+      s"expected exactly 2 dim hints in q5:\n$q5")
+  }
+
+  test("topk per group runs two-phase salted windows (no 3-partition global sort)") {
+    val plan = ops.RelationalQueries.q_topk_per_group(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), "phase-1 salted window missing")
+    assert(plan.split("RunningWindowFunction|Window ").length - 1 >= 2,
+      s"expected two window phases in:\n$plan")
   }
 }
