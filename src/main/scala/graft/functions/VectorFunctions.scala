@@ -4,17 +4,20 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector math over `ArrayType(FloatType)` columns, built from
-  * codegen'd Catalyst expressions — NO UDFs, so the 64
-  * multiply-adds of a dot product inline into whole-stage codegen.
+  * codegen'd Catalyst expressions — NO UDFs.
   *
-  * Two families:
-  *   - `*Fold` variants unroll an explicit left-associated fold over a
-  *     statically-known dimension. Float addition is order-sensitive,
-  *     so a fixed association makes results BIT-REPRODUCIBLE across
-  *     engines — [[oracleDotSql]] emits the same left-assoc expression
-  *     for DuckDB, giving exact (not approximate) oracle matches.
-  *   - higher-order variants (`zip_with` + `aggregate`) for dynamic
-  *     dimensions; same left-to-right accumulation order.
+  * Two families with IDENTICAL left-to-right accumulation order, so
+  * either matches [[oracleDotSql]]'s unrolled left-assoc DuckDB
+  * expression bit-for-bit (the `aggregate` seed 0.0 is exact: 0.0+x==x
+  * for every non-zero product, and a ±0.0 difference dies in the e6
+  * integerization):
+  *   - higher-order variants (`zip_with` + `aggregate`) — PREFER these:
+  *     compact codegen that survives join consume paths (a 64-dim
+  *     unrolled fold inside a BroadcastNestedLoopJoin overflows
+  *     janino's method limit and falls back to interpreted eval);
+  *   - `*Fold` variants unroll the fold over a statically-known
+  *     dimension — kept for projection contexts and as the reference
+  *     formulation the oracle SQL mirrors.
   */
 object VectorFunctions {
 
@@ -28,9 +31,15 @@ object VectorFunctions {
   def cosineFold(a: Column, b: Column, dim: Int): Column =
     dotFold(a, b, dim) / (sqrt(normSqFold(a, dim)) * sqrt(normSqFold(b, dim)))
 
-  /** Dynamic-dimension dot product: zip_with multiply, then a
-    * left-to-right double aggregate. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — the native codegen'd [[DotProduct]] expression
+    * (tight loop, no per-row intermediate array). Same left-to-right
+    * accumulation as [[dotHof]] and [[oracleDotSql]]. */
+  def dot(a: Column, b: Column): Column = DotProduct.dotNative(a, b)
+
+  /** Higher-order-function formulation of the same dot product —
+    * kept as the pure-builtin reference implementation (parity with
+    * the native expression is asserted in DotProductSpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

@@ -240,12 +240,17 @@ object DedupOps {
     * baseline — see scaladoc for the bucketed 100 TB path. */
   val d_dedup_embedding: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
+    // norms once per vector (narrow), compact aggregate-dot per pair —
+    // keeps the join consume inside whole-stage codegen (the unrolled
+    // 64-term fold overflowed janino there and ran interpreted)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .withColumn("na", sqrt(normSq(col("ea"))))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      .withColumn("nb", sqrt(normSq(col("eb"))))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_e6",
-        round(cosineFold(col("ea"), col("eb"), SimilarityOps.Dim) * 1e6).cast("long"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")) * 1e6).cast("long"))
       .filter(col("cos_e6") >= 450000L)
       .select(col("id_a"), col("id_b"), col("cos_e6"))
       .orderBy(col("id_a"), col("id_b"))

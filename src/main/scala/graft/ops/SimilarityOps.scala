@@ -25,11 +25,18 @@ object SimilarityOps {
   val Dim = 64
 
   /** (qid, qe) × (cid, ce) exact cosine, integerized to e6 for exact
-    * cross-engine comparison, top-k per query. */
+    * cross-engine comparison, top-k per query. Norms are precomputed
+    * ONCE per vector (narrow pass before the join), so each pair costs
+    * one compact `aggregate` dot product — the join-side expression
+    * stays small enough for whole-stage codegen (the unrolled 64-term
+    * fold overflowed janino inside the join consume and fell back to
+    * interpreted eval). Same accumulation order ⇒ same oracle. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val scored = candidates.crossJoin(broadcast(queries))
+    val q = queries.withColumn("qn", sqrt(normSq(col("qe"))))
+    val c = candidates.withColumn("cn", sqrt(normSq(col("ce"))))
+    val scored = c.crossJoin(broadcast(q))
       .withColumn("cos_e6",
-        round(cosineFold(col("qe"), col("ce"), Dim) * 1e6).cast("long"))
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -76,9 +83,10 @@ object SimilarityOps {
     val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val assigned = assignNearest(cands, cents, "ce", "cent", 1)
     val probed = assignNearest(queries, cents, "qe", "cent", nprobe)
-    val scored = assigned.join(probed, "cent")
+    val scored = assigned.withColumn("cn", sqrt(normSq(col("ce"))))
+      .join(probed.withColumn("qn", sqrt(normSq(col("qe")))), "cent")
       .withColumn("cos_e6",
-        round(cosineFold(col("qe"), col("ce"), Dim) * 1e6).cast("long"))
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -104,12 +104,11 @@ object TextOps {
     Tables.documents(s, d)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), col("text"),
-        expr(
-          """transform(sequence(1, length(text) - 7),
-            |  i -> aggregate(sequence(0, 7),
-            |         0L,
-            |         (acc, j) -> pmod(acc * 257 + ascii(substring(text, i + j, 1)), 1000003)))"""
-            .stripMargin).as("hs"))
+        // native codegen'd Karp-Rabin: O(len) incremental rolling hash
+        // (graft.functions.RollingHashes) instead of the O(len*k)
+        // interpreted HOF tree; same values as the DuckDB oracle.
+        graft.functions.RollingHashes
+          .rollingHashes(col("text"), k = 8, base = 257L, mod = 1000003L).as("hs"))
       .select(
         col("doc_id"),
         substring(sha2(col("text"), 256), 1, 16).as("hash16"),
