@@ -41,12 +41,12 @@ import org.apache.spark.storage.StorageLevel
   *      Each per-table write then reads ONLY its own partitions via
   *      `PartitionPruningRDD` — total work is O(dump) + O(output), not
   *      the O(tables × dump) of a filter-per-table design.
-  *   6. Row/drop counts come from accumulators folded into the same
-  *      stages — no post-write re-read, no dedicated counting job.
-  *      (Accumulator counts are at-least-once under task retry; counts
-  *      are reporting metadata here, matching the reference's stderr
-  *      progress counters, and the data path itself is exactly-once
-  *      via Spark's output commit protocol.)
+  *   6. Per-table row counts are EXACT: read back from the committed
+  *      parquet after each write (column-less count scan), because the
+  *      CLI reports them as authoritative totals like the reference's
+  *      counters. (Drop counts remain accumulator-based — at-least-once
+  *      under retry, acceptable for a warning line.) The data path
+  *      itself is exactly-once via Spark's output commit protocol.
   *
   * DEVIATION from the reference: interleaved dumps (a table's INSERTs
   * split around other tables' sections) are SUPPORTED — statements are
@@ -164,20 +164,26 @@ object DumpConverter {
         .values
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       try {
-        val rowsAcc = tableOrder.map(t => t -> sc.longAccumulator(s"rows_$t")).toMap
         tableOrder.foreach { table =>
           val idx = tableIndex(table)
           val schema = lastCreate(table)._2
-          val acc = rowsAcc(table)
           val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
-          val counted = mine.map { r => acc.add(1); r }
-          spark.createDataFrame(counted, schema)
+          spark.createDataFrame(mine, schema)
             .write.mode("overwrite").option("compression", "snappy")
             .parquet(s"$outDir/$table")
         }
+        // Exact per-table counts read back from the COMMITTED parquet —
+        // transformation-side accumulators double-count on task retry or
+        // cache-eviction recompute, and the CLI prints these totals as
+        // authoritative (the reference's counters are exact). A count()
+        // over a freshly-written snappy parquet is a column-less scan:
+        // cheap relative to the write it follows.
+        val rowCounts = tableOrder.map { t =>
+          t -> spark.read.parquet(s"$outDir/$t").count()
+        }.toMap
         if (dropped.value > 0)
           System.err.println(s"[dump] dropped ${dropped.value} INSERT statement(s) with no (preceding) CREATE TABLE")
-        Result(tableOrder, rowsAcc.map { case (t, a) => t -> a.value }, dropped.value)
+        Result(tableOrder, rowCounts, dropped.value)
       } finally routed.unpersist(blocking = false)
     } finally segs.unpersist(blocking = false)
   }

@@ -41,6 +41,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  /** Null can arise from a null INPUT or from a null ELEMENT (zip
+    * semantics propagate it), so nullability must account for
+    * `containsNull` of either array — inheriting only child nullability
+    * would let the planner mark this non-nullable over two non-null
+    * array columns while eval can still return null (and codegen would
+    * assign into a constant-false isNull — a janino compile error). */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      Seq(left, right).exists(_.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => true
+      })
+
   private def getter(et: DataType, arr: String, i: String): String = et match {
     case FloatType   => s"(double) $arr.getFloat($i)"
     case DoubleType  => s"$arr.getDouble($i)"

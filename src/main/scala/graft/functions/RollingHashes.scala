@@ -33,7 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHashes(child: Expression, k: Int, base: Long, mod: Long)
     extends UnaryExpression {
   require(k >= 1, "window must be at least 1 byte")
-  require(mod > 1 && base > 1 && mod * base < (1L << 62), "B*P must fit in a Long")
+  // Two products must stay below 2^62: h*base (h < mod) in the append
+  // step, and (byte & 0xFF)*topWeight (topWeight < mod) in the rolling
+  // subtract — so the bound is mod * max(base, 255), not mod * base.
+  require(mod > 1 && base > 1 && mod * math.max(base, 255L) < (1L << 62),
+    "P*max(B,255) must fit in a Long")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -347,13 +347,19 @@ object RelationalQueries {
     * get_json_object path in [[q_json_events]]). */
   val q_map_fns: Q = (s, d) => {
     import org.apache.spark.sql.types.{MapType, StringType}
+    // Data-independent under ANSI mode: try_element_at is NULL on a
+    // missing key (matching the oracle's json_extract_string), and the
+    // map_concat input is pre-filtered so a source 'et' key can never
+    // trip the EXCEPTION dedup policy.
     events(s, d)
       .select(col("event_type"),
         from_json(col("props"), MapType(StringType, StringType)).as("m"))
-      .withColumn("m2", map_concat(col("m"), map(lit("et"), col("event_type"))))
+      .withColumn("m2", map_concat(
+        map_filter(col("m"), (k, _) => k =!= "et"),
+        map(lit("et"), col("event_type"))))
       .groupBy(col("event_type"))
       .agg(
-        sum(element_at(col("m"), "k").cast("long")).as("sum_k"),
+        sum(try_element_at(col("m"), lit("k")).cast("long")).as("sum_k"),
         count(lit(1)).as("n"),
         min(array_join(array_sort(map_keys(col("m"))), ",")).as("keys_csv"),
         sum(size(col("m2"))).as("total_keys"))
@@ -578,7 +584,7 @@ object RelationalQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(1) AS n,
         |  MIN(array_to_string(list_sort(json_keys(props)), ',')) AS keys_csv,
-        |  CAST(SUM(len(json_keys(props)) + 1) AS BIGINT) AS total_keys
+        |  CAST(SUM(len(list_filter(json_keys(props), k -> k != 'et')) + 1) AS BIGINT) AS total_keys
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_supplier_stats" ->
       """WITH s AS (

@@ -46,13 +46,31 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Run a streaming DataFrame to completion on AvailableNow into a
-    * uniquely-named memory sink; return the materialized result. */
+    * uniquely-named memory sink; return the materialized result as a
+    * local relation. The memory sink is inherently driver-resident —
+    * fine for this deterministic test/verify harness, NOT a production
+    * sink — but it must not LEAK across invocations: bench, verify and
+    * tests share one session, so the sink table is dropped and the
+    * explicit checkpoint dir deleted before returning (previously every
+    * call left a full materialized copy registered forever). */
   private def drain(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_")
     val q = out.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
+    val result = s.table(name)
+    val rows = result.collect()
+    val schema = result.schema
+    s.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Tumbling 1-day windows per event_type, append mode: only windows
