@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,15 +16,20 @@ import graft.functions.VectorFunctions._
   *     into whole-stage codegen, no UDF). Per-query top-k via window,
   *     never a global sort.
   *   - [[ivfTopK]]: the scale path — IVF-style coarse quantization.
-  *     Centroids (here: per-label mean vectors, deterministic) are
-  *     broadcast; every vector is assigned to its nearest centroid ONCE
-  *     (narrow map), queries probe the `nprobe` nearest centroids, and
-  *     exact reranking touches only those buckets. At 100 TB the
+  *     Centroids come from UNSUPERVISED fixed-seed MLlib KMeans over
+  *     the embedding column (no label column is read — real corpora
+  *     have none); every vector is assigned to its nearest centroid
+  *     ONCE (narrow map), queries probe the `nprobe` nearest centroids,
+  *     and exact reranking touches only those buckets. At 100 TB the
   *     candidate join shuffles on centroid id, pruning the scan to
-  *     ~nprobe/ncentroids of the data.
+  *     ~nprobe/ncentroids of the data, and the KMeans fit runs over a
+  *     sample (see [[kmeansCentroids]]).
   */
 object SimilarityOps {
   val Dim = 64
+
+  /** Coarse-quantizer cell count for the IVF paths. */
+  val NumCentroids = 10
 
   /** (qid, qe) × (cid, ce) exact cosine, integerized to e6 for exact
     * cross-engine comparison, top-k per query. Norms are precomputed
@@ -43,43 +50,54 @@ object SimilarityOps {
       .select(col("qid"), col("rk"), col("cid"), col("cos_e6"))
   }
 
-  /** Deterministic centroids: element-wise mean embedding per label. */
-  def labelCentroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("cent_id"), expr("transform(pm, x -> x.m)").as("cvec"))
+  /** Unsupervised coarse quantizer: fixed-seed MLlib KMeans over the
+    * embedding column alone — deterministic for a given dataset and NO
+    * dependence on any label. Returns driver-side centroids (k × Dim
+    * doubles — a few KB), which lets assignment compile to a narrow
+    * literal expression with zero joins.
+    *
+    * 100 TB note: the fit itself need not see every row — coarse
+    * centroids converge on a sample (`e.sample(fraction)` feeding the
+    * same fit); the full-corpus work is only the single narrow
+    * assignment pass. The fixture is small, so the fit runs unsampled
+    * here. */
+  def kmeansCentroids(e: DataFrame, k: Int, seed: Long = 42L,
+                      maxIter: Int = 20): Seq[(Int, Array[Double])] = {
+    // The fit input is small by construction (full fixture here, a
+    // sample at scale) — one partition makes each Lloyd iteration a
+    // single task instead of a fan-out of scheduler-dominated
+    // micro-tasks, and makes the k-means|| init independent of the
+    // input's file splits (fully deterministic for a given dataset).
+    val feats = e.select(array_to_vector(col("embedding")).as("features")).coalesce(1)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+  }
 
-  /** Nearest-`nprobe` centroid assignment as a NARROW map: the (tiny)
-    * centroid set is folded into one array-of-structs row, broadcast,
-    * and each vector ranks it with per-row array ops (`transform` →
-    * `array_sort` → `slice`). No shuffle, no window — at 100 TB this is
-    * a single codegen'd pass over the candidates, vs the row_number
-    * formulation which sorts the whole table. Ties break on cent_id
-    * (struct sort order: dist, then cent_id). */
-  private def assignNearest(vecs: DataFrame, cents: DataFrame, vecCol: String,
-                            outCol: String, nprobe: Int): DataFrame = {
-    val centArr = cents.agg(collect_list(struct(col("cent_id"), col("cvec"))).as("cents"))
-    val ranked =
-      s"""transform(
-         |  slice(
-         |    array_sort(transform(cents, c -> struct(
-         |      aggregate(zip_with(CAST($vecCol AS array<double>), c.cvec,
-         |                         (x, y) -> (x - y) * (x - y)),
-         |                0.0D, (acc, v) -> acc + v) AS dist,
-         |      c.cent_id AS cent_id))),
-         |    1, $nprobe),
-         |  s -> s.cent_id)""".stripMargin
-    vecs.crossJoin(broadcast(centArr))
-      .withColumn(outCol, explode(expr(ranked)))
-      .drop("cents")
+  /** Nearest-`nprobe` centroid assignment as a NARROW codegen'd map:
+    * the (tiny) centroid set is embedded as plan literals and each
+    * vector ranks it per-row — dist²(v,cᵢ) = |v|² − 2·v·cᵢ + |cᵢ|²,
+    * where v·cᵢ is the native codegen'd [[graft.functions.DotProduct]]
+    * against a literal array and |cᵢ|² folds to a constant. No join, no
+    * shuffle, no window — at 100 TB this is one codegen'd pass over the
+    * candidates. Ties break on cent_id (struct sort: dist, cent_id). */
+  private[ops] def assignNearest(vecs: DataFrame, cents: Seq[(Int, Array[Double])],
+                                 vecCol: String, outCol: String, nprobe: Int): DataFrame = {
+    val scored = array(cents.map { case (id, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (col("_vn2") - lit(2.0) * dot(col(vecCol), typedLit(c.toSeq)) + lit(c2)).as("dist"),
+        lit(id).as("cent_id"))
+    }: _*)
+    vecs.withColumn("_vn2", normSq(col(vecCol)))
+      .withColumn(outCol,
+        explode(transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cent_id"))))
+      .drop("_vn2")
   }
 
   /** IVF: assign candidates to 1 centroid, probe `nprobe` centroids per
     * query, exact-rerank inside the probed buckets. */
   def ivfTopK(e: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val cents = labelCentroids(e)
+    val cents = kmeansCentroids(e, NumCentroids)
     val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val assigned = assignNearest(cands, cents, "ce", "cent", 1)
     val probed = assignNearest(queries, cents, "qe", "cent", nprobe)

@@ -51,11 +51,36 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(falsePos <= 10, s"false positives=$falsePos")
   }
 
-  test("embedding near-dup pairs are symmetric-free, thresholded, nonzero") {
+  test("embedding near-dup finds exactly the planted perturbed copies") {
     val r = DedupOps.d_dedup_embedding(spark, sf)
     val rows = r.collect()
-    assert(rows.nonEmpty)
+    val planted = Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0).count()
+    assert(rows.length == planted, s"expected $planted planted pairs, got ${rows.length}")
     assert(rows.forall(x => x.getLong(0) < x.getLong(1)))
-    assert(rows.forall(_.getLong(2) >= 450000L))
+    assert(rows.forall(_.getLong(2) >= 900000L))
+    // each pair is (source, source + offset): a true near-identical copy
+    assert(rows.forall(x => x.getLong(1) - x.getLong(0) == 10000000L))
+  }
+
+  test("bucketed embedding near-dup recovers the exact all-pairs answer with no cartesian product") {
+    import graft.functions.VectorFunctions._
+    val corpus = DedupOps.plantedCorpus(Tables.embeddings(spark, sf))
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .withColumn("na", sqrt(normSq(col("ea"))))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      .withColumn("nb", sqrt(normSq(col("eb"))))
+    val allPairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_e6",
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")) * 1e6).cast("long"))
+      .filter(col("cos_e6") >= 900000L)
+      .select("id_a", "id_b", "cos_e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = DedupOps.d_dedup_embedding(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed == allPairs,
+      s"missed=${(allPairs -- bucketed).size} spurious=${(bucketed -- allPairs).size}")
+    val plan = DedupOps.d_dedup_embedding(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed path must not contain an all-pairs join:\n$plan")
   }
 }

@@ -33,8 +33,13 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val hit = approx.join(exact, Seq("qid", "cid"), "left_semi").count()
     val recall = hit.toDouble / nExact
     assert(nExact > 0)
-    // nprobe=5 of 10 label-mean centroids on the synthetic fixture.
+    // nprobe=5 of 10 fixed-seed KMeans centroids on the synthetic fixture.
     assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("IVF path is unsupervised: no label column anywhere in the plan") {
+    val plan = SimilarityOps.s_ann_ivf(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("label"), s"IVF must not read the label column:\n$plan")
   }
 
   test("IVF probes buckets, not all pairs: each query scores <= nprobe buckets") {
