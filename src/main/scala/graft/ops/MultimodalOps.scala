@@ -1,23 +1,35 @@
 package graft.ops
 
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.util.zip.{CRC32, Deflater, Inflater}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
-  * typed metadata, and a batched per-partition feature-extraction pass
-  * — the Scala/Dataset equivalent of a `mapInPandas` decode stage.
+  * typed metadata, and a batched per-partition decode pass — the
+  * Scala/Dataset equivalent of a `mapInPandas` decode stage.
   *
-  * The container has no image/audio codecs, so the DECODE ITSELF is a
-  * clearly-marked deterministic fake ([[fakeDecode]]); everything
-  * around it — binary column, typed metadata struct, case-class
-  * encoders, fixed-size batching inside `mapPartitions`, output schema
-  * — is the real 100 TB plumbing a vectorized decoder would plug into
-  * (swap [[fakeDecode]] for the codec call; the batch shape already
-  * amortizes per-batch model/codec setup the way Arrow batches do).
+  * The container has no image codec LIBRARIES, but PNG itself is pure
+  * byte logic + zlib, both in the JDK — so the decode is REAL, not a
+  * stub: [[decodePng]] validates the signature, walks the chunk stream
+  * verifying every CRC32, reads width/height from the actual IHDR
+  * bytes, inflates the IDAT pixel stream, checks the scanline layout,
+  * and aggregates decoded pixel values.
   *
-  * The payloads are derived deterministically from `documents.text`
-  * (UTF-8 bytes posing as an encoded frame), so results are
-  * reproducible and [[mm_binary_meta]] is DuckDB-oracle-checkable.
+  * Payloads are genuine PNGs synthesized per document ([[encodePng]]):
+  * an 8-bit grayscale image whose dimensions and pixels are a
+  * deterministic formula of (doc_id, n_chars). That formula is the
+  * oracle contract — DuckDB recomputes width/height/px_sum
+  * arithmetically while Spark extracts them by actually decoding the
+  * bytes, making [[mm_decode]] a hash-checked entry (the sum of
+  * decoded pixels is an integer, so no float drift).
+  *
+  * At 100 TB the shape is unchanged: binary column in parquet, narrow
+  * batched `mapPartitions` decode with memory bounded by one batch per
+  * task, typed feature rows out. A codec-library decode (JPEG frames,
+  * audio samples) plugs into the same seam in [[decodeFeatures]].
   */
 object MultimodalOps {
 
@@ -25,32 +37,150 @@ object MultimodalOps {
 
   case class MediaRecord(doc_id: Long, mime: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
-                           n_frames: Int, n_bytes: Long)
+                           n_frames: Int, n_bytes: Long, px_sum: Long)
 
-  /** documents → opaque media table: (doc_id, mime, payload binary). */
+  // --------------------------------------------------- generator contract
+
+  /** Image dimensions for a doc — the formula the DuckDB oracle
+    * replays: width 16..63 from the text length, height 16..47 from
+    * the id. */
+  private[ops] def imageDims(docId: Long, nChars: Long): (Int, Int) =
+    (16 + (nChars % 48).toInt, 16 + (docId % 32).toInt)
+
+  /** Grayscale pixel value at (x, y) — also oracle-replayed. */
+  private[ops] def pixel(docId: Long, x: Int, y: Int): Int =
+    ((x * 31 + y * 17 + docId) % 256).toInt
+
+  // ------------------------------------------------------- PNG encode
+
+  private val PngSignature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val tb = tag.getBytes("US-ASCII")
+    val out = ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length).put(tb).put(data)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** A REAL standards-shaped PNG: signature, IHDR (8-bit grayscale),
+    * one IDAT of zlib-deflated filter-0 scanlines, IEND — every chunk
+    * with a correct CRC32. Any PNG reader decodes it. */
+  private[ops] def encodePng(docId: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId, nChars)
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte)                          // bit depth
+      .put(0.toByte)                          // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    val raw = new Array[Byte](h * (w + 1))
+    var i = 0
+    var y = 0
+    while (y < h) {
+      raw(i) = 0 // per-scanline filter byte: 0 = None
+      i += 1
+      var x = 0
+      while (x < w) { raw(i) = pixel(docId, x, y).toByte; i += 1; x += 1 }
+      y += 1
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    PngSignature ++ pngChunk("IHDR", ihdr.array()) ++
+      pngChunk("IDAT", bos.toByteArray) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  // ------------------------------------------------------- PNG decode
+
+  /** Decode a (grayscale, filter-0) PNG from its actual bytes:
+    * signature check, chunk walk with CRC verification, IHDR
+    * dimensions, IDAT inflate, scanline validation, pixel-sum.
+    * Returns (width, height, nIdatChunks, pixelSum). Throws loudly on
+    * malformed input — a decode stage must not silently pass garbage. */
+  private[ops] def decodePng(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    require(payload.length >= 8 && payload.take(8).sameElements(PngSignature),
+      "not a PNG: bad signature")
+    val bb = ByteBuffer.wrap(payload)
+    bb.position(8)
+    var width = -1
+    var height = -1
+    var nIdat = 0
+    val idat = new ByteArrayOutputStream()
+    var done = false
+    while (!done && bb.remaining() >= 12) {
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining() >= len + 8, "corrupt PNG: truncated chunk")
+      val tag = new Array[Byte](4); bb.get(tag)
+      val data = new Array[Byte](len); bb.get(data)
+      val crcStored = bb.getInt
+      val crc = new CRC32()
+      crc.update(tag); crc.update(data)
+      val name = new String(tag, "US-ASCII")
+      require(crc.getValue.toInt == crcStored, s"corrupt PNG: bad CRC in $name chunk")
+      name match {
+        case "IHDR" =>
+          val ib = ByteBuffer.wrap(data)
+          width = ib.getInt; height = ib.getInt
+          require(ib.get() == 8 && ib.get() == 0,
+            "unsupported PNG: decoder handles 8-bit grayscale")
+        case "IDAT" => nIdat += 1; idat.write(data)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks: skip
+      }
+    }
+    require(width > 0 && height > 0, "corrupt PNG: no IHDR")
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte](height * (width + 1))
+    var off = 0
+    while (!inf.finished() && off < raw.length) off += inf.inflate(raw, off, raw.length - off)
+    inf.end()
+    require(off == raw.length, "corrupt PNG: scanline payload length mismatch")
+    var sum = 0L
+    var i = 0
+    var y = 0
+    while (y < height) {
+      require(raw(i) == 0, "unsupported PNG: non-None scanline filter")
+      i += 1
+      var x = 0
+      while (x < width) { sum += raw(i) & 0xFF; i += 1; x += 1 }
+      y += 1
+    }
+    (width, height, nIdat, sum)
+  }
+
+  // ----------------------------------------------------------- tables
+
+  /** documents → opaque media table (doc_id, mime, payload binary):
+    * the pure binary-column plumbing facet, payload = UTF-8 text bytes
+    * so the metadata query stays DuckDB-oracle-checkable. */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        lit("image/x-fake").as("mime"),
+        lit("application/octet-stream").as("mime"),
         encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB — stands in for a real image decode (no codec libs in this
-    * environment). Deterministic in the payload bytes: "dimensions"
-    * come from a byte checksum, "frames" from the length. Replace with
-    * the real decoder at the call site in [[decodeFeatures]]. */
-  private[ops] def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
-    var cs = 0
-    var i = 0
-    while (i < payload.length) { cs = (cs * 31 + (payload(i) & 0xFF)) & 0x7FFFFFFF; i += 1 }
-    val width = 16 * (1 + cs % 64)            // "decoded" width: 16..1024
-    val height = 16 * (1 + (cs / 64) % 64)    // "decoded" height
-    val frames = 1 + payload.length % 8       // "frame count"
-    (width, height, frames)
+  /** documents → genuine PNG media table: one real encoded image per
+    * doc. Synthesis is per-partition imperative byte work (exactly what
+    * a Dataset map is for — there is no SQL expression for deflate). */
+  def pngTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) => MediaRecord(id, "image/png", encodePng(id, n)) }
+      .toDF()
   }
 
   /** Batched per-partition decode: the mapInPandas shape. Batches of
-    * `batchSize` amortize codec/model setup; memory is bounded by one
-    * batch of payloads per task, never the partition. */
+    * `batchSize` amortize per-batch setup (a real codec/model init
+    * would live at the batch boundary); memory is bounded by one batch
+    * of payloads per task, never the partition. */
   def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -59,15 +189,17 @@ object MultimodalOps {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch setup would go here (decoder init, model load)
           batch.iterator.map { r =>
-            val (w, h, f) = fakeDecode(r.payload)
-            MediaFeatures(r.doc_id, w, h, f, r.payload.length.toLong)
+            val (w, h, frames, pxSum) = decodePng(r.payload)
+            MediaFeatures(r.doc_id, w, h, frames, r.payload.length.toLong, pxSum)
           }
         }
       }
   }
 
+  // ---------------------------------------------------------- queries
+
   /** Binary metadata pass — size + content hash straight off the
-    * binary column (codegen'd, no stub involved), oracle-checked. */
+    * binary column (codegen'd, no decode involved), oracle-checked. */
   val mm_binary_meta: Q = (s, d) =>
     mediaTable(s, d)
       .select(col("doc_id"), col("mime"),
@@ -75,26 +207,38 @@ object MultimodalOps {
         substring(sha2(col("payload"), 256), 1, 16).as("hash16"))
       .orderBy(col("doc_id"))
 
-  /** The batched decode pipeline end-to-end (stubbed decode → typed
-    * features). Rows-only check; determinism + batch shape are
-    * asserted in MultimodalOpsSpec. */
-  val mm_decode_stub: Q = (s, d) =>
-    decodeFeatures(mediaTable(s, d)).toDF()
+  /** The REAL decode pipeline end-to-end: genuine PNG bytes → chunk
+    * walk → inflate → decoded features. Hash-checked: the oracle
+    * recomputes width/height/px_sum from the generator formula, Spark
+    * extracts them by decoding the actual image. (n_bytes is excluded
+    * from the checked projection — it depends on deflate's compressed
+    * size, which SQL cannot replay; the spec covers it.) */
+  val mm_decode: Q = (s, d) =>
+    decodeFeatures(pngTable(s, d)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"), col("px_sum"))
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mm_binary_meta,
-    "mm_decode_stub" -> mm_decode_stub,
+    "mm_decode" -> mm_decode,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
-      """SELECT doc_id, 'image/x-fake' AS mime,
+      """SELECT doc_id, 'application/octet-stream' AS mime,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  substr(sha256(text), 1, 16) AS hash16
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mm_decode_stub: decode is a documented stub — no SQL equivalent.
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + (n_chars % 48) AS INTEGER) AS width,
+        |  CAST(16 + (doc_id % 32) AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_frames,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, (16 + (doc_id % 32)) - 1),
+        |    y -> list_transform(generate_series(0, (16 + (n_chars % 48)) - 1),
+        |      x -> (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

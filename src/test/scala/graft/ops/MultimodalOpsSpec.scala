@@ -15,29 +15,57 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("synthesized payloads are REAL PNGs: an independent JDK decoder agrees") {
+    // javax.imageio knows nothing of our encoder; if it can read the
+    // bytes and sees the same dimensions and pixels, the PNG is genuine.
+    val png = MultimodalOps.encodePng(docId = 123L, nChars = 200L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not decode the synthesized PNG")
+    val (w, h) = MultimodalOps.imageDims(123L, 200L)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val gray = img.getRaster.getSample(x, y, 0)
+      assert(gray == MultimodalOps.pixel(123L, x, y), s"pixel ($x,$y)")
+    }
+  }
+
+  test("decodePng extracts dims, frame count and pixel sum from the actual bytes") {
+    val (w0, h0) = MultimodalOps.imageDims(7L, 100L)
+    val expectedSum = (for (y <- 0 until h0; x <- 0 until w0)
+      yield MultimodalOps.pixel(7L, x, y).toLong).sum
+    val (w, h, frames, sum) = MultimodalOps.decodePng(MultimodalOps.encodePng(7L, 100L))
+    assert((w, h, frames, sum) == (w0, h0, 1, expectedSum))
+  }
+
+  test("decodePng rejects corrupted payloads loudly") {
+    val png = MultimodalOps.encodePng(5L, 80L)
+    val truncated = png.take(png.length - 20)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(truncated))
+    val badCrc = png.clone()
+    badCrc(30) = (badCrc(30) ^ 0x55).toByte // flip bits inside IHDR
+    assertThrows[IllegalArgumentException](MultimodalOps.decodePng(badCrc))
+    assertThrows[IllegalArgumentException](
+      MultimodalOps.decodePng("definitely not a png".getBytes("UTF-8")))
+  }
+
   test("decode pipeline is deterministic and covers every record") {
-    val a = MultimodalOps.mm_decode_stub(spark, sf).collect()
-    val b = MultimodalOps.mm_decode_stub(spark, sf).collect()
+    val a = MultimodalOps.mm_decode(spark, sf).collect()
+    val b = MultimodalOps.mm_decode(spark, sf).collect()
     assert(a.toSeq == b.toSeq)
     assert(a.length == Tables.documents(spark, sf).count())
     a.foreach { r =>
-      assert(r.getInt(1) >= 16 && r.getInt(1) <= 1024) // width
-      assert(r.getInt(2) >= 16 && r.getInt(2) <= 1024) // height
-      assert(r.getInt(3) >= 1 && r.getInt(3) <= 8)     // frames
-      assert(r.getLong(4) > 0)                         // n_bytes
+      assert(r.getInt(1) >= 16 && r.getInt(1) <= 63)  // width
+      assert(r.getInt(2) >= 16 && r.getInt(2) <= 47)  // height
+      assert(r.getInt(3) == 1)                        // one IDAT chunk
+      assert(r.getLong(4) > 0)                        // px_sum
     }
   }
 
   test("batching does not change results (batch boundary invariance)") {
-    val m = MultimodalOps.mediaTable(spark, sf)
+    val m = MultimodalOps.pngTable(spark, sf)
     val big = MultimodalOps.decodeFeatures(m, batchSize = 1000).collect().sortBy(_.doc_id)
     val tiny = MultimodalOps.decodeFeatures(m, batchSize = 3).collect().sortBy(_.doc_id)
     assert(big.toSeq == tiny.toSeq)
-  }
-
-  test("fakeDecode is pure and stable on known bytes") {
-    val once = MultimodalOps.fakeDecode("hello world".getBytes("UTF-8"))
-    val twice = MultimodalOps.fakeDecode("hello world".getBytes("UTF-8"))
-    assert(once == twice)
+    assert(big.forall(f => f.n_bytes > 0))
   }
 }
