@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Fidelity rules (round-1 verdict): each query is MATERIALIZED through
-  * the `noop` sink — every row is produced and every projection/sort
-  * executed, unlike `count()` which lets Catalyst delete projection-only
-  * work. Failures are never swallowed into a fast time: a failing query
-  * is reported in "errors" and the process exits non-zero. */
+  * Fidelity rules (round-1 and round-2 verdicts): each query is
+  * MATERIALIZED through the `noop` sink — every row is produced and
+  * every projection/sort executed, unlike `count()` which lets Catalyst
+  * delete projection-only work. Each query runs TWICE and reports the
+  * best time, so first-touch JIT/codegen-compile noise stops polluting
+  * cross-round comparisons. Failures are never swallowed into a fast
+  * time: a failing query is reported in "errors" and the process exits
+  * non-zero. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,13 +26,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val best =
+        try math.min(once(), once())
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            Double.NaN
+        }
+      name -> (if (best.isNaN) 0.0 else best)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

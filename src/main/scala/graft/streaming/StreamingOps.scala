@@ -110,12 +110,31 @@ object StreamingOps {
     drain(s, agg, "append").orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming dedup — the streaming face of the dedup family: first
+    * occurrence per (day, user_id, event_type) via
+    * `dropDuplicatesWithinWatermark`, with dedup state EXPIRING as the
+    * event-time watermark passes (at 100 TB/day the state store holds
+    * only keys newer than max-event-time − 1h, vs unbounded state for
+    * plain `dropDuplicates`). The emitted projection is the key itself,
+    * so the result is independent of which physical row arrived first —
+    * deterministic, and batch-expressible as SELECT DISTINCT. */
+  val st_dedup: Q = (s, d) => {
+    val dedup = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .dropDuplicatesWithinWatermark("day", "user_id", "event_type")
+      .select(col("day"), col("user_id"), col("event_type"))
+    drain(s, dedup, "append").orderBy(col("day"), col("user_id"), col("event_type"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "st_tumbling" -> st_tumbling,
     "st_sliding" -> st_sliding,
     "st_session" -> st_session,
+    "st_dedup" -> st_dedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +156,9 @@ object StreamingOps {
         |SELECT window_start, window_start + INTERVAL 2 DAY AS window_end,
         |  event_type, COUNT(1) AS n
         |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+    "st_dedup" ->
+      """SELECT DISTINCT date_trunc('day', ts) AS day, user_id, event_type
+        |FROM events ORDER BY day, user_id, event_type""".stripMargin,
     "st_session" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |g AS (SELECT user_id, ts,

@@ -63,6 +63,19 @@ class RelationalQueriesSpec extends AnyFunSuite {
       s"expected exactly 2 dim hints in q5:\n$q5")
   }
 
+  test("approx distinct is within 3*rsd of the exact count (sf0.001 and sf0.01)") {
+    import org.apache.spark.sql.functions.countDistinct
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val approx = ops.RelationalQueries.q_approx_distinct(spark, dir).head()
+      val exact = ops.Tables.lineitem(spark, dir)
+        .agg(countDistinct("l_partkey"), countDistinct("l_orderkey")).head()
+      for (i <- 0 to 1) {
+        val rel = math.abs(approx.getLong(i) - exact.getLong(i)).toDouble / exact.getLong(i)
+        assert(rel <= 3 * 0.01, s"$dir col $i: approx=${approx.getLong(i)} exact=${exact.getLong(i)} rel=$rel")
+      }
+    }
+  }
+
   test("topk per group runs two-phase salted windows (no 3-partition global sort)") {
     val plan = ops.RelationalQueries.q_topk_per_group(spark, sf)
       .queryExecution.executedPlan.toString

@@ -23,6 +23,17 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.join(batch, Seq("window_start", "event_type", "n"), "left_anti").count() == 0)
   }
 
+  test("streaming dedup emits each (day, user, type) key exactly once and actually drops rows") {
+    val r = StreamingOps.st_dedup(spark, sf)
+    val events = Tables.events(spark, sf)
+    val batchKeys = events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"), col("event_type"))
+      .distinct()
+    assert(r.count() == batchKeys.count())
+    assert(r.count() < events.count(), "fixture must contain duplicate keys for the dedup to be non-vacuous")
+    assert(r.join(batchKeys, Seq("day", "user_id", "event_type"), "left_anti").count() == 0)
+  }
+
   test("sliding complete mode covers every event twice (2d window, 1d slide)") {
     val r = StreamingOps.st_sliding(spark, sf)
     val total = r.agg(sum("n")).head.getLong(0)
