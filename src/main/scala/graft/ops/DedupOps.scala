@@ -17,9 +17,9 @@ import graft.functions.VectorFunctions._
   *     are only docs sharing ≥1 non-hot shingle, never the cross
   *     product, and no join bucket exceeds ShingleDfCap². DuckDB oracle
   *     applies the identical cap.
-  *   - [[d_dedup_minhash]]: the sketch path — per-shingle 64-hash
-  *     family → element-wise-min signature (map-side partial agg: ONE
-  *     64-long row per doc reaches the shuffle) → banded LSH self-join
+  *   - [[d_dedup_minhash]]: the sketch path — native one-pass 64-wide
+  *     MinHash signatures (NO shuffle: each doc's signature is computed
+  *     in place over its shingle array) → banded LSH self-join
   *     (16 bands × 4 rows) → exact-Jaccard verification of the tiny
   *     candidate set. At the 0.5 output threshold the LSH miss
   *     probability for a true pair is ≤ (1 - 0.5^4)^16 ≈ 0.35 in the
@@ -44,16 +44,14 @@ object DedupOps {
   // ------------------------------------------------------------ shingling
 
   /** doc_id + the DISTINCT word 3-gram shingles of `text`, as an array
-    * column (one narrow projection, no shuffle). */
+    * column (one narrow projection, no shuffle). Uses the native
+    * codegen'd [[graft.functions.WordShingles]] expression — the
+    * equivalent `split`+`transform`+`concat_ws`+`array_distinct` HOF
+    * tree evaluates interpreted lambdas per element and was the single
+    * most expensive line of the sf0.1 bench. */
   private[ops] def shingled(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"),
-        when(size(col("w")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")))
-          .otherwise(expr("CAST(array() AS array<string>)"))
-          .as("sh"))
+    docs.select(col("doc_id"),
+      graft.functions.WordShingles.wordShingles(col("text"), 3).as("sh"))
 
   /** Exploded (doc_id, shingle) inverted-index rows. */
   private[ops] def shingleIndex(docs: DataFrame): DataFrame =
@@ -178,23 +176,23 @@ object DedupOps {
     (a, b)
   }
 
-  /** (doc_id, sig) MinHash signatures: per-shingle 64 affine hashes of
-    * xxhash64(shingle), reduced by the elementwise-min UDAF — partial
-    * aggregation means one 64-long buffer per doc per partition crosses
-    * the shuffle, not one row per shingle. */
-  private[ops] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val aLit = typedLit(hashA)
-    val bLit = typedLit(hashB)
-    shingleIndex(docs)
+  /** (doc_id, sig) MinHash signatures via the native codegen'd
+    * [[graft.functions.MinHashSignature]] expression: one narrow pass,
+    * signatures computed in place over each doc's shingle array — NO
+    * shuffle (the previous explode → 64-hash transform →
+    * elementwise-min UDAF shape paid a full shuffle to reassemble
+    * per-doc rows and 64 interpreted lambda evals per shingle; the
+    * UDAF partial-agg capability itself remains exercised by
+    * [[simhashFingerprints]]). Docs with no shingles are filtered, as
+    * the explode formulation did implicitly — an empty-shingle doc has
+    * no signature, not a degenerate all-MaxValue one that would bucket
+    * every short doc together. */
+  private[ops] def minhashSignatures(docs: DataFrame): DataFrame =
+    shingled(docs)
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
-        xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFFL)).as("u"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(NumHashes - 1)),
-          i => pmod(element_at(aLit, i + 1) * col("u") + element_at(bLit, i + 1), lit(HashP)))
-          .as("hs"))
-      .groupBy("doc_id")
-      .agg(ArrayAggregators.elementwiseMin(NumHashes)(col("hs")).as("sig"))
-  }
+        graft.functions.MinHashSignature.minhashSignature(col("sh"), hashA, hashB, HashP)
+          .as("sig"))
 
   /** Banded-LSH candidate pairs from signatures: fold each 4-long band
     * to a key, self-join buckets on (band, key). */
