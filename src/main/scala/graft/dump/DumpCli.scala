@@ -72,12 +72,11 @@ object DumpCli {
         (tmp.toString, Some(tmp))
     }
     try {
-      val res = DumpConverter.convert(spark, input, outDir)
-      // Progress summary — the reference's three indicatif counters end
-      // state (`main.rs:63-86`), minus the live spinners.
-      res.tables.foreach { t =>
-        System.err.println(s"[dump] $t: ${res.rowsWritten(t)} rows -> $outDir/$t")
-      }
+      // Live progress (the reference's indicatif counters,
+      // `main.rs:63-86`): table discovery, a throttled rows-written
+      // ticker, and a per-table line as each write commits.
+      val res = DumpConverter.convert(spark, input, outDir,
+        progress = System.err.println)
       System.err.println(
         s"[dump] done: ${res.tables.size} table(s), " +
           s"${res.rowsWritten.values.sum} row(s), ${res.droppedInserts} dropped insert(s)")

@@ -74,7 +74,8 @@ object DumpConverter {
   }
 
   def convert(spark: SparkSession, input: String, outDir: String,
-              minPartitions: Int = 1, saltsPerTable: Int = 8): Result = {
+              minPartitions: Int = 1, saltsPerTable: Int = 8,
+              progress: String => Unit = _ => ()): Result = {
     val sc = spark.sparkContext
     val lines = sc.textFile(input, minPartitions)
 
@@ -163,28 +164,51 @@ object DumpConverter {
         .partitionBy(new TablePartitioner(tableIndex, salts))
         .values
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      try {
-        tableOrder.foreach { table =>
-          val idx = tableIndex(table)
-          val schema = lastCreate(table)._2
-          val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
-          spark.createDataFrame(mine, schema)
-            .write.mode("overwrite").option("compression", "snappy")
-            .parquet(s"$outDir/$table")
+      // Live progress (reference A14, `main.rs:63-86`): a rows-written
+      // ticker fed by task output metrics (throttled to 2 Hz) plus a
+      // per-table line as each write commits. Listener events are
+      // fire-and-forget metadata — they never touch the data path.
+      progress(s"[dump] ${tableOrder.size} table(s) discovered")
+      val tickRows = new java.util.concurrent.atomic.AtomicLong
+      val tickLast = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+      val ticker = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null && m.outputMetrics != null && m.outputMetrics.recordsWritten > 0) {
+            val tot = tickRows.addAndGet(m.outputMetrics.recordsWritten)
+            val now = System.nanoTime()
+            val prev = tickLast.get
+            if (now - prev > 500L * 1000 * 1000 && tickLast.compareAndSet(prev, now))
+              progress(s"[dump] rows written: $tot")
+          }
         }
+      }
+      sc.addSparkListener(ticker)
+      try {
         // Exact per-table counts read back from the COMMITTED parquet —
         // transformation-side accumulators double-count on task retry or
         // cache-eviction recompute, and the CLI prints these totals as
         // authoritative (the reference's counters are exact). A count()
         // over a freshly-written snappy parquet is a column-less scan:
         // cheap relative to the write it follows.
-        val rowCounts = tableOrder.map { t =>
-          t -> spark.read.parquet(s"$outDir/$t").count()
+        val rowCounts = tableOrder.zipWithIndex.map { case (table, ti) =>
+          val idx = tableIndex(table)
+          val schema = lastCreate(table)._2
+          val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
+          spark.createDataFrame(mine, schema)
+            .write.mode("overwrite").option("compression", "snappy")
+            .parquet(s"$outDir/$table")
+          val n = spark.read.parquet(s"$outDir/$table").count()
+          progress(s"[dump] (${ti + 1}/${tableOrder.size}) $table: $n rows -> $outDir/$table")
+          table -> n
         }.toMap
         if (dropped.value > 0)
           System.err.println(s"[dump] dropped ${dropped.value} INSERT statement(s) with no (preceding) CREATE TABLE")
         Result(tableOrder, rowCounts, dropped.value)
-      } finally routed.unpersist(blocking = false)
+      } finally {
+        sc.removeSparkListener(ticker)
+        routed.unpersist(blocking = false)
+      }
     } finally segs.unpersist(blocking = false)
   }
 
