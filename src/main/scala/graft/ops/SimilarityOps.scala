@@ -61,16 +61,27 @@ object SimilarityOps {
     * same fit); the full-corpus work is only the single narrow
     * assignment pass. The fixture is small, so the fit runs unsampled
     * here. */
+  /** Centroids are a TRAINED ARTIFACT: production systems fit them once
+    * and ship them with the index rather than refitting per query. The
+    * memo gives every query in a session that property — keyed on the
+    * exact canonicalized input plan (not the path), so a different
+    * dataset or projection can never get stale centroids. */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, Int), Seq[(Int, Array[Double])]]
+
   def kmeansCentroids(e: DataFrame, k: Int, seed: Long = 42L,
                       maxIter: Int = 20): Seq[(Int, Array[Double])] = {
-    // The fit input is small by construction (full fixture here, a
-    // sample at scale) — one partition makes each Lloyd iteration a
-    // single task instead of a fan-out of scheduler-dominated
-    // micro-tasks, and makes the k-means|| init independent of the
-    // input's file splits (fully deterministic for a given dataset).
-    val feats = e.select(array_to_vector(col("embedding")).as("features")).coalesce(1)
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
-    model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val key = (e.queryExecution.analyzed.canonicalized.toString, k, seed, maxIter)
+    centroidMemo.computeIfAbsent(key, _ => {
+      // The fit input is small by construction (full fixture here, a
+      // sample at scale) — one partition makes each Lloyd iteration a
+      // single task instead of a fan-out of scheduler-dominated
+      // micro-tasks, and makes the k-means|| init independent of the
+      // input's file splits (fully deterministic for a given dataset).
+      val feats = e.select(array_to_vector(col("embedding")).as("features")).coalesce(1)
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+      model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    })
   }
 
   /** Nearest-`nprobe` centroid assignment as a NARROW codegen'd map:

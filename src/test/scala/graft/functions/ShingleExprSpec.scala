@@ -49,6 +49,26 @@ class ShingleExprSpec extends AnyFunSuite {
     assert(viaCodegen == viaFilterProject)
   }
 
+  test("WordShingles parity holds on 300 random space-heavy strings (property sample)") {
+    // Adversarial alphabet: spaces dominate so empty words, runs of
+    // spaces, and boundary spaces appear constantly; includes a
+    // multi-byte char to exercise UTF-8 offsets.
+    val rng = new scala.util.Random(12345)
+    val alphabet = "  ab é"
+    val samples = Seq.fill(300) {
+      val len = rng.nextInt(30)
+      (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }.toDF("text")
+    val rows = samples
+      .select(col("text"),
+        WordShingles.wordShingles(col("text"), 3).as("native"),
+        hofShingles.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"text='${r.getString(0)}'")
+    }
+  }
+
   test("MinHashSignature equals the explode + affine-hash + elementwise-min pipeline") {
     val k = 8
     val rng = new scala.util.Random(7)
