@@ -228,16 +228,21 @@ object DedupOps {
   // ------------------------------------------------------------- simhash
 
   /** (doc_id, f) 64-bit frequency-weighted SimHash fingerprints. Bit i
-    * of xxhash64(token) votes ±count; fingerprint bit = sign of tally.
-    * The tally is the elementwise-sum UDAF — again one 64-long buffer
-    * per doc crosses the shuffle. */
+    * of xxhash64(token) votes ±1 PER OCCURRENCE — summing occurrence
+    * votes equals the classic ±count weighting, so no pre-counting
+    * `groupBy(doc, tok)` shuffle is needed at all. The tally is the
+    * elementwise-sum typed Aggregator consuming the exploded stream
+    * directly: map-side partial aggregation means ONE 64-long buffer
+    * per doc per partition crosses the single remaining shuffle (this
+    * is the UDAF's live exemplar — cross-row state that no per-row
+    * expression can hold). Votes come from the native codegen'd
+    * [[graft.functions.BitVotes]] (the `transform(sequence(0,63),…)`
+    * HOF ran 64 interpreted lambdas per token occurrence). */
   private[ops] def simhashFingerprints(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, 63), i -> CASE WHEN (shiftright(xxhash64(tok), i) & 1) = 1 THEN c ELSE -c END)")
-        .as("votes"))
+      .select(col("doc_id"),
+        graft.functions.BitVotes.bitVotes(xxhash64(col("tok"))).as("votes"))
       .groupBy("doc_id")
       .agg(ArrayAggregators.elementwiseSum(64)(col("votes")).as("bits"))
       .select(col("doc_id"), expr(

@@ -43,6 +43,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
   }
 
+  test("occurrence-vote SimHash equals the classic per-token-count formulation") {
+    import graft.functions.ArrayAggregators
+    val docs = Tables.documents(spark, sf)
+    val occ = DedupOps.simhashFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counted = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 63), i -> CASE WHEN (shiftright(xxhash64(tok), i) & 1) = 1 THEN c ELSE -c END)")
+        .as("votes"))
+      .groupBy("doc_id")
+      .agg(ArrayAggregators.elementwiseSum(64)(col("votes")).as("bits"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> CASE WHEN element_at(bits, i + 1) > 0 THEN acc | shiftleft(1L, i) ELSE acc END)")
+        .as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occ == counted)
+  }
+
   test("simhash near-dup: recall >= 0.7 and few false positives vs exact jaccard") {
     val sh = pairSet(DedupOps.d_dedup_simhash(spark, sf))
     val recall = (sh & exactPairs).size.toDouble / exactPairs.size
