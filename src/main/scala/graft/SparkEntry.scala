@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalQueries.queries ++ ops.ConverterQueries.queries ++
       ops.SimilarityOps.queries ++ ops.DedupOps.queries ++ ops.TextOps.queries ++
-      ops.MultimodalOps.queries ++ streaming.StreamingOps.queries
+      ops.MultimodalOps.queries ++ ops.PipelineOps.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.RelationalQueries.oracles ++ ops.ConverterQueries.oracles ++
       ops.SimilarityOps.oracles ++ ops.DedupOps.oracles ++ ops.TextOps.oracles ++
-      ops.MultimodalOps.oracles ++ streaming.StreamingOps.oracles
+      ops.MultimodalOps.oracles ++ ops.PipelineOps.oracles ++
+      streaming.StreamingOps.oracles
 }

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.WordShingles.wordShingles
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between dedup and training — decontamination, mixture sampling, PII
+  * scrubbing. Like the dedup family, fixtures that lack the target
+  * phenomenon get it PLANTED deterministically (both engines replay the
+  * construction), so every query is non-vacuous and DuckDB-hash-checked.
+  *
+  *   - [[p_decontaminate]]: benchmark-overlap decontamination — count
+  *     the 8-gram shingles each document shares with a probe set (the
+  *     stand-in "benchmark" = the `doc_id % 97 == 0` slice of the
+  *     corpus). One shingle shuffle + a broadcast of the (small) probe
+  *     set; at 100 TB the probe side is benchmark suites (MMLU, GSM8K,
+  *     …) — a few MB, always broadcastable.
+  *   - [[p_mixture_sample]]: deterministic hash-based mixture sampling
+  *     with per-source quotas — the "data mixing" step that up/down
+  *     weights sources. A pure narrow filter: no shuffle, no RNG state,
+  *     reproducible across engines and retries (sampling by hash, not
+  *     by `rand()`, is the only correct choice under task retry).
+  *   - [[p_pii_scrub]]: PII detection + redaction over text with
+  *     planted contact strings; counts and scrubbed-content hashes are
+  *     compared cross-engine. Narrow single-scan projection.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------- decontamination
+
+  private val ProbeMod = 97
+  private val ShingleN = 8
+
+  /** Overlap of each doc's 8-gram shingles with the probe slice. Probe
+    * docs trivially overlap themselves and stay in the output with
+    * `is_probe = true` (a real run would filter them — one line — but
+    * keeping them makes the check non-vacuous by construction);
+    * contamination of non-probe docs comes from planted near-dups. */
+  val p_decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), ShingleN)).as("s8"))
+    val probe = sh.filter(col("doc_id") % ProbeMod === 0).select("s8").distinct()
+    val hits = sh.join(broadcast(probe), "s8")
+      .groupBy("doc_id").agg(countDistinct(col("s8")).as("n_hits"))
+    docs.select(col("doc_id"), (col("doc_id") % ProbeMod === 0).as("is_probe"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("is_probe"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------- mixture sampling
+
+  /** Per-source keep-quota out of 1000. */
+  private def quota = // CASE over the source name: a tiny literal table
+    when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 900L)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 500L)
+      .otherwise(200L)
+
+  /** Deterministic mixture sample: keep a doc iff
+    * ((doc_id·2654435761) mod 1000003) mod 1000 < quota(source).
+    * The Knuth multiplier + prime mod mixes sequential ids; everything
+    * is exact BIGINT arithmetic both engines replay. */
+  val p_mixture_sample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bucket", (col("doc_id") * lit(2654435761L)) % 1000003L % 1000L)
+      .filter(col("bucket") < quota)
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------- PII scrub
+
+  private val EmailRe = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
+
+  /** Detection + redaction over text with two planted contact strings
+    * per doc (the corpus itself is email-free, so counts are exactly
+    * 2·docs and the scrubbed hash is fully determined). */
+  val p_pii_scrub: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("text2", concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@mail.example.com or adm"),
+        col("doc_id"), lit("@corp.net thanks")))
+      .select(col("doc_id"),
+        regexp_count(col("text2"), lit(EmailRe)).as("n_pii"),
+        substring(sha2(regexp_replace(col("text2"), EmailRe, "[EMAIL]"), 256), 1, 16)
+          .as("scrubbed_hash16"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "p_decontaminate" -> p_decontaminate,
+    "p_mixture_sample" -> p_mixture_sample,
+    "p_pii_scrub" -> p_pii_scrub,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p_decontaminate" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${ShingleN - 1})) AS i FROM words),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         ${(0 until ShingleN).map(j => s"w[i+$j]").mkString(" || ' ' || ")} AS s8
+         |       FROM idx),
+         |probe AS (SELECT DISTINCT s8 FROM sh WHERE doc_id % $ProbeMod = 0),
+         |hits AS (SELECT doc_id, count(DISTINCT sh.s8) AS n_hits
+         |         FROM sh JOIN probe ON sh.s8 = probe.s8 GROUP BY doc_id)
+         |SELECT d.doc_id, d.doc_id % $ProbeMod = 0 AS is_probe,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "p_mixture_sample" ->
+      """SELECT doc_id, source,
+        |  ((doc_id * 2654435761) % 1000003) % 1000 AS bucket
+        |FROM documents
+        |WHERE ((doc_id * 2654435761) % 1000003) % 1000 <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+        |       ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
+    "p_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || doc_id || '@mail.example.com or adm' ||
+        |      doc_id || '@corp.net thanks' AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]')) AS INTEGER) AS n_pii,
+        |  substr(sha256(regexp_replace(text2, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '[EMAIL]', 'g')), 1, 16)
+        |    AS scrubbed_hash16
+        |FROM t ORDER BY doc_id""".stripMargin,
+  )
+}
