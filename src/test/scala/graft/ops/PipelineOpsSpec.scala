@@ -26,8 +26,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       .join(kept.groupBy("source").count().withColumnRenamed("count", "k"), "source")
       .select(col("source"), (col("k") / col("count")).as("rate"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val hi = rates.filterKeys(Set("src0", "src1", "src2", "src3", "src4")).values
-    val lo = rates.filterKeys(k => !Set("src0","src1","src2","src3","src4","src5","src6","src7","src8","src9")(k)).values
+    val hiSrc = Set("src0", "src1", "src2", "src3", "src4")
+    val midSrc = Set("src5", "src6", "src7", "src8", "src9")
+    val hi = rates.collect { case (k, v) if hiSrc(k) => v }
+    val lo = rates.collect { case (k, v) if !hiSrc(k) && !midSrc(k) => v }
     assert(hi.nonEmpty && lo.nonEmpty)
     assert(hi.sum / hi.size > lo.sum / lo.size,
       s"high-quota sources must keep more: hi=$hi lo=$lo")
