@@ -380,6 +380,40 @@ object RelationalQueries {
           col("s_suppkey").as("k"))).getField("k").as("top_suppkey"))
       .orderBy(col("n_name"))
 
+  /** Bucketed CO-LOCATED join — the shuffle-elimination technique for
+    * repeated fact-fact joins at 100 TB: both tables are written
+    * `bucketBy(join key)` + `sortBy` once, after which EVERY join on
+    * that key needs no Exchange and no Sort (the scan itself satisfies
+    * the join's distribution+ordering requirements). Here the bucketed
+    * copies are (re)written from the fixture, then joined; the plan
+    * assertion in RelationalQueriesSpec proves the join subtree is
+    * exchange-free. At 100 TB you pay the bucketed write once and
+    * amortize it over every downstream join/aggregation on the key —
+    * this is Spark's answer to the co-partitioned table layouts native
+    * warehouses keep. Bucket count 8 fits the fixture; at scale it
+    * rises with data volume (buckets ≈ target task count). */
+  val q_bucketed_join: Q = (s, d) => {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("graft_orders_b")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("graft_lineitem_b")
+    // hint("merge"): at 100 TB neither fact side is broadcastable, and
+    // SMJ-over-bucketed-scans is exactly what the layout exists for; at
+    // toy fixture scale AQE would otherwise degrade the demo to a
+    // broadcast join and never touch the co-location.
+    s.table("graft_lineitem_b").hint("merge")
+      .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CASE WHEN + conditional aggregation (pivot-ish shape). */
   val q_conditional_agg: Q = (s, d) =>
     orders(s, d)
@@ -421,6 +455,7 @@ object RelationalQueries {
     "q_map_fns" -> q_map_fns,
     "q_supplier_stats" -> q_supplier_stats,
     "q_conditional_agg" -> q_conditional_agg,
+    "q_bucketed_join" -> q_bucketed_join,
   )
 
   val oracles: Map[String, String] = Map(
@@ -602,5 +637,11 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |  COUNT(1) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  COUNT(1) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

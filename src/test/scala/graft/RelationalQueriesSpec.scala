@@ -76,6 +76,18 @@ class RelationalQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed join subtree is exchange-free (co-located scan feeds the SMJ directly)") {
+    val df = ops.RelationalQueries.q_bucketed_join(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    // the ONLY hash exchange allowed is the one the groupBy introduces —
+    // the join itself must be satisfied by the bucketed scans
+    val hashExchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashExchanges <= 1, s"bucketed join must not shuffle its inputs:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan must be bucket-aware:\n$plan")
+  }
+
   test("topk per group runs two-phase salted windows (no 3-partition global sort)") {
     val plan = ops.RelationalQueries.q_topk_per_group(spark, sf)
       .queryExecution.executedPlan.toString
