@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured-streaming slice (SURVEY.md §2 Part B row 11, §7 M4):
@@ -128,6 +128,74 @@ object StreamingOps {
     drain(s, dedup, "append").orderBy(col("day"), col("user_id"), col("event_type"))
   }
 
+  // ------------------------------------------- custom state (mapGroups)
+
+  /** Per-user burst bookkeeping state carried ACROSS micro-batches. */
+  case class BurstState(lastTs: Long, nEvents: Long, nBursts: Int,
+                        curLen: Int, maxLen: Int)
+  case class BurstStats(user_id: Long, n_events: Long, n_bursts: Int, max_burst: Int)
+
+  /** Custom streaming state via `mapGroupsWithState` — the escape hatch
+    * for per-key logic no built-in window expresses: per user, count
+    * "bursts" (runs of events with gaps ≤ 1 h) and the longest burst.
+    * The state transition is genuinely INCREMENTAL — each micro-batch
+    * folds its (sorted) new events into the carried [[BurstState]], so
+    * the same function is correct under any batch slicing where batches
+    * arrive in event-time order (AvailableNow on one file = one batch
+    * here; the shape is what a continuous deployment runs). At scale,
+    * state is one small case class per active user, partitioned by the
+    * group key. The batch oracle reproduces the fold with window
+    * functions. */
+  val st_custom_state: Q = (s, d) => {
+    import s.implicits._
+    val stats = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[BurstState, BurstStats](GroupStateTimeout.NoTimeout()) {
+        (uid, it, gs) =>
+          var st = gs.getOption.getOrElse(BurstState(Long.MinValue, 0L, 0, 0, 0))
+          it.map(_._2).toArray.sorted.foreach { t =>
+            st = if (st.lastTs == Long.MinValue || t - st.lastTs > 3600L * 1000000L)
+              BurstState(t, st.nEvents + 1, st.nBursts + 1, 1, math.max(st.maxLen, 1))
+            else
+              BurstState(t, st.nEvents + 1, st.nBursts, st.curLen + 1,
+                math.max(st.maxLen, st.curLen + 1))
+          }
+          gs.update(st)
+          BurstStats(uid, st.nEvents, st.nBursts, st.maxLen)
+      }
+    drain(s, stats.toDF(), "update").orderBy(col("user_id"))
+  }
+
+  // --------------------------------------------- stream-stream join
+
+  /** Watermarked stream-stream INTERVAL join: each purchase joined to
+    * the same user's clicks in the preceding hour (click-to-purchase
+    * attribution). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so the state store retains only one
+    * hour of each side — the join is runnable forever at 100 TB/day.
+    * Inner-join matches emit as soon as both rows arrive; the DuckDB
+    * oracle is the identical batch self-join. */
+  val st_stream_join: Q = (s, d) => {
+    val clicks = eventStream(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+        expr("""user_id = c_user AND
+                click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+                click_ts <= purchase_ts"""))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+    drain(s, joined, "append")
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -135,6 +203,8 @@ object StreamingOps {
     "st_sliding" -> st_sliding,
     "st_session" -> st_session,
     "st_dedup" -> st_dedup,
+    "st_custom_state" -> st_custom_state,
+    "st_stream_join" -> st_stream_join,
   )
 
   val oracles: Map[String, String] = Map(
@@ -159,6 +229,28 @@ object StreamingOps {
     "st_dedup" ->
       """SELECT DISTINCT date_trunc('day', ts) AS day, user_id, event_type
         |FROM events ORDER BY day, user_id, event_type""".stripMargin,
+    "st_custom_state" ->
+      """WITH g AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                                     ROWS UNBOUNDED PRECEDING) AS bid
+        |      FROM g),
+        |b AS (SELECT user_id, bid, COUNT(1) AS len FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_events,
+        |  CAST(COUNT(1) AS INTEGER) AS n_bursts,
+        |  CAST(MAX(len) AS INTEGER) AS max_burst
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "st_session" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |g AS (SELECT user_id, ts,

@@ -34,6 +34,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(r.join(batchKeys, Seq("day", "user_id", "event_type"), "left_anti").count() == 0)
   }
 
+  test("custom state: burst stats cover every user and are internally consistent") {
+    val r = StreamingOps.st_custom_state(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.length == users)
+    val events = Tables.events(spark, sf).count()
+    assert(r.map(_.getLong(1)).sum == events, "per-user event counts must total the corpus")
+    r.foreach { row =>
+      assert(row.getInt(2) >= 1)                    // at least one burst
+      assert(row.getInt(3) <= row.getLong(1))       // max burst <= events
+      assert(row.getInt(2).toLong <= row.getLong(1)) // bursts <= events
+    }
+  }
+
+  test("stream-stream interval join equals the batch self-join") {
+    val streamed = StreamingOps.st_stream_join(spark, sf)
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select("user_id", "purchase_id", "click_id")
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0, "fixture must produce attribution pairs")
+    assert(streamed.select("user_id", "purchase_id", "click_id")
+      .join(batch, Seq("user_id", "purchase_id", "click_id"), "left_anti").count() == 0)
+  }
+
   test("sliding complete mode covers every event twice (2d window, 1d slide)") {
     val r = StreamingOps.st_sliding(spark, sf)
     val total = r.agg(sum("n")).head.getLong(0)
