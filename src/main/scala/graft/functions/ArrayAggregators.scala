@@ -1,19 +1,23 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
 /** Element-wise array aggregators (the engine's typed-UDAF surface,
   * `Aggregator[IN, BUF, OUT]` registered through `functions.udaf`).
+  * Both are associative + commutative, so Spark computes them with
+  * map-side partial aggregation — one shuffled buffer per group per
+  * partition, not one row per input, which is what makes cross-row
+  * sketching viable at 100 TB.
   *
-  * These power the sketch operators: MinHash signatures are an
-  * element-wise MIN over per-shingle hash arrays; SimHash bit tallies
-  * are an element-wise SUM over per-token ±1 arrays. Both are
-  * associative + commutative, so Spark computes them with map-side
-  * partial aggregation — one shuffled row per (group, dim) TOTAL, not
-  * per input row, which is what makes sketching viable at 100 TB.
+  * [[ElementwiseSum]] is live in the SimHash pipeline (tallying ±1 bit
+  * votes across a doc's token occurrences — per-row state cannot
+  * express it). [[ElementwiseMin]] is the parity WITNESS for the
+  * native one-pass `MinHashSignature` expression that replaced it in
+  * the hot path: ShingleExprSpec proves the two formulations agree, so
+  * it is retained as the independent reference implementation.
   */
 object ArrayAggregators {
 
@@ -54,29 +58,9 @@ object ArrayAggregators {
     def outputEncoder: Encoder[Seq[Long]] = longSeqEnc
   }
 
-  class ElementwiseSumDouble(dim: Int) extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
-    def zero: Array[Double] = Array.fill(dim)(0.0)
-    def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
-      var i = 0
-      while (i < dim) { b(i) += a(i); i += 1 }
-      b
-    }
-    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
-      var i = 0
-      while (i < dim) { x(i) += y(i); i += 1 }
-      x
-    }
-    def finish(r: Array[Double]): Seq[Double] = r.toSeq
-    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
-    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
-  }
-
   def elementwiseMin(dim: Int)(c: Column): Column =
     udaf(new ElementwiseMin(dim), longSeqEnc).apply(c)
 
   def elementwiseSum(dim: Int)(c: Column): Column =
     udaf(new ElementwiseSum(dim), longSeqEnc).apply(c)
-
-  def elementwiseSumDouble(dim: Int)(c: Column): Column =
-    udaf(new ElementwiseSumDouble(dim), ExpressionEncoder[Seq[Double]]()).apply(c)
 }
