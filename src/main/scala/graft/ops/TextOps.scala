@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus — the per-doc
   * scoring / profiling passes a training-data pipeline runs before
-  * filtering. Every query is a narrow projection or a single
-  * aggregation (no self-joins); at 100 TB each is one codegen'd scan.
+  * filtering. Each is a narrow projection, a single aggregation, or
+  * (for corpus-statistics scoring) one token-keyed join — never a
+  * document self-join.
   *
   *   - [[t_text_stats]]: per-language corpus statistics.
   *   - [[t_token_count]]: whitespace tokens + regex (BPE-ish piece)
@@ -19,6 +20,8 @@ import org.apache.spark.sql.functions._
   *     output, not label recovery.)
   *   - [[t_quality_score]]: length/stopword/word-length quality score,
   *     integerized to e4 for exact cross-engine comparison.
+  *   - [[t_idf_score]]: corpus-statistics rarity score (integer-exact
+  *     IDF sum over each doc's distinct tokens).
   *   - [[t_fingerprint]]: sha2 content hash + Karp-Rabin rolling-hash
   *     fingerprints (min + distinct count over 8-gram polynomial
   *     hashes, mod 1000003 — pure integer arithmetic, reproduced
@@ -100,6 +103,30 @@ object TextOps {
         )).cast("long").as("score_e4"))
       .orderBy(col("doc_id"))
 
+  /** Rarity scoring — the corpus-statistics join shape behind
+    * perplexity-style quality filters: token document frequencies are
+    * aggregated once, then each doc is scored by the sum of its
+    * distinct tokens' inverse document frequencies. All arithmetic is
+    * integer (`(1e6·N) div df`) so the score is bit-exact cross-engine
+    * — no transcendental log whose last ulp could differ between
+    * libm implementations. Shapes at 100 TB: one shuffle to build df,
+    * one shuffle to join it back on token (fan-out is 1:1 per
+    * occurrence — hot tokens cost linearly, never quadratically), one
+    * partial-agg groupBy per doc. */
+  val t_idf_score: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    toks.join(dfreq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("(1000000L * n_docs) div df").as("idf6"))
+      .groupBy("doc_id")
+      .agg(sum(col("idf6")).as("idf_sum_e6"), count(lit(1)).as("n_distinct_toks"))
+      .orderBy(col("doc_id"))
+  }
+
   val t_fingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .filter(length(col("text")) >= 8)
@@ -123,6 +150,7 @@ object TextOps {
     "t_token_count" -> t_token_count,
     "t_lang_id" -> t_lang_id,
     "t_quality_score" -> t_quality_score,
+    "t_idf_score" -> t_idf_score,
     "t_fingerprint" -> t_fingerprint,
   )
 
@@ -169,6 +197,16 @@ object TextOps {
          |    0.3 * LEAST(CAST(sum_tok_chars AS DOUBLE) / n_tokens / 10.0, 1.0)
          |  )) AS BIGINT) AS score_e4
          |FROM c ORDER BY doc_id""".stripMargin,
+    "t_idf_score" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |df AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |  CAST(SUM((1000000 * n_docs) // df) AS BIGINT) AS idf_sum_e6,
+        |  COUNT(1) AS n_distinct_toks
+        |FROM toks JOIN df USING (tok), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, substr(sha256(text), 1, 16) AS hash16,
         |  CAST(list_aggregate(
