@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, and a batched per-partition decode pass — the
-  * Scala/Dataset equivalent of a `mapInPandas` decode stage.
+  * Scala/Dataset equivalent of a `mapInPandas` decode stage. Two
+  * modalities, both decoded for REAL from actual bytes:
   *
-  * The container has no image codec LIBRARIES, but PNG itself is pure
-  * byte logic + zlib, both in the JDK — so the decode is REAL, not a
-  * stub: [[decodePng]] validates the signature, walks the chunk stream
-  * verifying every CRC32, reads width/height from the actual IHDR
-  * bytes, inflates the IDAT pixel stream, checks the scanline layout,
-  * and aggregates decoded pixel values.
+  *   - IMAGE: PNG is pure byte logic + zlib, both in the JDK —
+  *     [[decodePng]] validates the signature, walks the chunk stream
+  *     verifying every CRC32, reads width/height from the actual IHDR
+  *     bytes, inflates the IDAT pixel stream, checks the scanline
+  *     layout, and aggregates decoded pixel values.
+  *   - AUDIO: RIFF/WAVE PCM16 is plain little-endian byte logic —
+  *     [[decodeWav]] validates RIFF/WAVE magics and lengths, checks
+  *     every fmt field, and folds the decoded sample stream.
   *
   * Payloads are genuine PNGs synthesized per document ([[encodePng]]):
   * an 8-bit grayscale image whose dimensions and pixels are a
@@ -155,6 +158,82 @@ object MultimodalOps {
     (width, height, nIdat, sum)
   }
 
+  // ------------------------------------------------------- WAV encode
+
+  /** Audio parameters for a doc — the formula the oracle replays:
+    * 8 kHz mono PCM16, 500..2499 samples from the text length, sample
+    * i = ((i² + doc_id·31) mod 65536) − 32768. */
+  private[ops] val SampleRate = 8000
+  private[ops] def audioSamples(nChars: Long): Int = 500 + ((nChars * 7) % 2000).toInt
+  private[ops] def pcmSample(docId: Long, i: Int): Int =
+    (((i.toLong * i + docId * 31) % 65536L) - 32768L).toInt
+
+  /** A REAL RIFF/WAVE file: canonical 44-byte header (PCM format chunk
+    * with consistent byte-rate/block-align) + little-endian 16-bit
+    * samples. Any WAV reader decodes it. */
+  private[ops] def encodeWav(docId: Long, nChars: Long): Array[Byte] = {
+    val n = audioSamples(nChars)
+    val dataLen = n * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(SampleRate)
+      .putInt(SampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { bb.putShort(pcmSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  // ------------------------------------------------------- WAV decode
+
+  /** Decode a PCM16 mono WAV from its actual bytes: RIFF/WAVE
+    * validation, fmt-chunk field checks (format, channels, rate,
+    * block align), then the sample stream — returning
+    * (sampleRate, nSamples, sumAbsAmplitude). Throws loudly on
+    * malformed input. */
+  private[ops] def decodeWav(payload: Array[Byte]): (Int, Int, Long) = {
+    require(payload.length >= 44, "not a WAV: too short")
+    val bb = ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riff = new Array[Byte](4); bb.get(riff)
+    require(new String(riff, "US-ASCII") == "RIFF", "not a WAV: bad RIFF magic")
+    val riffLen = bb.getInt
+    require(riffLen == payload.length - 8, "corrupt WAV: RIFF length mismatch")
+    val wave = new Array[Byte](4); bb.get(wave)
+    require(new String(wave, "US-ASCII") == "WAVE", "not a WAV: bad WAVE magic")
+    var rate = -1
+    var nSamples = -1
+    var sumAbs = 0L
+    while (bb.remaining() >= 8) {
+      val tag = new Array[Byte](4); bb.get(tag)
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining() >= len, "corrupt WAV: truncated chunk")
+      new String(tag, "US-ASCII") match {
+        case "fmt " =>
+          require(len == 16, "unsupported WAV: non-PCM fmt chunk")
+          require(bb.getShort == 1, "unsupported WAV: not PCM")
+          require(bb.getShort == 1, "unsupported WAV: not mono")
+          rate = bb.getInt
+          bb.getInt // byte rate
+          require(bb.getShort == 2, "unsupported WAV: block align != 2")
+          require(bb.getShort == 16, "unsupported WAV: not 16-bit")
+        case "data" =>
+          require(rate > 0, "corrupt WAV: data before fmt")
+          nSamples = len / 2
+          var i = 0
+          while (i < nSamples) { sumAbs += math.abs(bb.getShort.toLong); i += 1 }
+        case _ => bb.position(bb.position() + len)
+      }
+    }
+    require(nSamples >= 0, "corrupt WAV: no data chunk")
+    (rate, nSamples, sumAbs)
+  }
+
   // ----------------------------------------------------------- tables
 
   /** documents → opaque media table (doc_id, mime, payload binary):
@@ -175,6 +254,35 @@ object MultimodalOps {
       .as[(Long, Long)]
       .map { case (id, n) => MediaRecord(id, "image/png", encodePng(id, n)) }
       .toDF()
+  }
+
+  /** documents → genuine WAV media table: one real PCM16 audio clip
+    * per doc. */
+  def wavTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) => MediaRecord(id, "audio/wav", encodeWav(id, n)) }
+      .toDF()
+  }
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+                           duration_ms: Long, sum_abs: Long)
+
+  /** Batched per-partition audio decode — same mapPartitions seam as
+    * the image path, different codec. */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("mime"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (rate, n, sumAbs) = decodeWav(r.payload)
+            AudioFeatures(r.doc_id, rate, n, n.toLong * 1000L / rate, sumAbs)
+          }
+        }
+      }
   }
 
   /** Batched per-partition decode: the mapInPandas shape. Batches of
@@ -218,11 +326,20 @@ object MultimodalOps {
       .select(col("doc_id"), col("width"), col("height"), col("n_frames"), col("px_sum"))
       .orderBy(col("doc_id"))
 
+  /** The REAL audio decode pipeline: genuine WAV bytes → RIFF chunk
+    * walk → PCM samples → decoded features. Hash-checked like
+    * [[mm_decode]]: the oracle recomputes rate/samples/duration and the
+    * integer sum of absolute amplitudes from the generator formula. */
+  val mm_audio_decode: Q = (s, d) =>
+    decodeAudio(wavTable(s, d)).toDF()
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mm_binary_meta,
     "mm_decode" -> mm_decode,
+    "mm_audio_decode" -> mm_audio_decode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +357,14 @@ object MultimodalOps {
         |    y -> list_transform(generate_series(0, (16 + (n_chars % 48)) - 1),
         |      x -> (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT) AS px_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_audio_decode" ->
+      """WITH p AS (SELECT doc_id, 500 + (n_chars * 7) % 2000 AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS INTEGER) AS n_samples,
+        |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(generate_series(0, n - 1),
+        |    i -> abs(((i * i + doc_id * 31) % 65536) - 32768))) AS BIGINT) AS sum_abs
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

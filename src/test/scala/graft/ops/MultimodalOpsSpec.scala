@@ -48,6 +48,33 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.decodePng("definitely not a png".getBytes("UTF-8")))
   }
 
+  test("synthesized WAVs are REAL audio: the independent JDK decoder agrees sample-for-sample") {
+    val wav = MultimodalOps.encodeWav(docId = 11L, nChars = 123L)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+    val n = MultimodalOps.audioSamples(123L)
+    assert(in.getFrameLength == n)
+    val raw = in.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n)
+      assert(bb.getShort.toInt == MultimodalOps.pcmSample(11L, i), s"sample $i")
+  }
+
+  test("decodeWav extracts rate, count and amplitude sum from the actual bytes") {
+    val n = MultimodalOps.audioSamples(77L)
+    val expectedSum = (0 until n).map(i => math.abs(MultimodalOps.pcmSample(3L, i)).toLong).sum
+    val (rate, count, sum) = MultimodalOps.decodeWav(MultimodalOps.encodeWav(3L, 77L))
+    assert((rate, count, sum) == (8000, n, expectedSum))
+  }
+
+  test("decodeWav rejects corrupted payloads loudly") {
+    val wav = MultimodalOps.encodeWav(9L, 60L)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeWav(wav.take(wav.length - 7)))
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeWav("RIFFnot really a wav".getBytes("UTF-8")))
+  }
+
   test("decode pipeline is deterministic and covers every record") {
     val a = MultimodalOps.mm_decode(spark, sf).collect()
     val b = MultimodalOps.mm_decode(spark, sf).collect()
