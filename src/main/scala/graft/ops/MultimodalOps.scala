@@ -69,24 +69,22 @@ object MultimodalOps {
     out.array()
   }
 
-  /** A REAL standards-shaped PNG: signature, IHDR (8-bit grayscale),
-    * one IDAT of zlib-deflated filter-0 scanlines, IEND — every chunk
-    * with a correct CRC32. Any PNG reader decodes it. */
-  private[ops] def encodePng(docId: Long, nChars: Long): Array[Byte] = {
-    val (w, h) = imageDims(docId, nChars)
+  /** A REAL standards-shaped PNG from raw grayscale pixels: signature,
+    * IHDR (8-bit grayscale), one IDAT of zlib-deflated filter-0
+    * scanlines, IEND — every chunk with a correct CRC32. Any PNG
+    * reader decodes it. */
+  private[ops] def encodePngPixels(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h, "pixel buffer does not match dimensions")
     val ihdr = ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
       .put(8.toByte)                          // bit depth
       .put(0.toByte)                          // color type: grayscale
       .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
     val raw = new Array[Byte](h * (w + 1))
-    var i = 0
     var y = 0
     while (y < h) {
-      raw(i) = 0 // per-scanline filter byte: 0 = None
-      i += 1
-      var x = 0
-      while (x < w) { raw(i) = pixel(docId, x, y).toByte; i += 1; x += 1 }
+      raw(y * (w + 1)) = 0 // per-scanline filter byte: 0 = None
+      System.arraycopy(px, y * w, raw, y * (w + 1) + 1, w)
       y += 1
     }
     val deflater = new Deflater()
@@ -99,18 +97,42 @@ object MultimodalOps {
       pngChunk("IDAT", bos.toByteArray) ++ pngChunk("IEND", Array.emptyByteArray)
   }
 
+  /** The per-document fixture image: formula pixels (oracle contract). */
+  private[ops] def encodePng(docId: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId, nChars)
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = pixel(docId, x, y).toByte; x += 1 }
+      y += 1
+    }
+    encodePngPixels(px, w, h)
+  }
+
   // ------------------------------------------------------- PNG decode
 
-  /** Decode a (grayscale, filter-0) PNG from its actual bytes:
-    * signature check, chunk walk with CRC verification, IHDR
-    * dimensions, IDAT inflate, scanline validation, pixel-sum.
-    * Returns (width, height, nIdatChunks, pixelSum). Throws loudly on
-    * malformed input — a decode stage must not silently pass garbage. */
-  private[ops] def decodePng(payload: Array[Byte]): (Int, Int, Int, Long) = {
-    require(payload.length >= 8 && payload.take(8).sameElements(PngSignature),
+  /** One parsed PNG image: dimensions, IDAT chunk count, decoded
+    * scanlines (empty when the walk skipped inflation), and the offset
+    * just past its IEND — so consecutive frames in a multi-image
+    * payload can be walked. */
+  private[ops] case class PngImage(width: Int, height: Int, nIdat: Int,
+                                   pixels: Array[Byte], end: Int)
+
+  /** Walk ONE (grayscale, filter-0) PNG starting at `offset`:
+    * signature check, chunk walk with CRC verification of every chunk,
+    * IHDR dimensions; with `inflate = true` the IDAT stream is
+    * decompressed and the scanline layout validated (a real decode) —
+    * with `false` only the container structure is verified, which is
+    * the cheap walk frame-sampling uses to SKIP unsampled frames.
+    * Throws loudly on malformed input — a decode stage must not
+    * silently pass garbage. */
+  private[ops] def walkPng(payload: Array[Byte], offset: Int, inflate: Boolean): PngImage = {
+    require(payload.length - offset >= 8 &&
+        java.util.Arrays.equals(payload, offset, offset + 8, PngSignature, 0, 8),
       "not a PNG: bad signature")
     val bb = ByteBuffer.wrap(payload)
-    bb.position(8)
+    bb.position(offset + 8)
     var width = -1
     var height = -1
     var nIdat = 0
@@ -132,30 +154,45 @@ object MultimodalOps {
           width = ib.getInt; height = ib.getInt
           require(ib.get() == 8 && ib.get() == 0,
             "unsupported PNG: decoder handles 8-bit grayscale")
-        case "IDAT" => nIdat += 1; idat.write(data)
+        case "IDAT" => nIdat += 1; if (inflate) idat.write(data)
         case "IEND" => done = true
         case _ => () // ancillary chunks: skip
       }
     }
+    require(done, "corrupt PNG: no IEND")
     require(width > 0 && height > 0, "corrupt PNG: no IHDR")
-    val inf = new Inflater()
-    inf.setInput(idat.toByteArray)
-    val raw = new Array[Byte](height * (width + 1))
-    var off = 0
-    while (!inf.finished() && off < raw.length) off += inf.inflate(raw, off, raw.length - off)
-    inf.end()
-    require(off == raw.length, "corrupt PNG: scanline payload length mismatch")
+    val pixels =
+      if (!inflate) Array.emptyByteArray
+      else {
+        val inf = new Inflater()
+        inf.setInput(idat.toByteArray)
+        val raw = new Array[Byte](height * (width + 1))
+        var off = 0
+        while (!inf.finished() && off < raw.length) off += inf.inflate(raw, off, raw.length - off)
+        inf.end()
+        require(off == raw.length, "corrupt PNG: scanline payload length mismatch")
+        val px = new Array[Byte](height * width)
+        var i = 0
+        var y = 0
+        while (y < height) {
+          require(raw(i) == 0, "unsupported PNG: non-None scanline filter")
+          i += 1
+          System.arraycopy(raw, i, px, y * width, width)
+          i += width
+          y += 1
+        }
+        px
+      }
+    PngImage(width, height, nIdat, pixels, bb.position())
+  }
+
+  /** Full single-image decode: (width, height, nIdatChunks, pixelSum). */
+  private[ops] def decodePng(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    val img = walkPng(payload, 0, inflate = true)
     var sum = 0L
     var i = 0
-    var y = 0
-    while (y < height) {
-      require(raw(i) == 0, "unsupported PNG: non-None scanline filter")
-      i += 1
-      var x = 0
-      while (x < width) { sum += raw(i) & 0xFF; i += 1; x += 1 }
-      y += 1
-    }
-    (width, height, nIdat, sum)
+    while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+    (img.width, img.height, img.nIdat, sum)
   }
 
   // ------------------------------------------------------- WAV encode
@@ -334,12 +371,118 @@ object MultimodalOps {
     decodeAudio(wavTable(s, d)).toDF()
       .orderBy(col("doc_id"))
 
+  case class ResizedFeatures(doc_id: Long, width: Int, height: Int, px_sum: Long)
+
+  /** Decode → RESIZE → re-encode → re-decode, every step on real
+    * bytes: nearest-neighbor ½× downscale of the decoded pixels
+    * (out(x,y) = in(2x, 2y), w' = ⌈w/2⌉), re-encoded as a genuine PNG
+    * and decoded AGAIN, so the emitted features prove the whole loop.
+    * Hash-checked: the oracle evaluates the same nearest-neighbor
+    * formula arithmetically. */
+  val mm_resize: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    pngTable(s, d).select(col("doc_id"), col("mime"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { r =>
+            val img = walkPng(r.payload, 0, inflate = true)
+            val (w2, h2) = ((img.width + 1) / 2, (img.height + 1) / 2)
+            val out = new Array[Byte](w2 * h2)
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                out(y * w2 + x) = img.pixels(2 * y * img.width + 2 * x)
+                x += 1
+              }
+              y += 1
+            }
+            val (rw, rh, _, rsum) = decodePng(encodePngPixels(out, w2, h2))
+            ResizedFeatures(r.doc_id, rw, rh, rsum)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------- frame sampling
+
+  /** Frames per doc in the multi-frame payload (1..4). */
+  private[ops] def frameCount(docId: Long): Int = 1 + (docId % 4).toInt
+  private val FrameSeed = 1000003L
+
+  /** A multi-frame media payload: [[frameCount]] genuine PNGs
+    * concatenated back-to-back — the moral equivalent of an animation
+    * container. Every frame shares the doc's dimensions (as real
+    * animation frames do); frame k's PIXELS use the formula seeded
+    * with doc_id + k·FrameSeed. */
+  private[ops] def encodeFrames(docId: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId, nChars)
+    val bos = new ByteArrayOutputStream()
+    var k = 0
+    while (k < frameCount(docId)) {
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = pixel(docId + k * FrameSeed, x, y).toByte; x += 1 }
+        y += 1
+      }
+      bos.write(encodePngPixels(px, w, h))
+      k += 1
+    }
+    bos.toByteArray
+  }
+
+  case class FrameSampleFeatures(doc_id: Long, n_frames: Int, n_sampled: Int,
+                                 sampled_px_sum: Long)
+
+  /** FRAME-SAMPLE over the multi-frame payload: walk the container,
+    * fully decoding only every SECOND frame — unsampled frames get the
+    * cheap structural walk (chunk lengths + CRCs, no inflate), which is
+    * exactly how production frame-sampling avoids paying full decode
+    * for dropped frames. Hash-checked via the formula oracle. */
+  val mm_frame_sample: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) => MediaRecord(id, "video/x-png-frames", encodeFrames(id, n)) }
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { r =>
+            var offset = 0
+            var k = 0
+            var sampled = 0
+            var sum = 0L
+            while (offset < r.payload.length) {
+              val takeThis = k % 2 == 0
+              val img = walkPng(r.payload, offset, inflate = takeThis)
+              if (takeThis) {
+                sampled += 1
+                var i = 0
+                while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+              }
+              offset = img.end
+              k += 1
+            }
+            FrameSampleFeatures(r.doc_id, k, sampled, sum)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mm_binary_meta,
     "mm_decode" -> mm_decode,
     "mm_audio_decode" -> mm_audio_decode,
+    "mm_resize" -> mm_resize,
+    "mm_frame_sample" -> mm_frame_sample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -365,6 +508,33 @@ object MultimodalOps {
         |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
         |  CAST(list_sum(list_transform(generate_series(0, n - 1),
         |    i -> abs(((i * i + doc_id * 31) % 65536) - 32768))) AS BIGINT) AS sum_abs
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |    (16 + (n_chars % 48) + 1) // 2 AS w2,
+        |    (16 + (doc_id % 32) + 1) // 2 AS h2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, h2 - 1),
+        |    y -> list_transform(generate_series(0, w2 - 1),
+        |      x -> (2 * x * 31 + 2 * y * 17 + doc_id) % 256)))) AS BIGINT) AS px_sum
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH p AS (SELECT doc_id,
+        |    1 + (doc_id % 4) AS k,
+        |    16 + (n_chars % 48) AS w,
+        |    16 + (doc_id % 32) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(k AS INTEGER) AS n_frames,
+        |  CAST((k + 1) // 2 AS INTEGER) AS n_sampled,
+        |  CAST(list_sum(flatten(flatten(
+        |    list_transform(list_filter(generate_series(0, k - 1), f -> f % 2 = 0),
+        |      f -> list_transform(generate_series(0, h - 1),
+        |        y -> list_transform(generate_series(0, w - 1),
+        |          x -> (x * 31 + y * 17 + doc_id + f * 1000003) % 256)))))) AS BIGINT)
+        |    AS sampled_px_sum
         |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

@@ -88,6 +88,35 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resize halves dimensions and keeps only nearest-neighbor source pixels") {
+    val r = MultimodalOps.mm_resize(spark, sf).collect()
+    assert(r.length == Tables.documents(spark, sf).count())
+    r.foreach { row =>
+      assert(row.getInt(1) >= 8 && row.getInt(1) <= 32)  // ceil(16..63 / 2)
+      assert(row.getInt(2) >= 8 && row.getInt(2) <= 24)  // ceil(16..47 / 2)
+    }
+    // direct check on one doc: resized sum equals the formula over even coords
+    val (w, h) = MultimodalOps.imageDims(42L, 300L)
+    val expected = (for (y <- 0 until (h + 1) / 2; x <- 0 until (w + 1) / 2)
+      yield MultimodalOps.pixel(42L, 2 * x, 2 * y).toLong).sum
+    val img = MultimodalOps.walkPng(MultimodalOps.encodePng(42L, 300L), 0, inflate = true)
+    val sum = (for (y <- 0 until (h + 1) / 2; x <- 0 until (w + 1) / 2)
+      yield (img.pixels(2 * y * w + 2 * x) & 0xFF).toLong).sum
+    assert(sum == expected)
+  }
+
+  test("frame sampling decodes only every second frame of the multi-frame payload") {
+    val r = MultimodalOps.mm_frame_sample(spark, sf).collect()
+    assert(r.length == Tables.documents(spark, sf).count())
+    r.foreach { row =>
+      val (n, sampled) = (row.getInt(1), row.getInt(2))
+      assert(n >= 1 && n <= 4)
+      assert(sampled == (n + 1) / 2, s"sampled=$sampled of $n")
+      assert(row.getLong(3) > 0)
+    }
+    assert(r.map(_.getInt(1)).distinct.sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("batching does not change results (batch boundary invariance)") {
     val m = MultimodalOps.pngTable(spark, sf)
     val big = MultimodalOps.decodeFeatures(m, batchSize = 1000).collect().sortBy(_.doc_id)
