@@ -117,6 +117,23 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(r.map(_.getInt(1)).distinct.sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("codec round-trips hold on 50 random parameter pairs (property sample)") {
+    val rng = new scala.util.Random(2026)
+    for (_ <- 1 to 50) {
+      val id = rng.nextLong().abs % 1000000L
+      val nc = 1L + rng.nextLong().abs % 2000L
+      val (w, h) = MultimodalOps.imageDims(id, nc)
+      val expectedPx = (for (y <- 0 until h; x <- 0 until w)
+        yield MultimodalOps.pixel(id, x, y).toLong).sum
+      assert(MultimodalOps.decodePng(MultimodalOps.encodePng(id, nc)) ==
+        ((w, h, 1, expectedPx)), s"png id=$id nc=$nc")
+      val n = MultimodalOps.audioSamples(nc)
+      val expectedAbs = (0 until n).map(i => math.abs(MultimodalOps.pcmSample(id, i)).toLong).sum
+      assert(MultimodalOps.decodeWav(MultimodalOps.encodeWav(id, nc)) ==
+        ((8000, n, expectedAbs)), s"wav id=$id nc=$nc")
+    }
+  }
+
   test("batching does not change results (batch boundary invariance)") {
     val m = MultimodalOps.pngTable(spark, sf)
     val big = MultimodalOps.decodeFeatures(m, batchSize = 1000).collect().sortBy(_.doc_id)
