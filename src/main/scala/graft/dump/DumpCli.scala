@@ -8,11 +8,14 @@ import org.apache.spark.sql.SparkSession
   * (`/root/reference/src/main.rs:25-33`):
   *
   * {{{
-  *   mysqldump-to-parquet [-o|--output DIR] [INPUT]
+  *   mysqldump-to-parquet [-o|--output DIR] [--strict-tables] [INPUT]
   * }}}
   *
   * INPUT may be a plain `.sql` or gzip `.sql.gz` dump; when absent the
   * dump is read from stdin (`main.rs:56`). Output defaults to `.`.
+  * `--strict-tables` restores the reference's warn-and-drop routing for
+  * interleaved dumps (`parquet_writer.rs:93-95`) instead of the default
+  * interleaving-tolerant grouping.
   *
   * DEVIATION: the reference streams stdin straight through its
   * single-pass pipeline; Spark needs a re-readable input (the converter
@@ -23,15 +26,18 @@ import org.apache.spark.sql.SparkSession
   */
 object DumpCli {
 
-  private[dump] def parseArgs(args: Array[String]): (String, Option[String]) = {
+  private[dump] def parseArgs(args: Array[String]): (String, Option[String], Boolean) = {
     var out = "."
     var input: Option[String] = None
+    var strict = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-o" | "--output" =>
           require(i + 1 < args.length, s"${args(i)} requires a value")
           out = args(i + 1); i += 2
+        case "--strict-tables" =>
+          strict = true; i += 1
         case flag if flag.startsWith("-") =>
           throw new IllegalArgumentException(s"unknown flag $flag")
         case pos =>
@@ -39,7 +45,7 @@ object DumpCli {
           input = Some(pos); i += 1
       }
     }
-    (out, input)
+    (out, input, strict)
   }
 
   /** Stream stdin to a temp file in bounded memory (8 MB buffer, like
@@ -59,7 +65,7 @@ object DumpCli {
   }
 
   def main(args: Array[String]): Unit = {
-    val (outDir, inputArg) = parseArgs(args)
+    val (outDir, inputArg, strict) = parseArgs(args)
     val spark = SparkSession.builder()
       .appName("mysqldump-to-parquet")
       .config("spark.master",
@@ -76,7 +82,7 @@ object DumpCli {
       // `main.rs:63-86`): table discovery, a throttled rows-written
       // ticker, and a per-table line as each write commits.
       val res = DumpConverter.convert(spark, input, outDir,
-        progress = System.err.println)
+        strictTables = strict, progress = System.err.println)
       System.err.println(
         s"[dump] done: ${res.tables.size} table(s), " +
           s"${res.rowsWritten.values.sum} row(s), ${res.droppedInserts} dropped insert(s)")

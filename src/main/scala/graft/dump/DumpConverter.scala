@@ -54,6 +54,11 @@ import org.apache.spark.storage.StorageLevel
   * (`parquet_writer.rs:93-95` warns and DROPS those rows). INSERTs
   * whose table has no (sufficiently early) CREATE TABLE are dropped
   * with a warning, matching the reference's observable behavior.
+  * `strictTables = true` (CLI `--strict-tables`) restores the
+  * reference bug-for-bug: an INSERT is kept only when its table is the
+  * CURRENT section's table (the most recent CREATE TABLE of any table
+  * preceding it in file order); everything else gets the reference's
+  * stderr warning and is dropped.
   */
 object DumpConverter {
 
@@ -75,6 +80,7 @@ object DumpConverter {
 
   def convert(spark: SparkSession, input: String, outDir: String,
               minPartitions: Int = 1, saltsPerTable: Int = 8,
+              strictTables: Boolean = false,
               progress: String => Unit = _ => ()): Result = {
     val sc = spark.sparkContext
     val lines = sc.textFile(input, minPartitions)
@@ -130,21 +136,44 @@ object DumpConverter {
       val all: RDD[(Pos, String)] = body.union(sc.parallelize(healed, 1))
 
       val lastCreateB = sc.broadcast(lastCreate)
+      // File-ordered (position, table) of EVERY CREATE TABLE — the
+      // "current section" timeline strict mode replays. O(#tables).
+      val timelineB = sc.broadcast(
+        creates.map { case (pos, ct) => (pos, ct.table) }.sortBy(_._1)(ordering).toArray)
       val dropped = sc.longAccumulator("droppedInserts")
       val salts = math.max(1, saltsPerTable)
+
+      // Latest CREATE TABLE at or before `pos` owns the section there.
+      def currentTableAt(tl: Array[(Pos, String)], pos: Pos): Option[String] = {
+        var lo = 0; var hi = tl.length - 1; var cur = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val c = tl(mid)._1
+          if (c._1 < pos._1 || (c._1 == pos._1 && c._2 <= pos._2)) { cur = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        if (cur >= 0) Some(tl(cur)._2) else None
+      }
 
       // The single parse pass: INSERT → coerced Rows keyed for routing.
       val keyed: RDD[((String, Int), Row)] = all.flatMap { case (pos, s) =>
         if (!s.startsWith("INSERT INTO")) Iterator.empty
         else {
           val t = DumpParser.insertTarget(s)
+          // Strict mode (`parquet_writer.rs:93-95`): only the current
+          // section's table may receive rows; everything else warns per
+          // statement on stderr and drops, like the reference.
+          val strictOk = !strictTables || currentTableAt(timelineB.value, pos).contains(t)
           lastCreateB.value.get(t) match {
             case Some((cpos, schema))
-                if pos._1 > cpos._1 || (pos._1 == cpos._1 && pos._2 > cpos._2) =>
+                if strictOk && (pos._1 > cpos._1 || (pos._1 == cpos._1 && pos._2 > cpos._2)) =>
               val salt = (pos.hashCode & Int.MaxValue) % salts
               DumpParser.parseInsert(s).rows.iterator
                 .map(v => ((t, salt), DumpParser.coerceRow(t, schema, v)))
             case _ =>
+              if (strictTables && !strictOk)
+                System.err.println("Received a line from an unknown table: " +
+                  "CREATE TABLE statement must precede any INSERT INTO.")
               dropped.add(1)
               Iterator.empty
           }

@@ -436,11 +436,23 @@ object DumpParser extends Serializable {
   }
 
   /** 'YYYY-MM-DD[ HH:MM:SS[.ffffff]]' as UTC wall-clock →
-    * java.sql.Timestamp anchored via Instant (timezone-independent). */
+    * java.sql.Timestamp anchored via Instant (timezone-independent).
+    *
+    * Also accepts a bare TIME-of-day 'HH:MM:SS[.ffffff]', anchored to
+    * 1970-01-01 — the THIRD deliberate deviation from a reference
+    * panic: `TIME` is an accepted DDL type (`line_parser.rs:158-161`)
+    * but a time value slices `value[11..13]` out of bounds in the
+    * fixed-offset parse (`parquet_writer.rs:173-192`), so no TIME
+    * column survives the reference end-to-end (same class of hole as
+    * Boolean schemas and DATE-only values, both already fixed). The
+    * epoch-day anchor mirrors the DATE→midnight rule: the stored
+    * instant carries exactly the information the literal had. */
   def parseTimestamp(s: String, table: String, column: String): java.sql.Timestamp = {
     try {
       val ldt =
-        if (s.length <= 10) LocalDate.parse(s).atStartOfDay()
+        if (s.length >= 8 && s.charAt(2) == ':')
+          java.time.LocalTime.parse(s).atDate(LocalDate.ofEpochDay(0))
+        else if (s.length <= 10) LocalDate.parse(s).atStartOfDay()
         else LocalDateTime.parse(s.replace(' ', 'T'))
       java.sql.Timestamp.from(ldt.toInstant(ZoneOffset.UTC))
     } catch {

@@ -1,8 +1,8 @@
 package graft.ops
 
-import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.dump.{DumpConverter, DumpRenderer}
 
 /** The converter as an oracle-checked query: render a deterministic
@@ -12,6 +12,17 @@ import graft.dump.{DumpConverter, DumpRenderer}
   * parquet — so a hash match proves the dump→parquet pipeline is
   * value-exact end-to-end (modulo the documented INT→BIGINT widening
   * of the reference's type system, reproduced in the oracle via CAST).
+  *
+  *   - [[conv_dump_roundtrip]]: the value-exactness witness on the two
+  *     dimension tables (KB-scale, every column type exercised).
+  *   - [[conv_scale]]: the converter at NON-TOY size — lineitem +
+  *     orders rendered as one dump (tens of MB of SQL text at sf0.1,
+  *     ~750k rows) and converted with `minPartitions = 32` ≫ tables,
+  *     so dozens of partition boundaries exercise the heal path and
+  *     both fact tables spread over their salt range. The rendered
+  *     dump is a memoized fixture (built once per session+dir,
+  *     driver-streamed in bounded memory); the timed body is the
+  *     distributed convert itself, which is the operator under test.
   */
 object ConverterQueries {
 
@@ -31,8 +42,82 @@ object ConverterQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  // ------------------------------------------------------------- scale
+
+  /** Stream one table section of a dump to `w` in bounded driver
+    * memory: `toLocalIterator` fetches one partition at a time and each
+    * extended-INSERT batch is rendered and released. (The collect-based
+    * [[DumpRenderer.section]] stays for KB-scale fixtures.) */
+  private def streamSection(w: java.io.Writer, table: String, df: DataFrame,
+                            sortCols: Seq[String], batchSize: Int): Unit = {
+    w.write(s"--\n-- Table structure for table `$table`\n--\n\n")
+    w.write(s"DROP TABLE IF EXISTS `$table`;\n")
+    w.write(DumpRenderer.createTable(table, df.schema)); w.write("\n\n")
+    w.write(s"LOCK TABLES `$table` WRITE;\n")
+    val it = df.orderBy(sortCols.map(col): _*).toLocalIterator()
+    val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+    while (it.hasNext) {
+      buf.clear()
+      while (it.hasNext && buf.size < batchSize) buf += it.next()
+      w.write(DumpRenderer.insert(table, buf.toSeq)); w.write("\n")
+    }
+    w.write("UNLOCK TABLES;\n\n")
+  }
+
+  /** The big rendered dump is a FIXTURE (the input a real user already
+    * has on disk), not part of the operator under test — built once per
+    * (session, fixture dir) like the bucketed-join layout. */
+  private val scaleDump =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Path]
+
+  private[ops] def scaleDumpFile(s: SparkSession, d: String): Path =
+    scaleDump.getOrElseUpdate((s, d), {
+      val in = Files.createTempDirectory("graft-dump-scale-in")
+      val path = in.resolve("dump.sql")
+      val w = Files.newBufferedWriter(path)
+      try {
+        w.write("-- MySQL dump 10.13  Distrib 8.0.36\n")
+        w.write("/*!40101 SET @saved_cs_client = @@character_set_client */;\n\n")
+        // parquet timestamp[ms] arrives as TimestampNTZ; the dump format
+        // (and the converter's UTC wall-clock parse) speak TimestampType —
+        // the UTC session TZ makes the cast value-preserving
+        streamSection(w, "lineitem",
+          Tables.lineitem(s, d).withColumn("l_shipdate", col("l_shipdate").cast("timestamp")),
+          Seq("l_orderkey", "l_linenumber"), batchSize = 1000)
+        streamSection(w, "orders",
+          Tables.orders(s, d).withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+          Seq("o_orderkey"), batchSize = 1000)
+        w.write("-- Dump completed\n")
+      } finally w.close()
+      path
+    })
+
+  /** Convert the full-fact-table dump with minPartitions ≫ tables, then
+    * prove value-exactness by aggregating the CONVERTED parquet against
+    * the DuckDB oracle over the ORIGINAL parquet. 32 partitions over
+    * two tables means ~30 partition boundaries healed per run and both
+    * tables fanned over their 8-salt reducer ranges — the 100 TB
+    * ingest shape at measurable size. */
+  val conv_scale: (SparkSession, String) => DataFrame = (s, d) => {
+    val dump = scaleDumpFile(s, d)
+    val out = Files.createTempDirectory("graft-dump-scale-out")
+    DumpConverter.convert(s, dump.toString, out.toString, minPartitions = 32)
+    val li = s.read.parquet(s"$out/lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"))
+    val o = s.read.parquet(s"$out/orders")
+      .agg(count(lit(1)).as("o_n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("o_price_cents"))
+    li.crossJoin(o).orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
+    "conv_scale" -> conv_scale,
   )
 
   val oracles: Map[String, String] = Map(
@@ -41,5 +126,19 @@ object ConverterQueries {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "conv_scale" ->
+      """WITH lag AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |    MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        |    MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        |  FROM lineitem GROUP BY 1, 2),
+        |oag AS (
+        |  SELECT COUNT(*) AS o_n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS o_price_cents
+        |  FROM orders)
+        |SELECT * FROM lag CROSS JOIN oag
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
   )
 }

@@ -27,10 +27,11 @@ import graft.functions.VectorFunctions._
   *     corpus contains, so the verified output equals the exact answer
   *     and is DuckDB-oracle-checked.
   *   - [[d_dedup_simhash]]: 64-bit frequency-weighted SimHash
-  *     fingerprints (element-wise-sum UDAF) + 4×16-bit block LSH join
-  *     (pigeonhole: hamming ≤ 3 ⇒ some block equal) + exact hamming
-  *     filter. Approximate by nature → rows-only check + measured
-  *     precision/recall in DedupOpsSpec.
+  *     fingerprints (element-wise-sum UDAF) + block-triple LSH join
+  *     over 6 blocks (pigeonhole: hamming ≤ 3 ⇒ ≥3 blocks equal ⇒
+  *     some triple equal; 20 keys of ~33 bits keep buckets O(1) at
+  *     10⁹ docs) + exact hamming filter. Approximate by nature →
+  *     rows-only check + measured precision/recall in DedupOpsSpec.
   *   - [[d_dedup_embedding]]: cosine near-dup pairs over a planted
   *     re-crawl corpus of embeddings — centroid-BUCKETED candidate
   *     generation (each vector in its 2 nearest KMeans cells, pairs
@@ -249,15 +250,37 @@ object DedupOps {
         "aggregate(sequence(0, 63), 0L, (acc, i) -> CASE WHEN element_at(bits, i + 1) > 0 THEN acc | shiftleft(1L, i) ELSE acc END)")
         .as("f"))
 
-  /** SimHash near-dup pairs at hamming ≤ 3 via 4×16-bit block LSH:
-    * pigeonhole guarantees any pair within distance 3 agrees on at
-    * least one of the 4 blocks, so the block join loses nothing. */
+  /** The 64 fingerprint bits split into 6 blocks (4×11 + 2×10 bits).
+    * Hamming ≤ 3 can corrupt at most 3 blocks, so at least 3 of the 6
+    * agree — hence some TRIPLE of blocks agrees entirely (pigeonhole,
+    * still exact). Joining on block-triples instead of single blocks
+    * is the scale fix: a single 16-bit block gives only 2^16 = 65,536
+    * join buckets, so at 10⁹ docs each bucket holds ~15k docs and the
+    * self-join goes quadratic per bucket; a triple key carries
+    * 11+11+10..33 bits ⇒ ~2^32 buckets per triple, keeping buckets
+    * O(1)-sized at billions of docs for C(6,3) = 20 keys per doc. */
+  private val SimBlockBits = Seq(11, 11, 11, 11, 10, 10)
+  private val SimBlockOffsets = SimBlockBits.scanLeft(0)(_ + _).init
+  private val SimBlockTriples: Seq[(Int, Int, Int)] =
+    for { i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6 } yield (i, j, k)
+
+  /** SimHash near-dup pairs at hamming ≤ 3 via block-triple LSH over
+    * [[SimBlockBits]]: candidates are docs agreeing on all three blocks
+    * of some triple, then the exact hamming filter makes the output
+    * identical to the all-pairs answer for hamming ≤ 3. */
   val d_dedup_simhash: Q = (s, d) => {
     val fps = simhashFingerprints(Tables.documents(s, d))
+    // block b = bits [offset, offset+size); & mask kills shiftright's
+    // sign extension for the block containing bit 63
+    def block(i: Int): Column =
+      shiftright(col("f"), SimBlockOffsets(i)).bitwiseAND(lit((1L << SimBlockBits(i)) - 1))
+    // triple key: each block < 2^11, so packing at 11-bit stride is
+    // collision-free and stays < 2^33
+    val tripleKeys = array(SimBlockTriples.map { case (i, j, k) =>
+      block(i) * lit(1L << 22) + block(j) * lit(1L << 11) + block(k)
+    }: _*)
     val blocked = fps.select(col("doc_id"), col("f"),
-      posexplode(expr(
-        "transform(sequence(0, 3), k -> shiftright(f, k * 16) & 65535)"))
-        .as(Seq("blk", "key")))
+      posexplode(tripleKeys).as(Seq("blk", "key")))
     blocked.as("x")
       .join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&

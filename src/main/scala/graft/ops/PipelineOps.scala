@@ -65,10 +65,15 @@ object PipelineOps {
   /** Deterministic mixture sample: keep a doc iff
     * ((doc_id·2654435761) mod 1000003) mod 1000 < quota(source).
     * The Knuth multiplier + prime mod mixes sequential ids; everything
-    * is exact BIGINT arithmetic both engines replay. */
+    * is exact BIGINT arithmetic both engines replay. doc_id is reduced
+    * mod 1000003 BEFORE the multiply — congruent (mod-multiplication
+    * commutes with reduction), but the raw product would exceed
+    * Long.MaxValue for doc_id ≳ 3.5×10⁹ and under ANSI mode that is a
+    * runtime ERROR, not a wrap; the reduced product stays < 2.7×10¹⁵. */
   val p_mixture_sample: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("bucket", (col("doc_id") * lit(2654435761L)) % 1000003L % 1000L)
+      .withColumn("bucket",
+        (col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L % 1000L)
       .filter(col("bucket") < quota)
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
@@ -116,9 +121,9 @@ object PipelineOps {
          |ORDER BY d.doc_id""".stripMargin,
     "p_mixture_sample" ->
       """SELECT doc_id, source,
-        |  ((doc_id * 2654435761) % 1000003) % 1000 AS bucket
+        |  (((doc_id % 1000003) * 2654435761) % 1000003) % 1000 AS bucket
         |FROM documents
-        |WHERE ((doc_id * 2654435761) % 1000003) % 1000 <
+        |WHERE (((doc_id % 1000003) * 2654435761) % 1000003) % 1000 <
         |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
         |       ELSE 200 END

@@ -105,17 +105,35 @@ object SimilarityOps {
       .drop("_vn2")
   }
 
-  /** IVF: assign candidates to 1 centroid, probe `nprobe` centroids per
-    * query, exact-rerank inside the probed buckets. */
-  def ivfTopK(e: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val cents = kmeansCentroids(e, NumCentroids)
-    val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val assigned = assignNearest(cands, cents, "ce", "cent", 1)
+  /** Candidate-side replication factor: each candidate is indexed under
+    * its [[CandAssign]] nearest cells (index is CandAssign× larger — the
+    * standard IVF recall/space dial). A true neighbor is then missed
+    * only if NONE of its cells is probed; measured on the fixture this
+    * lifts recall@5 at nprobe=5 from 0.775 (single-assignment) past the
+    * 0.9 bar (curve in SCALING.md). */
+  val CandAssign = 2
+
+  /** IVF: assign candidates to their [[CandAssign]] nearest centroids,
+    * probe `nprobe` centroids per query, exact-rerank inside the probed
+    * buckets. The quantizer is fit on the full `corpus`; `candidates`
+    * is the searched (cid, ce) set — kept SEPARATE so the approx path
+    * searches exactly the same candidate set as the brute-force
+    * baseline (searching the corpus including the query vectors would
+    * hand each query its own self-match at rank 1 and structurally cap
+    * recall@k at (k−1)/k). A candidate sharing two probed cells scores
+    * identically in each, so the pre-rank groupBy on (qid, cid) is
+    * exact dedup, not approximation. */
+  def ivfTopK(corpus: DataFrame, candidates: DataFrame, queries: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, NumCentroids)
+    val assigned = assignNearest(candidates, cents, "ce", "cent", CandAssign)
     val probed = assignNearest(queries, cents, "qe", "cent", nprobe)
     val scored = assigned.withColumn("cn", sqrt(normSq(col("ce"))))
       .join(probed.withColumn("qn", sqrt(normSq(col("qe")))), "cent")
       .withColumn("cos_e6",
         round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
+      .groupBy(col("qid"), col("cid"), col("cos_e6"))
+      .agg(min(col("cent")).as("cent"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -139,7 +157,7 @@ object SimilarityOps {
 
   val s_ann_ivf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    ivfTopK(e, querySide(e), k = 5, nprobe = 5)
+    ivfTopK(e, candSide(e), querySide(e), k = 5, nprobe = 5)
       .orderBy(col("qid"), col("rk"))
   }
 

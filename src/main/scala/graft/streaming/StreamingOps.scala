@@ -105,8 +105,13 @@ object StreamingOps {
     drain(s, agg, "append").orderBy(col("window_start"), col("event_type"))
   }
 
-  /** Sliding 2-day windows advancing 1 day, complete mode: every
-    * window emitted each trigger (no watermark cutoff). */
+  /** Sliding 2-day windows advancing 1 day, append mode: each event
+    * lands in two overlapping windows, and — exactly like
+    * [[st_tumbling]] — only windows whose END the watermark has passed
+    * are emitted. Append mode keeps state bounded to windows newer
+    * than max-event-time − 1 h (complete mode would retain EVERY
+    * window ever seen and re-emit the full result each trigger —
+    * unbounded state at 100 TB/day). */
   val st_sliding: Q = (s, d) => {
     val agg = eventStream(s, d)
       .withWatermark("ts", "1 hour")
@@ -114,7 +119,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n"))
-    drain(s, agg, "complete").orderBy(col("window_start"), col("event_type"))
+    drain(s, agg, "append").orderBy(col("window_start"), col("event_type"))
   }
 
   /** Session windows (30-minute gap) per user, append mode with the
@@ -239,12 +244,17 @@ object StreamingOps {
         |FROM agg, m WHERE window_end <= mx - INTERVAL 1 HOUR
         |ORDER BY window_start, event_type""".stripMargin,
     "st_sliding" ->
-      """WITH w AS (
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |w AS (
         |  SELECT date_trunc('day', ts) - INTERVAL (k) DAY AS window_start, event_type
-        |  FROM events, unnest([0, 1]) AS t(k))
-        |SELECT window_start, window_start + INTERVAL 2 DAY AS window_end,
-        |  event_type, COUNT(1) AS n
-        |FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+        |  FROM events, unnest([0, 1]) AS t(k)),
+        |agg AS (
+        |  SELECT window_start, window_start + INTERVAL 2 DAY AS window_end,
+        |    event_type, COUNT(1) AS n
+        |  FROM w GROUP BY 1, 2, 3)
+        |SELECT window_start, window_end, event_type, n
+        |FROM agg, m WHERE window_end <= mx - INTERVAL 1 HOUR
+        |ORDER BY window_start, event_type""".stripMargin,
     "st_dedup" ->
       """SELECT DISTINCT date_trunc('day', ts) AS day, user_id, event_type
         |FROM events ORDER BY day, user_id, event_type""".stripMargin,

@@ -64,10 +64,25 @@ class StreamingOpsSpec extends AnyFunSuite {
       .join(batch, Seq("user_id", "purchase_id", "click_id"), "left_anti").count() == 0)
   }
 
-  test("sliding complete mode covers every event twice (2d window, 1d slide)") {
-    val r = StreamingOps.st_sliding(spark, sf)
-    val total = r.agg(sum("n")).head.getLong(0)
-    assert(total == 2 * Tables.events(spark, sf).count())
+  test("sliding append emits exactly the watermark-closed windows of the batch answer") {
+    val streamed = StreamingOps.st_sliding(spark, sf)
+    val events = Tables.events(spark, sf)
+    val mx = events.agg(max("ts")).head.getTimestamp(0)
+    val batch = events
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"))
+      .filter(col("window_end") <= lit(new java.sql.Timestamp(mx.getTime - 3600 * 1000)))
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0, "fixture must close at least one sliding window")
+    assert(streamed.join(batch, Seq("window_start", "event_type", "n"), "left_anti").count() == 0)
+    // each closed window still covers its events via BOTH slide offsets:
+    // every emitted (start, end) spans exactly 2 days on a 1-day grid
+    streamed.collect().foreach { row =>
+      val span = row.getTimestamp(1).getTime - row.getTimestamp(0).getTime
+      assert(span == 2L * 24 * 3600 * 1000, row.toString)
+    }
   }
 
   test("session windows: n sums to watermark-closed prefix, gap respected") {

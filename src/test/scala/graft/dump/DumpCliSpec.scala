@@ -11,12 +11,15 @@ class DumpCliSpec extends AnyFunSuite {
       |INSERT INTO `t` VALUES (1,'a'),(2,'b');
       |""".stripMargin
 
-  test("arg parsing: -o/--output, optional positional input, errors") {
-    assert(DumpCli.parseArgs(Array()) == (".", None))
-    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql")))
-    assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) == ("out", Some("in.sql")))
-    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None))
-    assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) == ("out", Some("in.sql")))
+  test("arg parsing: -o/--output, --strict-tables, optional positional input, errors") {
+    assert(DumpCli.parseArgs(Array()) == (".", None, false))
+    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql"), false))
+    assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) == ("out", Some("in.sql"), false))
+    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None, false))
+    assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) == ("out", Some("in.sql"), false))
+    assert(DumpCli.parseArgs(Array("--strict-tables", "in.sql")) == (".", Some("in.sql"), true))
+    assert(DumpCli.parseArgs(Array("in.sql", "--strict-tables", "-o", "out")) ==
+      ("out", Some("in.sql"), true))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-x")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("a", "b")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-o")))

@@ -72,6 +72,33 @@ class DumpConverterSpec extends AnyFunSuite {
     assert(res.droppedInserts == 1)
   }
 
+  test("--strict-tables restores the reference's warn-and-drop section routing") {
+    val in = tmpDir("dump-strict-in")
+    val out = tmpDir("dump-strict-out")
+    // After `CREATE TABLE b` the current section is b: the interleaved
+    // `INSERT INTO a VALUES (3)` and the unknown-table insert are both
+    // dropped with the reference's stderr warning (parquet_writer.rs:93-95);
+    // default mode keeps the interleaved row (previous test).
+    val text =
+      """CREATE TABLE `a` (`x` int NOT NULL);
+        |INSERT INTO `a` VALUES (1),(2);
+        |CREATE TABLE `b` (`y` varchar(10));
+        |INSERT INTO `b` VALUES ('p');
+        |INSERT INTO `a` VALUES (3);
+        |INSERT INTO `nosuch` VALUES (9);
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), text)
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out, strictTables = true)
+    assert(res.tables.toSet == Set("a", "b"))
+    assert(res.rowsWritten == Map("a" -> 2L, "b" -> 1L))
+    assert(res.droppedInserts == 2)
+    // and the same dump WITHOUT strict mode keeps the interleaved row
+    val out2 = tmpDir("dump-strict-out2")
+    val res2 = DumpConverter.convert(spark, s"$in/dump.sql", out2)
+    assert(res2.rowsWritten == Map("a" -> 3L, "b" -> 1L))
+    assert(res2.droppedInserts == 1)
+  }
+
   test("partition-boundary healing: many partitions, multi-line CREATE TABLE") {
     val in = tmpDir("dump-part-in")
     val out = tmpDir("dump-part-out")

@@ -117,6 +117,12 @@ class DumpParserSpec extends AnyFunSuite {
     assert(d.toInstant.getEpochSecond == 1325462400L) // midnight UTC
     val frac = DumpParser.parseTimestamp("2012-01-02 12:55:22.125", "t", "c")
     assert(frac.toInstant.getNano == 125000000)
+    // TIME-of-day anchors to 1970-01-01 (deviation 3: the reference
+    // panics on the value[11..13] slice, parquet_writer.rs:173-192)
+    val t = DumpParser.parseTimestamp("12:34:56", "t", "c")
+    assert(t.toInstant.getEpochSecond == 12 * 3600 + 34 * 60 + 56)
+    val tf = DumpParser.parseTimestamp("12:34:56.5", "t", "c")
+    assert(tf.toInstant.getNano == 500000000)
   }
 
   test("NULL in NOT NULL column fails at coercion with a clear error") {

@@ -64,6 +64,24 @@ class DumpRoundTripSpec extends AnyFunSuite {
     })
   }
 
+  test("TIME column round-trips: DDL accepts TIME, values anchor to 1970-01-01") {
+    // Deviation 3 (see DumpParser.parseTimestamp): the reference accepts
+    // TIME in DDL (line_parser.rs:158-161) but panics on any value.
+    val text =
+      """CREATE TABLE `t` (`clock` time, `note` varchar(10));
+        |INSERT INTO `t` VALUES ('00:00:01','a'),('23:59:59','b'),(NULL,'c');
+        |""".stripMargin
+    val stmts = StatementReader.statements(text.linesIterator).toList
+    val schema = DumpParser.parseCreateTable(stmts.head).schema
+    assert(schema("clock").dataType == TimestampType)
+    val rows = stmts.filter(_.startsWith("INSERT INTO")).flatMap { s =>
+      DumpParser.parseInsert(s).rows.map(DumpParser.coerceRow("t", schema, _))
+    }
+    val secs = rows.map(r => Option(r.get(0))
+      .map(_.asInstanceOf[java.sql.Timestamp].toInstant.getEpochSecond))
+    assert(secs == List(Some(1L), Some(86399L), None))
+  }
+
   test("statement splitter never splits inside string literals") {
     checkProp(Prop.forAll(Gen.listOfN(5, genString)) { strs =>
       val rows = strs.map(s => Row(s))

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** conv_scale: the converter at minPartitions ≫ tables — every
+  * partition boundary runs the heal path and both fact tables spread
+  * over their salt ranges. Value-exactness is asserted against the same
+  * aggregate computed directly over the ORIGINAL parquet (the shape the
+  * DuckDB oracle replays at sf0.01). */
+class ConverterQueriesSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("conv_scale heals many partition boundaries and stays value-exact") {
+    val converted = ConverterQueries.conv_scale(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+        min(col("l_shipdate")).as("min_ship"), max(col("l_shipdate")).as("max_ship"))
+    val o = Tables.orders(spark, sf)
+      .agg(count(lit(1)).as("o_n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("o_price_cents"))
+    val direct = li.crossJoin(o)
+      .orderBy(col("l_returnflag"), col("l_linestatus")).collect()
+    assert(converted.nonEmpty)
+    assert(converted.toSeq == direct.toSeq)
+  }
+
+  test("scale dump fixture is memoized per (session, dir) and non-trivial") {
+    val p1 = ConverterQueries.scaleDumpFile(spark, sf)
+    val p2 = ConverterQueries.scaleDumpFile(spark, sf)
+    assert(p1 eq p2, "fixture must be built once per session+dir")
+    // at sf0.001 the dump is already ~0.5 MB of SQL text spanning both
+    // fact tables — dozens of partition boundaries at minPartitions=32
+    assert(java.nio.file.Files.size(p1) > 200 * 1024)
+  }
+}

@@ -37,6 +37,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept.collect().toSeq == PipelineOps.p_mixture_sample(spark, sf).collect().toSeq)
   }
 
+  test("mixture bucket survives huge doc_ids under ANSI (no Long overflow)") {
+    import spark.implicits._
+    // doc_id = 10^10 would overflow doc_id * 2654435761 (> Long.MaxValue);
+    // the mod-before-multiply form must evaluate without an ANSI error
+    // and stay congruent to the mathematical value.
+    val ids = Seq(10000000000L, Long.MaxValue / 2, 3500000001L, 7L).toDF("doc_id")
+    val buckets = ids
+      .withColumn("bucket",
+        (col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L % 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    buckets.foreach { case (id, b) =>
+      val expect = (BigInt(id) * BigInt(2654435761L)) % 1000003 % 1000
+      assert(BigInt(b) == expect, s"doc_id=$id")
+      assert(b >= 0 && b < 1000)
+    }
+  }
+
   test("pii scrub: exactly the two planted emails per doc are found and removed") {
     val r = PipelineOps.p_pii_scrub(spark, sf).collect()
     assert(r.nonEmpty)
