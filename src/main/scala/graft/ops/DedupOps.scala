@@ -287,8 +287,11 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.f").bitwiseXOR(col("y.f"))).as("hamming"))
-      .distinct()
+      // hamming is pair-determined, so filtering BEFORE the distinct is
+      // exact — and shrinks the dedup input from every (pair × agreeing
+      // triple) to just the true near-dups
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -81,6 +81,71 @@ object RelationalQueries {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  /** Exact interpolated quantiles over INTEGER cents — the length/size
+    * distribution profile every data-quality pipeline computes. The
+    * quarter positions make the linear interpolation exactly
+    * representable in binary ((1−d)·a + d·b with d ∈ {0, ¼, ½, ¾} over
+    * integers), so Spark's `percentile` and DuckDB's `quantile_cont`
+    * agree bit-for-bit and the result is hash-checkable — no float
+    * drift. One shuffle; per-group state is the sorted digest. */
+  val q_percentiles: Q = (s, d) =>
+    lineitem(s, d)
+      .withColumn("qty_cents", round(col("l_quantity") * 100).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("qty_cents"), lit(0.25)).as("p25"),
+        percentile(col("qty_cents"), lit(0.5)).as("p50"),
+        percentile(col("qty_cents"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** `percentile_approx` (t-digest) — the 100 TB quantile path: exact
+    * percentile holds all values per group; the sketch is fixed-size
+    * and mergeable map-side. Sketch internals differ from DuckDB's
+    * `approx_quantile`, so no oracle (rows-only) — the error bound vs
+    * the exact answer is asserted in RelationalQueriesSpec. */
+  val q_approx_percentile: Q = (s, d) =>
+    lineitem(s, d)
+      .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long"))
+      .agg(
+        percentile_approx(col("price_cents"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("price_cents"), lit(0.9), lit(10000)).as("ap90"),
+        percentile_approx(col("price_cents"), lit(0.99), lit(10000)).as("ap99"))
+
+  /** Pivot (long → wide): per-status counts spread over the five
+    * priority classes. The value list is EXPLICIT, so the plan is a
+    * single pass with conditional aggregation — no extra job to
+    * discover pivot values, which at 100 TB would be a full scan. */
+  val q_pivot: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("1-URGENT"), lit(0L)).as("n_urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("n_high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("n_medium"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("n_unspec"),
+        coalesce(col("5-LOW"), lit(0L)).as("n_low"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Generator / lateral view: `posexplode` fans each document into
+    * (position, token) rows — the table-function shape (UDTF surface)
+    * — then corpus-level token stats with a deterministic top-20. The
+    * explode is narrow (no shuffle until the groupBy); hot tokens cost
+    * linearly. */
+  val q_lateral_explode: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("pos")).as("first_pos"))
+      .orderBy(desc("n"), col("tok"))
+      .limit(20)
+
   val q_rollup: Q = (s, d) =>
     orders(s, d)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -431,6 +496,39 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Partitioned layout, write-once per (session, fixture dir) like
+    * [[bucketedTables]]: `partitionBy(month)` is THE standard 100 TB
+    * sink layout — every time-ranged query after it prunes to the
+    * matching directories before any I/O happens. */
+  private val partitionedPrepared =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[ops] def partitionedOrdersPath(s: SparkSession, d: String): String =
+    partitionedPrepared.getOrElseUpdate((s, d), {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_$tag"
+      orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month")
+        .option("compression", "snappy").parquet(path)
+      path
+    })
+
+  /** Partition-pruned scan over the `partitionBy(month)` layout: the
+    * month filter is satisfied from DIRECTORY NAMES (plan-asserted
+    * PartitionFilters in RelationalQueriesSpec) — at 100 TB the scan
+    * opens ~1/80th of the files before reading a byte. The oracle
+    * replays the filter over the original table, so the hash match
+    * proves the partitioned write relocated every row correctly. */
+  val q_partitioned_write: Q = (s, d) => {
+    val path = partitionedOrdersPath(s, d)
+    s.read.parquet(path)
+      .filter(col("o_month") === "1995-03")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CASE WHEN + conditional aggregation (pivot-ish shape). */
   val q_conditional_agg: Q = (s, d) =>
     orders(s, d)
@@ -473,6 +571,11 @@ object RelationalQueries {
     "q_supplier_stats" -> q_supplier_stats,
     "q_conditional_agg" -> q_conditional_agg,
     "q_bucketed_join" -> q_bucketed_join,
+    "q_percentiles" -> q_percentiles,
+    "q_approx_percentile" -> q_approx_percentile,
+    "q_pivot" -> q_pivot,
+    "q_lateral_explode" -> q_lateral_explode,
+    "q_partitioned_write" -> q_partitioned_write,
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +600,35 @@ object RelationalQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.25) AS p25,
+        |  quantile_cont(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.75) AS p75,
+        |  COUNT(1) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q_approx_percentile: t-digest sketch, no SQL equivalent — error
+    // bound vs the exact quantiles asserted in RelationalQueriesSpec.
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(1) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+        |  COUNT(1) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+        |  COUNT(1) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+        |  COUNT(1) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_unspec,
+        |  COUNT(1) FILTER (o_orderpriority = '5-LOW') AS n_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_lateral_explode" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM words),
+        |toks AS (SELECT doc_id, w[i] AS tok, i - 1 AS pos FROM idx WHERE len(w[i]) > 0)
+        |SELECT tok, COUNT(1) AS n, COUNT(DISTINCT doc_id) AS n_docs,
+        |  CAST(MIN(pos) AS INTEGER) AS first_pos
+        |FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_partitioned_write" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -192,6 +192,41 @@ object StreamingOps {
     drain(s, stats.toDF(), "update").orderBy(col("user_id"))
   }
 
+  /** The PRODUCTION sink: the tumbling aggregation written through a
+    * real `writeStream.format("parquet")` file sink (exactly-once via
+    * the sink's commit log, append mode, watermark cutoff) and read
+    * back from the committed files — vs the memory sink in [[drain]],
+    * which exists only for the deterministic test harness. At
+    * 100 TB/day this is the shape that runs forever: each micro-batch
+    * commits closed windows to the table, state stays bounded by the
+    * watermark, and readers see only committed files. Hash-matches the
+    * same batch oracle as [[st_tumbling]]. */
+  val st_parquet_sink: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("value_cents"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt_")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      val q = agg.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      deleteRecursively(ckpt.toFile) // the data files stay; only stream state goes
+    }
+    s.read.parquet(out.toString)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   // --------------------------------------------- stream-stream join
 
   /** Watermarked stream-stream INTERVAL join: each purchase joined to
@@ -229,20 +264,26 @@ object StreamingOps {
     "st_dedup" -> st_dedup,
     "st_custom_state" -> st_custom_state,
     "st_stream_join" -> st_stream_join,
+    "st_parquet_sink" -> st_parquet_sink,
   )
 
+  private val tumblingOracle =
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |agg AS (
+      |  SELECT date_trunc('day', ts) AS window_start,
+      |    date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+      |    event_type, COUNT(1) AS n,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT window_start, window_end, event_type, n, value_cents
+      |FROM agg, m WHERE window_end <= mx - INTERVAL 1 HOUR
+      |ORDER BY window_start, event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "st_tumbling" ->
-      """WITH m AS (SELECT max(ts) AS mx FROM events),
-        |agg AS (
-        |  SELECT date_trunc('day', ts) AS window_start,
-        |    date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
-        |    event_type, COUNT(1) AS n,
-        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-        |  FROM events GROUP BY 1, 2, 3)
-        |SELECT window_start, window_end, event_type, n, value_cents
-        |FROM agg, m WHERE window_end <= mx - INTERVAL 1 HOUR
-        |ORDER BY window_start, event_type""".stripMargin,
+    // same cutoff semantics, two physical paths: memory-sink harness
+    // (st_tumbling) and the production parquet file sink
+    "st_parquet_sink" -> tumblingOracle,
+    "st_tumbling" -> tumblingOracle,
     "st_sliding" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |w AS (

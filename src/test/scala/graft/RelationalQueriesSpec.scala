@@ -76,6 +76,42 @@ class RelationalQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentile tracks the exact quantiles (t-digest error bound)") {
+    import org.apache.spark.sql.functions._
+    val approx = ops.RelationalQueries.q_approx_percentile(spark, sf).head()
+    val exact = ops.Tables.lineitem(spark, sf)
+      .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long"))
+      .agg(percentile(col("price_cents"), lit(0.5)),
+        percentile(col("price_cents"), lit(0.9)),
+        percentile(col("price_cents"), lit(0.99))).head()
+    for (i <- 0 to 2) {
+      val rel = math.abs(approx.getLong(i) - exact.getDouble(i)) / exact.getDouble(i)
+      assert(rel <= 0.01, s"quantile $i: approx=${approx.getLong(i)} exact=${exact.getDouble(i)}")
+    }
+  }
+
+  test("exact percentiles are ordered and bounded by the data") {
+    val rows = ops.RelationalQueries.q_percentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3), r.toString)
+    }
+  }
+
+  test("partitioned write prunes to the filtered month from directory names") {
+    val df = ops.RelationalQueries.q_partitioned_write(spark, sf)
+    assert(df.count() > 0)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().map(_.toString)
+      .find(_.contains("o_month")).getOrElse("")
+    assert(scan.contains("PartitionFilters"), s"expected a partition-pruned scan:\n$scan")
+    assert(scan.contains("1995-03"), s"month filter must reach the partition level:\n$scan")
+    // the pruned scan must read only the one matching directory
+    val parts = df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(parts.headOption.contains(1), s"expected exactly 1 partition read, got $parts")
+  }
+
   test("bucketed join subtree is exchange-free (co-located scan feeds the SMJ directly)") {
     val df = ops.RelationalQueries.q_bucketed_join(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -85,6 +85,16 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet file sink commits exactly the memory-sink answer") {
+    val viaFiles = StreamingOps.st_parquet_sink(spark, sf)
+    val viaMemory = StreamingOps.st_tumbling(spark, sf)
+    assert(viaFiles.count() == viaMemory.count())
+    assert(viaFiles.count() > 0)
+    assert(viaFiles.join(viaMemory,
+      Seq("window_start", "window_end", "event_type", "n", "value_cents"),
+      "left_anti").count() == 0)
+  }
+
   test("session windows: n sums to watermark-closed prefix, gap respected") {
     val r = StreamingOps.st_session(spark, sf).collect()
     assert(r.nonEmpty)
