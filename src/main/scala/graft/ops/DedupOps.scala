@@ -37,6 +37,11 @@ import graft.functions.VectorFunctions._
   *     generation (each vector in its 2 nearest KMeans cells, pairs
   *     only within a cell) + exact cosine verify at 0.9, hash-checked
   *     against the all-pairs DuckDB oracle over the same corpus.
+  *   - [[d_dedup_clusters]]: connected components over the near-dup
+  *     pair graph (iterative min-label propagation, one shuffle join
+  *     per round) — clusters + keeper selection, the step that turns
+  *     pairs into an actual deduplicated corpus. Hash-checked against
+  *     a DuckDB recursive-CTE transitive closure.
   */
 object DedupOps {
 
@@ -295,6 +300,70 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------ dedup clustering
+
+  /** Connected components over the near-dup pair graph — the step a
+    * real dedup pipeline runs AFTER pair generation: pairs only say
+    * "a~b"; deduplication needs CLUSTERS (a~b, b~c ⇒ {a,b,c}) and one
+    * keeper per cluster. Labels converge by min-label propagation:
+    * every vertex starts as its own label, and each round takes the
+    * min of its label and its neighbors' labels. Rounds needed =
+    * graph diameter ≤ O(log n) for near-dup graphs (components are
+    * tiny cliques-with-bridges); each round is ONE distributed
+    * shuffle join — the driver holds only the changed-row COUNT, never
+    * data. At 100 TB this is the standard iterative-join CC (the
+    * GraphFrames/Pregel shape) with a hard iteration cap.
+    *
+    * Output: (doc_id, cluster, is_keeper) over every doc in ≥1 pair,
+    * cluster = min doc_id in the component, keeper = that min. The
+    * DuckDB oracle replays the same exact-Jaccard pair graph and
+    * closes it with a recursive CTE — a hash match proves the
+    * distributed propagation found exactly the transitive closure. */
+  /** Min-label propagation over an undirected (doc_a, doc_b) pair set.
+    * Returns (doc_id, cluster, is_keeper); see [[d_dedup_clusters]]. */
+  private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.unionByName(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val next = edges
+        .join(labels.select(col("v").as("b2"), col("lbl").as("nlbl")),
+          col("doc_b") === col("b2"))
+        .groupBy(col("doc_a").as("v"))
+        .agg(min(col("nlbl")).as("minNbr"))
+        .join(labels, "v")
+        .select(col("v"), least(col("lbl"), col("minNbr")).as("lbl"),
+          (col("minNbr") < col("lbl")).as("chg"))
+        .persist()
+      changed = next.filter(col("chg")).count()
+      labels.unpersist(blocking = false)
+      labels = next.select(col("v"), col("lbl")).persist()
+      rounds += 1
+    }
+    // eager localCheckpoint truncates the O(rounds)-deep join lineage,
+    // letting the loop caches be released without forcing a recompute
+    val result = labels
+      .select(col("v").as("doc_id"), col("lbl").as("cluster"),
+        (col("v") === col("lbl")).as("is_keeper"))
+      .localCheckpoint()
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    result
+  }
+
+  val d_dedup_clusters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = exactJaccard(lshCandidates(minhashSignatures(docs)), shingled(docs))
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs).orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Near-dup corpus construction, mirroring [[d_dedup_exact]]'s
@@ -378,6 +447,7 @@ object DedupOps {
     "d_dedup_minhash" -> d_dedup_minhash,
     "d_dedup_simhash" -> d_dedup_simhash,
     "d_dedup_embedding" -> d_dedup_embedding,
+    "d_dedup_clusters" -> d_dedup_clusters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -391,6 +461,26 @@ object DedupOps {
         |FROM corpus GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> jaccardOracle(Some(ShingleDfCap)),
     "d_dedup_minhash" -> jaccardOracle(None),
+    "d_dedup_clusters" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT ia AS a, ib AS b FROM common
+        |          JOIN sizes na ON ia = na.doc_id
+        |          JOIN sizes nb ON ib = nb.doc_id
+        |          WHERE 2 * c >= (na.n + nb.n - c)),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |walk(v, l) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v)
+        |SELECT v AS doc_id, MIN(l) AS cluster, v = MIN(l) AS is_keeper
+        |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
     // d_dedup_simhash: approximate sketch, no SQL equivalent — measured
     // precision/recall vs exact Jaccard asserted in DedupOpsSpec.
     "d_dedup_embedding" -> {

@@ -43,6 +43,35 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
   }
 
+  test("connected components: multi-hop chains collapse to one cluster (min label)") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 (diameter 3 → needs >1 propagation round),
+    // separate pair 10-11, and 20-21-22 as a triangle
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.view.mapValues(_._1).toMap == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(got.collect { case (v, (_, true)) => v }.toSet == Set(1L, 10L, 20L))
+  }
+
+  test("dedup clusters cover every paired doc and respect the pair graph") {
+    val clusters = DedupOps.d_dedup_clusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val paired = exactPairs.flatMap(p => Set(p._1, p._2))
+    assert(clusters.keySet == paired)
+    // both endpoints of every near-dup pair share a cluster
+    exactPairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum member (the keeper)
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c keeper is not the min member")
+    }
+  }
+
   test("occurrence-vote SimHash equals the classic per-token-count formulation") {
     import graft.functions.ArrayAggregators
     val docs = Tables.documents(spark, sf)
