@@ -320,7 +320,16 @@ object DedupOps {
     * closes it with a recursive CTE — a hash match proves the
     * distributed propagation found exactly the transitive closure. */
   /** Min-label propagation over an undirected (doc_a, doc_b) pair set.
-    * Returns (doc_id, cluster, is_keeper); see [[d_dedup_clusters]]. */
+    * Returns (doc_id, cluster, is_keeper); see [[d_dedup_clusters]].
+    *
+    * Each round's plan references the previous labels TWICE (neighbor
+    * lookup + self join), so an un-truncated lineage would DOUBLE per
+    * round — exponential plan size by round ~15. The eager
+    * `localCheckpoint` per round materializes the iteration and resets
+    * lineage to a constant-size scan (exactly what any iterative
+    * Pregel-style algorithm on Spark must do); checkpoint blocks are
+    * freed by the ContextCleaner as each round's frame goes
+    * unreferenced. */
   private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.unionByName(
@@ -328,7 +337,7 @@ object DedupOps {
       .persist()
     var labels = edges.select(col("doc_a").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
-      .persist()
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -340,21 +349,14 @@ object DedupOps {
         .join(labels, "v")
         .select(col("v"), least(col("lbl"), col("minNbr")).as("lbl"),
           (col("minNbr") < col("lbl")).as("chg"))
-        .persist()
+        .localCheckpoint()
       changed = next.filter(col("chg")).count()
-      labels.unpersist(blocking = false)
-      labels = next.select(col("v"), col("lbl")).persist()
+      labels = next.select(col("v"), col("lbl"))
       rounds += 1
     }
-    // eager localCheckpoint truncates the O(rounds)-deep join lineage,
-    // letting the loop caches be released without forcing a recompute
-    val result = labels
-      .select(col("v").as("doc_id"), col("lbl").as("cluster"),
-        (col("v") === col("lbl")).as("is_keeper"))
-      .localCheckpoint()
-    labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    result
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster"),
+      (col("v") === col("lbl")).as("is_keeper"))
   }
 
   val d_dedup_clusters: Q = (s, d) => {

@@ -57,6 +57,35 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.collect { case (v, (_, true)) => v }.toSet == Set(1L, 10L, 20L))
   }
 
+  test("connected components match a reference union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nVerts = 30 + trial * 10
+      val edges = Seq.fill(nVerts)((rng.nextInt(nVerts).toLong, rng.nextInt(nVerts).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      // min-root canonicalization: union-find roots are already min ids
+      // because unions always attach the larger root under the smaller
+      val got = DedupOps.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: ${edges.size} edges")
+    }
+  }
+
   test("dedup clusters cover every paired doc and respect the pair graph") {
     val clusters = DedupOps.d_dedup_clusters(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
