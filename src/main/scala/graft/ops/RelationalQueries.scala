@@ -326,6 +326,22 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Distribution window functions — ntile/percent_rank/cume_dist.
+    * The rank ratios divide small exact integers in IEEE double, a
+    * single correctly-rounded operation both engines perform on
+    * identical operands — so even the fractional columns hash-match.
+    * Unique (status, orderkey) ordering keeps every rank
+    * deterministic. */
+  val q_window_dist: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-group top-k, de-skewed: `l_returnflag` has only 3 distinct
     * values, so a single window over it would sort the whole fact table
     * inside 3 partitions. Phase 1 takes a local top-k per (group, salt)
@@ -429,6 +445,31 @@ object RelationalQueries {
         min(array_join(array_sort(map_keys(col("m"))), ",")).as("keys_csv"),
         sum(size(col("m2"))).as("total_keys"))
       .orderBy(col("event_type"))
+  }
+
+  /** Array higher-order functions over the embedding column — size,
+    * filter, sort/slice, reverse, and fold — the `functions.aggregate`
+    * / `zip_with` surface the brief names for vector math, all narrow
+    * codegen'd projections. Fractional outputs are integerized (e6) and
+    * every float is widened to double BEFORE arithmetic with explicit
+    * left-association, so DuckDB's list functions reproduce the exact
+    * bits. The dot products ride the native [[graft.functions.DotProduct]]. */
+  val q_array_fns: Q = (s, d) => {
+    import graft.functions.VectorFunctions.{dot, normSq}
+    val sorted = reverse(array_sort(col("embedding")))
+    def de(c: Column): Column = c.cast("double")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        round(de(array_max(col("embedding"))) * 1e6).cast("long").as("max_e6"),
+        round(de(array_min(col("embedding"))) * 1e6).cast("long").as("min_e6"),
+        round((de(element_at(sorted, 1)) + de(element_at(sorted, 2)) +
+          de(element_at(sorted, 3))) * 1e6).cast("long").as("top3_e6"),
+        round(sqrt(normSq(col("embedding"))) * 1e6).cast("long").as("norm_e6"),
+        round(dot(col("embedding"), reverse(col("embedding"))) * 1e6).cast("long")
+          .as("revdot_e6"))
+      .orderBy(col("vec_id"))
   }
 
   /** Supplier coverage: per-nation supplier stats + deterministic
@@ -576,6 +617,8 @@ object RelationalQueries {
     "q_pivot" -> q_pivot,
     "q_lateral_explode" -> q_lateral_explode,
     "q_partitioned_write" -> q_partitioned_write,
+    "q_window_dist" -> q_window_dist,
+    "q_array_fns" -> q_array_fns,
   )
 
   val oracles: Map[String, String] = Map(
@@ -629,6 +672,30 @@ object RelationalQueries {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_array_fns" -> {
+      import graft.functions.VectorFunctions.{oracleDotSql, oracleNormSqSql}
+      val dim = SimilarityOps.Dim
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  list_reverse_sort(embedding) AS srt, list_reverse(embedding) AS rev
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(len(embedding) AS INTEGER) AS n_dims,
+         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+         |  CAST(ROUND(CAST(list_max(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS max_e6,
+         |  CAST(ROUND(CAST(list_min(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS min_e6,
+         |  CAST(ROUND((CAST(srt[1] AS DOUBLE) + CAST(srt[2] AS DOUBLE) +
+         |    CAST(srt[3] AS DOUBLE)) * 1e6) AS BIGINT) AS top3_e6,
+         |  CAST(ROUND(sqrt(${oracleNormSqSql("embedding", dim)}) * 1e6) AS BIGINT) AS norm_e6,
+         |  CAST(ROUND(${oracleDotSql("embedding", "rev", dim)} * 1e6) AS BIGINT) AS revdot_e6
+         |FROM s ORDER BY vec_id""".stripMargin
+    },
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
