@@ -326,16 +326,20 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** Distribution window functions — ntile/percent_rank/cume_dist.
-    * The rank ratios divide small exact integers in IEEE double, a
-    * single correctly-rounded operation both engines perform on
-    * identical operands — so even the fractional columns hash-match.
-    * Unique (status, orderkey) ordering keeps every rank
-    * deterministic. */
+  /** Distribution window functions — ntile/percent_rank/cume_dist per
+    * customer (order-timeline quartiles). The rank ratios divide small
+    * exact integers in IEEE double, a single correctly-rounded
+    * operation both engines perform on identical operands — so even
+    * the fractional columns hash-match. Unique orderkey ordering keeps
+    * every rank deterministic. Partitioning is on o_custkey (high
+    * cardinality): rank ratios need their WHOLE partition, so unlike
+    * top-k they cannot be salted — the scale rule is to window over
+    * keys whose per-key row count is bounded, never over a 3-value
+    * column. */
   val q_window_dist: Q = (s, d) => {
-    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
     orders(s, d)
-      .select(col("o_orderkey"), col("o_orderstatus"),
+      .select(col("o_orderkey"), col("o_custkey"),
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
@@ -673,11 +677,11 @@ object RelationalQueries {
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_window_dist" ->
-      """SELECT o_orderkey, o_orderstatus,
+      """SELECT o_orderkey, o_custkey,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd
-        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
     "q_array_fns" -> {
       import graft.functions.VectorFunctions.{oracleDotSql, oracleNormSqSql}
