@@ -115,9 +115,85 @@ object ConverterQueries {
     li.crossJoin(o).orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  // ------------------------------------------- JSONL / CSV source+sink
+
+  /** Write-once layouts for the text-format round-trips, keyed like the
+    * other pay-once fixtures. */
+  private val textLayouts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  private def layout(s: SparkSession, d: String, kind: String)(build: String => Unit): String =
+    textLayouts.getOrElseUpdate((s, d, kind), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      build(path)
+      path
+    })
+
+  /** JSONL sink + source round-trip over `events` — the ingest format
+    * most training corpora arrive in. The write is DISTRIBUTED
+    * (`df.write.json`, one file per partition — the splittable-at-scale
+    * layout, unlike one giant gzip); timestamps go through the file as
+    * lossless integer micros and `value` as integer cents, so the
+    * round-trip is bit-exact by construction; `props` (a JSON string
+    * INSIDE the JSON line) exercises the writer's escaping and the
+    * reader's unescaping. The read back uses an EXPLICIT schema — at
+    * 100 TB schema inference would be a second full scan. The oracle
+    * aggregates the ORIGINAL parquet, so a hash match proves every
+    * field survived both hops. */
+  val src_jsonl_roundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types._
+    val path = layout(s, d, "jsonl_events") { p =>
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"), round(col("value") * 100).cast("long").as("value_cents"),
+          col("props"))
+        .write.mode("overwrite").json(p)
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value_cents", LongType), StructField("props", StringType)))
+    s.read.schema(schema).json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value_cents")).as("value_cents"),
+        countDistinct(date_trunc("day", timestamp_micros(col("ts_us")))).as("n_days"),
+        sum(length(col("props"))).as("props_len"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CSV sink + source round-trip over `orders` (header, explicit
+    * schema on read, dates as ISO strings — the interchange format
+    * warehouses still speak). Distributed write, splittable read. */
+  val src_csv_roundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types._
+    val path = layout(s, d, "csv_orders") { p =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").option("header", "true").csv(p)
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("total_cents", LongType),
+      StructField("o_date", StringType), StructField("o_orderpriority", StringType)))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("total_cents")).as("total_cents"),
+        countDistinct(substring(col("o_date"), 1, 7)).as("n_months"),
+        countDistinct(col("o_orderpriority")).as("n_prios"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
+    "src_jsonl_roundtrip" -> src_jsonl_roundtrip,
+    "src_csv_roundtrip" -> src_csv_roundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -126,6 +202,18 @@ object ConverterQueries {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "src_jsonl_roundtrip" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |  CAST(SUM(len(props)) AS BIGINT) AS props_len
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "src_csv_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_months,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conv_scale" ->
       """WITH lag AS (
         |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
