@@ -51,11 +51,12 @@ object StreamingOps {
     * checkpoint) and every micro-batch commits files for each — a
     * stream-stream join keeps four stores per partition, so partition
     * count is the dominant fixed cost of a small stream (measured:
-    * 32 → 8 cuts the sf0.1 interval join 3×). Sizing it to the active
-    * key cardinality is THE per-job streaming knob; the fixture has
-    * ~10²–10³ keys → 8; a 100 TB/day deployment sizes the same setting
-    * to thousands. */
-  private val StatePartitions = 8
+    * 32 → 8 cuts the sf0.1 interval join 3×; 8 → 4 takes another ~20 %
+    * off the whole streaming suite). Sizing it to the active key
+    * cardinality is THE per-job streaming knob; the fixture has
+    * ~10²–10³ keys → 4 partitions of a few hundred keys each; a
+    * 100 TB/day deployment sizes the same setting to thousands. */
+  private val StatePartitions = 4
 
   /** Run a streaming DataFrame to completion on AvailableNow into a
     * uniquely-named memory sink; return the materialized result as a
