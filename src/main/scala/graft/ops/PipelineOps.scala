@@ -21,6 +21,9 @@ import graft.functions.WordShingles.wordShingles
   *     weights sources. A pure narrow filter: no shuffle, no RNG state,
   *     reproducible across engines and retries (sampling by hash, not
   *     by `rand()`, is the only correct choice under task retry).
+  *   - [[p_stratified_sample]]: exact fixed-n per-source sampling via
+  *     salted two-phase windows — the "n examples per stratum" eval-set
+  *     constructor, de-skewed like q_topk_per_group.
   *   - [[p_pii_scrub]]: PII detection + redaction over text with
   *     planted contact strings; counts and scrubbed-content hashes are
   *     compared cross-engine. Narrow single-scan projection.
@@ -78,6 +81,39 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  // -------------------------------------------- stratified sampling
+
+  /** Per-source sample size. */
+  private val StratN = 30
+
+  /** Exact fixed-n stratified sample: the smallest `StratN` docs per
+    * source by Knuth-mixed hash order — deterministic, retry-safe, and
+    * exactly n per stratum (vs the RATE quotas of
+    * [[p_mixture_sample]]). Scale shape: `source` has only ~10 values,
+    * so a single window over it would sort each stratum in one task —
+    * instead phase 1 takes a salted local top-n per (source, salt) and
+    * phase 2 re-ranks the ≤ sources·salts·n survivors (tiny), the same
+    * de-skew shape as `q_topk_per_group`. The mix reduces doc_id mod
+    * 1000003 BEFORE the multiply (same ANSI-overflow-safe congruence
+    * as the mixture sampler). */
+  val p_stratified_sample: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val key = (col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L
+    val salted = Tables.documents(s, d)
+      .withColumn("k", key)
+      .withColumn("salt", pmod(col("doc_id"), lit(16)))
+    val w1 = Window.partitionBy(col("source"), col("salt")).orderBy(col("k"), col("doc_id"))
+    val survivors = salted
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= StratN)
+    val w2 = Window.partitionBy(col("source")).orderBy(col("k"), col("doc_id"))
+    survivors
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= StratN)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- PII scrub
 
   private val EmailRe = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
@@ -101,6 +137,7 @@ object PipelineOps {
   val queries: Map[String, Q] = Map(
     "p_decontaminate" -> p_decontaminate,
     "p_mixture_sample" -> p_mixture_sample,
+    "p_stratified_sample" -> p_stratified_sample,
     "p_pii_scrub" -> p_pii_scrub,
   )
 
@@ -128,6 +165,14 @@ object PipelineOps {
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
         |       ELSE 200 END
         |ORDER BY doc_id""".stripMargin,
+    "p_stratified_sample" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id)
+         |      AS INTEGER) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $StratN ORDER BY doc_id""".stripMargin,
     "p_pii_scrub" ->
       """WITH t AS (
         |  SELECT doc_id,

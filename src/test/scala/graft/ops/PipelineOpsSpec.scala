@@ -54,6 +54,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: exactly min(|source|, 30) docs per source, rank contiguous") {
+    val got = PipelineOps.p_stratified_sample(spark, sf).collect()
+      .groupBy(_.getString(1))
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == sizes.keySet.filter(sizes(_) > 0))
+    got.foreach { case (src, rows) =>
+      assert(rows.length == math.min(sizes(src), 30L), s"source $src")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length), s"ranks for $src")
+    }
+    // deterministic across runs
+    val again = PipelineOps.p_stratified_sample(spark, sf).collect()
+    assert(again.map(r => (r.getLong(0), r.getInt(2))).toSeq ==
+      PipelineOps.p_stratified_sample(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(2))).toSeq)
+  }
+
   test("pii scrub: exactly the two planted emails per doc are found and removed") {
     val r = PipelineOps.p_pii_scrub(spark, sf).collect()
     assert(r.nonEmpty)
