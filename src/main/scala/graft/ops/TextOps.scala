@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   *     integerized to e4 for exact cross-engine comparison.
   *   - [[t_idf_score]]: corpus-statistics rarity score (integer-exact
   *     IDF sum over each doc's distinct tokens).
+  *   - [[t_bigram_score]]: occurrence-level bigram commonality — the
+  *     LM-likelihood-style quality signal (train: corpus bigram
+  *     counts; score: bigram-keyed join + integer mean).
   *   - [[t_fingerprint]]: sha2 content hash + Karp-Rabin rolling-hash
   *     fingerprints (min + distinct count over 8-gram polynomial
   *     hashes, mod 1000003 — pure integer arithmetic, reproduced
@@ -127,6 +130,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Occurrence-level bigram "LM" scoring — the statistical-likelihood
+    * quality signal: how common are this document's word BIGRAMS in the
+    * corpus, on average? Train = one groupBy over exploded bigram
+    * occurrences (order-sensitive, NON-distinct — unlike
+    * [[t_idf_score]]'s distinct-token df); score = one bigram-keyed
+    * join back + per-doc integer mean ((1e6·Σcnt) div n — exact in
+    * both engines, no float drift). Hot bigrams fan out linearly,
+    * never quadratically; this is the same corpus-statistics join
+    * shape perplexity-style filters run at 100 TB. */
+  val t_bigram_score: Q = (s, d) => {
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(1, size(split(text, ' ')) - 1),
+           i -> concat(element_at(split(text, ' '), i), ' ',
+                       element_at(split(text, ' '), i + 1))))""").as("bg"))
+    val counts = occ.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    occ.join(counts, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum(col("cnt")).as("cnt_sum"))
+      .select(col("doc_id"), col("n_bg"), col("cnt_sum"),
+        expr("(1000000L * cnt_sum) div n_bg").as("lm_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   val t_fingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .filter(length(col("text")) >= 8)
@@ -151,6 +178,7 @@ object TextOps {
     "t_lang_id" -> t_lang_id,
     "t_quality_score" -> t_quality_score,
     "t_idf_score" -> t_idf_score,
+    "t_bigram_score" -> t_bigram_score,
     "t_fingerprint" -> t_fingerprint,
   )
 
@@ -206,6 +234,17 @@ object TextOps {
         |  CAST(SUM((1000000 * n_docs) // df) AS BIGINT) AS idf_sum_e6,
         |  COUNT(1) AS n_distinct_toks
         |FROM toks JOIN df USING (tok), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_bigram_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |occ AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |              FROM w) t),
+        |c AS (SELECT bg, count(*) AS cnt FROM occ GROUP BY 1)
+        |SELECT doc_id, COUNT(1) AS n_bg,
+        |  CAST(SUM(cnt) AS BIGINT) AS cnt_sum,
+        |  CAST((1000000 * SUM(cnt)) // COUNT(1) AS BIGINT) AS lm_e6
+        |FROM occ JOIN c USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, substr(sha256(text), 1, 16) AS hash16,
