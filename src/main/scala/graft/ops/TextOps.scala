@@ -140,11 +140,14 @@ object TextOps {
     * never quadratically; this is the same corpus-statistics join
     * shape perplexity-style filters run at 100 TB. */
   val t_bigram_score: Q = (s, d) => {
+    // tokenize ONCE per row before the lambda — split() referenced
+    // inside the transform body would re-split the text per ELEMENT,
+    // turning an O(len) projection into O(len²) per document
     val occ = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr(
-        """explode(transform(sequence(1, size(split(text, ' ')) - 1),
-           i -> concat(element_at(split(text, ' '), i), ' ',
-                       element_at(split(text, ' '), i + 1))))""").as("bg"))
+        """explode(transform(sequence(1, size(toks) - 1),
+           i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""").as("bg"))
     val counts = occ.groupBy("bg").agg(count(lit(1)).as("cnt"))
     occ.join(counts, "bg")
       .groupBy("doc_id")
