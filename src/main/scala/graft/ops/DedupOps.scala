@@ -335,8 +335,12 @@ object DedupOps {
     val edges = pairs.unionByName(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = edges.select(col("doc_a").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    // seed = min(self, min neighbor): round 1 fused into initialization
+    // as a plain aggregation over the edge list — one fewer
+    // join+checkpoint+count barrier for every graph
+    var labels = edges.groupBy(col("doc_a").as("v"))
+      .agg(min(col("doc_b")).as("mn"))
+      .select(col("v"), least(col("v"), col("mn")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
