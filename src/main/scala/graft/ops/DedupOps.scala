@@ -329,7 +329,11 @@ object DedupOps {
     * lineage to a constant-size scan (exactly what any iterative
     * Pregel-style algorithm on Spark must do); checkpoint blocks are
     * freed by the ContextCleaner as each round's frame goes
-    * unreferenced. */
+    * unreferenced. Caveat for a real cluster: `localCheckpoint` stores
+    * blocks on executors, so losing an executor mid-loop fails the job
+    * (acceptable: rerun) — a deployment wanting fault-tolerant rounds
+    * swaps in reliable `checkpoint()` against the cluster FS, same
+    * shape, one config. */
   private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.unionByName(
