@@ -125,7 +125,7 @@ object ConverterQueries {
   private def layout(s: SparkSession, d: String, kind: String)(build: String => Unit): String =
     textLayouts.getOrElseUpdate((s, d, kind), {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        Tables.layoutTag(d)
       build(path)
       path
     })

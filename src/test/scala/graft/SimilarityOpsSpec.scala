@@ -50,15 +50,29 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(recalls.toMap.apply(5) >= 0.9, s"recall curve: $recalls")
   }
 
+  private def ivfRaw = {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    SimilarityOps.ivfTopK(e, cands, queries, k = 5, nprobe = 5)
+  }
+
   test("IVF path is unsupervised: no label column anywhere in the plan") {
-    val plan = SimilarityOps.s_ann_ivf(spark, sf).queryExecution.executedPlan.toString
+    val plan = ivfRaw.queryExecution.executedPlan.toString
     assert(!plan.contains("label"), s"IVF must not read the label column:\n$plan")
   }
 
   test("IVF probes buckets, not all pairs: each query scores <= nprobe buckets") {
-    val r = SimilarityOps.s_ann_ivf(spark, sf)
-    val buckets = r.groupBy("qid").agg(countDistinct("cent").as("nb")).collect()
+    val buckets = ivfRaw.groupBy("qid").agg(countDistinct("cent").as("nb")).collect()
     assert(buckets.forall(_.getLong(1) <= 5L))
+  }
+
+  test("IVF bound-witness query emits the exact top-k size and an all-true recall flag") {
+    val r = SimilarityOps.s_ann_ivf(spark, sf).head()
+    assert(r.getLong(0) == SimilarityOps.s_cosine_topk(spark, sf).count())
+    assert(r.getBoolean(1), "recall_ge_90 flag must hold on the fixture")
   }
 
   test("elementwiseMin UDAF computes per-group element-wise minimum") {

@@ -43,6 +43,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.filter(col("stop_hits") > col("n_tokens")).count() == 0)
   }
 
+  test("bigram score: <2-token docs yield no bigrams instead of an ANSI error") {
+    import spark.implicits._
+    // sequence(1, size-1) with size=1 is the DESCENDING [1,0] —
+    // unguarded, element_at(toks, 0) errors under ANSI. Short docs
+    // must simply produce no bigram rows (= the oracle's empty
+    // generate_series), so only the multi-token doc appears.
+    val dir = java.nio.file.Files.createTempDirectory("bigram-short").toString
+    Seq(
+      (1L, "solo", "src0", "en", 4L),
+      (2L, "", "src0", "en", 0L),
+      (3L, "three word doc", "src0", "en", 14L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.t_bigram_score(spark, dir).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(r.head.getLong(1) == 2L) // "three word", "word doc"
+  }
+
   test("fingerprints: distinct docs get distinct sha2; rolling stats sane") {
     val r = TextOps.t_fingerprint(spark, sf)
     val n = r.count()
