@@ -599,6 +599,86 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  // ------------------------------------------------------ AQE skew join
+
+  /** Conf clone for the skew demo, memoized per parent session (the
+    * same no-global-mutation pattern as StreamingOps.streamSession):
+    * skew detection thresholds are scaled DOWN to fixture bytes so
+    * `OptimizeSkewedJoin` actually fires on a ~180 KB hot partition —
+    * a production cluster keeps the 256 MB defaults and the identical
+    * plan shape. Broadcast is disabled in the clone because skew
+    * handling only applies to shuffle joins; at 100 TB neither fact
+    * side would be broadcastable anyway, so this also makes the
+    * fixture plan the production plan. */
+  private val skewSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  private def skewSession(s0: SparkSession): SparkSession =
+    skewSessions.getOrElseUpdate(s0, {
+      val c = s0.newSession()
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+      c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // AQE splits a skewed partition along MAP-output boundaries, so a
+      // single-mapper scan (the fixture's one-row-group parquet file)
+      // is unsplittable no matter how skewed. Shrink the input split
+      // size so the [[skewInputPath]] copy scans as many mappers — the
+      // shape a real cluster always has (thousands of mappers at
+      // 100 TB).
+      c.conf.set("spark.sql.files.maxPartitionBytes", "32k")
+      c
+    })
+
+  /** Many-mapper lineitem copy for the skew demo, write-once per
+    * (session, fixture dir) like [[bucketedTables]]: the fixture's
+    * lineitem.parquet is ONE row group, so every row comes out of one
+    * map task and AQE's map-range skew splitting has nothing to split.
+    * The copy holds only the two columns the join needs, written with
+    * tiny row groups so the clone's 32 KB input splits each carry real
+    * rows — a mechanical LAYOUT change only (no values change; the
+    * oracle reads the original table). */
+  private val skewPrepared =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def skewInputPath(s: SparkSession, d: String): String =
+    skewPrepared.getOrElseUpdate((s, d), {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_skew_li_${Tables.layoutTag(d)}"
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", (16 * 1024).toString)
+        .option("parquet.page.size", (8 * 1024).toString)
+        .parquet(path)
+      path
+    })
+
+  /** AQE skew-join: ~30 % of lineitem rows are REMAPPED onto one hot
+    * orderkey (every key ending in 0/1/2 → key 1 — deterministic, so
+    * the oracle replays it exactly), then fact-joined to orders. On a
+    * static plan the hot key lands in ONE shuffle partition and that
+    * single task straggles the whole stage — the classic 100 TB skew
+    * failure. With AQE skew handling the runtime splits the oversized
+    * partition into advisory-sized chunks, each joined against a
+    * replicated copy of the matching orders rows
+    * (`OptimizeSkewedJoin`; plan-asserted `skew=true` in
+    * RelationalQueriesSpec). The hash-matched oracle proves splitting
+    * changes the schedule, never the answer. */
+  val q_skew_join: Q = (s, d) => {
+    val ss = skewSession(s)
+    val li = ss.read.parquet(skewInputPath(s, d)).select(
+      when(col("l_orderkey") % 10 < 3, lit(1L))
+        .otherwise(col("l_orderkey")).as("jk"),
+      col("l_quantity"))
+    li.hint("merge")
+      .join(orders(ss, d).select(col("o_orderkey"), col("o_orderpriority")),
+        col("jk") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** CASE WHEN + conditional aggregation (pivot-ish shape). */
   val q_conditional_agg: Q = (s, d) =>
     orders(s, d)
@@ -641,6 +721,7 @@ object RelationalQueries {
     "q_supplier_stats" -> q_supplier_stats,
     "q_conditional_agg" -> q_conditional_agg,
     "q_bucketed_join" -> q_bucketed_join,
+    "q_skew_join" -> q_skew_join,
     "q_percentiles" -> q_percentiles,
     "q_approx_percentile" -> q_approx_percentile,
     "q_pivot" -> q_pivot,
@@ -899,5 +980,14 @@ object RelationalQueries {
         |  COUNT(1) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  COUNT(1) AS n
+        |FROM (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1 ELSE l_orderkey END AS jk,
+        |             l_quantity
+        |      FROM lineitem) l
+        |JOIN orders ON o_orderkey = jk
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

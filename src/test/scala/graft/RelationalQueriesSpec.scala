@@ -139,6 +139,17 @@ class RelationalQueriesSpec extends AnyFunSuite {
       s"scan must be bucket-aware:\n$plan")
   }
 
+  test("skew join: AQE splits the planted hot partition (OptimizeSkewedJoin fires)") {
+    // sf0.01 so the hot partition (~30% of lineitem on one key) clears
+    // the clone's scaled-down skew thresholds; correctness at any SF is
+    // the driver's hash-matched oracle
+    val df = ops.RelationalQueries.q_skew_join(spark, "/root/testdata/sf0.01")
+    df.collect() // AQE decides skew splits at runtime — materialize first
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"expected a skew-split sort-merge join in the final adaptive plan:\n$plan")
+  }
+
   test("topk per group runs two-phase salted windows (no 3-partition global sort)") {
     val plan = ops.RelationalQueries.q_topk_per_group(spark, sf)
       .queryExecution.executedPlan.toString
