@@ -54,6 +54,41 @@ class DumpConverterSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/user").count() == 3)
   }
 
+  test("bz2 input SPLITS: parallel partitions parse one compressed file (vs gzip's 1)") {
+    // The reference reads gzip strictly sequentially (its only
+    // compressed path); Hadoop's bzip2 codec is block-splittable, so
+    // the same sc.textFile ingest parallelizes a compressed dump with
+    // zero converter changes. blockSize=1 → 100 KB bzip2 blocks, so a
+    // ~1 MB dump holds many split points.
+    val in = tmpDir("dump-bz2-in")
+    val outPlain = tmpDir("dump-bz2-out-plain")
+    val outBz = tmpDir("dump-bz2-out-bz")
+    val manyRows = (1L to 20000L).map { i =>
+      Row(i, s"user_$i name-with-some-padding-$i", i * 1.5, ts, i % 2 == 0)
+    }
+    val text = DumpRenderer.dump(Seq(("user", userSchema, manyRows)), batchSize = 100)
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), text)
+    val bz = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+      new java.io.FileOutputStream(s"$in/dump.sql.bz2"), 1)
+    bz.write(text.getBytes("UTF-8")); bz.close()
+
+    // >1 input split must actually carry lines — the splittability claim
+    val perPart = spark.sparkContext.textFile(s"$in/dump.sql.bz2", 8)
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().filter(_._2 > 0)
+    assert(perPart.length > 1,
+      s"bzip2 ingest must parse from multiple partitions, got $perPart")
+
+    // and the parallel compressed convert is byte-identical to plain
+    val resPlain = DumpConverter.convert(spark, s"$in/dump.sql", outPlain, minPartitions = 8)
+    val resBz = DumpConverter.convert(spark, s"$in/dump.sql.bz2", outBz, minPartitions = 8)
+    assert(resBz.rowsWritten("user") == 20000L)
+    assert(resBz.rowsWritten == resPlain.rowsWritten)
+    val a = spark.read.parquet(s"$outPlain/user").collect().sortBy(_.getLong(0))
+    val b = spark.read.parquet(s"$outBz/user").collect().sortBy(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("multi-table dump with interleaved inserts (supported deviation) and unknown-table drop") {
     val in = tmpDir("dump-multi-in")
     val out = tmpDir("dump-multi-out")

@@ -26,6 +26,27 @@ object ConvScaleBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"#CONV# minPartitions=$parts%2d  ${sec}%6.2f s  rows=${res.rowsWritten.values.sum}")
     }
+    // splittable-compressed leg: bzip2 (Hadoop block-splittable, unlike
+    // gzip) — same converter, same minPartitions knob, compressed input
+    val bzPath = dump.toString + ".bz2"
+    if (!Files.exists(java.nio.file.Paths.get(bzPath))) {
+      val t0 = System.nanoTime()
+      val bz = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(bzPath), 1 << 20))
+      Files.copy(dump, bz); bz.close()
+      println(f"#CONV# bz2 compress (one-time) ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+        s"  bytes=${Files.size(java.nio.file.Paths.get(bzPath))}")
+    }
+    for (parts <- Seq(1, 8, 32); _ <- 1 to 2) {
+      val nonEmpty = spark.sparkContext.textFile(bzPath, parts)
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.hasNext))).collect().count(_._2)
+      val out = Files.createTempDirectory(s"convbench_bz_$parts")
+      val t0 = System.nanoTime()
+      val res = DumpConverter.convert(spark, bzPath, out.toString, minPartitions = parts)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"#CONV# bz2 minPartitions=$parts%2d  ${sec}%6.2f s" +
+        f"  rows=${res.rowsWritten.values.sum}  nonEmptySplits=$nonEmpty")
+    }
     spark.stop()
   }
 }
