@@ -9,14 +9,20 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, and a batched per-partition decode pass — the
-  * Scala/Dataset equivalent of a `mapInPandas` decode stage. Two
-  * modalities, both decoded for REAL from actual bytes:
+  * Scala/Dataset equivalent of a `mapInPandas` decode stage. Three
+  * codecs, all decoded for REAL from actual bytes:
   *
-  *   - IMAGE: PNG is pure byte logic + zlib, both in the JDK —
+  *   - IMAGE/PNG: pure byte logic + zlib, both in the JDK —
   *     [[decodePng]] validates the signature, walks the chunk stream
   *     verifying every CRC32, reads width/height from the actual IHDR
   *     bytes, inflates the IDAT pixel stream, checks the scanline
   *     layout, and aggregates decoded pixel values.
+  *   - IMAGE/GIF: a second image codec with a genuinely different
+  *     compression — [[decodeGif]] walks the GIF87a/89a container and
+  *     implements GIF-variant LZW (9→12-bit codes, KwKwK, mid-stream
+  *     clears, interlacing) from scratch; [[encodeGifPixels]] is the
+  *     inverse. Cross-checked BOTH directions against
+  *     `javax.imageio` (our bytes → their decoder; their bytes → ours).
   *   - AUDIO: RIFF/WAVE PCM16 is plain little-endian byte logic —
   *     [[decodeWav]] validates RIFF/WAVE magics and lengths, checks
   *     every fmt field, and folds the decoded sample stream.
@@ -271,6 +277,296 @@ object MultimodalOps {
     (rate, nSamples, sumAbs)
   }
 
+  // ------------------------------------------------- GIF encode (LZW)
+
+  /** GIF-variant LZW compression of an 8-bit index stream (min code
+    * size 8): clear/EOI codes 256/257, little-endian bit packing, code
+    * width growing 9→12 as the dictionary fills, dictionary reset via
+    * an explicit CLEAR when code 4096 would be assigned. The
+    * dictionary keys sequences as (prefix code, next byte) — constant
+    * work per input byte. Width bookkeeping mirrors the decoder
+    * exactly: after assigning code v the width bumps when v ≥ 2^w
+    * (encoder) ⇔ the reader bumps when its just-assigned v = 2^w − 1,
+    * one code earlier in its own timeline — cross-verified both
+    * directions against `javax.imageio` in MultimodalOpsSpec. */
+  private[ops] def lzwCompress(data: Array[Byte]): Array[Byte] = {
+    val Clear = 256
+    val Eoi = 257
+    val bos = new ByteArrayOutputStream()
+    var bitBuf = 0L
+    var nBits = 0
+    var codeSize = 9
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits
+      nBits += codeSize
+      while (nBits >= 8) { bos.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; nBits -= 8 }
+    }
+    val dict = new scala.collection.mutable.LongMap[Int]()
+    var nextCode = Eoi + 1
+    emit(Clear)
+    var prefix = data(0) & 0xFF
+    var i = 1
+    while (i < data.length) {
+      val b = data(i) & 0xFF
+      val key = (prefix.toLong << 8) | b
+      dict.get(key) match {
+        case Some(code) => prefix = code
+        case None =>
+          emit(prefix)
+          if (nextCode < 4096) {
+            dict(key) = nextCode
+            if (nextCode >= (1 << codeSize) && codeSize < 12) codeSize += 1
+            nextCode += 1
+          } else {
+            emit(Clear)
+            dict.clear()
+            nextCode = Eoi + 1
+            codeSize = 9
+          }
+          prefix = b
+      }
+      i += 1
+    }
+    emit(prefix)
+    emit(Eoi)
+    if (nBits > 0) bos.write((bitBuf & 0xFF).toInt)
+    bos.toByteArray
+  }
+
+  private def writeLE16(bos: ByteArrayOutputStream, v: Int): Unit = {
+    bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+  }
+
+  /** A REAL standards-shaped GIF89a from raw grayscale pixels: logical
+    * screen descriptor, 256-entry grayscale global color table (entry
+    * i = (i,i,i), so palette index = gray value), one non-interlaced
+    * image descriptor, LZW-compressed indices in ≤255-byte sub-blocks,
+    * trailer. Any GIF reader decodes it ([[javax.imageio]] asserted in
+    * the spec). */
+  private[ops] def encodeGifPixels(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h, "pixel buffer does not match dimensions")
+    val bos = new ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    writeLE16(bos, w); writeLE16(bos, h)
+    bos.write(0xF7) // global color table present, 8-bit color, 256 entries
+    bos.write(0)    // background color index
+    bos.write(0)    // pixel aspect ratio: none
+    var i = 0
+    while (i < 256) { bos.write(i); bos.write(i); bos.write(i); i += 1 }
+    bos.write(0x2C) // image descriptor
+    writeLE16(bos, 0); writeLE16(bos, 0); writeLE16(bos, w); writeLE16(bos, h)
+    bos.write(0)    // no local color table, not interlaced
+    bos.write(8)    // LZW minimum code size
+    val lzw = lzwCompress(px)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      bos.write(n)
+      bos.write(lzw, off, n)
+      off += n
+    }
+    bos.write(0)    // block terminator
+    bos.write(0x3B) // trailer
+    bos.toByteArray
+  }
+
+  /** The per-document fixture GIF: the SAME formula pixels as
+    * [[encodePng]], through a genuinely different codec (LZW vs
+    * DEFLATE) — so [[mm_gif_decode]] shares [[mm_decode]]'s arithmetic
+    * oracle. */
+  private[ops] def encodeGif(docId: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId, nChars)
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = pixel(docId, x, y).toByte; x += 1 }
+      y += 1
+    }
+    encodeGifPixels(px, w, h)
+  }
+
+  // ------------------------------------------------- GIF decode (LZW)
+
+  /** GIF-variant LZW decompression (min code size 8), the exact
+    * inverse of [[lzwCompress]] including the KwKwK case (a code equal
+    * to the next unassigned one) and mid-stream CLEAR resets. The
+    * dictionary is two flat arrays (prefix chain + suffix byte);
+    * expansion walks the chain into the output buffer back-to-front —
+    * no per-code allocation. */
+  private[ops] def lzwDecompress(data: Array[Byte], expected: Int): Array[Byte] = {
+    val Clear = 256
+    val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val chainLen = new Array[Int](4096)
+    var c = 0
+    while (c < 256) { prefix(c) = -1; suffix(c) = c.toByte; chainLen(c) = 1; c += 1 }
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var codeSize = 9
+    var nextCode = Eoi + 1
+    var bitBuf = 0L
+    var nBits = 0
+    var pos = 0
+    var prev = -1
+    def firstByte(code: Int): Byte = {
+      var cc = code
+      while (prefix(cc) >= 0) cc = prefix(cc)
+      suffix(cc)
+    }
+    def writeChain(code: Int, extra: Int): Unit = {
+      val len = chainLen(code) + (if (extra >= 0) 1 else 0)
+      require(outPos + len <= expected, "corrupt GIF: more pixels than the image holds")
+      var i = outPos + len - 1
+      if (extra >= 0) { out(i) = extra.toByte; i -= 1 }
+      var cc = code
+      while (cc >= 0) { out(i) = suffix(cc); i -= 1; cc = prefix(cc) }
+      outPos += len
+    }
+    var done = false
+    while (!done) {
+      while (nBits < codeSize && pos < data.length) {
+        bitBuf |= (data(pos) & 0xFFL) << nBits
+        pos += 1
+        nBits += 8
+      }
+      require(nBits >= codeSize, "corrupt GIF: LZW stream truncated before EOI")
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize
+      nBits -= codeSize
+      if (code == Clear) {
+        nextCode = Eoi + 1
+        codeSize = 9
+        prev = -1
+      } else if (code == Eoi) {
+        done = true
+      } else if (prev < 0) {
+        require(code < 256, "corrupt GIF: first code after clear must be a literal")
+        writeChain(code, -1)
+        prev = code
+      } else {
+        require(code < nextCode || code == nextCode,
+          s"corrupt GIF: code $code beyond dictionary ($nextCode)")
+        if (code < nextCode) writeChain(code, -1)
+        else writeChain(prev, firstByte(prev) & 0xFF) // KwKwK: prev + first(prev)
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = if (code < nextCode) firstByte(code) else firstByte(prev)
+          chainLen(nextCode) = chainLen(prev) + 1
+          if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+          nextCode += 1
+        }
+        prev = code
+      }
+    }
+    require(outPos == expected, s"corrupt GIF: decoded $outPos of $expected pixels")
+    out
+  }
+
+  /** Row order of a GIF interlaced image: four passes at strides
+    * 8/8/4/2 starting at rows 0/4/2/1 — the decoded stream stores rows
+    * in pass order. */
+  private def interlaceRows(h: Int): Array[Int] =
+    Array((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (start, step) =>
+      start until h by step
+    }
+
+  /** Walk ONE GIF: header + logical screen descriptor, global color
+    * table, any extension blocks (skipped structurally), the image
+    * descriptor (interlaced or not — `javax.imageio` writes interlaced
+    * by default, so the de-interlace path is exercised against foreign
+    * bytes in the spec), LZW sub-blocks → decompressed palette indices
+    * → grayscale values via the color table (validated r=g=b). Returns
+    * (width, height, row-major gray pixels). Throws loudly on
+    * malformed input like [[walkPng]]. */
+  private[ops] def decodeGifGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = try {
+    require(payload.length >= 13, "not a GIF: too short")
+    val header = new String(payload, 0, 6, "US-ASCII")
+    require(header == "GIF89a" || header == "GIF87a", s"not a GIF: header $header")
+    val bb = ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(6)
+    bb.getShort; bb.getShort // logical screen w/h (per-image descriptor rules)
+    val packed = bb.get() & 0xFF
+    bb.get(); bb.get()       // background index, aspect ratio
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      palette = new Array[Byte](3 * (2 << (packed & 7)))
+      bb.get(palette)
+    }
+    var result: (Int, Int, Array[Byte]) = null
+    var done = false
+    while (!done) {
+      require(bb.remaining() > 0, "corrupt GIF: no trailer")
+      (bb.get() & 0xFF) match {
+        case 0x3B => done = true // trailer
+        case 0x21 =>             // extension: label + sub-blocks, skip
+          bb.get()
+          var n = bb.get() & 0xFF
+          while (n != 0) { bb.position(bb.position() + n); n = bb.get() & 0xFF }
+        case 0x2C =>             // image descriptor
+          require(result == null, "unsupported GIF: multiple images")
+          bb.getShort; bb.getShort // left, top
+          val w = bb.getShort & 0xFFFF
+          val h = bb.getShort & 0xFFFF
+          val ipacked = bb.get() & 0xFF
+          val interlaced = (ipacked & 0x40) != 0
+          var table = palette
+          if ((ipacked & 0x80) != 0) {
+            table = new Array[Byte](3 * (2 << (ipacked & 7)))
+            bb.get(table)
+          }
+          require(table != null, "corrupt GIF: no color table")
+          val minCode = bb.get() & 0xFF
+          require(minCode == 8, s"unsupported GIF: LZW min code size $minCode")
+          val lzw = new ByteArrayOutputStream()
+          var n = bb.get() & 0xFF
+          while (n != 0) {
+            val chunk = new Array[Byte](n)
+            bb.get(chunk)
+            lzw.write(chunk)
+            n = bb.get() & 0xFF
+          }
+          val idx = lzwDecompress(lzw.toByteArray, w * h)
+          val gray = new Array[Byte](w * h)
+          val rowOf: Int => Int =
+            if (interlaced) { val order = interlaceRows(h); order(_) } else identity
+          var srcRow = 0
+          while (srcRow < h) {
+            val y = rowOf(srcRow)
+            var x = 0
+            while (x < w) {
+              val pi = idx(srcRow * w + x) & 0xFF
+              require(3 * pi + 2 < table.length, "corrupt GIF: index beyond palette")
+              val r = table(3 * pi) & 0xFF
+              require(r == (table(3 * pi + 1) & 0xFF) && r == (table(3 * pi + 2) & 0xFF),
+                "unsupported GIF: non-grayscale palette entry")
+              gray(y * w + x) = r.toByte
+              x += 1
+            }
+            srcRow += 1
+          }
+          result = (w, h, gray)
+        case other => throw new IllegalArgumentException(
+          f"corrupt GIF: unknown block 0x$other%02x")
+      }
+    }
+    require(result != null, "corrupt GIF: no image block")
+    result
+  } catch {
+    case _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException =>
+      throw new IllegalArgumentException("corrupt GIF: truncated")
+  }
+
+  /** Full single-image decode: (width, height, pixelSum). */
+  private[ops] def decodeGif(payload: Array[Byte]): (Int, Int, Long) = {
+    val (w, h, gray) = decodeGifGray(payload)
+    var sum = 0L
+    var i = 0
+    while (i < gray.length) { sum += gray(i) & 0xFF; i += 1 }
+    (w, h, sum)
+  }
+
   // ----------------------------------------------------------- tables
 
   /** documents → opaque media table (doc_id, mime, payload binary):
@@ -290,6 +586,16 @@ object MultimodalOps {
     Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .map { case (id, n) => MediaRecord(id, "image/png", encodePng(id, n)) }
+      .toDF()
+  }
+
+  /** documents → genuine GIF media table: one real LZW-compressed
+    * image per doc. */
+  def gifTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) => MediaRecord(id, "image/gif", encodeGif(id, n)) }
       .toDF()
   }
 
@@ -362,6 +668,30 @@ object MultimodalOps {
     decodeFeatures(pngTable(s, d)).toDF()
       .select(col("doc_id"), col("width"), col("height"), col("n_frames"), col("px_sum"))
       .orderBy(col("doc_id"))
+
+  case class GifFeatures(doc_id: Long, width: Int, height: Int, px_sum: Long)
+
+  /** The THIRD modality codec at the same seam: genuine GIF bytes →
+    * header/palette walk → LZW decompression → palette-mapped pixels.
+    * Same formula pixels as [[mm_decode]] through a genuinely
+    * different compression (LZW vs DEFLATE), so the arithmetic oracle
+    * is shared; cross-codec parity against `javax.imageio` is asserted
+    * in MultimodalOpsSpec. */
+  val mm_gif_decode: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    gifTable(s, d).select(col("doc_id"), col("mime"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (w, h, sum) = decodeGif(r.payload)
+            GifFeatures(r.doc_id, w, h, sum)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
 
   /** The REAL audio decode pipeline: genuine WAV bytes → RIFF chunk
     * walk → PCM samples → decoded features. Hash-checked like
@@ -480,6 +810,7 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "mm_binary_meta" -> mm_binary_meta,
     "mm_decode" -> mm_decode,
+    "mm_gif_decode" -> mm_gif_decode,
     "mm_audio_decode" -> mm_audio_decode,
     "mm_resize" -> mm_resize,
     "mm_frame_sample" -> mm_frame_sample,
@@ -496,6 +827,14 @@ object MultimodalOps {
         |  CAST(16 + (n_chars % 48) AS INTEGER) AS width,
         |  CAST(16 + (doc_id % 32) AS INTEGER) AS height,
         |  CAST(1 AS INTEGER) AS n_frames,
+        |  CAST(list_sum(flatten(list_transform(generate_series(0, (16 + (doc_id % 32)) - 1),
+        |    y -> list_transform(generate_series(0, (16 + (n_chars % 48)) - 1),
+        |      x -> (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_gif_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + (n_chars % 48) AS INTEGER) AS width,
+        |  CAST(16 + (doc_id % 32) AS INTEGER) AS height,
         |  CAST(list_sum(flatten(list_transform(generate_series(0, (16 + (doc_id % 32)) - 1),
         |    y -> list_transform(generate_series(0, (16 + (n_chars % 48)) - 1),
         |      x -> (x * 31 + y * 17 + doc_id) % 256)))) AS BIGINT) AS px_sum

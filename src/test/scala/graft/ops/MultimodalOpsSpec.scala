@@ -48,6 +48,63 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.decodePng("definitely not a png".getBytes("UTF-8")))
   }
 
+  test("synthesized payloads are REAL GIFs: an independent JDK decoder agrees") {
+    val gif = MultimodalOps.encodeGif(docId = 123L, nChars = 200L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null, "ImageIO could not decode the synthesized GIF")
+    val (w, h) = MultimodalOps.imageDims(123L, 200L)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val gray = new java.awt.Color(img.getRGB(x, y)).getRed
+      assert(gray == MultimodalOps.pixel(123L, x, y), s"pixel ($x,$y)")
+    }
+  }
+
+  test("GIF LZW survives code-width growth and dictionary resets (large random image)") {
+    // 256x192 of seeded random bytes: the LZW dictionary hits 4096 and
+    // resets mid-stream, and the code width walks 9→12 — exactly the
+    // paths a tiny fixture image never exercises. ImageIO is the
+    // independent referee for our encoder; our decoder must agree too.
+    val rng = new scala.util.Random(42)
+    val (w, h) = (256, 192)
+    val px = Array.fill[Byte](w * h)(rng.nextInt(256).toByte)
+    val gif = MultimodalOps.encodeGifPixels(px, w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null, "ImageIO could not decode the random GIF")
+    for (y <- 0 until h; x <- 0 until w) {
+      val gray = new java.awt.Color(img.getRGB(x, y)).getRed
+      assert(gray == (px(y * w + x) & 0xFF), s"pixel ($x,$y)")
+    }
+    val (dw, dh, sum) = MultimodalOps.decodeGif(gif)
+    assert((dw, dh) == (w, h))
+    assert(sum == px.map(_ & 0xFF).map(_.toLong).sum)
+  }
+
+  test("decodeGif reads GIFs our encoder did NOT write (ImageIO-encoded bytes)") {
+    // the reverse direction: javax.imageio writes a grayscale GIF with
+    // its own palette/extension choices; our decoder must handle them.
+    val rng = new scala.util.Random(7)
+    val (w, h) = (61, 37)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, rng.nextInt(256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "ImageIO has no GIF writer?")
+    // per-pixel, ORDER-SENSITIVE compare: ImageIO writes interlaced
+    // GIFs by default, so this also proves the de-interlace path
+    val (dw, dh, gray) = MultimodalOps.decodeGifGray(bos.toByteArray)
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((gray(y * w + x) & 0xFF) == img.getRaster.getSample(x, y, 0), s"pixel ($x,$y)")
+  }
+
+  test("decodeGif rejects corrupted payloads loudly") {
+    val gif = MultimodalOps.encodeGif(5L, 80L)
+    val truncated = gif.take(gif.length - 10)
+    assertThrows[IllegalArgumentException](MultimodalOps.decodeGif(truncated))
+    assertThrows[IllegalArgumentException](
+      MultimodalOps.decodeGif("definitely not a gif".getBytes("UTF-8")))
+  }
+
   test("synthesized WAVs are REAL audio: the independent JDK decoder agrees sample-for-sample") {
     val wav = MultimodalOps.encodeWav(docId = 11L, nChars = 123L)
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
