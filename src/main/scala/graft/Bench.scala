@@ -48,7 +48,15 @@ object Bench {
       else errors.map { case (k, v) =>
         s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}"""
+    println(line)
+    // the stdout line is the driver contract, but tail-capture can
+    // truncate it (it did in round 4) — persist the identical JSON as
+    // a file artifact too
+    val out = java.nio.file.Paths.get("target/bench-latest.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
