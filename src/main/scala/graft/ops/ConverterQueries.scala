@@ -189,11 +189,36 @@ object ConverterQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ORC sink + source round-trip over `lineitem` — the other columnar
+    * interchange format (predicate pushdown, stripe statistics, zlib)
+    * through Spark's NATIVE orc reader/writer. Distributed write, one
+    * file per partition; integerized measures so the round-trip is
+    * bit-exact by construction. The oracle aggregates the ORIGINAL
+    * parquet — a hash match proves every row and value survived both
+    * hops through the foreign format. */
+  val src_orc_roundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    val path = layout(s, d, "orc_lineitem") { p =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("qty_cents"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .write.mode("overwrite").option("compression", "zlib").orc(p)
+    }
+    s.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty_cents")).as("qty_cents"),
+        sum(col("price_cents")).as("price_cents"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
     "src_jsonl_roundtrip" -> src_jsonl_roundtrip,
     "src_csv_roundtrip" -> src_csv_roundtrip,
+    "src_orc_roundtrip" -> src_orc_roundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,6 +239,12 @@ object ConverterQueries {
         |  CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_months,
         |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "conv_scale" ->
       """WITH lag AS (
         |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

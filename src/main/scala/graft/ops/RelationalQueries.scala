@@ -371,6 +371,22 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Navigation window functions over a full-partition frame:
+    * first/last/nth order per customer (orderdate with orderkey
+    * tiebreak keeps both engines deterministic; `nth_value(2)` is NULL
+    * for single-order customers — nullability crossed the oracle). */
+  val q_window_first_last: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-group top-k, de-skewed: `l_returnflag` has only 3 distinct
     * values, so a single window over it would sort the whole fact table
     * inside 3 partitions. Phase 1 takes a local top-k per (group, salt)
@@ -728,6 +744,7 @@ object RelationalQueries {
     "q_lateral_explode" -> q_lateral_explode,
     "q_partitioned_write" -> q_partitioned_write,
     "q_window_dist" -> q_window_dist,
+    "q_window_first_last" -> q_window_first_last,
     "q_array_fns" -> q_array_fns,
   )
 
@@ -799,6 +816,15 @@ object RelationalQueries {
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_window_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
     "q_array_fns" -> {
       import graft.functions.VectorFunctions.{oracleDotSql, oracleNormSqSql}

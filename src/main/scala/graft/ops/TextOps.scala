@@ -166,6 +166,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition profile per document — the Gopher-style quality
+    * signals that catch boilerplate and degenerate generations: the
+    * fraction of the document taken by its single most frequent token
+    * and most frequent bigram (both ×10⁶, integer-exact — high values
+    * flag "the the the…" and template spam). One explode + two
+    * map-side-partial aggregations per unit; bigram counts reuse the
+    * guarded short-doc contract of [[t_bigram_score]] (docs with <2
+    * tokens report zero bigrams, not an ANSI error). */
+  val t_repetition: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tokStats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_token_n"))
+    val bgStats = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        """explode(CASE WHEN size(toks) >= 2
+             THEN transform(sequence(1, size(toks) - 1),
+                  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+             ELSE array() END)""").as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .select(col("*"),
+        expr("(1000000L * top_token_n) div n_tokens").as("rep_tok_e6"),
+        expr("""CASE WHEN n_bigrams > 0
+                THEN (1000000L * top_bigram_n) div n_bigrams ELSE 0L END""").as("rep_bg_e6"))
+      .orderBy(col("doc_id"))
+  }
+
   val t_fingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .filter(length(col("text")) >= 8)
@@ -191,6 +229,7 @@ object TextOps {
     "t_quality_score" -> t_quality_score,
     "t_idf_score" -> t_idf_score,
     "t_bigram_score" -> t_bigram_score,
+    "t_repetition" -> t_repetition,
     "t_fingerprint" -> t_fingerprint,
   )
 
@@ -258,6 +297,28 @@ object TextOps {
         |  CAST((1000000 * SUM(cnt)) // COUNT(1) AS BIGINT) AS lm_e6
         |FROM occ JOIN c USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(1) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         COUNT(1) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_token_n
+        |       FROM tc GROUP BY 1),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bgo AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |              FROM w) t),
+        |bc AS (SELECT doc_id, bg, COUNT(1) AS c FROM bgo GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |         CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        |       FROM bc GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, t.n_distinct, t.top_token_n,
+        |  COALESCE(b.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+        |  CAST((1000000 * t.top_token_n) // t.n_tokens AS BIGINT) AS rep_tok_e6,
+        |  CAST(CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+        |       THEN (1000000 * b.top_bigram_n) // b.n_bigrams ELSE 0 END AS BIGINT)
+        |    AS rep_bg_e6
+        |FROM ts t LEFT JOIN bs b USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, substr(sha256(text), 1, 16) AS hash16,
         |  CAST(list_aggregate(

@@ -279,6 +279,35 @@ object StreamingOps {
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Event-type → weight enrichment dim for the stream-static join:
+    * tiny, fixed, broadcast — the classic streaming-enrichment shape
+    * (feature lookups, routing tables). Mirrored literally in the
+    * oracle's VALUES list. */
+  private val TypeWeights: Seq[(String, Long)] = Seq(
+    "click" -> 1L, "view" -> 1L, "signup" -> 5L, "purchase" -> 10L, "error" -> 0L)
+
+  /** STREAM-STATIC join: the streaming side enriched against a static
+    * broadcast dimension — no state store involved at all (the static
+    * side is a local relation snapshot per micro-batch; nothing is
+    * watermark-bound because nothing is buffered). Downstream the
+    * enriched stream feeds the same watermarked daily aggregation as
+    * [[st_tumbling]], so the output stays append-mode deterministic.
+    * At 100 TB/day the dim is a broadcast (or a slowly-changing Delta
+    * snapshot) and this plan shape is unchanged. */
+  val st_static_join: Q = (s, d) => {
+    val ss = streamSession(s)
+    import ss.implicits._
+    val dim = TypeWeights.toDF("event_type", "weight")
+    val enriched = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), "event_type") // stream-static: no stream state
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("weight")).as("weight_sum"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("weight_sum"))
+    drain(enriched, "append").orderBy(col("window_start"), col("event_type"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -288,8 +317,12 @@ object StreamingOps {
     "st_dedup" -> st_dedup,
     "st_custom_state" -> st_custom_state,
     "st_stream_join" -> st_stream_join,
+    "st_static_join" -> st_static_join,
     "st_parquet_sink" -> st_parquet_sink,
   )
+
+  private val typeWeightValues =
+    TypeWeights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
 
   private val tumblingOracle =
     """WITH m AS (SELECT max(ts) AS mx FROM events),
@@ -323,6 +356,18 @@ object StreamingOps {
     "st_dedup" ->
       """SELECT DISTINCT date_trunc('day', ts) AS day, user_id, event_type
         |FROM events ORDER BY day, user_id, event_type""".stripMargin,
+    "st_static_join" ->
+      s"""WITH m AS (SELECT max(ts) AS mx FROM events),
+         |dim(event_type, weight) AS (VALUES $typeWeightValues),
+         |agg AS (
+         |  SELECT date_trunc('day', ts) AS window_start,
+         |    date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+         |    e.event_type, COUNT(1) AS n,
+         |    CAST(SUM(weight) AS BIGINT) AS weight_sum
+         |  FROM events e JOIN dim USING (event_type) GROUP BY 1, 2, 3)
+         |SELECT window_start, window_end, event_type, n, weight_sum
+         |FROM agg, m WHERE window_end <= mx - INTERVAL 1 HOUR
+         |ORDER BY window_start, event_type""".stripMargin,
     "st_custom_state" ->
       """WITH g AS (SELECT user_id, ts,
         |        CASE WHEN lag(ts) OVER w IS NULL
