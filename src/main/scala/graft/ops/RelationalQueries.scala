@@ -81,18 +81,24 @@ object RelationalQueries {
     * sketch ran inside its 3σ band; the sketch remains the 100 TB
     * distinct path (fixed-size, mergeable map-side, one pass — the
     * exact companion here exists only to measure it). */
-  val q_approx_distinct: Q = (s, d) =>
-    lineitem(s, d)
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("ap_orders"))
+  val q_approx_distinct: Q = (s, d) => {
+    val li = lineitem(s, d)
+    // one HLL pass for both sketches; the exact sides as separate
+    // distinct→count sub-aggregations (each fully map-side-partial) —
+    // fusing countDistinct×2 + approx×2 into ONE agg makes Catalyst
+    // expand every row 3-way and was 6× slower at sf0.1
+    val ap = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("ap_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("ap_orders"))
+    val np = li.select(col("l_partkey")).distinct().agg(count(lit(1)).as("n_parts"))
+    val no = li.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders"))
+    np.crossJoin(no).crossJoin(ap)
       .select(col("n_parts"), col("n_orders"),
         (abs(col("ap_parts") - col("n_parts"))
           <= lit(0.03) * col("n_parts")).as("parts_within_3rsd"),
         (abs(col("ap_orders") - col("n_orders"))
           <= lit(0.03) * col("n_orders")).as("orders_within_3rsd"))
+  }
 
   /** Exact interpolated quantiles over INTEGER cents — the length/size
     * distribution profile every data-quality pipeline computes. The
@@ -126,16 +132,20 @@ object RelationalQueries {
       .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long"))
       .agg(
         count(lit(1)).as("n"),
-        percentile_approx(col("price_cents"), lit(0.5), lit(10000)).as("ap50"),
-        percentile_approx(col("price_cents"), lit(0.9), lit(10000)).as("ap90"),
-        percentile_approx(col("price_cents"), lit(0.99), lit(10000)).as("ap99"),
-        percentile(col("price_cents"), lit(0.5)).as("e50"),
-        percentile(col("price_cents"), lit(0.9)).as("e90"),
-        percentile(col("price_cents"), lit(0.99)).as("e99"))
+        // ONE t-digest and ONE exact buffer each serving all three
+        // quantiles — three separate percentile calls each build (and
+        // merge) their own 600k-entry state, 3× the work for nothing
+        percentile_approx(col("price_cents"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+        percentile(col("price_cents"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("e"))
       .select(col("n"),
-        (abs(col("ap50") - col("e50")) <= lit(0.01) * col("e50")).as("p50_within_1pct"),
-        (abs(col("ap90") - col("e90")) <= lit(0.01) * col("e90")).as("p90_within_1pct"),
-        (abs(col("ap99") - col("e99")) <= lit(0.01) * col("e99")).as("p99_within_1pct"))
+        (abs(element_at(col("ap"), 1) - element_at(col("e"), 1))
+          <= lit(0.01) * element_at(col("e"), 1)).as("p50_within_1pct"),
+        (abs(element_at(col("ap"), 2) - element_at(col("e"), 2))
+          <= lit(0.01) * element_at(col("e"), 2)).as("p90_within_1pct"),
+        (abs(element_at(col("ap"), 3) - element_at(col("e"), 3))
+          <= lit(0.01) * element_at(col("e"), 3)).as("p99_within_1pct"))
 
   /** Pivot (long → wide): per-status counts spread over the five
     * priority classes. The value list is EXPLICIT, so the plan is a
