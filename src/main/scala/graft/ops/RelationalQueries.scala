@@ -381,6 +381,22 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SHUFFLED HASH join — the third physical equi-join strategy next
+    * to broadcast (q5's dims) and sort-merge (q_bucketed_join): both
+    * sides shuffle on the key but the smaller builds an in-memory hash
+    * map instead of sorting, skipping both sort passes. The right
+    * 100 TB choice when one side is far smaller than the other yet too
+    * big to broadcast. Plan-asserted ShuffledHashJoin in
+    * RelationalQueriesSpec; hash-matched oracle. */
+  val q_shuffle_hash_join: Q = (s, d) =>
+    lineitem(s, d)
+      .join(supplier(s, d).hint("shuffle_hash"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+      .orderBy(col("s_nationkey"))
+
   /** Navigation window functions over a full-partition frame:
     * first/last/nth order per customer (orderdate with orderkey
     * tiebreak keeps both engines deterministic; `nth_value(2)` is NULL
@@ -748,6 +764,7 @@ object RelationalQueries {
     "q_conditional_agg" -> q_conditional_agg,
     "q_bucketed_join" -> q_bucketed_join,
     "q_skew_join" -> q_skew_join,
+    "q_shuffle_hash_join" -> q_shuffle_hash_join,
     "q_percentiles" -> q_percentiles,
     "q_approx_percentile" -> q_approx_percentile,
     "q_pivot" -> q_pivot,
@@ -1016,6 +1033,11 @@ object RelationalQueries {
         |  COUNT(1) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_shuffle_hash_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,

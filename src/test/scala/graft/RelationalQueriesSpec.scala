@@ -139,6 +139,12 @@ class RelationalQueriesSpec extends AnyFunSuite {
       s"scan must be bucket-aware:\n$plan")
   }
 
+  test("shuffle-hash join picks the ShuffledHashJoin strategy (no sort passes)") {
+    val plan = ops.RelationalQueries.q_shuffle_hash_join(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected a shuffled hash join:\n$plan")
+  }
+
   test("skew join: AQE splits the planted hot partition (OptimizeSkewedJoin fires)") {
     // sf0.01 so the hot partition (~30% of lineitem on one key) clears
     // the clone's scaled-down skew thresholds; correctness at any SF is

@@ -61,6 +61,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.head.getLong(1) == 2L) // "three word", "word doc"
   }
 
+  test("repetition: short docs report zero bigrams; repeated token dominates the ratio") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rep-short").toString
+    Seq(
+      (1L, "solo", "src0", "en", 4L),                    // 1 token: no bigrams
+      (2L, "spam spam spam spam ham", "src0", "en", 23L) // top token 4/5
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.t_repetition(spark, dir).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getLong(4) == 0L && r(1L).getLong(7) == 0L) // n_bigrams, rep_bg_e6
+    assert(r(2L).getLong(3) == 4L)                           // top_token_n
+    assert(r(2L).getLong(6) == 800000L)                      // rep_tok_e6 = 4/5
+    assert(r(2L).getLong(5) == 3L)                           // "spam spam" x3
+    assert(r(2L).getLong(7) == 750000L)                      // rep_bg_e6 = 3/4
+  }
+
   test("fingerprints: distinct docs get distinct sha2; rolling stats sane") {
     val r = TextOps.t_fingerprint(spark, sf)
     val n = r.count()
