@@ -433,6 +433,28 @@ object DedupOps {
     connectedComponents(pairs).orderBy(col("doc_id"))
   }
 
+  /** END-TO-END dedup APPLICATION — the full near-dup pipeline run to
+    * its actual product: MinHash-LSH candidates → exact-Jaccard verify
+    * → connected components → drop every non-keeper → profile of the
+    * SURVIVING corpus per source. This is the query a corpus team
+    * actually ships (the pair/cluster queries are its observable
+    * intermediate stages); the anti-join against the dropped set is
+    * broadcast-size (dropped docs ≤ pair-graph vertices, a tiny
+    * fraction of the corpus). The oracle replays the entire chain —
+    * all-pairs Jaccard, recursive-CTE closure, NOT IN, aggregate — so
+    * one hash match certifies the composition, not just the stages. */
+  val d_dedup_apply: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = exactJaccard(lshCandidates(minhashSignatures(docs)), shingled(docs))
+      .select(col("doc_a"), col("doc_b"))
+    val dropped = connectedComponents(pairs)
+      .filter(!col("is_keeper")).select(col("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Near-dup corpus construction, mirroring [[d_dedup_exact]]'s
@@ -517,6 +539,7 @@ object DedupOps {
     "d_dedup_simhash" -> d_dedup_simhash,
     "d_dedup_embedding" -> d_dedup_embedding,
     "d_dedup_clusters" -> d_dedup_clusters,
+    "d_dedup_apply" -> d_dedup_apply,
   )
 
   val oracles: Map[String, String] = Map(
@@ -550,6 +573,28 @@ object DedupOps {
         |  SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v)
         |SELECT v AS doc_id, MIN(l) AS cluster, v = MIN(l) AS is_keeper
         |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
+    "d_dedup_apply" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT ia AS a, ib AS b FROM common
+        |          JOIN sizes na ON ia = na.doc_id
+        |          JOIN sizes nb ON ib = nb.doc_id
+        |          WHERE 2 * c >= (na.n + nb.n - c)),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |walk(v, l) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v),
+        |dropped AS (SELECT v AS doc_id FROM walk GROUP BY v HAVING v <> MIN(l))
+        |SELECT source, COUNT(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // d_dedup_simhash is a bound-witness: DuckDB independently rebuilds
     // the exact df-capped Jaccard pair set and asserts the sketch's
     // recall/precision flags — the sketch itself (xxhash64) has no SQL

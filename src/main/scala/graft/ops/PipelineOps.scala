@@ -114,6 +114,53 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------ token budget fill
+
+  /** Character budget per source and the key-range bucket count of the
+    * distributed prefix sum. */
+  private val BudgetChars = 3000L
+  private val BudgetBuckets = 16
+
+  /** Budget-fill sampling — the step that assembles a fixed-size
+    * training mixture: walk each source's documents in deterministic
+    * Knuth-mixed hash order and keep documents until the source's
+    * character budget is spent (a doc is kept iff the budget was not
+    * yet exhausted BEFORE it). The running total is a
+    * TWO-PHASE DISTRIBUTED PREFIX SUM, the textbook scan: phase 1
+    * computes local running sums inside (source, key-range bucket) —
+    * range bucketing by the SAME key that orders the walk keeps bucket
+    * order consistent with global order; phase 2 computes each
+    * bucket's offset from the per-bucket totals (a `sources ×
+    * buckets` relation — tiny, broadcast back). No single task ever
+    * scans a whole source: a one-window-per-source formulation would
+    * put a 10 TB source's full sort in one straggler task, the exact
+    * shape `p_stratified_sample` de-skews for top-n. The oracle
+    * replays the plain per-source window — a hash match proves the
+    * two-phase scan equals the sequential prefix sum. */
+  val p_token_budget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val key = (col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L
+    val bucketed = Tables.documents(s, d)
+      .withColumn("k", key)
+      .withColumn("bkt", expr(s"(k * $BudgetBuckets) div 1000003").cast("int"))
+    val wLocal = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("cum_local",
+      coalesce(sum(col("n_chars")).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_chars")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    local.join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("cum_before", col("cum_local") + col("off"))
+      .filter(col("cum_before") < lit(BudgetChars))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- PII scrub
 
   private val EmailRe = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
@@ -138,6 +185,7 @@ object PipelineOps {
     "p_decontaminate" -> p_decontaminate,
     "p_mixture_sample" -> p_mixture_sample,
     "p_stratified_sample" -> p_stratified_sample,
+    "p_token_budget" -> p_token_budget,
     "p_pii_scrub" -> p_pii_scrub,
   )
 
@@ -173,6 +221,15 @@ object PipelineOps {
          |      AS INTEGER) AS rk
          |  FROM documents) t
          |WHERE rk <= $StratN ORDER BY doc_id""".stripMargin,
+    "p_token_budget" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, source, n_chars,
+         |    COALESCE(SUM(n_chars) OVER (PARTITION BY source
+         |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars, CAST(cum_before AS BIGINT) AS cum_before
+         |FROM c WHERE cum_before < $BudgetChars ORDER BY doc_id""".stripMargin,
     "p_pii_scrub" ->
       """WITH t AS (
         |  SELECT doc_id,
