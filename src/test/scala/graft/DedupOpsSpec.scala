@@ -147,7 +147,7 @@ class DedupOpsSpec extends AnyFunSuite {
     val r = DedupOps.d_dedup_simhash(spark, sf).head()
     assert(r.getLong(0) == exactPairs.size.toLong)
     assert(r.getBoolean(1), "recall_ok flag must hold on the fixture")
-    assert(r.getBoolean(2), "fp_ok flag must hold on the fixture")
+    assert(r.getBoolean(2), "vol_ok (pairs <= docs) flag must hold on the fixture")
   }
 
   test("embedding near-dup finds exactly the planted perturbed copies") {
