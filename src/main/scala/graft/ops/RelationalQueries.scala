@@ -381,6 +381,32 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The SQL FRONT-END surface with a correlated EXISTS — TPC-H Q4's
+    * shape (Q1-1995 orders having at least one returned line item).
+    * Registered through `spark.sql` over per-call temp views (unique
+    * names, dropped after analysis — the sql() call resolves the plan
+    * eagerly so the views are no longer needed), proving the engine's
+    * text interface produces the same Catalyst plans the DataFrame API
+    * does: the correlated subquery rewrites to a left-semi join, and
+    * the lineitem-side filter pushes into the scan. */
+  val q_sql_exists: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    orders(s, d).createOrReplaceTempView(s"graft_o_$tag")
+    lineitem(s, d).createOrReplaceTempView(s"graft_l_$tag")
+    try s.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n
+         |FROM graft_o_$tag
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM graft_l_$tag
+         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    finally {
+      s.catalog.dropTempView(s"graft_o_$tag")
+      s.catalog.dropTempView(s"graft_l_$tag")
+    }
+  }
+
   /** SHUFFLED HASH join — the third physical equi-join strategy next
     * to broadcast (q5's dims) and sort-merge (q_bucketed_join): both
     * sides shuffle on the key but the smaller builds an in-memory hash
@@ -765,6 +791,7 @@ object RelationalQueries {
     "q_bucketed_join" -> q_bucketed_join,
     "q_skew_join" -> q_skew_join,
     "q_shuffle_hash_join" -> q_shuffle_hash_join,
+    "q_sql_exists" -> q_sql_exists,
     "q_percentiles" -> q_percentiles,
     "q_approx_percentile" -> q_approx_percentile,
     "q_pivot" -> q_pivot,
@@ -1033,6 +1060,14 @@ object RelationalQueries {
         |  COUNT(1) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sql_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_shuffle_hash_join" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
