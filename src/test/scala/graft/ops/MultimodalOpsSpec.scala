@@ -97,6 +97,20 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert((gray(y * w + x) & 0xFF) == img.getRaster.getSample(x, y, 0), s"pixel ($x,$y)")
   }
 
+  test("LZW round-trips arbitrary byte streams (100 random shapes incl. degenerate)") {
+    val rng = new scala.util.Random(11)
+    val shapes = Seq(
+      Array[Byte](0),                                  // single byte
+      Array.fill[Byte](4096)(7),                       // one repeated run (deep KwKwK chains)
+      Array.tabulate[Byte](512)(i => (i % 2).toByte),  // alternating
+      (0 until 256).map(_.toByte).toArray              // each literal once
+    ) ++ (1 to 96).map(_ => Array.fill[Byte](1 + rng.nextInt(20000))(rng.nextInt(256).toByte))
+    for ((data, i) <- shapes.zipWithIndex) {
+      val back = MultimodalOps.lzwDecompress(MultimodalOps.lzwCompress(data), data.length)
+      assert(java.util.Arrays.equals(back, data), s"shape $i (len ${data.length})")
+    }
+  }
+
   test("decodeGif rejects corrupted payloads loudly") {
     val gif = MultimodalOps.encodeGif(5L, 80L)
     val truncated = gif.take(gif.length - 10)
