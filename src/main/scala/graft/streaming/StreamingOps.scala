@@ -226,7 +226,14 @@ object StreamingOps {
     * commits closed windows to the table, state stays bounded by the
     * watermark, and readers see only committed files. Hash-matches the
     * same batch oracle as [[st_tumbling]]. */
-  val st_parquet_sink: Q = (s, d) => {
+  /** One run of the parquet-sink stream against an EXPLICIT output +
+    * checkpoint location — the restartable unit [[st_parquet_sink]]
+    * wraps. Kept separate so the spec can run it TWICE against the
+    * same checkpoint and assert the commit log's exactly-once
+    * contract: a restart over already-processed input must add zero
+    * rows. */
+  private[graft] def runParquetSink(s: SparkSession, d: String,
+                                    out: String, ckpt: String): Unit = {
     val agg = eventStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -234,19 +241,20 @@ object StreamingOps {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n"), col("value_cents"))
+    // agg is bound to the streamSession clone, so the stream plans
+    // with StatePartitions — the shared session's conf is untouched
+    val q = agg.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  val st_parquet_sink: Q = (s, d) => {
     val out = java.nio.file.Files.createTempDirectory("graft_sink_out_")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt_")
-    try {
-      // agg is bound to the streamSession clone, so the stream plans
-      // with StatePartitions — the shared session's conf is untouched
-      val q = agg.writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally {
-      deleteRecursively(ckpt.toFile) // the data files stay; only stream state goes
-    }
+    try runParquetSink(s, d, out.toString, ckpt.toString)
+    finally deleteRecursively(ckpt.toFile) // data files stay; only stream state goes
     s.read.parquet(out.toString)
       .orderBy(col("window_start"), col("event_type"))
   }

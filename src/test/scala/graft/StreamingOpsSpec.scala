@@ -95,6 +95,24 @@ class StreamingOpsSpec extends AnyFunSuite {
       "left_anti").count() == 0)
   }
 
+  test("parquet sink restart is exactly-once: rerun over the same checkpoint adds zero rows") {
+    // A real deployment restarts streams constantly (deploys, crashes,
+    // AvailableNow batch cadence). The file sink's commit log must make
+    // the restart a no-op when no new input arrived — duplicated window
+    // rows here would silently corrupt every downstream aggregate.
+    val out = java.nio.file.Files.createTempDirectory("graft_restart_out_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt_")
+    StreamingOps.runParquetSink(spark, sf, out.toString, ckpt.toString)
+    val firstRows = spark.read.parquet(out.toString).collect().toSeq
+    assert(firstRows.nonEmpty)
+    // restart: same checkpoint, same input — the source offset log says
+    // everything is processed, the sink log lists the committed files
+    StreamingOps.runParquetSink(spark, sf, out.toString, ckpt.toString)
+    val secondRows = spark.read.parquet(out.toString).collect().toSeq
+    assert(secondRows.sortBy(_.toString) == firstRows.sortBy(_.toString),
+      "restart must not append or change committed rows")
+  }
+
   test("session windows: n sums to watermark-closed prefix, gap respected") {
     val r = StreamingOps.st_session(spark, sf).collect()
     assert(r.nonEmpty)
