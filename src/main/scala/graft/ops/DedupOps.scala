@@ -384,7 +384,14 @@ object DedupOps {
     * DuckDB oracle replays the same exact-Jaccard pair graph and
     * closes it with a recursive CTE — a hash match proves the
     * distributed contraction found exactly the transitive closure. */
-  private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[ops] def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** [[connectedComponents]] plus the number of large/small-star
+    * rounds it took — exposed so the spec can assert the O(log n)
+    * convergence claim DIRECTLY (a 64-chain, diameter 63, must close
+    * in ~log₂ rounds, where label propagation needs 63). */
+  private[ops] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     // every vertex that appears in ≥1 pair (output coverage contract)
     val vertices = pairs.select(col("doc_a").as("v"))
       .unionByName(pairs.select(col("doc_b").as("v")))
@@ -429,10 +436,11 @@ object DedupOps {
     }
     require(chains == 0,
       s"connectedComponents did not converge within $MaxRounds large/small-star rounds")
-    vertices.join(edges.select(col("u").as("v"), col("p")), Seq("v"), "left")
+    val labels = vertices.join(edges.select(col("u").as("v"), col("p")), Seq("v"), "left")
       .select(col("v").as("doc_id"),
         coalesce(col("p"), col("v")).as("cluster"),
         (col("p").isNull).as("is_keeper"))
+    (labels, rounds)
   }
 
   val d_dedup_clusters: Q = (s, d) => {

@@ -64,11 +64,21 @@ class DedupOpsSpec extends AnyFunSuite {
     // cap) returns unconverged labels here; large/small-star contraction
     // converges in O(log n) rounds independent of diameter.
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = DedupOps.connectedComponents(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val (df, rounds) = DedupOps.connectedComponentsWithRounds(pairs)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(got.length == 64)
     assert(got.forall(_._2 == 0L), s"unconverged labels: ${got.filter(_._2 != 0L).toSeq}")
     assert(got.collect { case (v, _, true) => v }.toSeq == Seq(0L))
+    // the O(log n) claim, asserted directly: diameter 63 but ~log2 rounds
+    assert(rounds <= 10, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
+  test("connected components: 512-vertex chain converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    val pairs = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (df, rounds) = DedupOps.connectedComponentsWithRounds(pairs)
+    assert(df.filter(col("cluster") =!= 0L).count() == 0)
+    assert(rounds <= 12, s"diameter 511 must close in ~log2 rounds, took $rounds")
   }
 
   test("connected components match a reference union-find on random graphs") {
