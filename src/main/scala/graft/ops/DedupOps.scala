@@ -472,6 +472,118 @@ object DedupOps {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------- substring-overlap dedup
+
+  /** Content-defined-chunking parameters for [[d_dedup_substring]].
+    * K/B/P reuse [[graft.functions.RollingHashes]]'s `t_fingerprint`
+    * configuration (the DuckDB replay of that exact polynomial is
+    * already proven); a window hash ≡ 0 mod [[SubChunkDiv]] marks a cut,
+    * so expected chunk length ≈ 32 chars. Chunks under [[SubMinSpan]]
+    * chars are noise (a 20-char span is ~3 words — below that, repeats
+    * carry no boilerplate signal). [[SubDfCap]] bounds the removal
+    * fan-out of a single fingerprint: a span shared by more docs than
+    * the cap is GLOBAL boilerplate (site chrome, license walls) that a
+    * production pipeline routes to a dedicated filter instead of
+    * emitting corpus-sized removal lists through this operator. */
+  private val SubK = 8
+  private val SubBase = 257L
+  private val SubMod = 1000003L
+  private val SubChunkDiv = 32L
+  private[ops] val SubMinSpan = 20
+  private[ops] val SubDfCap = 1000L
+  private[ops] val SubPlantOffset = 20000000L
+
+  /** The planted shared span — a license-header lookalike long enough
+    * (223 chars ≈ 7 expected chunks) to contain several interior
+    * content-defined cuts, so every planted doc yields identical
+    * interior chunks. ASCII, no quotes (it is embedded verbatim in the
+    * DuckDB oracle SQL). */
+  private[ops] val SubBoiler: String =
+    "license header copyright notice all rights reserved redistribution " +
+      "and use in source and binary forms with or without modification " +
+      "are permitted provided that the above copyright notice appears " +
+      "in all copies of the software"
+
+  /** Corpus with planted cross-document spans, mirroring
+    * [[plantedCorpus]]'s simulated re-crawl: every `doc_id % 7 == 0`
+    * doc reappears (id-offset) with [[SubBoiler]] prepended. The
+    * planted docs therefore share (a) the boilerplate span with each
+    * OTHER and (b) their original text with their SOURCE doc — both are
+    * true substring duplications the operator must find. */
+  private[ops] def substringCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + SubPlantOffset).as("doc_id"),
+          concat(lit(SubBoiler), lit(" "), col("text")).as("text")))
+
+  /** Per-doc content-defined chunks: (doc_id, span_start, span_len,
+    * fp16) for every chunk of at least [[SubMinSpan]] chars. One
+    * NARROW projection chain — the native codegen'd O(len) rolling
+    * hash, cut-position selection, and chunking are all per-row HOFs
+    * over already-materialized columns (no shuffle until the caller
+    * aggregates). Cuts are 1-based char positions whose K-window hash
+    * ≡ 0 mod [[SubChunkDiv]]; position 1 is an implicit cut. Chunk i
+    * spans [cut_i, cut_{i+1}) (last chunk runs to end-of-text), so
+    * chunks tile the document exactly. Identical substrings in two
+    * docs produce identical INTERIOR cuts (the window sees only span
+    * content), hence identical chunk fingerprints — the standard CDC
+    * argument, and the reason repeated spans are detectable by a plain
+    * fingerprint groupBy instead of any pairwise comparison. */
+  private[ops] def contentChunks(corpus: DataFrame): DataFrame = {
+    val hs = corpus.filter(length(col("text")) >= SubK)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"),
+        graft.functions.RollingHashes
+          .rollingHashes(col("text"), SubK, SubBase, SubMod).as("h"))
+    val cuts = hs.select(col("doc_id"), col("text"), col("n"),
+      concat(array(lit(1)),
+        filter(
+          transform(col("h"), (x, i) =>
+            when(x % lit(SubChunkDiv) === 0 && i > 0, i + 1)),
+          x => x.isNotNull)).as("cuts"))
+    // span_len of cut i = next cut (or n+1 past the last cut) − cut i;
+    // the CASE guard keeps element_at in-bounds under ANSI
+    val spans = cuts.select(col("doc_id"), col("text"),
+      explode(transform(col("cuts"), (c, i) =>
+        struct(c.as("s"),
+          (when(i === size(col("cuts")) - 1, col("n") + 1)
+            .otherwise(element_at(col("cuts"), i + 2)) - c).as("l")))).as("sp"))
+    spans
+      .filter(col("sp.l") >= SubMinSpan)
+      .select(col("doc_id"),
+        col("sp.s").cast("long").as("span_start"),
+        col("sp.l").cast("long").as("span_len"),
+        substring(md5(col("text").substr(col("sp.s"), col("sp.l"))), 1, 16).as("fp16"))
+  }
+
+  /** Substring-overlap (cross-document repeated-span) dedup — the
+    * production dedup mode doc-level exact/MinHash/SimHash all miss:
+    * two documents sharing a 200-char boilerplate span are untouched
+    * by whole-doc dedup, but a corpus pipeline must strip the repeated
+    * span itself. Content-defined chunking (Rabin cuts over the
+    * codegen'd rolling hash) makes equal spans yield equal chunks at
+    * ALIGNED offsets regardless of surrounding text, so detection is
+    * a fingerprint groupBy — one shuffle on fp16, map-side partial
+    * agg, then one linear equi-join back on fp16. NEVER all-pairs:
+    * per-fingerprint work is O(df), bounded by [[SubDfCap]], and no
+    * self-join exists anywhere in the plan. Output: one removal row
+    * (doc_id, span_start, span_len, fp16) for every occurrence of a
+    * repeated chunk outside its keeper doc (keeper = min doc_id per
+    * fingerprint, which keeps ALL its occurrences). The DuckDB oracle
+    * replays the identical polynomial, cuts, chunking, md5
+    * fingerprints, and keeper rule over the same planted corpus, so
+    * the hash match certifies the whole pipeline exactly. */
+  val d_dedup_substring: Q = (s, d) => {
+    val chunks = contentChunks(substringCorpus(Tables.documents(s, d)))
+    val grp = chunks.groupBy("fp16")
+      .agg(min(col("doc_id")).as("keeper"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SubDfCap)
+      .select(col("fp16"), col("keeper"))
+    chunks.join(grp, "fp16")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("fp16"))
+      .orderBy(col("doc_id"), col("span_start"), col("fp16"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Near-dup corpus construction, mirroring [[d_dedup_exact]]'s
@@ -557,6 +669,7 @@ object DedupOps {
     "d_dedup_embedding" -> d_dedup_embedding,
     "d_dedup_clusters" -> d_dedup_clusters,
     "d_dedup_apply" -> d_dedup_apply,
+    "d_dedup_substring" -> d_dedup_substring,
   )
 
   val oracles: Map[String, String] = Map(
@@ -620,6 +733,51 @@ object DedupOps {
       s"""SELECT CAST(COUNT(1) AS BIGINT) AS n_exact_pairs,
          |  TRUE AS recall_ok, TRUE AS vol_ok
          |FROM (${jaccardOracle(Some(ShingleDfCap))})""".stripMargin,
+    // Exact replay of the content-defined-chunking pipeline: identical
+    // Karp-Rabin polynomial (proven replay from t_fingerprint), cut
+    // rule, tiling, md5 chunk fingerprints, keeper rule, df cap.
+    "d_dedup_substring" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $SubPlantOffset, '$SubBoiler' || ' ' || text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |hs AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    list_transform(generate_series(1, length(text) - ${SubK - 1}),
+         |      i -> list_reduce(
+         |             list_prepend(0, list_transform(generate_series(0, ${SubK - 1}),
+         |               j -> ascii(substr(text, i + j, 1)))),
+         |             (acc, x) -> (acc * $SubBase + x) % $SubMod)) AS h
+         |  FROM corpus WHERE length(text) >= $SubK),
+         |cuts AS (
+         |  SELECT doc_id, text, n,
+         |    list_prepend(1, list_filter(
+         |      list_transform(h, (x, i) ->
+         |        CASE WHEN x % $SubChunkDiv = 0 AND i > 1 THEN i ELSE NULL END),
+         |      x -> x IS NOT NULL)) AS cuts
+         |  FROM hs),
+         |chunks AS (
+         |  SELECT doc_id, text, n, cuts, unnest(generate_series(1, len(cuts))) AS i
+         |  FROM cuts),
+         |spans AS (
+         |  SELECT doc_id,
+         |    CAST(cuts[i] AS BIGINT) AS span_start,
+         |    CAST((CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i]
+         |      AS BIGINT) AS span_len,
+         |    substr(md5(substr(text, cuts[i],
+         |      (CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i])),
+         |      1, 16) AS fp16
+         |  FROM chunks
+         |  WHERE (CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i]
+         |        >= $SubMinSpan),
+         |grp AS (
+         |  SELECT fp16, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df
+         |  FROM spans GROUP BY 1)
+         |SELECT s.doc_id, s.span_start, s.span_len, s.fp16
+         |FROM spans s JOIN grp g ON s.fp16 = g.fp16
+         |WHERE s.doc_id <> g.keeper AND g.df BETWEEN 2 AND $SubDfCap
+         |ORDER BY s.doc_id, s.span_start, s.fp16""".stripMargin,
     "d_dedup_embedding" -> {
       val cos = oracleCosineSql("a.embedding", "b.embedding", SimilarityOps.Dim)
       s"""WITH corpus AS (

@@ -192,4 +192,70 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"bucketed path must not contain an all-pairs join:\n$plan")
   }
+
+  test("substring dedup: chunks tile each doc — in-bounds, disjoint, fingerprint-true") {
+    val corpus = DedupOps.substringCorpus(Tables.documents(spark, sf))
+    val lens = corpus.select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spans = DedupOps.contentChunks(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(spans.nonEmpty)
+    for ((doc, ss) <- spans) {
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, start, len) =>
+        assert(start >= 1 && start + len - 1 <= lens(doc), s"span out of bounds in doc $doc")
+        assert(len >= DedupOps.SubMinSpan)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) =>
+          assert(s1 + l1 <= s2, s"overlapping spans in doc $doc")
+        case _ =>
+      }
+    }
+  }
+
+  test("substring dedup finds the planted boilerplate span in every non-keeper planted doc") {
+    val docs = Tables.documents(spark, sf)
+    val plantedIds = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + DedupOps.SubPlantOffset).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(plantedIds.size >= 2)
+    val removals = DedupOps.d_dedup_substring(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted doc except the boiler keeper (min planted id) must
+    // lose at least one span that lies entirely inside the boilerplate
+    val boilerLen = DedupOps.SubBoiler.length.toLong
+    val withBoilerRemoval = removals
+      .filter { case (id, start, len) =>
+        plantedIds(id) && start + len - 1 <= boilerLen
+      }.map(_._1).toSet
+    assert(withBoilerRemoval == plantedIds - plantedIds.min,
+      s"missing boiler removals in ${(plantedIds - plantedIds.min) -- withBoilerRemoval}")
+    // and the keeper keeps all its occurrences: no removal in any doc
+    // that is the min doc_id of its fingerprint group (structural: the
+    // query filters doc_id =!= keeper, so assert the planted keeper has
+    // no boiler-region removal)
+    assert(!withBoilerRemoval.contains(plantedIds.min))
+  }
+
+  test("substring dedup volume witness: chunk and removal counts stay linear in the corpus") {
+    val corpus = DedupOps.substringCorpus(Tables.documents(spark, sf))
+    val nDocs = corpus.count()
+    val totalChars = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val chunks = DedupOps.contentChunks(corpus)
+    val nChunks = chunks.count()
+    // tiling bound: at most one chunk per MinSpan chars (+1 per doc)
+    assert(nChunks <= totalChars / DedupOps.SubMinSpan + nDocs,
+      s"chunk volume superlinear: $nChunks chunks over $totalChars chars")
+    // removal list is a subset of chunk occurrences — never amplified
+    val nRemovals = DedupOps.d_dedup_substring(spark, sf).count()
+    assert(nRemovals <= nChunks)
+    // df cap honored: no fingerprint appears in more docs than the cap
+    val maxDf = chunks.groupBy("fp16").agg(countDistinct(col("doc_id")).as("df"))
+      .agg(max(col("df"))).collect()(0).getLong(0)
+    assert(maxDf <= DedupOps.SubDfCap || nRemovals == 0 ||
+      DedupOps.d_dedup_substring(spark, sf).groupBy("fp16").count()
+        .agg(max(col("count"))).collect()(0).getLong(0) <= DedupOps.SubDfCap)
+  }
 }
