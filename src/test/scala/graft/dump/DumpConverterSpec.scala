@@ -89,6 +89,71 @@ class DumpConverterSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("zstd single-file input converts identically (sequential, like the reference's gzip)") {
+    val in = tmpDir("dump-zst-in")
+    val out = tmpDir("dump-zst-out")
+    val text = DumpRenderer.dump(Seq(("user", userSchema, userRows)))
+    val zo = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(
+      new java.io.FileOutputStream(s"$in/dump.sql.zst"))
+    zo.write(text.getBytes("UTF-8")); zo.close()
+    val res = DumpConverter.convert(spark, s"$in/dump.sql.zst", out)
+    assert(res.rowsWritten("user") == 3)
+    val back = spark.read.parquet(s"$out/user").collect().sortBy(_.getLong(0))
+    assert(back.toSeq == userRows)
+  }
+
+  test("zstd SHARDED input: one partition per shard file, heal across shard boundaries") {
+    // zstd is not intra-file splittable (no SplittableCompressionCodec;
+    // frame boundaries are invisible without decompressing), so the
+    // scale unit is the shard file. A 4-shard dump must (a) read as 4
+    // partitions in shard-name order and (b) convert byte-identically
+    // to the unsharded plain text — including a statement deliberately
+    // CUT ACROSS a shard boundary, which exercises the same healer as
+    // intra-file partition splits.
+    val in = tmpDir("dump-zshard-in")
+    val outPlain = tmpDir("dump-zshard-out-plain")
+    val outZ = tmpDir("dump-zshard-out-z")
+    val manyRows = (1L to 2000L).map { i =>
+      Row(i, s"user_$i", i * 1.5, ts, i % 2 == 0)
+    }
+    val text = DumpRenderer.dump(Seq(("user", userSchema, manyRows)), batchSize = 50)
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), text)
+    // shard at LINE boundaries (shard files are line-aligned, like any
+    // chunked `mysqldump | zstd` pipeline) — but put the first boundary
+    // INSIDE the multi-line CREATE TABLE block so a statement spans
+    // shard files and must be healed across them
+    val lines = text.split("\n") // text ends in \n: exact reconstruction below
+    val createStart = lines.indexWhere(_.startsWith("CREATE TABLE"))
+    assert(createStart >= 0)
+    val cut0 = createStart + 2 // mid-CREATE: statement spans shard 0 → 1
+    val rest = lines.length - cut0
+    val cuts = Seq(0, cut0, cut0 + rest / 3, cut0 + 2 * rest / 3, lines.length)
+    val shardDir = tmpDir("dump-zshard-files")
+    (0 until 4).foreach { k =>
+      val chunk = lines.slice(cuts(k), cuts(k + 1)).map(_ + "\n").mkString
+      val zo = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(
+        new java.io.FileOutputStream(f"$shardDir/dump-$k%03d.sql.zst"))
+      zo.write(chunk.getBytes("UTF-8")); zo.close()
+    }
+    val files = DumpConverter.expandInput(spark.sparkContext, shardDir)
+    assert(files.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      (0 until 4).map(k => f"dump-$k%03d.sql.zst"))
+    val rdd = DumpConverter.zstdLines(spark.sparkContext, files)
+    assert(rdd.getNumPartitions == 4)
+    val perPart = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().filter(_._2 > 0)
+    assert(perPart.length == 4, s"every shard must carry lines, got $perPart")
+
+    val resPlain = DumpConverter.convert(spark, s"$in/dump.sql", outPlain)
+    val resZ = DumpConverter.convert(spark, shardDir, outZ)
+    assert(resZ.rowsWritten("user") == 2000L)
+    assert(resZ.rowsWritten == resPlain.rowsWritten)
+    assert(resZ.droppedInserts == 0)
+    val a = spark.read.parquet(s"$outPlain/user").collect().sortBy(_.getLong(0))
+    val b = spark.read.parquet(s"$outZ/user").collect().sortBy(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("multi-table dump with interleaved inserts (supported deviation) and unknown-table drop") {
     val in = tmpDir("dump-multi-in")
     val out = tmpDir("dump-multi-out")
