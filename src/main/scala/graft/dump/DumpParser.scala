@@ -30,6 +30,12 @@ import org.apache.spark.sql.types._
   *     instead of panicking on the fixed-offset slice; fractional
   *     seconds are honored to micros instead of being sliced off.
   *     Timestamps are still interpreted as UTC wall-clock.
+  *   - DEVIATION (extends a reference bail, `line_parser.rs:256`
+  *     `Unsupported syntax for value`): charset-introducer literals
+  *     (`_binary '...'`, `_utf8mb4 '...'`) parse as their string body,
+  *     and hex literals (`0xABCD`, `X'ABCD'`) decode as UTF-8 bytes —
+  *     both appear in real mysqldump output (binary columns by default,
+  *     `--hex-blob` respectively); the reference errors the whole run.
   */
 object DumpParser extends Serializable {
 
@@ -301,10 +307,13 @@ object DumpParser extends Serializable {
     InsertInto(table, rows.result())
   }
 
-  /** One literal: NULL | TRUE | FALSE | number | 'string'. Mirrors
+  /** One literal: NULL | TRUE | FALSE | number | 'string' |
+    * `_charset 'string'` | `0xHEX` | `X'HEX'`. Mirrors
     * `line_parser.rs:224-267` — unquoted numbers without '.' are
     * integers (i64, overflow errors), with '.'/exponent are doubles,
-    * `-` negates a following number, anything else errors. */
+    * `-` negates a following number — except the introducer/hex forms
+    * (DEVIATION, see class doc): those appear in real dumps and the
+    * reference bails on them. */
   private def parseValue(c: Cursor): Any = {
     c.skipWs()
     if (c.eof) fail("expected value at end of statement")
@@ -312,8 +321,26 @@ object DumpParser extends Serializable {
       case '\'' => parseStringLiteral(c)
       case '-'  => c.i += 1; negate(parseNumber(c))
       case '+'  => c.i += 1; parseNumber(c)
+      case '0' if c.i + 1 < c.s.length &&
+          (c.s.charAt(c.i + 1) == 'x' || c.s.charAt(c.i + 1) == 'X') &&
+          c.i + 2 < c.s.length && isHex(c.s.charAt(c.i + 2)) =>
+        c.i += 2; parseHexBody(c)
       case d if d >= '0' && d <= '9' => parseNumber(c)
       case '.' => parseNumber(c)
+      case ('x' | 'X') if c.i + 1 < c.s.length && c.s.charAt(c.i + 1) == '\'' =>
+        // X'ABCD' hex-string: body is hex digits inside quotes
+        c.i += 2
+        val v = parseHexBody(c)
+        if (c.eof || c.peek != '\'') fail(s"unterminated hex string: ${c.context}")
+        c.i += 1
+        v
+      case '_' =>
+        // charset introducer (_binary, _utf8mb4, _latin1, ...): the
+        // value is the string literal that follows
+        c.word()
+        c.skipWs()
+        if (c.eof || c.peek != '\'') fail(s"expected string after charset introducer: ${c.context}")
+        parseStringLiteral(c)
       case _ =>
         val w = c.word().toUpperCase
         w match {
@@ -323,6 +350,28 @@ object DumpParser extends Serializable {
           case other   => fail(s"unsupported literal '$other': ${c.context}")
         }
     }
+  }
+
+  private def isHex(ch: Char): Boolean =
+    (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
+
+  /** Consume hex digits at the cursor and decode the byte string as
+    * UTF-8 (MySQL hex literals are binary strings; text columns read
+    * them as their encoded bytes). Odd digit counts get a leading 0,
+    * matching MySQL's X'...' semantics. */
+  private def parseHexBody(c: Cursor): String = {
+    val start = c.i
+    while (!c.eof && isHex(c.peek)) c.i += 1
+    val digits0 = c.s.substring(start, c.i)
+    if (digits0.isEmpty) return ""
+    val digits = if (digits0.length % 2 == 1) "0" + digits0 else digits0
+    val bytes = new Array[Byte](digits.length / 2)
+    var k = 0
+    while (k < bytes.length) {
+      bytes(k) = Integer.parseInt(digits.substring(2 * k, 2 * k + 2), 16).toByte
+      k += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   private def negate(v: Any): Any = v match {

@@ -18,6 +18,17 @@ package graft.dump
   * string literal can never split a statement. The reference relies on
   * mysqldump never emitting raw newlines inside literals; we keep that
   * assumption for line boundaries but not for statement boundaries.
+  *
+  * Contract boundary, pinned by `DumpConverterSpec`: a single
+  * sequential scan ([[statements]], or [[assemblePartition]] on one
+  * partition) additionally tolerates RAW newlines inside literals —
+  * the whole multi-line literal accumulates under open-quote state
+  * (the reference's reader would corrupt such input). The DISTRIBUTED
+  * path does not: a partition beginning mid-literal cannot locally
+  * determine its quote parity (the same reason no engine splits
+  * quoted multi-line CSV), so splits assume mysqldump's actual
+  * guarantee that literals never contain raw newlines. Handcrafted
+  * dumps that violate it must convert with `minPartitions = 1`.
   */
 object StatementReader {
 

@@ -250,6 +250,63 @@ class DumpConverterSpec extends AnyFunSuite {
       Row(1L + 201L, 119L + 319L))
   }
 
+  test("raw-newline literals with ');' lookalike line endings convert sequentially") {
+    // Each INSERT spans two physical lines, the first ending in `);`
+    // INSIDE an open string literal — a statement-terminator lookalike
+    // that the reference's non-quote-aware reader splits on (corrupting
+    // the dump). Our quote-aware assembler keeps the statement whole.
+    // Raw newlines inside literals are OUTSIDE the mysqldump format
+    // (mysqldump escapes them as \n), so this shape is only supported
+    // sequentially: a partition starting mid-literal cannot locally
+    // know its quote parity (the same reason nothing splits quoted
+    // multi-line CSV). The parsed value pins the documented
+    // no-separator line join ("a);" + "end" → "a);end").
+    val in = tmpDir("dump-quote-in")
+    val out = tmpDir("dump-quote-out")
+    val n = 200
+    val stmts = (1 to n).map { i =>
+      s"INSERT INTO `t` VALUES ('v$i);\n end',$i);"
+    }.mkString("\n")
+    val text =
+      s"""CREATE TABLE `t` (`s` varchar(40), `n` bigint);
+         |$stmts
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), text)
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out, minPartitions = 1)
+    assert(res.rowsWritten("t") == n)
+    assert(res.droppedInserts == 0)
+    val back = spark.read.parquet(s"$out/t").collect()
+      .map(r => (r.getLong(1), r.getString(0))).sortBy(_._1)
+    assert(back.toSeq == (1 to n).map(i => (i.toLong, s"v$i);end")))
+  }
+
+  test("multi-line statements with ');' lookalikes INSIDE literals heal across many partitions") {
+    // In-contract torture: literals stay on one line (mysqldump's
+    // guarantee) but statements span lines, every row tuple carries a
+    // `);` or `';'` lookalike inside its literal, and minPartitions=16
+    // drops boundaries between tuple lines. The healer must reassemble
+    // every statement; values must come back exact.
+    val in = tmpDir("dump-mls-in")
+    val out = tmpDir("dump-mls-out")
+    val n = 300
+    val stmts = (1 to n).map { i =>
+      s"INSERT INTO `t` VALUES\n('a$i);b',$i),\n('c\\';d-$i', ${i + 1000});"
+    }.mkString("\n")
+    val text =
+      s"""CREATE TABLE `t` (`s` varchar(40), `n` bigint);
+         |$stmts
+         |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), text)
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out, minPartitions = 16)
+    assert(res.rowsWritten("t") == 2L * n)
+    assert(res.droppedInserts == 0)
+    val back = spark.read.parquet(s"$out/t").collect()
+      .map(r => (r.getLong(1), r.getString(0))).sortBy(_._1).toSeq
+    val want = ((1 to n).map(i => (i.toLong, s"a$i);b")) ++
+      (1 to n).map(i => (i + 1000L, s"c';d-$i"))).sortBy(_._1)
+    assert(back == want)
+  }
+
   test("re-CREATE of a table wins (writer rotation, parquet_writer.rs:82-91)") {
     val in = tmpDir("dump-recreate-in")
     val out = tmpDir("dump-recreate-out")

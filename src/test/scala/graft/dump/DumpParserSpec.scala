@@ -207,4 +207,37 @@ class DumpParserSpec extends AnyFunSuite {
     val stmts = StatementReader.statements(lines.iterator).toList
     assert(stmts == List("INSERT INTO `t` VALUES ('multi;line');"))
   }
+
+  test("exotic escapes: \\0, \\Z, \\t, \\b survive a value round-trip") {
+    val ins = DumpParser.parseInsert(
+      """INSERT INTO `t` VALUES ('nul\0byte'),('eof\Zmark'),('tab\there'),('bell\bring');""")
+    assert(ins.rows.map(_(0)) == Vector(
+      "nul\u0000byte", "eof\u001amark", "tab\there", "bell\bring"))
+  }
+
+  test("charset introducers: _binary and _utf8mb4 literals parse as their string body (deviation)") {
+    // The reference bails on introducer literals (line_parser.rs:256
+    // `Unsupported syntax for value`); real mysqldump emits `_binary`
+    // for binary columns by default.
+    val ins = DumpParser.parseInsert(
+      """INSERT INTO `t` VALUES (_binary 'raw\0bytes', 1),(_utf8mb4 'héllo wörld', 2),(_latin1'tight', 3);""")
+    assert(ins.rows.map(_(0)) == Vector("raw\u0000bytes", "héllo wörld", "tight"))
+    assert(ins.rows.map(_(1)) == Vector(1L, 2L, 3L))
+  }
+
+  test("hex literals: 0xHEX and X'HEX' decode as UTF-8 bytes (deviation, --hex-blob)") {
+    val ins = DumpParser.parseInsert(
+      "INSERT INTO `t` VALUES (0x48656C6C6F, X'776F726C64', x'21', 0xA, 0, 10);")
+    assert(ins.rows.head.toSeq == Seq("Hello", "world", "!", "\n", 0L, 10L))
+    // unterminated X'... errors rather than silently truncating
+    assertThrows[DumpParser.DumpParseException](
+      DumpParser.parseInsert("INSERT INTO `t` VALUES (X'4848);"))
+  }
+
+  test("multibyte content adjacent to quote boundaries and escapes") {
+    val ins = DumpParser.parseInsert(
+      """INSERT INTO `t` VALUES ('😀'),('🦀\'🎉'),('naïve''ünïcode'),('𝕊𝕡𝕒𝕣𝕜\n𝕊𝕢𝕃');""")
+    assert(ins.rows.map(_(0)) == Vector(
+      "😀", "🦀'🎉", "naïve'ünïcode", "𝕊𝕡𝕒𝕣𝕜\n𝕊𝕢𝕃"))
+  }
 }

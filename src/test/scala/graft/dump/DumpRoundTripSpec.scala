@@ -19,11 +19,18 @@ class DumpRoundTripSpec extends AnyFunSuite {
   val genType: Gen[DataType] =
     Gen.oneOf(LongType, DoubleType, StringType, TimestampType, BooleanType)
 
-  // strings exercising the tokenizer: quotes, escapes, semicolons, unicode
+  // strings exercising the tokenizer: quotes, escapes, semicolons,
+  // unicode, and the torture corners — NUL/SUB control bytes (rendered
+  // as \0 / \Z), emoji and astral-plane chars hard against quote or
+  // escape boundaries, and `);`-lookalikes that mimic statement ends
   val genString: Gen[String] = Gen.oneOf(
     Gen.asciiPrintableStr.map(_.take(20)),
     Gen.oneOf("it's", "a;b", "c''d", "tab\there", "nl\nline", "back\\slash",
-      "quote'and;semi", "naïve-ünïcode", ""),
+      "quote'and;semi", "naïve-ünïcode", "",
+      "nul\u0000mid", "\u0000", "\u001a", "eof\u001amark\u0000",
+      "😀", "'😀", "😀'", "🦀\\🎉", "𝕊𝕡𝕒𝕣𝕜", "emoji😀);'fake",
+      "');", ");", "end);", "values (');\\n",
+      "\u0000');\u001a"),
   )
 
   def genValue(dt: DataType): Gen[Any] = {
