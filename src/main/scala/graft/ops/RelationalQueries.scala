@@ -407,6 +407,67 @@ object RelationalQueries {
     }
   }
 
+  /** TPC-H Q18's shape through the SQL front-end: `IN (GROUP BY …
+    * HAVING)` — a semi-join against an AGGREGATED subquery. The scale
+    * shape matters: Catalyst must aggregate lineitem FIRST (map-side
+    * partial sum, one shuffle on l_orderkey) and semi-join the compact
+    * keeper-key set against orders — never materialize orders × items.
+    * Quantity sums are integerized (ROUND → BIGINT) so the HAVING
+    * threshold is float-drift-proof across engines. */
+  val q_sql_having_in: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    orders(s, d).createOrReplaceTempView(s"graft_ho_$tag")
+    lineitem(s, d).createOrReplaceTempView(s"graft_hl_$tag")
+    try s.sql(
+      s"""SELECT o_orderkey, o_orderstatus,
+         |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+         |FROM graft_ho_$tag
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM graft_hl_$tag
+         |  GROUP BY l_orderkey
+         |  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150)
+         |ORDER BY o_orderkey""".stripMargin)
+    finally {
+      s.catalog.dropTempView(s"graft_ho_$tag")
+      s.catalog.dropTempView(s"graft_hl_$tag")
+    }
+  }
+
+  /** TPC-H Q21's shape through the SQL front-end: DOUBLE-correlated
+    * EXISTS + NOT EXISTS against the same fact table ("suppliers who
+    * were the ONLY supplier to return items on a multi-supplier
+    * order"; l_returnflag stands in for Q21's receipt>commit predicate
+    * — the fixture has no receipt dates). Catalyst must plan BOTH
+    * correlated subqueries as semi/anti equi-joins on l_orderkey —
+    * three passes over lineitem, zero cartesian products — which the
+    * spec plan-asserts. */
+  val q_sql_double_exists: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    orders(s, d).createOrReplaceTempView(s"graft_do_$tag")
+    lineitem(s, d).createOrReplaceTempView(s"graft_dl_$tag")
+    supplier(s, d).createOrReplaceTempView(s"graft_ds_$tag")
+    try s.sql(
+      s"""SELECT s_name, COUNT(*) AS numwait
+         |FROM graft_ds_$tag, graft_dl_$tag l1, graft_do_$tag
+         |WHERE s_suppkey = l1.l_suppkey
+         |  AND o_orderkey = l1.l_orderkey
+         |  AND o_orderstatus = 'F'
+         |  AND l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM graft_dl_$tag l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM graft_dl_$tag l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+    finally {
+      s.catalog.dropTempView(s"graft_do_$tag")
+      s.catalog.dropTempView(s"graft_dl_$tag")
+      s.catalog.dropTempView(s"graft_ds_$tag")
+    }
+  }
+
   /** SHUFFLED HASH join — the third physical equi-join strategy next
     * to broadcast (q5's dims) and sort-merge (q_bucketed_join): both
     * sides shuffle on the key but the smaller builds an in-memory hash
@@ -792,6 +853,8 @@ object RelationalQueries {
     "q_skew_join" -> q_skew_join,
     "q_shuffle_hash_join" -> q_shuffle_hash_join,
     "q_sql_exists" -> q_sql_exists,
+    "q_sql_having_in" -> q_sql_having_in,
+    "q_sql_double_exists" -> q_sql_double_exists,
     "q_percentiles" -> q_percentiles,
     "q_approx_percentile" -> q_approx_percentile,
     "q_pivot" -> q_pivot,
@@ -1068,6 +1131,30 @@ object RelationalQueries {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_having_in" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_double_exists" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
     "q_shuffle_hash_join" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents

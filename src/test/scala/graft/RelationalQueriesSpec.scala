@@ -156,6 +156,24 @@ class RelationalQueriesSpec extends AnyFunSuite {
       s"expected a skew-split sort-merge join in the final adaptive plan:\n$plan")
   }
 
+  test("SQL HAVING-IN plans as semi join against the aggregated subquery, no cartesian") {
+    val plan = ops.RelationalQueries.q_sql_having_in(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected partial aggregation of lineitem:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs join allowed:\n$plan")
+  }
+
+  test("SQL double-correlated EXISTS/NOT EXISTS plans as semi + anti equi-joins, no cartesian") {
+    val plan = ops.RelationalQueries.q_sql_double_exists(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join for EXISTS:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected a left-anti join for NOT EXISTS:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs join allowed:\n$plan")
+  }
+
   test("topk per group runs two-phase salted windows (no 3-partition global sort)") {
     val plan = ops.RelationalQueries.q_topk_per_group(spark, sf)
       .queryExecution.executedPlan.toString
