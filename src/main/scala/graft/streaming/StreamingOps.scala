@@ -259,6 +259,79 @@ object StreamingOps {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // -------------------------------------------- small-file compaction
+
+  case class CompactionResult(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** Compact a CLOSED parquet file-sink directory: the streaming sink
+    * commits files per micro-batch forever, so a 100 TB/day table
+    * accretes millions of small files and every downstream scan pays
+    * the per-file open cost. This maintenance pass reads the committed
+    * snapshot (THROUGH the sink's `_spark_metadata` log, so orphaned
+    * files from dead micro-batches are excluded), repacks it into
+    * ceil(bytes / targetFileBytes) files with `coalesce` (a narrow
+    * repack — no shuffle; row order within files may interleave but
+    * content is identical), and swaps the directory in.
+    *
+    * Exactly-once/crash argument (single-writer maintenance op, stream
+    * STOPPED or the dir a closed partition of a date-partitioned
+    * table): the rewrite goes to `<dir>.compact-tmp` and is verified
+    * row-count-equal BEFORE any destructive step; the swap is two
+    * directory renames (dir → .compact-bak, tmp → dir) and an entry
+    * check heals the only crash window (dir missing + bak present →
+    * restore bak). Readers see the old complete directory or the new
+    * complete directory, never a mix. The compacted table is
+    * FINALIZED: `_spark_metadata` does not survive (a restarted stream
+    * must target a fresh directory — the roll-over pattern: stream
+    * into today's partition, compact yesterday's). On an object store
+    * the renames become a table-format metadata commit; the read-
+    * verify-swap structure is unchanged. */
+  private[graft] def compactParquetSink(s: SparkSession, dir: String,
+                                        targetFileBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+    val d = new java.io.File(dir)
+    val bak = new java.io.File(d.getParentFile, d.getName + ".compact-bak")
+    val tmp = new java.io.File(d.getParentFile, d.getName + ".compact-tmp")
+    if (!d.exists() && bak.exists()) { // heal a crashed swap
+      if (!bak.renameTo(d)) sys.error(s"compaction recovery failed: $bak -> $d")
+    }
+    deleteRecursively(tmp); deleteRecursively(bak)
+    def dataFiles(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.filter(x =>
+        x.isFile && x.getName.endsWith(".parquet") && !x.getName.startsWith("."))
+    val before = dataFiles(d)
+    val snapshot = s.read.parquet(dir) // listed via _spark_metadata if present
+    val wantRows = snapshot.count()
+    val totalBytes = math.max(1L, before.map(_.length()).sum)
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    snapshot.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
+    val gotRows = s.read.parquet(tmp.toString).count()
+    if (gotRows != wantRows) {
+      deleteRecursively(tmp)
+      sys.error(s"compaction aborted: rewrite has $gotRows rows, snapshot had $wantRows")
+    }
+    if (!d.renameTo(bak)) sys.error(s"compaction swap failed: $d -> $bak")
+    if (!tmp.renameTo(d)) {
+      bak.renameTo(d) // roll back; the table was never incomplete
+      sys.error(s"compaction swap failed: $tmp -> $d (restored original)")
+    }
+    deleteRecursively(bak)
+    CompactionResult(before.size, dataFiles(d).size, gotRows)
+  }
+
+  /** The sink + compaction composed as a checked query: stream into a
+    * parquet sink, compact it to one file, read the compacted table —
+    * hash-matching [[tumblingOracle]] certifies the repack lost and
+    * invented nothing. */
+  val st_compact: Q = (s, d) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp_out_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmp_ckpt_")
+    try runParquetSink(s, d, out.toString, ckpt.toString)
+    finally deleteRecursively(ckpt.toFile)
+    compactParquetSink(s, out.toString): Unit
+    s.read.parquet(out.toString)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   // --------------------------------------------- stream-stream join
 
   /** Watermarked stream-stream INTERVAL join: each purchase joined to
@@ -327,6 +400,7 @@ object StreamingOps {
     "st_stream_join" -> st_stream_join,
     "st_static_join" -> st_static_join,
     "st_parquet_sink" -> st_parquet_sink,
+    "st_compact" -> st_compact,
   )
 
   private val typeWeightValues =
@@ -345,9 +419,11 @@ object StreamingOps {
       |ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // same cutoff semantics, two physical paths: memory-sink harness
-    // (st_tumbling) and the production parquet file sink
+    // same cutoff semantics, three physical paths: memory-sink harness
+    // (st_tumbling), the production parquet file sink, and the sink
+    // after small-file compaction (st_compact)
     "st_parquet_sink" -> tumblingOracle,
+    "st_compact" -> tumblingOracle,
     "st_tumbling" -> tumblingOracle,
     "st_sliding" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),

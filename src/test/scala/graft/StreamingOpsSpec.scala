@@ -113,6 +113,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       "restart must not append or change committed rows")
   }
 
+  test("sink compaction: fewer files, identical rows, idempotent, crash window heals") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cmpspec_out_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmpspec_ckpt_")
+    StreamingOps.runParquetSink(spark, sf, out.toString, ckpt.toString)
+    def files(suffix: String) = Option(out.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(suffix) && !f.getName.startsWith("."))
+    val before = spark.read.parquet(out.toString).collect().toSeq.sortBy(_.toString)
+    val nBefore = files(".parquet").size
+    assert(nBefore >= 2, s"state partitions should have committed several files, got $nBefore")
+
+    val res = StreamingOps.compactParquetSink(spark, out.toString)
+    assert(res.filesBefore == nBefore)
+    assert(res.filesAfter == 1 && files(".parquet").size == 1,
+      "a tiny table must compact to a single target-size file")
+    assert(res.rows == before.size)
+    val after = spark.read.parquet(out.toString).collect().toSeq.sortBy(_.toString)
+    assert(after == before, "compaction must not lose or invent rows")
+    // the compacted table is finalized: no streaming metadata log left
+    assert(!new java.io.File(out.toFile, "_spark_metadata").exists())
+
+    // idempotent: compacting a compacted table changes nothing
+    val res2 = StreamingOps.compactParquetSink(spark, out.toString)
+    assert(res2.filesBefore == 1 && res2.filesAfter == 1 && res2.rows == before.size)
+    assert(spark.read.parquet(out.toString).collect().toSeq.sortBy(_.toString) == before)
+
+    // crash-window recovery: simulate dying between the two swap
+    // renames (dir moved to .compact-bak, tmp not yet moved in) — the
+    // entry check must restore the backup and proceed normally
+    val bak = new java.io.File(out.toFile.getParentFile, out.toFile.getName + ".compact-bak")
+    assert(out.toFile.renameTo(bak))
+    val res3 = StreamingOps.compactParquetSink(spark, out.toString)
+    assert(res3.rows == before.size)
+    assert(spark.read.parquet(out.toString).collect().toSeq.sortBy(_.toString) == before)
+    assert(!bak.exists())
+  }
+
   test("session windows: n sums to watermark-closed prefix, gap respected") {
     val r = StreamingOps.st_session(spark, sf).collect()
     assert(r.nonEmpty)
