@@ -27,6 +27,22 @@ import graft.functions.WordShingles.wordShingles
   *   - [[p_pii_scrub]]: PII detection + redaction over text with
   *     planted contact strings; counts and scrubbed-content hashes are
   *     compared cross-engine. Narrow single-scan projection.
+  *   - [[p_cdc_apply]]: change-data-capture compaction — collapse an
+  *     insert/update/delete change stream to final table state via
+  *     `max(struct(seq, …))` per key: ONE shuffle with map-side
+  *     partial aggregation, no per-key sort (the window-function
+  *     formulation the oracle replays would sort every key group).
+  *   - [[p_url_dedup]]: URL canonicalization + keep-earliest dedup —
+  *     the crawl-curation step that collapses `?utm_…`/fragment/case/
+  *     trailing-slash variants of one page. Narrow canonicalization,
+  *     one hash shuffle.
+  *   - [[p_sequence_pack]]: greedy sequence packing — assemble
+  *     documents into fixed-capacity training sequences. Packing is a
+  *     sequential scan, so it is SHARDED: each shard's walk is
+  *     independent, shards pack in parallel, and no task ever walks
+  *     the whole corpus. The oracle replays the identical walk as a
+  *     recursive CTE — a hash match proves the distributed shard walk
+  *     equals the sequential one.
   */
 object PipelineOps {
 
@@ -179,6 +195,138 @@ object PipelineOps {
           .as("scrubbed_hash16"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------- CDC apply
+
+  /** CDC upsert/delete compaction to final table state. The change
+    * stream is PLANTED from `orders` (both engines replay the same
+    * construction): every key gets an INSERT at seq `key·10+1`; keys
+    * ≡ 0 (mod 3) get an UPDATE (+1000 cents) at `key·10+2`; keys ≡ 0
+    * (mod 7) get a DELETE at `key·10+3`. Final state = the
+    * highest-seq change per key, dropped if it is a delete.
+    *
+    * Money is integer cents (`round(price·100)` — TPC-H prices have 2
+    * decimals, so ·100 is never near a rounding boundary) to keep the
+    * cross-engine compare exact. `key·10+3` stays in Long for any key
+    * ≤ Long.MaxValue/10 — no ANSI overflow at any realistic keyspace.
+    *
+    * Scale shape: the latest-change-wins reduce is
+    * `max(struct(seq, cents))` + `count` in ONE hash aggregate —
+    * map-side partials combine before the single shuffle, and no key
+    * group is ever sorted (a `row_number` window would shuffle AND
+    * sort; `max` is associative, so skewed keys combine locally).
+    * Deletes are dropped AFTER the reduce: a delete must win over
+    * earlier updates, not vanish before the comparison. */
+  val p_cdc_apply: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val ins = base.select(col("k"), (col("k") * 10 + 1).as("seq"),
+      lit("I").as("op"), col("cents"))
+    val upd = base.filter(col("k") % 3 === 0)
+      .select(col("k"), (col("k") * 10 + 2).as("seq"),
+        lit("U").as("op"), (col("cents") + 1000).as("cents"))
+    val del = base.filter(col("k") % 7 === 0)
+      .select(col("k"), (col("k") * 10 + 3).as("seq"),
+        lit("D").as("op"), lit(null).cast("long").as("cents"))
+    ins.unionByName(upd).unionByName(del)
+      .groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("cents"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("last.seq").as("last_seq"),
+        col("last.cents").as("final_cents"), col("n_changes"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------- URL dedup
+
+  /** URL canonicalization + keep-earliest dedup. URLs are PLANTED
+    * deterministically (the corpus has no url column): doc_id maps to
+    * one of 120 logical pages dressed in four surface variants —
+    * upper/lower-case host, trailing slash, `?utm_…` tracking query,
+    * `#fragment` — so every canonical group has genuine case/suffix
+    * diversity. Canonical form = lowercase, fragment stripped, query
+    * stripped, trailing slash trimmed — `split_part`/`rtrim`/`lower`
+    * have identical semantics in Spark and DuckDB, so both engines
+    * replay the same normalization.
+    *
+    * Scale shape: canonicalization is a narrow projection; the dedup
+    * is one hash aggregate (`min` keeper + `count`) with map-side
+    * partials — the same single-shuffle shape as `d_dedup_exact`,
+    * keyed on canonical URL instead of a content hash. */
+  val p_url_dedup: Q = (s, d) => {
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 2 === 0, "WWW").otherwise("www"),
+      lit(".site"), col("doc_id") % 40,
+      lit(".Example.com/page/"), col("doc_id") % 120,
+      when(col("doc_id") % 4 === 1, "/")
+        .when(col("doc_id") % 4 === 2, "?utm_source=feed&utm_campaign=x")
+        .when(col("doc_id") % 4 === 3, "#section-2")
+        .otherwise(""))
+    val canon = lower(rtrim(
+      expr("split_part(split_part(url, '#', 1), '?', 1)"), "/"))
+    Tables.documents(s, d)
+      .withColumn("url", url)
+      .withColumn("canon_url", canon)
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy(col("canon_url"))
+  }
+
+  // --------------------------------------------------- sequence packing
+
+  /** Pack capacity in characters (n_chars stands in for tokens) and
+    * shard count of the parallel walk. */
+  private val PackCapacity = 2000L
+  private val PackShards = 8
+
+  /** Greedy sequence packing: walk documents in deterministic
+    * Knuth-mixed hash order and append each to the current pack; when
+    * it would overflow [[PackCapacity]], seal the pack and start a new
+    * one (an oversized document gets a pack of its own — the guard
+    * `cum > 0` keeps it, and the NEXT document seals it). Emits
+    * (doc_id, shard, pack_id, pack_off) — enough for a writer to
+    * materialize fixed-size training sequences.
+    *
+    * Packing is inherently sequential, so the corpus is SHARDED by
+    * `doc_id mod 8`: each shard's walk is an independent sequential
+    * scan, shards run in parallel, and pack ids are globally unique
+    * via `shard·10⁶ + pack_idx`. At 100 TB the shard count scales
+    * with the cluster; no task ever walks more than 1/S of the data.
+    * This is the one pipeline op where `mapPartitions` is the RIGHT
+    * tool (genuine per-partition imperative state): rows are hash-
+    * routed by shard and sorted (shard, k, doc_id) within partitions,
+    * so each shard is contiguous and the fold resets per shard — the
+    * result is identical no matter how shards land on partitions.
+    * The oracle replays the IDENTICAL walk as a per-shard recursive
+    * CTE; the hash match proves distributed == sequential. */
+  val p_sequence_pack: Q = (s, d) => {
+    import s.implicits._
+    val rows = Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % PackShards).cast("int").as("shard"),
+      ((col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L).as("k"),
+      col("n_chars"))
+      .as[(Long, Int, Long, Long)]
+    rows.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("k"), col("doc_id"))
+      .mapPartitions { it =>
+        var shard = -1
+        var pack = 0L
+        var cum = 0L
+        it.map { case (id, sh, _, n) =>
+          if (sh != shard) { shard = sh; pack = 0L; cum = 0L }
+          if (cum + n > PackCapacity && cum > 0) { pack += 1; cum = 0L }
+          val off = cum
+          cum += n
+          (id, sh, sh * 1000000L + pack, off)
+        }
+      }
+      .toDF("doc_id", "shard", "pack_id", "pack_off")
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -187,6 +335,9 @@ object PipelineOps {
     "p_stratified_sample" -> p_stratified_sample,
     "p_token_budget" -> p_token_budget,
     "p_pii_scrub" -> p_pii_scrub,
+    "p_cdc_apply" -> p_cdc_apply,
+    "p_url_dedup" -> p_url_dedup,
+    "p_sequence_pack" -> p_sequence_pack,
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,5 +392,61 @@ object PipelineOps {
         |  substr(sha256(regexp_replace(text2, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '[EMAIL]', 'g')), 1, 16)
         |    AS scrubbed_hash16
         |FROM t ORDER BY doc_id""".stripMargin,
+    "p_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |chg AS (
+        |  SELECT k, k*10+1 AS seq, 'I' AS op, cents FROM base
+        |  UNION ALL
+        |  SELECT k, k*10+2, 'U', cents + 1000 FROM base WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, k*10+3, 'D', NULL FROM base WHERE k % 7 = 0),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY k) AS n_changes
+        |  FROM chg)
+        |SELECT k AS o_orderkey, seq AS last_seq, cents AS final_cents,
+        |  CAST(n_changes AS BIGINT) AS n_changes
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "p_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW' ELSE 'www' END ||
+        |    '.site' || (doc_id % 40) || '.Example.com/page/' || (doc_id % 120) ||
+        |    CASE WHEN doc_id % 4 = 1 THEN '/'
+        |         WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_campaign=x'
+        |         WHEN doc_id % 4 = 3 THEN '#section-2'
+        |         ELSE '' END AS url
+        |  FROM documents)
+        |SELECT lower(rtrim(split_part(split_part(url, '#', 1), '?', 1), '/')) AS canon_url,
+        |  min(doc_id) AS keeper, count(*) AS n_dups
+        |FROM u GROUP BY 1 ORDER BY canon_url""".stripMargin,
+    "p_sequence_pack" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(doc_id % $PackShards AS INTEGER) AS shard,
+         |    ((doc_id % 1000003) * 2654435761) % 1000003 AS k
+         |  FROM documents),
+         |ordered AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rn
+         |  FROM base),
+         |walk AS (
+         |  SELECT shard, rn, doc_id,
+         |    0 AS pack_idx, CAST(0 AS BIGINT) AS pack_off, CAST(n_chars AS BIGINT) AS cum
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id,
+         |    CASE WHEN w.cum + o.n_chars > $PackCapacity AND w.cum > 0
+         |         THEN w.pack_idx + 1 ELSE w.pack_idx END,
+         |    CASE WHEN w.cum + o.n_chars > $PackCapacity AND w.cum > 0
+         |         THEN CAST(0 AS BIGINT) ELSE w.cum END,
+         |    CASE WHEN w.cum + o.n_chars > $PackCapacity AND w.cum > 0
+         |         THEN CAST(o.n_chars AS BIGINT) ELSE w.cum + o.n_chars END
+         |  FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1)
+         |SELECT doc_id, shard,
+         |  CAST(shard AS BIGINT) * 1000000 + pack_idx AS pack_id, pack_off
+         |FROM walk ORDER BY doc_id""".stripMargin,
   )
 }

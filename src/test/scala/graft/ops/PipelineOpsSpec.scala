@@ -71,6 +71,65 @@ class PipelineOpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getInt(2))).toSeq)
   }
 
+  test("cdc apply: latest change wins, deletes drop, replayed against the orders base") {
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = PipelineOps.p_cdc_apply(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // deleted keys are gone, every other key is present exactly once
+    assert(got.keySet == base.keySet.filter(_ % 7 != 0))
+    got.foreach { case (k, (seq, cents, n)) =>
+      val expectN = 1L + (if (k % 3 == 0) 1 else 0) + (if (k % 7 == 0) 1 else 0)
+      assert(n == expectN, s"n_changes for $k")
+      if (k % 3 == 0) { assert(seq == k * 10 + 2); assert(cents == base(k) + 1000) }
+      else { assert(seq == k * 10 + 1); assert(cents == base(k)) }
+    }
+  }
+
+  test("url dedup: canonical urls are normalized, groups cover the corpus, keeper is min") {
+    val r = PipelineOps.p_url_dedup(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(r.map(_.getLong(2)).sum == total, "every doc lands in exactly one group")
+    r.foreach { row =>
+      val u = row.getString(0)
+      assert(u == u.toLowerCase, s"not lowercased: $u")
+      assert(!u.contains('?') && !u.contains('#') && !u.endsWith("/"), s"not canonical: $u")
+      assert(u.startsWith("https://www.site"), s"unexpected shape: $u")
+    }
+    // keeper really is the smallest doc_id of its canonical group
+    val keepers = r.map(row => row.getString(0) -> row.getLong(1)).toMap
+    val byCanon = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+      .groupBy(id => s"https://www.site${id % 40}.example.com/page/${id % 120}")
+    byCanon.foreach { case (canon, ids) =>
+      assert(keepers(canon) == ids.min, s"keeper for $canon")
+    }
+  }
+
+  test("sequence pack: shard walks replayed sequentially on the driver match exactly") {
+    val got = PipelineOps.p_sequence_pack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // driver-side sequential replay of the identical greedy walk
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = docs
+      .map { case (id, n) => (id, (id % 8).toInt, (id % 1000003L) * 2654435761L % 1000003L, n) }
+      .groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+        var pack = 0L; var cum = 0L
+        rows.sortBy(t => (t._3, t._1)).map { case (id, sh, _, n) =>
+          if (cum + n > 2000 && cum > 0) { pack += 1; cum = 0L }
+          val off = cum; cum += n
+          (id, sh, sh * 1000000L + pack, off)
+        }
+      }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // no pack exceeds capacity unless it is a single oversized doc
+    got.groupBy(_._3).foreach { case (packId, members) =>
+      val sz = members.map(m => docs.toMap.apply(m._1)).sum
+      assert(sz <= 2000 || members.length == 1, s"pack $packId overflows with ${members.length} docs")
+    }
+  }
+
   test("pii scrub: exactly the two planted emails per doc are found and removed") {
     val r = PipelineOps.p_pii_scrub(spark, sf).collect()
     assert(r.nonEmpty)
