@@ -161,6 +161,43 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------- incremental dedup
+
+  /** Incremental (new-batch-vs-corpus) near-dedup — the daily-ingest
+    * production shape: docs with `doc_id ≡ 4 (mod 5)` play today's
+    * batch, the rest the existing corpus. Candidates come from the
+    * same df-capped inverted index as [[d_ngram_jaccard]], but the
+    * join pairs OLD × NEW only — the existing corpus is never
+    * re-paired with itself (that work was done when those docs
+    * arrived), which is what makes daily dedup O(batch), not
+    * O(corpus). The batch side of the index is explicitly
+    * `broadcast`: a day's shingles are MBs against a corpus of TBs,
+    * so every corpus partition probes a local map and the corpus
+    * index is never shuffled at all. Exact Jaccard ≥ 0.5 verifies
+    * candidates, as everywhere in the family. */
+  val d_dedup_incremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 5 === 4
+    val all = shingleIndex(docs)
+    val keep = all.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select("s")
+    val sh = all.join(keep, "s").select("doc_id", "s")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.filter(!isNew).as("a")
+      .join(broadcast(sh.filter(isNew).as("b")), col("a.s") === col("b.s"))
+      .groupBy(col("b.doc_id").as("doc_new"), col("a.doc_id").as("doc_old"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_new"), col("n").as("nn")), "doc_new")
+      .join(sizes.select(col("doc_id").as("doc_old"), col("n").as("no")), "doc_old")
+      .withColumn("u", col("nn") + col("no") - col("c"))
+      .filter(col("c") * lit(2) >= col("u"))
+      .select(col("doc_new"), col("doc_old"),
+        round(lit(1000000.0) * col("c") / col("u")).cast("long").as("jac_e6"))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   // ------------------------------------------------------------- minhash
 
   private val NumHashes = 64
@@ -664,6 +701,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> d_dedup_exact,
     "d_ngram_jaccard" -> d_ngram_jaccard,
+    "d_dedup_incremental" -> d_dedup_incremental,
     "d_dedup_minhash" -> d_dedup_minhash,
     "d_dedup_simhash" -> d_dedup_simhash,
     "d_dedup_embedding" -> d_dedup_embedding,
@@ -682,6 +720,24 @@ object DedupOps {
         |  substr(sha256(text), 1, 16) AS hash16
         |FROM corpus GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> jaccardOracle(Some(ShingleDfCap)),
+    "d_dedup_incremental" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $ShingleDfCap),
+         |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN keep ON sh0.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT b.doc_id AS doc_new, a.doc_id AS doc_old, count(*) AS c
+         |           FROM sh a JOIN sh b ON a.s = b.s
+         |            AND a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+         |           GROUP BY 1, 2)
+         |SELECT doc_new, doc_old,
+         |  CAST(ROUND(1000000.0 * c / (nn.n + no.n - c)) AS BIGINT) AS jac_e6
+         |FROM common
+         |JOIN sizes nn ON doc_new = nn.doc_id
+         |JOIN sizes no ON doc_old = no.doc_id
+         |WHERE 2 * c >= (nn.n + no.n - c)
+         |ORDER BY doc_new, doc_old""".stripMargin,
     "d_dedup_minhash" -> jaccardOracle(None),
     "d_dedup_clusters" ->
       """WITH RECURSIVE

@@ -818,6 +818,95 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  // --------------------------------------------------------- sessionize
+
+  /** Session gap: a new session starts after ≥ 12 h of user inactivity
+    * (µs — the fixture's per-user event cadence has a ~7 h median gap,
+    * so 12 h yields a genuine mix of multi-event and singleton
+    * sessions rather than one session per event). */
+  private val SessionGapUs = 43_200_000_000L
+
+  /** Batch sessionization — the gap-based `session_window` complement
+    * for historical (non-streaming) data, and the canonical
+    * CONDITIONAL-CUMULATIVE-SUM shape: `lag` flags session starts,
+    * a running `sum` over the flags numbers the sessions, and a final
+    * per-session aggregate profiles them. Three window passes over the
+    * SAME (user_id)-hash partitioning — Spark plans ONE exchange and
+    * reuses it (the orderBy re-sorts inside partitions, no reshuffle).
+    * Timestamps stay integer µs end-to-end, so the cross-engine
+    * compare is exact. At 100 TB this shuffles each user's history
+    * once; no state, no recursion — contrast `st_session`, which does
+    * the same gap logic incrementally with watermarked state. */
+  val q_sessionize: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    ev.withColumn("prev", lag(col("t_us"), 1).over(w))
+      .withColumn("is_new",
+        (col("prev").isNull || col("t_us") - col("prev") > SessionGapUs).cast("long"))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t_us")).as("start_us"), max(col("t_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  // ------------------------------------------- incremental aggregation
+
+  /** The fixture's last shipdate month — the "today's load" delta of
+    * the incremental-maintenance demo (identical across all SFs). */
+  private val MvCutoffMonth = "2001-11"
+
+  private val mvStatePrepared =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Write-once materialized partial-aggregate state over every month
+    * BEFORE the cutoff — the stored MV a production pipeline maintains
+    * instead of rescanning history. Same memoized layout pattern as
+    * [[partitionedOrdersPath]]. */
+  private[ops] def mvStatePath(s: SparkSession, d: String): String =
+    mvStatePrepared.getOrElseUpdate((s, d), {
+      val tag = Tables.layoutTag(d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mv_state_$tag"
+      monthlyPartials(lineitem(s, d)).filter(col("m") < MvCutoffMonth)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Decomposable partial aggregates per (month, returnflag): sum,
+    * sum, count — each mergeable by further summing. Integer cents /
+    * rounded quantities keep the merge law exact in cross-engine
+    * comparison. */
+  private def monthlyPartials(li: DataFrame): DataFrame =
+    li.withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(cents(col("l_extendedprice")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+
+  /** Incremental aggregate maintenance: merge the STORED partial
+    * states (all history before [[MvCutoffMonth]], read back from the
+    * write-once MV layout — history is never rescanned) with a
+    * freshly computed delta for the cutoff month, then reduce to the
+    * final per-returnflag totals. The oracle aggregates the FULL base
+    * table directly, so the hash match proves the merge law: partials
+    * over a partition of the data, re-aggregated, equal the direct
+    * aggregate. At 100 TB this is the difference between scanning one
+    * day and scanning seven years — the decomposable-aggregate
+    * contract (sum/count/min/max, avg as sum÷count) is what makes
+    * every nightly-rollup pipeline incremental. */
+  val q_incremental_agg: Q = (s, d) => {
+    val old = s.read.parquet(mvStatePath(s, d))
+    val delta = monthlyPartials(lineitem(s, d)).filter(col("m") === MvCutoffMonth)
+    old.unionByName(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("qty")).as("qty"),
+        sum(col("n")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -853,6 +942,8 @@ object RelationalQueries {
     "q_skew_join" -> q_skew_join,
     "q_shuffle_hash_join" -> q_shuffle_hash_join,
     "q_sql_exists" -> q_sql_exists,
+    "q_sessionize" -> q_sessionize,
+    "q_incremental_agg" -> q_incremental_agg,
     "q_sql_having_in" -> q_sql_having_in,
     "q_sql_double_exists" -> q_sql_double_exists,
     "q_percentiles" -> q_percentiles,
@@ -866,6 +957,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+         |f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+         |                       OR t_us - lag(t_us) OVER w > $SessionGapUs
+         |                     THEN 1 ELSE 0 END AS is_new
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+         |        ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM f)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  COUNT(*) AS n_events, MIN(t_us) AS start_us, MAX(t_us) AS end_us
+         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_scan_pushdown" ->
       """SELECT p_partkey, p_brand, p_size FROM part
         |WHERE p_size >= 25 AND p_type = 'PROMO' ORDER BY p_partkey""".stripMargin,

@@ -34,6 +34,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(mh == exactPairs)
   }
 
+  test("incremental dedup: exactly the full-corpus pairs that straddle the batch split") {
+    val inc = DedupOps.d_dedup_incremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.nonEmpty, "fixture must have near-dup pairs straddling the batch split")
+    // every incremental hit pairs one new doc with one old doc
+    inc.foreach { case (dn, dold) =>
+      assert(dn % 5 == 4 && dold % 5 != 4, s"($dn, $dold) does not straddle the split")
+    }
+    // agreement with the full self-join ground truth, restricted to straddling pairs
+    val straddling = exactPairs.collect {
+      case (a, b) if a % 5 == 4 && b % 5 != 4 => (a, b)
+      case (a, b) if b % 5 == 4 && a % 5 != 4 => (b, a)
+    }
+    assert(inc == straddling, s"incremental=$inc vs full-restricted=$straddling")
+    // the batch index side is broadcast: the corpus index is never shuffled
+    // to pair with itself
+    val plan = DedupOps.d_dedup_incremental(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"batch side should broadcast:\n$plan")
+  }
+
   test("minhash signatures are 64 longs and deterministic across runs") {
     val sigs = DedupOps.minhashSignatures(Tables.documents(spark, sf))
     assert(sigs.select(size(col("sig"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))

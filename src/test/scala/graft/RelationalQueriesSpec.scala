@@ -181,4 +181,45 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(plan.split("RunningWindowFunction|Window ").length - 1 >= 2,
       s"expected two window phases in:\n$plan")
   }
+
+  test("sessionize: sessions partition each user's events with gaps only at boundaries") {
+    val sess = ops.RelationalQueries.q_sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nEvents = ops.Tables.events(spark, sf).count()
+    assert(sess.map(_._3).sum == nEvents, "sessions must cover every event exactly once")
+    assert(sess.exists(_._3 > 1), "fixture must yield at least one multi-event session")
+    sess.groupBy(_._1).foreach { case (user, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq, s"session idx gap for $user")
+      // consecutive sessions are separated by MORE than the gap; within a
+      // session start <= end
+      ordered.foreach { case (_, _, _, st, en) => assert(st <= en) }
+      ordered.sliding(2).foreach {
+        case Array((_, _, _, _, prevEnd), (_, _, _, nextStart, _)) =>
+          assert(nextStart - prevEnd > 43_200_000_000L, s"adjacent sessions too close for $user")
+        case _ =>
+      }
+    }
+    // one exchange: all three windows + the final agg share the user_id keying
+    val plan = ops.RelationalQueries.q_sessionize(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"sessionize should reuse the user_id partitioning:\n$plan")
+  }
+
+  test("incremental agg: stored partials + delta equal the direct full aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = ops.RelationalQueries.q_incremental_agg(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val direct = ops.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == direct, "merged MV state must equal the direct aggregate")
+    // the merge path reads the stored state, not the base table history:
+    // its scan of lineitem is only the delta month
+    val deltaRows = ops.Tables.lineitem(spark, sf)
+      .filter(date_format(col("l_shipdate"), "yyyy-MM") === "2001-11").count()
+    assert(deltaRows > 0, "fixture must have rows in the delta month")
+  }
 }
