@@ -853,6 +853,42 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  // ------------------------------------------------ gap fill / resample
+
+  /** Time-series resample + forward fill — regularize each user's
+    * irregular event stream onto a daily grid over their own active
+    * span, carrying the last observed value across gap days. The grid
+    * comes from `sequence(first_day, last_day)` exploded per user (a
+    * per-user span aggregate, NEVER a global calendar cross join);
+    * per-day last value is `max(struct(t_us, event_id, cents)).cents`
+    * — an associative reduce, deterministic because (user_id, ts) is
+    * unique; the carry is `last(_, ignoreNulls).over(user window)`.
+    * Grid rows per user are bounded by the time span, not the event
+    * count, and all three passes share the user_id partitioning. Money
+    * stays integer cents so the carried values compare exactly. */
+  val q_gap_fill: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("t_us"), col("event_id"),
+      to_date(col("ts")).as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("t_us"), col("event_id"), col("cents"))).as("last"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("last.cents").as("day_cents"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("ff_cents", last(col("day_cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("ff_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   // ------------------------------------------- incremental aggregation
 
   /** The fixture's last shipdate month — the "today's load" delta of
@@ -943,6 +979,7 @@ object RelationalQueries {
     "q_shuffle_hash_join" -> q_shuffle_hash_join,
     "q_sql_exists" -> q_sql_exists,
     "q_sessionize" -> q_sessionize,
+    "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
     "q_sql_having_in" -> q_sql_having_in,
     "q_sql_double_exists" -> q_sql_double_exists,
@@ -969,6 +1006,26 @@ object RelationalQueries {
          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
          |  COUNT(*) AS n_events, MIN(t_us) AS start_us, MAX(t_us) AS end_us
          |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, event_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, count(*) AS n_events,
+        |    arg_max(cents, t_us) AS day_cents
+        |  FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+        |  last_value(d.day_cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_cents
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, day""".stripMargin,
     "q_incremental_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,

@@ -206,6 +206,40 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"sessionize should reuse the user_id partitioning:\n$plan")
   }
 
+  test("gap fill: daily grid is hole-free per user and forward-fill carries the last value") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.RelationalQueries.q_gap_fill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val nEvents = ops.Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == nEvents, "per-day counts must cover every event")
+    val byUser = rows.groupBy(_._1)
+    // replay ground truth: per (user, day) count + last-value from raw events
+    val ev = ops.Tables.events(spark, sf).select(col("user_id"),
+      unix_micros(col("ts")).as("t"), to_date(col("ts")).cast("string").as("day"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    byUser.foreach { case (user, days) =>
+      val ordered = days.sortBy(_._2)
+      // contiguous calendar: every consecutive pair is exactly one day apart
+      ordered.map(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(java.time.LocalDate.parse(b) == java.time.LocalDate.parse(a).plusDays(1),
+            s"grid hole for user $user between $a and $b")
+        case _ =>
+      }
+      // forward fill: ff equals the cents of the latest event at or before the day
+      val evU = ev.filter(_._1 == user)
+      assert(evU.nonEmpty)
+      ordered.foreach { case (_, day, n, ff) =>
+        val upTo = evU.filter(_._3 <= day)
+        val expect = if (upTo.isEmpty) None else Some(upTo.maxBy(_._2)._4)
+        assert(ff == expect, s"ff for user $user day $day")
+        assert(n == evU.count(_._3 == day), s"n_events for user $user day $day")
+      }
+    }
+  }
+
   test("incremental agg: stored partials + delta equal the direct full aggregate") {
     import org.apache.spark.sql.functions._
     val got = ops.RelationalQueries.q_incremental_agg(spark, sf).collect()
