@@ -195,6 +195,56 @@ object PipelineOps {
           .as("scrubbed_hash16"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------ end-to-end curation
+
+  /** Synthetic id offset for re-crawled copies (stage 0) — far above
+    * any fixture doc_id, so survivors keep their original ids. */
+  private val RecrawlOffset = 1000000L
+  private val MinWords = 30
+
+  /** The END-TO-END curation pipeline run to its product — the
+    * composition certificate for the curation family, exactly what
+    * [[graft.ops.DedupOps.d_dedup_apply]] is for dedup. Stages, in
+    * production order, over a simulated re-crawl (src0 re-ingested
+    * under synthetic ids so the dedup stage is non-vacuous):
+    *
+    *   1. quality gate — keep docs with ≥ [[MinWords]] words (the
+    *      cheap narrow filter runs FIRST, shrinking everything after);
+    *   2. exact dedup — keep the min-id copy per sha2(text) group;
+    *   3. decontamination — drop benchmark docs (the `%97` probe
+    *      slice) and anything sharing an 8-gram shingle with them
+    *      (broadcast probe set, as in [[p_decontaminate]]);
+    *   4. mixture sampling — the [[p_mixture_sample]] hash rule.
+    *
+    * One DuckDB hash over the surviving (doc_id, source) set certifies
+    * the whole composition: stage order, each stage's semantics, and
+    * the re-crawl construction. Every stage is a narrow filter, a
+    * single hash aggregate, or a broadcast semi/anti join — the
+    * composition adds no shuffle beyond its parts. */
+  val p_curate_apply: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(docs.filter(col("source") === "src0")
+        .select((col("doc_id") + RecrawlOffset).as("doc_id"), col("text"), col("source")))
+    val quality = corpus.filter(size(split(col("text"), " ")) >= MinWords)
+    val keepers = quality.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
+    val probeSh = docs.filter(col("doc_id") % ProbeMod === 0)
+      .select(explode(wordShingles(col("text"), ShingleN)).as("s8"))
+      .distinct()
+    val docSh = deduped.select(col("doc_id"),
+      explode(wordShingles(col("text"), ShingleN)).as("s8"))
+    val contaminated = docSh.join(broadcast(probeSh), "s8").select("doc_id").distinct()
+    val clean = deduped.filter(col("doc_id") % ProbeMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    clean
+      .filter((col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L % 1000L < quota)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- CDC apply
 
   /** CDC upsert/delete compaction to final table state. The change
@@ -338,6 +388,7 @@ object PipelineOps {
     "p_cdc_apply" -> p_cdc_apply,
     "p_url_dedup" -> p_url_dedup,
     "p_sequence_pack" -> p_sequence_pack,
+    "p_curate_apply" -> p_curate_apply,
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,6 +443,31 @@ object PipelineOps {
         |  substr(sha256(regexp_replace(text2, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '[EMAIL]', 'g')), 1, 16)
         |    AS scrubbed_hash16
         |FROM t ORDER BY doc_id""".stripMargin,
+    "p_curate_apply" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $RecrawlOffset, text, source FROM documents WHERE source = 'src0'),
+         |q AS (SELECT * FROM corpus WHERE len(string_split(text, ' ')) >= $MinWords),
+         |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+         |dd AS (SELECT q.* FROM q JOIN k ON q.doc_id = k.doc_id),
+         |pwords AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % $ProbeMod = 0),
+         |pidx AS (SELECT w, unnest(generate_series(1, len(w) - ${ShingleN - 1})) AS i FROM pwords),
+         |probe AS (SELECT DISTINCT ${(0 until ShingleN).map(j => s"w[i+$j]").mkString(" || ' ' || ")} AS s8 FROM pidx),
+         |dwords AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+         |didx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${ShingleN - 1})) AS i FROM dwords),
+         |dsh AS (SELECT DISTINCT doc_id, ${(0 until ShingleN).map(j => s"w[i+$j]").mkString(" || ' ' || ")} AS s8 FROM didx),
+         |contam AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN probe ON dsh.s8 = probe.s8),
+         |clean AS (
+         |  SELECT * FROM dd
+         |  WHERE doc_id % $ProbeMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT doc_id, source FROM clean
+         |WHERE (((doc_id % 1000003) * 2654435761) % 1000003) % 1000 <
+         |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
+         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+         |       ELSE 200 END
+         |ORDER BY doc_id""".stripMargin,
     "p_cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -130,6 +130,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curate apply: every stage bites and survivors pass all four gates") {
+    val survivors = PipelineOps.p_curate_apply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(survivors.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // driver-side replay of the funnel
+    val corpus = docs ++ docs.filter(_._3 == "src0").map(t => (t._1 + 1000000L, t._2, t._3))
+    val quality = corpus.filter(_._2.split(" ", -1).length >= 30)
+    assert(quality.length < corpus.length, "quality gate must drop short docs")
+    val keepers = quality.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+    assert(keepers.length < quality.length, "dedup must drop re-crawled copies")
+    def shingles(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val probe = docs.filter(_._1 % 97 == 0).flatMap(t => shingles(t._2)).toSet
+    val clean = keepers.filter(t => t._1 % 97 != 0 && (shingles(t._2) & probe).isEmpty)
+    assert(clean.length < keepers.length, "decontamination must drop probe-overlapping docs")
+    def bucket(id: Long) = (id % 1000003L) * 2654435761L % 1000003L % 1000L
+    def q(src: String) =
+      if (Set("src0","src1","src2","src3","src4")(src)) 900L
+      else if (Set("src5","src6","src7","src8","src9")(src)) 500L else 200L
+    val expect = clean.filter(t => bucket(t._1) < q(t._3)).map(t => (t._1, t._3)).sortBy(_._1)
+    assert(expect.length < clean.length, "mixture sampling must drop over-quota docs")
+    assert(survivors.toSeq == expect, "funnel composition must match the driver replay")
+  }
+
   test("pii scrub: exactly the two planted emails per doc are found and removed") {
     val r = PipelineOps.p_pii_scrub(spark, sf).collect()
     assert(r.nonEmpty)
