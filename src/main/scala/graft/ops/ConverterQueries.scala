@@ -213,12 +213,44 @@ object ConverterQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** XML sink + source round-trip over `nation ⋈ region` — Spark 4's
+    * BUILT-IN xml datasource (the spark-xml module merged upstream),
+    * the interchange format enterprise feeds still deliver. Explicit
+    * `rowTag`, distributed write, explicit schema on read (inference
+    * would scan twice); one escaped free-text column (`n_comment`-like
+    * synthetic payload carrying `<`, `&`, quotes) exercises the
+    * writer's entity escaping and the reader's unescaping, the same
+    * way the JSONL round-trip stresses string escaping. The oracle
+    * aggregates the ORIGINAL parquet tables. */
+  val src_xml_roundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types._
+    val path = layout(s, d, "xml_nation") { p =>
+      Tables.nation(s, d)
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("r_name"),
+          concat(lit("<tag> & \""), col("n_name"), lit("\" 'x' </tag>")).as("payload"))
+        .write.mode("overwrite").option("rowTag", "nation").format("xml").save(p)
+    }
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("r_name", StringType), StructField("payload", StringType)))
+    s.read.schema(schema).option("rowTag", "nation").format("xml").load(path)
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("n_name")).as("n_nations"),
+        sum(length(col("payload"))).as("payload_len"),
+        min(col("n_nationkey")).as("min_key"))
+      .orderBy(col("r_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
     "src_jsonl_roundtrip" -> src_jsonl_roundtrip,
     "src_csv_roundtrip" -> src_csv_roundtrip,
     "src_orc_roundtrip" -> src_orc_roundtrip,
+    "src_xml_roundtrip" -> src_xml_roundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,6 +271,13 @@ object ConverterQueries {
         |  CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_months,
         |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_xml_roundtrip" ->
+      """SELECT r_name, COUNT(1) AS n,
+        |  CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nations,
+        |  CAST(SUM(len('<tag> & "' || n_name || '" ''x'' </tag>')) AS BIGINT) AS payload_len,
+        |  CAST(MIN(n_nationkey) AS BIGINT) AS min_key
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "src_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
