@@ -351,9 +351,14 @@ object PipelineOps {
     * result is identical no matter how shards land on partitions.
     * The oracle replays the IDENTICAL walk as a per-shard recursive
     * CTE; the hash match proves distributed == sequential. */
-  val p_sequence_pack: Q = (s, d) => {
+  val p_sequence_pack: Q = (s, d) => sequencePack(s, Tables.documents(s, d))
+
+  /** Packing core over any (doc_id, n_chars) frame — split out so the
+    * property spec can drive it with adversarial synthetic corpora
+    * (oversized docs, zero-length docs, huge ids). */
+  private[ops] def sequencePack(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val rows = Tables.documents(s, d).select(
+    val rows = docs.select(
       col("doc_id"),
       (col("doc_id") % PackShards).cast("int").as("shard"),
       ((col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L).as("k"),

@@ -853,6 +853,33 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  // -------------------------------------------------- moving average
+
+  /** 7-day moving aggregate per user over DAILY totals with a true
+    * RANGE frame (`rangeBetween(-6, 0)` on day number): on sparse
+    * days a range frame covers the calendar window while a rows frame
+    * would grab the last 7 OBSERVATIONS however far back they reach —
+    * the distinction this query exists to pin. Emits the integer sum
+    * and the in-window day count (avg = sum ÷ n for the reader) so
+    * the cross-engine compare stays exact. Same one-exchange shape as
+    * the other user_id window queries. */
+  val q_moving_avg: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day_no"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("day_cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_no"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7_cents_sum", sum(col("day_cents")).over(w))
+      .withColumn("ma7_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("day_no"), col("day_cents"),
+        col("ma7_cents_sum"), col("ma7_n"))
+      .orderBy(col("user_id"), col("day_no"))
+  }
+
   // ------------------------------------------------ gap fill / resample
 
   /** Time-series resample + forward fill — regularize each user's
@@ -979,6 +1006,7 @@ object RelationalQueries {
     "q_shuffle_hash_join" -> q_shuffle_hash_join,
     "q_sql_exists" -> q_sql_exists,
     "q_sessionize" -> q_sessionize,
+    "q_moving_avg" -> q_moving_avg,
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
     "q_sql_having_in" -> q_sql_having_in,
@@ -1006,6 +1034,19 @@ object RelationalQueries {
          |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
          |  COUNT(*) AS n_events, MIN(t_us) AS start_us, MAX(t_us) AS end_us
          |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_no,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day_no, day_cents,
+        |  CAST(SUM(day_cents) OVER w AS BIGINT) AS ma7_cents_sum,
+        |  COUNT(*) OVER w AS ma7_n
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day_no
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day_no""".stripMargin,
     "q_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS t_us, event_id, CAST(ts AS DATE) AS day,

@@ -240,6 +240,25 @@ class RelationalQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("moving avg: RANGE frame covers calendar days, replayed on the driver") {
+    import org.apache.spark.sql.functions._
+    val got = ops.RelationalQueries.q_moving_avg(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.nonEmpty)
+    val daily = got.map { case ((u, d), (c, _, _)) => (u, d) -> c }.toMap
+    got.foreach { case ((u, d), (_, maSum, maN)) =>
+      val window = (d - 6 to d).flatMap(dd => daily.get((u, dd)))
+      assert(maSum == window.sum, s"range sum for user $u day $d")
+      assert(maN == window.size, s"range count for user $u day $d")
+    }
+    // the frame is genuinely RANGE: somewhere a 7-day window holds < 7 rows
+    // even though the user has >= 7 observed days in total
+    val sparse = got.groupBy(_._1._1).exists { case (_, rows) =>
+      rows.length >= 7 && rows.exists(_._2._3 < 7)
+    }
+    assert(sparse, "fixture must exercise sparse-day windows (range != rows)")
+  }
+
   test("incremental agg: stored partials + delta equal the direct full aggregate") {
     import org.apache.spark.sql.functions._
     val got = ops.RelationalQueries.q_incremental_agg(spark, sf).collect()

@@ -130,6 +130,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence pack property: distributed fold equals sequential replay on adversarial corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // oversized (> capacity 2000), exactly-capacity, zero-length, and huge
+    // ids (ANSI-overflow probes for the Knuth mix) all appear
+    val genDoc = for {
+      id <- Gen.chooseNum(0L, 4000000000L)
+      n <- Gen.oneOf(Gen.chooseNum(0L, 300L), Gen.chooseNum(1900L, 2100L),
+        Gen.const(2000L), Gen.chooseNum(2001L, 5000L))
+    } yield (id, n)
+    val genCorpus = Gen.chooseNum(1, 120).flatMap(k => Gen.listOfN(k, genDoc))
+      .map(_.distinctBy(_._1))
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val df = corpus.toDF("doc_id", "n_chars")
+      val got = PipelineOps.sequencePack(spark, df).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      val expect = corpus
+        .map { case (id, n) => (id, (id % 8).toInt, (id % 1000003L) * 2654435761L % 1000003L, n) }
+        .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+          var pack = 0L; var cum = 0L
+          rows.sortBy(t => (t._3, t._1)).map { case (id, sh, _, n) =>
+            if (cum + n > 2000 && cum > 0) { pack += 1; cum = 0L }
+            val off = cum; cum += n
+            (id, sh, sh * 1000000L + pack, off)
+          }
+        }.sortBy(_._1)
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("curate apply: every stage bites and survivors pass all four gates") {
     val survivors = PipelineOps.p_curate_apply(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
