@@ -217,6 +217,53 @@ object StreamingOps {
     drain(stats.toDF(), "update").orderBy(col("user_id"))
   }
 
+  case class CdcState(lastTus: Long, lastType: String, cents: Long, nChanges: Long)
+  case class CdcRow(user_id: Long, last_tus: Long, last_type: String,
+                    cents: Long, n_changes: Long)
+
+  /** Streaming CDC materialization — the INCREMENTAL complement of the
+    * batch `p_cdc_apply`: a change stream folded to last-write-wins
+    * table state as it arrives, with delete semantics (a terminal
+    * `error` event retires the key). State is one small case class per
+    * live key, partitioned by the group key; a production deployment
+    * adds a state TTL (`GroupStateTimeout`) to retire keys idle past
+    * the business horizon — the fixture keeps NoTimeout so the drained
+    * result is a pure function of the input. The per-batch fold keeps
+    * the max-timestamp change (order-insensitive WITHIN a batch, and
+    * monotone across batches since the state carries the running max),
+    * so the result is identical under any in-order batch slicing —
+    * the drain's final reduce (`max(struct)`) collapses per-batch
+    * update-mode rows to the last state per key, making the harness
+    * robust to multi-batch slicing too. Oracle: `arg_max` over the
+    * batch table. */
+  val st_cdc: Q = (s, d) => {
+    import s.implicits._
+    val folded = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout()) {
+        (uid, it, gs) =>
+          var st = gs.getOption.getOrElse(CdcState(Long.MinValue, "", 0L, 0L))
+          it.toArray.foreach { case (_, t, et, c) =>
+            st = if (t > st.lastTus) CdcState(t, et, c, st.nChanges + 1)
+                 else st.copy(nChanges = st.nChanges + 1)
+          }
+          gs.update(st)
+          CdcRow(uid, st.lastTus, st.lastType, st.cents, st.nChanges)
+      }
+    drain(folded.toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("last_tus"), col("n_changes"), col("last_type"),
+        col("cents"))).as("m"))
+      .filter(col("m.last_type") =!= "error")
+      .select(col("user_id"), col("m.last_tus").as("last_tus"),
+        col("m.cents").as("final_cents"), col("m.n_changes").as("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
   /** The PRODUCTION sink: the tumbling aggregation written through a
     * real `writeStream.format("parquet")` file sink (exactly-once via
     * the sink's commit log, append mode, watermark cutoff) and read
@@ -397,6 +444,7 @@ object StreamingOps {
     "st_session" -> st_session,
     "st_dedup" -> st_dedup,
     "st_custom_state" -> st_custom_state,
+    "st_cdc" -> st_cdc,
     "st_stream_join" -> st_stream_join,
     "st_static_join" -> st_static_join,
     "st_parquet_sink" -> st_parquet_sink,
@@ -466,6 +514,20 @@ object StreamingOps {
         |  CAST(COUNT(1) AS INTEGER) AS n_bursts,
         |  CAST(MAX(len) AS INTEGER) AS max_burst
         |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st_cdc" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id, max(tus) AS last_tus,
+        |    arg_max(event_type, tus) AS last_type,
+        |    arg_max(cents, tus) AS final_cents,
+        |    COUNT(*) AS n_changes
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, last_tus, final_cents, CAST(n_changes AS BIGINT) AS n_changes
+        |FROM last WHERE last_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "st_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.ts AS purchase_ts, c.ts AS click_ts

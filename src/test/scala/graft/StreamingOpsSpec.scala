@@ -34,6 +34,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(r.join(batchKeys, Seq("day", "user_id", "event_type"), "left_anti").count() == 0)
   }
 
+  test("streaming cdc: final state equals the batch last-write-wins reduce") {
+    val got = StreamingOps.st_cdc(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("tus"), col("event_type"), col("cents"))).as("m"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getStruct(1).getLong(0), r.getStruct(1).getString(1),
+        r.getStruct(1).getLong(2), r.getLong(2)))
+    val live = batch.filter(_._3 != "error")
+    assert(got.keySet == live.map(_._1).toSet, "retired keys must be absent")
+    assert(batch.exists(_._3 == "error"), "fixture must retire at least one key")
+    live.foreach { case (u, tus, _, cents, n) =>
+      assert(got(u) == ((tus, cents, n)), s"state for user $u")
+    }
+  }
+
   test("custom state: burst stats cover every user and are internally consistent") {
     val r = StreamingOps.st_custom_state(spark, sf).collect()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
