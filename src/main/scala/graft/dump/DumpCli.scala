@@ -26,10 +26,11 @@ import org.apache.spark.sql.SparkSession
   */
 object DumpCli {
 
-  private[dump] def parseArgs(args: Array[String]): (String, Option[String], Boolean) = {
+  private[dump] def parseArgs(args: Array[String]): (String, Option[String], Boolean, Boolean) = {
     var out = "."
     var input: Option[String] = None
     var strict = false
+    var quarantine = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -38,6 +39,8 @@ object DumpCli {
           out = args(i + 1); i += 2
         case "--strict-tables" =>
           strict = true; i += 1
+        case "--quarantine" =>
+          quarantine = true; i += 1
         case flag if flag.startsWith("-") =>
           throw new IllegalArgumentException(s"unknown flag $flag")
         case pos =>
@@ -45,7 +48,7 @@ object DumpCli {
           input = Some(pos); i += 1
       }
     }
-    (out, input, strict)
+    (out, input, strict, quarantine)
   }
 
   /** Stream stdin to a temp file in bounded memory (8 MB buffer, like
@@ -65,7 +68,7 @@ object DumpCli {
   }
 
   def main(args: Array[String]): Unit = {
-    val (outDir, inputArg, strict) = parseArgs(args)
+    val (outDir, inputArg, strict, quar) = parseArgs(args)
     val spark = SparkSession.builder()
       .appName("mysqldump-to-parquet")
       .config("spark.master",
@@ -82,7 +85,7 @@ object DumpCli {
       // `main.rs:63-86`): table discovery, a throttled rows-written
       // ticker, and a per-table line as each write commits.
       val res = DumpConverter.convert(spark, input, outDir,
-        strictTables = strict, progress = System.err.println)
+        strictTables = strict, progress = System.err.println, quarantine = quar)
       System.err.println(
         s"[dump] done: ${res.tables.size} table(s), " +
           s"${res.rowsWritten.values.sum} row(s), ${res.droppedInserts} dropped insert(s)")

@@ -3,7 +3,7 @@ package graft.dump
 import org.apache.spark.Partitioner
 import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** mysqldump → one Snappy parquet dir per table, the reference's whole
@@ -75,6 +75,21 @@ object DumpConverter {
 
   case class Result(tables: Seq[String], rowsWritten: Map[String, Long], droppedInserts: Long)
 
+  /** Reserved output name of the bad-row side channel (`quarantine =
+    * true`). Underscore-prefixed so it can never collide with a MySQL
+    * table name (MySQL identifiers can start with `_`, but the dump's
+    * own tables are routed by THEIR names — this pseudo-table only
+    * exists in the partitioner's index). */
+  val QuarantineTable = "_quarantine"
+
+  /** Quarantine record: which table the row was bound for, why it was
+    * rejected, and the offending raw content (row values or statement
+    * prefix) for debugging/replay. */
+  val QuarantineSchema: StructType = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("reason", StringType, nullable = false),
+    StructField("raw", StringType, nullable = false)))
+
   /** Routes (table, salt) keys so table `i` owns exactly partitions
     * [i*salts, (i+1)*salts) — the static layout PartitionPruningRDD
     * needs to read one table without touching the others. */
@@ -133,7 +148,8 @@ object DumpConverter {
   def convert(spark: SparkSession, input: String, outDir: String,
               minPartitions: Int = 1, saltsPerTable: Int = 8,
               strictTables: Boolean = false,
-              progress: String => Unit = _ => ()): Result = {
+              progress: String => Unit = _ => (),
+              quarantine: Boolean = false): Result = {
     val sc = spark.sparkContext
     val lines = {
       val files = if (isZstdName(input)) Seq(input) else expandInput(sc, input)
@@ -180,7 +196,11 @@ object DumpConverter {
         creates.sortBy(_._1)(ordering).foreach(c => seen += c._2.table)
         seen.toSeq
       }
-      val tableIndex: Map[String, Int] = tableOrder.zipWithIndex.toMap
+      // With quarantine on, the side channel owns the index slot after
+      // the real tables — same routing, pruning and write machinery.
+      val tableIndex: Map[String, Int] =
+        if (quarantine) (tableOrder :+ QuarantineTable).zipWithIndex.toMap
+        else tableOrder.zipWithIndex.toMap
 
       val body: RDD[(Pos, String)] = segs.mapPartitionsWithIndex { (pid, it) =>
         var seq = -1L
@@ -224,8 +244,31 @@ object DumpConverter {
             case Some((cpos, schema))
                 if strictOk && (pos._1 > cpos._1 || (pos._1 == cpos._1 && pos._2 > cpos._2)) =>
               val salt = (pos.hashCode & Int.MaxValue) % salts
-              DumpParser.parseInsert(s).rows.iterator
-                .map(v => ((t, salt), DumpParser.coerceRow(t, schema, v)))
+              if (!quarantine)
+                DumpParser.parseInsert(s).rows.iterator
+                  .map(v => ((t, salt), DumpParser.coerceRow(t, schema, v)))
+              else {
+                // Bad-row side channel: a malformed STATEMENT (tokenizer
+                // failure, i64 overflow) quarantines once with the
+                // statement prefix; a bad ROW in a well-formed statement
+                // quarantines just that row — the statement's other rows
+                // still land. One statement can never fail a 10-hour
+                // 100 TB ingest.
+                try DumpParser.parseInsert(s).rows.iterator.flatMap { v =>
+                  try Iterator(((t, salt), DumpParser.coerceRow(t, schema, v)))
+                  catch {
+                    case scala.util.control.NonFatal(e) =>
+                      Iterator(((QuarantineTable, salt),
+                        Row(t, e.getMessage,
+                          v.map(x => if (x == null) "NULL" else x.toString)
+                            .mkString("(", ", ", ")"))))
+                  }
+                } catch {
+                  case scala.util.control.NonFatal(e) =>
+                    Iterator(((QuarantineTable, salt),
+                      Row(t, e.getMessage, s.take(500))))
+                }
+              }
             case _ =>
               if (strictTables && !strictOk)
                 System.err.println("Received a line from an unknown table: " +
@@ -276,15 +319,19 @@ object DumpConverter {
         // authoritative (the reference's counters are exact). A count()
         // over a freshly-written snappy parquet is a column-less scan:
         // cheap relative to the write it follows.
-        val rowCounts = tableOrder.zipWithIndex.map { case (table, ti) =>
+        val writeOrder =
+          if (quarantine) tableOrder :+ QuarantineTable else tableOrder
+        val rowCounts = writeOrder.zipWithIndex.map { case (table, ti) =>
           val idx = tableIndex(table)
-          val schema = lastCreate(table)._2
+          val schema =
+            if (table == QuarantineTable) QuarantineSchema
+            else lastCreate(table)._2
           val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
           spark.createDataFrame(mine, schema)
             .write.mode("overwrite").option("compression", "snappy")
             .parquet(s"$outDir/$table")
           val n = spark.read.parquet(s"$outDir/$table").count()
-          progress(s"[dump] (${ti + 1}/${tableOrder.size}) $table: $n rows -> $outDir/$table")
+          progress(s"[dump] (${ti + 1}/${writeOrder.size}) $table: $n rows -> $outDir/$table")
           table -> n
         }.toMap
         if (dropped.value > 0)

@@ -12,14 +12,15 @@ class DumpCliSpec extends AnyFunSuite {
       |""".stripMargin
 
   test("arg parsing: -o/--output, --strict-tables, optional positional input, errors") {
-    assert(DumpCli.parseArgs(Array()) == (".", None, false))
-    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql"), false))
-    assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) == ("out", Some("in.sql"), false))
-    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None, false))
-    assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) == ("out", Some("in.sql"), false))
-    assert(DumpCli.parseArgs(Array("--strict-tables", "in.sql")) == (".", Some("in.sql"), true))
+    assert(DumpCli.parseArgs(Array()) == (".", None, false, false))
+    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql"), false, false))
+    assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) == ("out", Some("in.sql"), false, false))
+    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None, false, false))
+    assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) == ("out", Some("in.sql"), false, false))
+    assert(DumpCli.parseArgs(Array("--strict-tables", "in.sql")) == (".", Some("in.sql"), true, false))
+    assert(DumpCli.parseArgs(Array("--quarantine", "in.sql")) == (".", Some("in.sql"), false, true))
     assert(DumpCli.parseArgs(Array("in.sql", "--strict-tables", "-o", "out")) ==
-      ("out", Some("in.sql"), true))
+      ("out", Some("in.sql"), true, false))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-x")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("a", "b")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-o")))

@@ -326,4 +326,46 @@ class DumpConverterSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$out/t").collect()
     assert(back.toSeq == Seq(Row(2L, 20L)))
   }
+
+  // bad rows: NULL in NOT NULL, a statement-level i64 overflow, wrong
+  // arity, and a type mismatch — plus two good rows that must survive
+  private val quarantineDump =
+    """CREATE TABLE `q` (`id` bigint NOT NULL, `name` varchar(10), `price` double);
+      |INSERT INTO `q` VALUES (1,'a',1.5),(2,'b',2.5);
+      |INSERT INTO `q` VALUES (NULL,'c',3.5);
+      |INSERT INTO `q` VALUES (99999999999999999999,'d',4.5);
+      |INSERT INTO `q` VALUES (4,'e');
+      |INSERT INTO `q` VALUES (5,6,7.5);
+      |""".stripMargin
+
+  test("quarantine: bad rows route to the side channel, good rows land") {
+    val in = tmpDir("dump-quar-in")
+    val out = tmpDir("dump-quar-out")
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), quarantineDump)
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out, quarantine = true)
+    assert(res.rowsWritten("q") == 2, "both well-formed rows must land")
+    assert(res.rowsWritten(DumpConverter.QuarantineTable) == 4)
+    val good = spark.read.parquet(s"$out/q").collect().sortBy(_.getLong(0))
+    assert(good.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val quar = spark.read.parquet(s"$out/${DumpConverter.QuarantineTable}")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(quar.forall(_._1 == "q"))
+    assert(quar.count(_._2.contains("NULL in NOT NULL")) == 1)
+    assert(quar.count(_._2.contains("out of i64 range")) == 1,
+      s"expected one overflow entry in ${quar.map(_._2).toSeq}")
+    assert(quar.count(q => q._2.contains("values but schema has")) == 1)
+    assert(quar.count(_._2.contains("expected string")) == 1)
+    // the raw column carries enough to replay: the offending values
+    assert(quar.exists(_._3.contains("99999999999999999999")))
+  }
+
+  test("quarantine off: the same bad dump fails the job (strict default preserved)") {
+    val in = tmpDir("dump-quarfail-in")
+    val out = tmpDir("dump-quarfail-out")
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), quarantineDump)
+    val e = intercept[org.apache.spark.SparkException] {
+      DumpConverter.convert(spark, s"$in/dump.sql", out)
+    }
+    assert(e.getMessage != null)
+  }
 }
