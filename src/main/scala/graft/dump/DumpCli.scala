@@ -86,9 +86,14 @@ object DumpCli {
       // ticker, and a per-table line as each write commits.
       val res = DumpConverter.convert(spark, input, outDir,
         strictTables = strict, progress = System.err.println, quarantine = quar)
+      // `rowsWritten` includes the `_quarantine` side channel; report
+      // rejected rows separately so they never read as successful writes.
+      val quarantined = res.rowsWritten.getOrElse(DumpConverter.QuarantineTable, 0L)
+      val written = res.rowsWritten.values.sum - quarantined
       System.err.println(
         s"[dump] done: ${res.tables.size} table(s), " +
-          s"${res.rowsWritten.values.sum} row(s), ${res.droppedInserts} dropped insert(s)")
+          s"$written row(s), $quarantined quarantined, " +
+          s"${res.droppedInserts} dropped insert(s)")
     } finally cleanup.foreach(Files.deleteIfExists(_))
   }
 }

@@ -76,10 +76,11 @@ object DumpConverter {
   case class Result(tables: Seq[String], rowsWritten: Map[String, Long], droppedInserts: Long)
 
   /** Reserved output name of the bad-row side channel (`quarantine =
-    * true`). Underscore-prefixed so it can never collide with a MySQL
-    * table name (MySQL identifiers can start with `_`, but the dump's
-    * own tables are routed by THEIR names — this pseudo-table only
-    * exists in the partitioner's index). */
+    * true`). MySQL identifiers CAN legally start with `_`, so a dump
+    * could define its own `_quarantine` table; rather than silently
+    * sharing one index slot (mixed schemas, double write to the same
+    * path), [[convert]] fails fast with a clear message when the dump
+    * defines this reserved name and quarantine is enabled. */
   val QuarantineTable = "_quarantine"
 
   /** Quarantine record: which table the row was bound for, why it was
@@ -198,6 +199,9 @@ object DumpConverter {
       }
       // With quarantine on, the side channel owns the index slot after
       // the real tables — same routing, pruning and write machinery.
+      if (quarantine)
+        require(!tableOrder.contains(QuarantineTable),
+          s"dump defines reserved table `$QuarantineTable`; rename it or run without --quarantine")
       val tableIndex: Map[String, Int] =
         if (quarantine) (tableOrder :+ QuarantineTable).zipWithIndex.toMap
         else tableOrder.zipWithIndex.toMap
@@ -258,15 +262,18 @@ object DumpConverter {
                   try Iterator(((t, salt), DumpParser.coerceRow(t, schema, v)))
                   catch {
                     case scala.util.control.NonFatal(e) =>
+                      // getMessage can be null (bare NPE); the reason
+                      // column is non-nullable, so fall back to the class.
                       Iterator(((QuarantineTable, salt),
-                        Row(t, e.getMessage,
+                        Row(t, Option(e.getMessage).getOrElse(e.getClass.getName),
                           v.map(x => if (x == null) "NULL" else x.toString)
                             .mkString("(", ", ", ")"))))
                   }
                 } catch {
                   case scala.util.control.NonFatal(e) =>
                     Iterator(((QuarantineTable, salt),
-                      Row(t, e.getMessage, s.take(500))))
+                      Row(t, Option(e.getMessage).getOrElse(e.getClass.getName),
+                        s.take(500))))
                 }
               }
             case _ =>
@@ -323,8 +330,10 @@ object DumpConverter {
           if (quarantine) tableOrder :+ QuarantineTable else tableOrder
         val rowCounts = writeOrder.zipWithIndex.map { case (table, ti) =>
           val idx = tableIndex(table)
+          // `quarantine &&` matters: with the flag off, `_quarantine`
+          // is an ordinary dump table and keeps its OWN schema.
           val schema =
-            if (table == QuarantineTable) QuarantineSchema
+            if (quarantine && table == QuarantineTable) QuarantineSchema
             else lastCreate(table)._2
           val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
           spark.createDataFrame(mine, schema)

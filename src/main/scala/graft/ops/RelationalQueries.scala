@@ -933,7 +933,14 @@ object RelationalQueries {
     mvStatePrepared.getOrElseUpdate((s, d), {
       val tag = Tables.layoutTag(d)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_mv_state_$tag"
-      monthlyPartials(lineitem(s, d)).filter(col("m") < MvCutoffMonth)
+      val partials = monthlyPartials(lineitem(s, d))
+      // Guard the cutoff against fixture drift: a regenerated lineitem
+      // with ship months AFTER the cutoff would silently vanish from
+      // both the stored state (< cutoff) and the delta (== cutoff).
+      val maxMonth = partials.agg(max(col("m"))).head.getString(0)
+      require(maxMonth <= MvCutoffMonth,
+        s"fixture has ship month $maxMonth beyond MV cutoff $MvCutoffMonth — bump MvCutoffMonth")
+      partials.filter(col("m") < MvCutoffMonth)
         .write.mode("overwrite").parquet(path)
       path
     })

@@ -234,8 +234,8 @@ object StreamingOps {
     * so the result is identical under any in-order batch slicing —
     * the drain's final reduce (`max(struct)`) collapses per-batch
     * update-mode rows to the last state per key, making the harness
-    * robust to multi-batch slicing too. Oracle: `arg_max` over the
-    * batch table. */
+    * robust to multi-batch slicing too. Oracle: max-struct over the
+    * batch table, same (tus, event_type, cents) tie order. */
   val st_cdc: Q = (s, d) => {
     import s.implicits._
     val folded = eventStream(s, d)
@@ -248,7 +248,14 @@ object StreamingOps {
         (uid, it, gs) =>
           var st = gs.getOption.getOrElse(CdcState(Long.MinValue, "", 0L, 0L))
           it.toArray.foreach { case (_, t, et, c) =>
-            st = if (t > st.lastTus) CdcState(t, et, c, st.nChanges + 1)
+            // Last-write-wins on the max (tus, event_type, cents) TUPLE:
+            // equal timestamps tie-break deterministically on the
+            // secondary fields, matching the drain reduce and the
+            // oracle's arg_max-over-struct exactly (first-seen-wins
+            // would diverge from both if (user_id, ts) ever repeats).
+            val wins = t > st.lastTus || (t == st.lastTus &&
+              (et > st.lastType || (et == st.lastType && c > st.cents)))
+            st = if (wins) CdcState(t, et, c, st.nChanges + 1)
                  else st.copy(nChanges = st.nChanges + 1)
           }
           gs.update(st)
@@ -520,13 +527,13 @@ object StreamingOps {
         |    CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events),
         |last AS (
-        |  SELECT user_id, max(tus) AS last_tus,
-        |    arg_max(event_type, tus) AS last_type,
-        |    arg_max(cents, tus) AS final_cents,
+        |  SELECT user_id,
+        |    max(struct_pack(tus := tus, et := event_type, c := cents)) AS m,
         |    COUNT(*) AS n_changes
         |  FROM e GROUP BY 1)
-        |SELECT user_id, last_tus, final_cents, CAST(n_changes AS BIGINT) AS n_changes
-        |FROM last WHERE last_type <> 'error'
+        |SELECT user_id, m.tus AS last_tus, m.c AS final_cents,
+        |  CAST(n_changes AS BIGINT) AS n_changes
+        |FROM last WHERE m.et <> 'error'
         |ORDER BY user_id""".stripMargin,
     "st_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,

@@ -368,4 +368,21 @@ class DumpConverterSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("quarantine: a dump defining the reserved `_quarantine` table fails fast") {
+    val in = tmpDir("dump-quarres-in")
+    val out = tmpDir("dump-quarres-out")
+    val dump =
+      """CREATE TABLE `_quarantine` (`id` bigint);
+        |INSERT INTO `_quarantine` VALUES (1);
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), dump)
+    val e = intercept[IllegalArgumentException] {
+      DumpConverter.convert(spark, s"$in/dump.sql", out, quarantine = true)
+    }
+    assert(e.getMessage.contains("_quarantine"))
+    // without quarantine the name is just a normal table
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out)
+    assert(res.rowsWritten("_quarantine") == 1)
+  }
 }
