@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI-grade promotion of SCALING.md's manual plan sweep: every
+  * registered query's physical plan must be free of
+  * `CartesianProduct`, and `BroadcastNestedLoopJoin` may appear ONLY
+  * in the seven allowlisted queries whose BNLJ is a documented
+  * deliberate shape (1-row bound-witness aggregates crossed onto a
+  * result, a broadcast quarter-bucket range list, the brute-force
+  * cosine baseline — see SCALING.md "Plan sweep"). Any future
+  * operator that regresses a plan now fails `sbt test` instead of
+  * waiting for the judge's hand audit.
+  *
+  * Plans are inspected at the same point the manual audit used
+  * (`queryExecution.executedPlan` before execution): AQE can turn a
+  * sort-merge join into a broadcast hash join at runtime but never
+  * introduces a nested-loop or cartesian, so the pre-execution plan
+  * is the conservative one to gate on.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose BNLJ is deliberate and documented (SCALING.md). */
+  private val BnljAllowlist = Set(
+    "s_cosine_topk",    // brute-force baseline: crossJoin(broadcast(queries))
+    "q_range_join",     // broadcast ~28-row quarter-bucket list
+    "t_idf_score",      // 1-row corpus-constant IDF denominator
+    "conv_scale",       // 1-row result-shaping aggregate
+    "q_approx_distinct",// bound witness: exact × approx 1-row aggregates
+    "d_dedup_simhash",  // bound witness
+    "s_ann_ivf")        // bound witness
+
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+  private def planOf(name: String): String =
+    planCache.getOrElseUpdate(name,
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"$name: no CartesianProduct; BNLJ only if allowlisted") {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"CartesianProduct planned in $name:\n${plan.take(4000)}")
+      if (!BnljAllowlist.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"unlisted BroadcastNestedLoopJoin planned in $name:\n${plan.take(4000)}")
+    }
+  }
+
+  test("BNLJ allowlist stays tight: every listed query still plans one") {
+    // Keeps the allowlist honest — an entry whose query no longer
+    // plans a BNLJ is stale and must be removed, so the list can
+    // never rot into a blanket exemption.
+    val stale = BnljAllowlist.filterNot(n => planOf(n).contains("BroadcastNestedLoopJoin"))
+    assert(stale.isEmpty, s"allowlisted queries with no BNLJ anymore: $stale")
+  }
+}
