@@ -237,10 +237,34 @@ object DedupOps {
         graft.functions.MinHashSignature.minhashSignature(col("sh"), hashA, hashB, HashP)
           .as("sig"))
 
+  /** Docs per (band, key) bucket above which the pairwise self-join is
+    * refused — the |bucket|² skew guard of this family (ShingleDfCap /
+    * SubDfCap for the Jaccard/substring paths). A corpus with 10⁶
+    * byte-identical documents puts them all in ONE bucket of every
+    * band; uncapped, that is 10¹² candidate pairs in a single task.
+    * Over-cap buckets instead take the exact-dup route: docs grouped
+    * by FULL signature, each group paired to its min-doc_id
+    * representative only — linear candidates, and downstream
+    * CC-clustering sees the same connected components the all-pairs
+    * edges would produce. Docs in an over-cap bucket whose full
+    * signature is unique there still get their 15 other bands (a key
+    * that hot with unequal signatures is degenerate, the same
+    * no-signal argument as ShingleDfCap). Inert at the fixture scales
+    * (max sf0.1 bucket ≪ cap), so `d_dedup_minhash` keeps matching
+    * its all-pairs oracle. */
+  private[ops] val LshBucketCap = 100L
+
   /** Banded-LSH candidate pairs from signatures: fold each 4-long band
-    * to a key, self-join buckets on (band, key). */
-  private[ops] def lshCandidates(sigs: DataFrame): DataFrame = {
+    * to a key, self-join buckets on (band, key) — bounded by
+    * [[LshBucketCap]]: over-cap buckets emit representative-star pairs
+    * per full-signature group instead of the quadratic self-join.
+    * `sfull` is a 64-bit hash of the whole signature; a collision can
+    * only add a spurious candidate, which the exact-Jaccard
+    * verification downstream discards. */
+  private[ops] def lshCandidates(sigs: DataFrame,
+                                 cap: Long = LshBucketCap): DataFrame = {
     val banded = sigs.select(col("doc_id"),
+      xxhash64(col("sig")).as("sfull"),
       posexplode(
         transform(sequence(lit(0), lit(NumBands - 1)),
           k => aggregate(
@@ -250,12 +274,22 @@ object DedupOps {
             // (ANSI-safe); collisions only cost extra verified candidates
             (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L)))))
         .as(Seq("band", "key")))
-    banded.as("x")
-      .join(banded.as("y"),
+    val bucketDf = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("df"))
+    val withDf = banded.join(bucketDf, Seq("band", "key"))
+    val small = withDf.filter(col("df") <= cap)
+    val smallPairs = small.as("x")
+      .join(small.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val big = withDf.filter(col("df") > cap)
+    val reps = big.groupBy(col("band"), col("key"), col("sfull"))
+      .agg(min(col("doc_id")).as("rep"))
+    val bigPairs = big.join(reps, Seq("band", "key", "sfull"))
+      .filter(col("doc_id") > col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    smallPairs.unionByName(bigPairs).distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification

@@ -278,4 +278,39 @@ class DedupOpsSpec extends AnyFunSuite {
       DedupOps.d_dedup_substring(spark, sf).groupBy("fp16").count()
         .agg(max(col("count"))).collect()(0).getLong(0) <= DedupOps.SubDfCap)
   }
+
+  test("LSH bucket cap: 10^4 identical docs yield LINEAR candidates, not |bucket|^2") {
+    import spark.implicits._
+    val n = 10000
+    val flood = "the same document text repeated across the whole flood corpus every time"
+    // 10^4 byte-identical docs (one LSH bucket per band, far over the cap)
+    // plus one near-dup pair of distinct text that must survive via the
+    // normal under-cap path.
+    val docs = ((0 until n).map(i => (i.toLong, flood)) ++ Seq(
+      (20000L, "completely different content about spark catalyst plans and shuffles here"),
+      (20001L, "completely different content about spark catalyst plans and shuffle here")))
+      .toDF("doc_id", "text")
+    val cands = DedupOps.lshCandidates(DedupOps.minhashSignatures(docs))
+    val pairs = pairSet(cands)
+    // linear: one representative-star edge per flood doc + the near-dup
+    // pair's candidates — nothing within an order of magnitude of n^2/2
+    assert(pairs.size.toLong < 2L * n,
+      s"candidate volume not linear: ${pairs.size} pairs for $n identical docs")
+    // every flood doc still reaches the keeper (doc 0) — dedup capability intact
+    val floodPairs = pairs.filter(_._2 < n)
+    assert(floodPairs == (1 until n).map(i => (0L, i.toLong)).toSet,
+      "flood docs must each pair with the min-doc_id representative")
+    // the distinct near-dup pair is found through the ordinary path
+    assert(pairs.contains((20000L, 20001L)), "under-cap near-dup pair lost")
+  }
+
+  test("LSH bucket cap is inert at fixture scale (max bucket well under the cap)") {
+    val sigs = DedupOps.minhashSignatures(Tables.documents(spark, sf))
+    // recompute bucket widths the way lshCandidates does; the fixture
+    // must not be anywhere near the cap or d_dedup_minhash's all-pairs
+    // oracle match would silently depend on the routing
+    val cands = DedupOps.lshCandidates(sigs)
+    assert(pairSet(cands) == pairSet(DedupOps.lshCandidates(sigs, cap = Long.MaxValue)),
+      "cap changed the fixture's candidate set — it must be inert at this scale")
+  }
 }
