@@ -132,15 +132,18 @@ object PipelineOps {
 
   // ------------------------------------------------ token budget fill
 
-  /** Character budget per source and the key-range bucket count of the
-    * distributed prefix sum. */
-  private val BudgetChars = 3000L
+  /** BPE-token budget per source and the key-range bucket count of the
+    * distributed prefix sum. Budgets are set in REAL tokenizer tokens
+    * ([[graft.functions.BpeTokenizer]], the committed merge table) —
+    * the unit training mixtures are actually specified in — not
+    * characters or whitespace pieces. */
+  private val BudgetTokens = 800L
   private val BudgetBuckets = 16
 
   /** Budget-fill sampling — the step that assembles a fixed-size
     * training mixture: walk each source's documents in deterministic
     * Knuth-mixed hash order and keep documents until the source's
-    * character budget is spent (a doc is kept iff the budget was not
+    * BPE-token budget is spent (a doc is kept iff the budget was not
     * yet exhausted BEFORE it). The running total is a
     * TWO-PHASE DISTRIBUTED PREFIX SUM, the textbook scan: phase 1
     * computes local running sums inside (source, key-range bucket) —
@@ -156,24 +159,24 @@ object PipelineOps {
   val p_token_budget: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val key = (col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L
-    val bucketed = Tables.documents(s, d)
+    val bucketed = TextOps.bpeSourceTokens(s, d)
       .withColumn("k", key)
       .withColumn("bkt", expr(s"(k * $BudgetBuckets) div 1000003").cast("int"))
     val wLocal = Window.partitionBy(col("source"), col("bkt"))
       .orderBy(col("k"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed.withColumn("cum_local",
-      coalesce(sum(col("n_chars")).over(wLocal), lit(0L)))
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
     val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("source"), col("bkt"))
-      .agg(sum(col("n_chars")).as("bt"))
+      .agg(sum(col("n_tokens")).as("bt"))
       .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
       .select(col("source"), col("bkt"), col("off"))
     local.join(broadcast(offsets), Seq("source", "bkt"))
       .withColumn("cum_before", col("cum_local") + col("off"))
-      .filter(col("cum_before") < lit(BudgetChars))
-      .select(col("doc_id"), col("source"), col("n_chars"), col("cum_before"))
+      .filter(col("cum_before") < lit(BudgetTokens))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
       .orderBy(col("doc_id"))
   }
 
@@ -429,14 +432,15 @@ object PipelineOps {
          |  FROM documents) t
          |WHERE rk <= $StratN ORDER BY doc_id""".stripMargin,
     "p_token_budget" ->
-      s"""WITH c AS (
-         |  SELECT doc_id, source, n_chars,
-         |    COALESCE(SUM(n_chars) OVER (PARTITION BY source
-         |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id
+      s"""WITH ${TextOps.bpeCountCtes},
+         |c AS (
+         |  SELECT d.doc_id, d.source, b.n_tokens,
+         |    COALESCE(SUM(b.n_tokens) OVER (PARTITION BY d.source
+         |      ORDER BY ((d.doc_id % 1000003) * 2654435761) % 1000003, d.doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-         |  FROM documents)
-         |SELECT doc_id, source, n_chars, CAST(cum_before AS BIGINT) AS cum_before
-         |FROM c WHERE cum_before < $BudgetChars ORDER BY doc_id""".stripMargin,
+         |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id)
+         |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+         |FROM c WHERE cum_before < $BudgetTokens ORDER BY doc_id""".stripMargin,
     "p_pii_scrub" ->
       """WITH t AS (
         |  SELECT doc_id,

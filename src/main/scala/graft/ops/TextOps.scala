@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   *   - [[t_text_stats]]: per-language corpus statistics.
   *   - [[t_token_count]]: whitespace tokens + regex (BPE-ish piece)
   *     token counts per doc.
+  *   - [[t_bpe_tokens]]: REAL byte-level BPE token counts per doc
+  *     ([[graft.functions.BpeTokenizer]], fixed committed merge
+  *     table), oracle-replayed merge-by-merge in DuckDB.
   *   - [[t_lang_id]]: deterministic stopword-profile language ID —
   *     score = profile-token hits per language, argmax with (score
   *     desc, lang asc) tie-break, `und` when nothing matches. (The
@@ -65,6 +68,76 @@ object TextOps {
         regexp_count(col("text"), lit("[a-z]+")).as("alpha_tokens"),
         regexp_count(col("text"), lit("[a-z0-9]+")).as("piece_tokens"))
       .orderBy(col("doc_id"))
+
+  /** Per-doc token counts under the real byte-level BPE tokenizer
+    * ([[graft.functions.BpeTokenizer]], fixed committed merge table) —
+    * the unit every training-data budget is actually set in.
+    * `mapPartitions` with a per-task piece memo: each distinct word is
+    * encoded once per task, so the pass is O(corpus bytes) with a
+    * small-constant encode on cache miss; no shuffle at all before the
+    * presentation sort. The DuckDB oracle replays the merge loop
+    * exactly — merges applied once each in rank order (provably
+    * equivalent to the lowest-rank-first loop, see the tokenizer's
+    * scaladoc) via one generated `replace()` stage per committed
+    * merge over a ⟨token⟩-delimited string form. */
+  val t_bpe_tokens: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val count = graft.functions.BpeTokenizer.tokenCounter()
+        it.map { case (id, text) =>
+          (id, text.split(' ').count(_.nonEmpty), count(text))
+        }
+      }
+      .toDF("doc_id", "n_pieces", "n_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  /** One-pass (doc_id, source, n_tokens) BPE accounting over the
+    * corpus — the token source [[PipelineOps.p_token_budget]] budgets
+    * with. Same per-task memoized encode as [[t_bpe_tokens]]; carrying
+    * `source` through the map avoids a join back to documents. */
+  private[ops] def bpeSourceTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val count = graft.functions.BpeTokenizer.tokenCounter()
+        it.map { case (id, src, text) => (id, src, count(text)) }
+      }
+      .toDF("doc_id", "source", "n_tokens")
+  }
+
+  /** The generated CTE chain `s0 .. sN, bpe` computing per-doc BPE
+    * token counts in DuckDB from the SAME committed merge table the
+    * engine tokenizes with. Each token is rendered `chr(1)‖tok‖chr(2)`
+    * (wrapper chars never occur in the printable-ASCII corpus), words
+    * joined with ' ': merge rank i is then ONE non-overlapping
+    * left-to-right `replace()` — exactly leftmost-greedy merge-all,
+    * token-boundary-anchored by the wrappers, never crossing the space
+    * between words. Shared by the `t_bpe_tokens` and `p_token_budget`
+    * oracles. */
+  private[ops] def bpeCountCtes: String = {
+    val init =
+      """s0 AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(string_split(text, ' '), w -> w <> ''),
+        |    w -> array_to_string(list_transform(regexp_split_to_array(w, ''),
+        |           c -> chr(1) || c || chr(2)), '')), ' ') AS s
+        |  FROM documents)""".stripMargin
+    val stages = graft.functions.BpeTokenizer.merges.zipWithIndex.map { case ((l, r), i) =>
+      s"s${i + 1} AS (SELECT doc_id, replace(s, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), chr(1)||'$l$r'||chr(2)) AS s FROM s$i)"
+    }
+    val last = s"s${graft.functions.BpeTokenizer.merges.size}"
+    val fin =
+      s"""bpe AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN s = '' THEN 0
+         |         ELSE length(s) - length(replace(s, ' ', '')) + 1 END AS INTEGER) AS n_pieces,
+         |    CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_tokens
+         |  FROM $last)""".stripMargin
+    (init +: stages :+ fin).mkString(",\n")
+  }
 
   val t_lang_id: Q = (s, d) => {
     import s.implicits._
@@ -225,6 +298,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "t_text_stats" -> t_text_stats,
     "t_token_count" -> t_token_count,
+    "t_bpe_tokens" -> t_bpe_tokens,
     "t_lang_id" -> t_lang_id,
     "t_quality_score" -> t_quality_score,
     "t_idf_score" -> t_idf_score,
@@ -250,6 +324,9 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS piece_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_bpe_tokens" ->
+      s"""WITH $bpeCountCtes
+         |SELECT doc_id, n_pieces, n_tokens FROM bpe ORDER BY doc_id""".stripMargin,
     "t_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |prof(plang, tok) AS (VALUES $profValues),
