@@ -916,6 +916,74 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Chunk width of the skew-safe sessionize. MUST exceed
+    * [[SessionGapUs]]: then an event-free chunk implies a gap longer
+    * than the session gap, so sessions can only merge across the
+    * boundary of ADJACENT non-empty chunks and the phase-2 interval
+    * merge is complete. 2 days vs the 12 h gap. */
+  private val SessionChunkUs = 172_800_000_000L
+
+  /** Skew-safe sessionization — the window-family counterpart of
+    * [[q_skew_join]]'s AQE demo. A plain `partitionBy(user_id)` window
+    * serializes each user's whole history into one task; a bot user
+    * with 10⁸ events becomes a straggler AQE cannot split (skew
+    * handling only re-plans joins). This query PLANTS that skew —
+    * ~30 % of all events are reassigned to one bot user (-1),
+    * deterministically by `event_id % 10 < 3` — and sessionizes with
+    * the two-phase chunked formulation:
+    *
+    *   1. local sessionize within (user_id, time-chunk): the same
+    *      lag → flag → conditional-cumulative-sum shape as
+    *      [[q_sessionize]], but partitioned by (user_id, chunk) so the
+    *      bot's month splits over ~15 independent tasks, each
+    *      reducing its events to per-session summary rows;
+    *   2. merge across chunk boundaries per user: local sessions are
+    *      intervals; next.start − prev.end ≤ gap merges them (only
+    *      boundary-adjacent sessions can qualify — within a chunk
+    *      locals are separated by > gap, and an empty chunk implies a
+    *      gap > chunk > gap). This window runs on SESSION summaries,
+    *      not events — the bot contributes O(chunks + sessions) rows,
+    *      not 10⁸.
+    *
+    * Output is row-identical to the plain single-window sessionize of
+    * the same skewed input (the spec asserts it; the DuckDB oracle
+    * replays the plain form), so the hash match proves the chunked
+    * decomposition exact — scan one task's worth of any user per
+    * task, same answer. */
+  val q_sessionize_skew: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+      .withColumn("user_id",
+        when(col("event_id") % 10 < 3, lit(-1L)).otherwise(col("user_id")))
+    val chunked = ev.withColumn("chunk", floor(col("t_us") / SessionChunkUs))
+    // phase 1: per-(user, chunk) local sessions
+    val wLoc = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("t_us"), col("event_id"))
+    val locals = chunked
+      .withColumn("prev", lag(col("t_us"), 1).over(wLoc))
+      .withColumn("is_new",
+        (col("prev").isNull || col("t_us") - col("prev") > SessionGapUs).cast("long"))
+      .withColumn("loc_idx",
+        sum(col("is_new")).over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("chunk"), col("loc_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t_us")).as("start_us"), max(col("t_us")).as("end_us"))
+    // phase 2: interval-merge boundary sessions per user (summary rows)
+    val wMerge = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    val merged = locals
+      .withColumn("prev_end", lag(col("end_us"), 1).over(wMerge))
+      .withColumn("is_new",
+        (col("prev_end").isNull || col("start_us") - col("prev_end") > SessionGapUs)
+          .cast("long"))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(wMerge.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"))
+    merged.orderBy(col("user_id"), col("session_idx"))
+  }
+
   // ------------------------------------------- incremental aggregation
 
   /** The fixture's last shipdate month — the "today's load" delta of
@@ -1013,6 +1081,7 @@ object RelationalQueries {
     "q_shuffle_hash_join" -> q_shuffle_hash_join,
     "q_sql_exists" -> q_sql_exists,
     "q_sessionize" -> q_sessionize,
+    "q_sessionize_skew" -> q_sessionize_skew,
     "q_moving_avg" -> q_moving_avg,
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
@@ -1031,6 +1100,22 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+         |f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+         |                       OR t_us - lag(t_us) OVER w > $SessionGapUs
+         |                     THEN 1 ELSE 0 END AS is_new
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+         |        ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM f)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  COUNT(*) AS n_events, MIN(t_us) AS start_us, MAX(t_us) AS end_us
+         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // the oracle replays the PLAIN single-window sessionize over the
+    // same planted-skew input — the hash match proves the two-phase
+    // chunked decomposition exact
+    "q_sessionize_skew" ->
+      s"""WITH e AS (SELECT CASE WHEN event_id % 10 < 3 THEN -1 ELSE user_id END AS user_id,
+         |             epoch_us(ts) AS t_us, event_id FROM events),
          |f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
          |                       OR t_us - lag(t_us) OVER w > $SessionGapUs
          |                     THEN 1 ELSE 0 END AS is_new

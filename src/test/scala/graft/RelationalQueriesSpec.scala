@@ -206,6 +206,46 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"sessionize should reuse the user_id partitioning:\n$plan")
   }
 
+  test("sessionize_skew: chunked two-phase result equals the plain single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = ops.RelationalQueries.q_sessionize_skew(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent plain formulation over the same planted-skew input
+    val ev = ops.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+      .withColumn("user_id",
+        when(col("event_id") % 10 < 3, lit(-1L)).otherwise(col("user_id")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    val plain = ev
+      .withColumn("prev", lag(col("t_us"), 1).over(w))
+      .withColumn("is_new",
+        (col("prev").isNull || col("t_us") - col("prev") > 43_200_000_000L).cast("long"))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t_us")).as("start_us"), max(col("t_us")).as("end_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == plain.toSet, "chunked decomposition diverged from the plain window")
+    // the skew is real: the bot owns ~30% of all events
+    val nEvents = ops.Tables.events(spark, sf).count()
+    val botEvents = got.filter(_._1 == -1L).map(_._3).sum
+    assert(botEvents * 10 >= nEvents * 2 && botEvents * 10 <= nEvents * 4,
+      s"bot should own ~30% of events, got $botEvents/$nEvents")
+    // the mitigation contract: phase 1 partitions by (user_id, chunk),
+    // so the bot's history spreads over many partition keys — no task
+    // sees more than ~1/chunks of the hot user
+    val plan = ops.RelationalQueries.q_sessionize_skew(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id") && plan.contains("chunk"),
+      s"phase 1 must key the exchange by (user_id, chunk):\n${plan.take(3000)}")
+    val botChunks = ev.filter(col("user_id") === -1L)
+      .select(floor(col("t_us") / 172_800_000_000L)).distinct().count()
+    assert(botChunks >= 10, s"fixture spreads the bot over $botChunks chunks")
+  }
+
   test("gap fill: daily grid is hole-free per user and forward-fill carries the last value") {
     import org.apache.spark.sql.functions._
     val rows = ops.RelationalQueries.q_gap_fill(spark, sf).collect()
