@@ -68,6 +68,14 @@ import org.apache.spark.storage.StorageLevel
   * CURRENT section's table (the most recent CREATE TABLE of any table
   * preceding it in file order); everything else gets the reference's
   * stderr warning and is dropped.
+  *
+  * SECOND DEVIATION: multi-database dumps (`mysqldump
+  * --all-databases`) are SUPPORTED. The reference drops `USE` with the
+  * rest of the non-CREATE/INSERT statements (`main.rs:136-141`), so
+  * two databases sharing a table name silently collide; here the USE
+  * timeline qualifies every table as db/table and the output nests as
+  * `outDir/db/table`. USE-less dumps keep the flat `outDir/table`
+  * layout unchanged.
   */
 object DumpConverter {
 
@@ -90,6 +98,26 @@ object DumpConverter {
     StructField("table", StringType, nullable = false),
     StructField("reason", StringType, nullable = false),
     StructField("raw", StringType, nullable = false)))
+
+  /** Latest timeline entry at or before `pos` (binary search over a
+    * file-ordered (position, value) array) — the "current section" /
+    * "current database" lookup of strict routing and USE tracking. */
+  private def latestAt(tl: Array[(Pos, String)], pos: Pos): Option[String] = {
+    var lo = 0; var hi = tl.length - 1; var cur = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = tl(mid)._1
+      if (c._1 < pos._1 || (c._1 == pos._1 && c._2 <= pos._2)) { cur = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (cur >= 0) Some(tl(cur)._2) else None
+  }
+
+  /** "db/table" for a database-qualified table, bare name for the
+    * default database — which nests multi-db output as outDir/db/table
+    * while preserving the single-db outDir/table layout. */
+  private def qualify(db: String, table: String): String =
+    if (db.isEmpty) table else s"$db/$table"
 
   /** Routes (table, salt) keys so table `i` owns exactly partitions
     * [i*salts, (i+1)*salts) — the static layout PartitionPruningRDD
@@ -172,7 +200,7 @@ object DumpConverter {
             case t: StatementReader.Tail => Iterator((pid, Left(t: StatementReader.Seg)))
             case StatementReader.Stmt(s) =>
               seq += 1
-              if (s.startsWith("CREATE TABLE"))
+              if (s.startsWith("CREATE TABLE") || s.startsWith("USE"))
                 Iterator((pid, Right(((2L * pid + 1, seq): Pos, s))))
               else Iterator.empty
           }
@@ -182,19 +210,36 @@ object DumpConverter {
       val healed: Seq[(Pos, String)] = heal(frags)
 
       val ordering = implicitly[Ordering[Pos]]
-      val creates: Seq[(Pos, DumpParser.CreateTable)] =
-        (small.collect { case (_, Right(pc)) => pc }.toSeq ++
-          healed.filter(_._2.startsWith("CREATE TABLE")))
-          .map { case (pos, text) => (pos, DumpParser.parseCreateTable(text)) }
+      val metaStmts: Seq[(Pos, String)] =
+        small.collect { case (_, Right(pc)) => pc }.toSeq ++
+          healed.filter(s => s._2.startsWith("CREATE TABLE") || s._2.startsWith("USE"))
+      // Multi-database routing (beyond the reference, which drops
+      // USE/CREATE DATABASE, main.rs:136-141): the file-ordered USE
+      // timeline assigns every statement the database selected at its
+      // position. Tables qualify as "db/table" — nesting the output as
+      // outDir/db/table — so two databases sharing a table name never
+      // collide. A USE-less dump has an empty timeline, every table
+      // keeps its bare name, and today's outDir/table layout is
+      // preserved byte-for-byte.
+      val useTimeline: Array[(Pos, String)] = metaStmts
+        .collect { case (pos, s) if s.startsWith("USE") =>
+          (pos, DumpParser.useTarget(s)) }
+        .sortBy(_._1)(ordering).toArray
+      val creates: Seq[(Pos, String, StructType)] = metaStmts
+        .collect { case (pos, s) if s.startsWith("CREATE TABLE") =>
+          val ct = DumpParser.parseCreateTable(s)
+          val db = latestAt(useTimeline, pos).getOrElse("")
+          (pos, qualify(db, ct.table), ct.schema)
+        }
       val lastCreate: Map[String, (Pos, StructType)] =
-        creates.groupBy(_._2.table).map { case (t, cs) =>
-          val (pos, ct) = cs.maxBy(_._1)(ordering)
-          t -> (pos, ct.schema)
+        creates.groupBy(_._2).map { case (t, cs) =>
+          val (pos, _, schema) = cs.maxBy(_._1)(ordering)
+          t -> (pos, schema)
         }
       // Preserve first-appearance order for the output listing.
       val tableOrder: Seq[String] = {
         val seen = scala.collection.mutable.LinkedHashSet[String]()
-        creates.sortBy(_._1)(ordering).foreach(c => seen += c._2.table)
+        creates.sortBy(_._1)(ordering).foreach(c => seen += c._2)
         seen.toSeq
       }
       // With quarantine on, the side channel owns the index slot after
@@ -216,34 +261,25 @@ object DumpConverter {
       val all: RDD[(Pos, String)] = body.union(sc.parallelize(healed, 1))
 
       val lastCreateB = sc.broadcast(lastCreate)
-      // File-ordered (position, table) of EVERY CREATE TABLE — the
-      // "current section" timeline strict mode replays. O(#tables).
+      // File-ordered (position, qualified table) of EVERY CREATE TABLE —
+      // the "current section" timeline strict mode replays. O(#tables).
       val timelineB = sc.broadcast(
-        creates.map { case (pos, ct) => (pos, ct.table) }.sortBy(_._1)(ordering).toArray)
+        creates.map { case (pos, t, _) => (pos, t) }.sortBy(_._1)(ordering).toArray)
+      // File-ordered USE timeline for executor-side INSERT qualification.
+      val useTimelineB = sc.broadcast(useTimeline)
       val dropped = sc.longAccumulator("droppedInserts")
       val salts = math.max(1, saltsPerTable)
-
-      // Latest CREATE TABLE at or before `pos` owns the section there.
-      def currentTableAt(tl: Array[(Pos, String)], pos: Pos): Option[String] = {
-        var lo = 0; var hi = tl.length - 1; var cur = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          val c = tl(mid)._1
-          if (c._1 < pos._1 || (c._1 == pos._1 && c._2 <= pos._2)) { cur = mid; lo = mid + 1 }
-          else hi = mid - 1
-        }
-        if (cur >= 0) Some(tl(cur)._2) else None
-      }
 
       // The single parse pass: INSERT → coerced Rows keyed for routing.
       val keyed: RDD[((String, Int), Row)] = all.flatMap { case (pos, s) =>
         if (!s.startsWith("INSERT INTO")) Iterator.empty
         else {
-          val t = DumpParser.insertTarget(s)
+          val t = qualify(latestAt(useTimelineB.value, pos).getOrElse(""),
+            DumpParser.insertTarget(s))
           // Strict mode (`parquet_writer.rs:93-95`): only the current
           // section's table may receive rows; everything else warns per
           // statement on stderr and drops, like the reference.
-          val strictOk = !strictTables || currentTableAt(timelineB.value, pos).contains(t)
+          val strictOk = !strictTables || latestAt(timelineB.value, pos).contains(t)
           lastCreateB.value.get(t) match {
             case Some((cpos, schema))
                 if strictOk && (pos._1 > cpos._1 || (pos._1 == cpos._1 && pos._2 > cpos._2)) =>

@@ -282,6 +282,14 @@ object DumpParser extends Serializable {
     c.ident()
   }
 
+  /** Database name of a `USE db;` / `USE \`db\`;` statement (raw, like
+    * table names). */
+  def useTarget(stmt: String): String = {
+    val c = new Cursor(stmt)
+    c.i = "USE".length
+    c.ident()
+  }
+
   def parseInsert(stmt: String): InsertInto = {
     val c = new Cursor(stmt)
     c.i = "INSERT INTO".length

@@ -76,8 +76,16 @@ object StatementReader {
     open
   }
 
+  /** Forwarded statements: the reference keeps only CREATE TABLE /
+    * INSERT INTO (`main.rs:136-141`); we additionally forward `USE` so
+    * multi-database dumps (`mysqldump --all-databases`) route tables
+    * to per-database output dirs instead of colliding on name.
+    * `CREATE DATABASE` stays filtered — it carries no routing
+    * information beyond the `USE` that follows it and produces no
+    * output of its own. */
   private def keep(stmt: String): Boolean =
-    stmt.startsWith("CREATE TABLE") || stmt.startsWith("INSERT INTO")
+    stmt.startsWith("CREATE TABLE") || stmt.startsWith("INSERT INTO") ||
+      stmt.startsWith("USE ") || stmt.startsWith("USE`")
 
   /** Assemble statements from a line iterator (single-pass, O(1) state
     * beyond the current statement buffer — the streaming shape the

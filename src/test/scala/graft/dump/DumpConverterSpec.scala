@@ -369,6 +369,51 @@ class DumpConverterSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("multi-database dump: USE routes same-named tables to per-db output dirs") {
+    val in = tmpDir("dump-multidb-in")
+    val out = tmpDir("dump-multidb-out")
+    val dump =
+      """CREATE DATABASE `db1`;
+        |USE `db1`;
+        |CREATE TABLE `t` (`id` bigint, `name` varchar(10));
+        |INSERT INTO `t` VALUES (1,'a'),(2,'b');
+        |CREATE DATABASE `db2`;
+        |USE `db2`;
+        |CREATE TABLE `t` (`id` bigint, `price` double);
+        |INSERT INTO `t` VALUES (3,1.5);
+        |USE `db1`;
+        |INSERT INTO `t` VALUES (4,'c');
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), dump)
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out)
+    assert(res.tables == Seq("db1/t", "db2/t"))
+    assert(res.rowsWritten == Map("db1/t" -> 3L, "db2/t" -> 1L))
+    assert(res.droppedInserts == 0)
+    val t1 = spark.read.parquet(s"$out/db1/t").collect().sortBy(_.getLong(0))
+    assert(t1.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (4L, "c")))
+    val t2 = spark.read.parquet(s"$out/db2/t").collect()
+    assert(t2.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((3L, 1.5)))
+  }
+
+  test("multi-database dump heals a USE spanning partition boundaries") {
+    val in = tmpDir("dump-multidb-split-in")
+    val out = tmpDir("dump-multidb-split-out")
+    // same dump, many tiny partitions: USE/CREATE/INSERT land in
+    // different partitions and the db timeline must survive healing
+    val dump =
+      """USE `dbx`;
+        |CREATE TABLE `t` (`id` bigint);
+        |INSERT INTO `t` VALUES (1);
+        |USE `dby`;
+        |CREATE TABLE `t` (`id` bigint);
+        |INSERT INTO `t` VALUES (2),(3);
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), dump)
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out, minPartitions = 6)
+    assert(res.rowsWritten == Map("dbx/t" -> 1L, "dby/t" -> 2L))
+  }
+
   test("quarantine: a dump defining the reserved `_quarantine` table fails fast") {
     val in = tmpDir("dump-quarres-in")
     val out = tmpDir("dump-quarres-out")
