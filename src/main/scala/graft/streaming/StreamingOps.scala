@@ -93,7 +93,9 @@ object StreamingOps {
     * memory-sink temp view lives in the clone's catalog and the stream
     * plans with [[StatePartitions]] — no conf window, nothing to
     * restore. */
-  private def drain(out: DataFrame, mode: String): DataFrame = {
+  private def drain(out: DataFrame, mode: String,
+                    onDone: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())
+      : DataFrame = {
     val s = out.sparkSession
     val name = "graft_stream_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_")
@@ -103,6 +105,7 @@ object StreamingOps {
           .option("checkpointLocation", ckpt.toString)
           .outputMode(mode).trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        onDone(q)
         val result = s.table(name)
         (result.collect(), result.schema)
       } finally {
@@ -262,6 +265,74 @@ object StreamingOps {
           CdcRow(uid, st.lastTus, st.lastType, st.cents, st.nChanges)
       }
     drain(folded.toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("last_tus"), col("n_changes"), col("last_type"),
+        col("cents"))).as("m"))
+      .filter(col("m.last_type") =!= "error")
+      .select(col("user_id"), col("m.last_tus").as("last_tus"),
+        col("m.cents").as("final_cents"), col("m.n_changes").as("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Idle-key TTL for [[st_cdc_ttl]]: state for a key with no change
+    * in this horizon of event time is dropped from the store. */
+  private val CdcTtlUs = 43_200_000_000L // 12 h
+
+  /** [[st_cdc]] with the state TTL a production deployment runs —
+    * `GroupStateTimeout.EventTimeTimeout`: after folding a batch, each
+    * key arms a timeout at `last event time + 12 h`; when the
+    * watermark passes it, the group fires once more, emits its final
+    * state and `remove()`s it, so idle/retired keys LEAVE the state
+    * store instead of accumulating forever (the NoTimeout variant's
+    * documented 100 TB caveat). The emitted timeout row equals the
+    * key's last update row, so the drained result — and the DuckDB
+    * oracle — are IDENTICAL to [[st_cdc]]'s; the spec additionally
+    * asserts the store's final row count equals only the keys still
+    * inside the horizon at the terminal watermark.
+    *
+    * Trade-off (why the NoTimeout variant remains the pure-function
+    * fixture): a key expired MID-stream that later receives an event
+    * restarts its `n_changes` from zero — the standard TTL semantics
+    * (an idle key re-appearing is a new key). The fixture drains in
+    * one data batch, so expiry only fires at the terminal watermark
+    * and the equality is exact. */
+  val st_cdc_ttl: Q = (s, d) => st_cdc_ttl_run(s, d, _ => ())
+
+  private[graft] def st_cdc_ttl_run(
+      s: SparkSession, d: String,
+      onDone: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    import s.implicits._
+    val folded = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      // the watermarked `ts` attribute itself must reach the stateful
+      // operator for EventTimeTimeout to bind (tus is derived, not
+      // watermark-annotated)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.EventTimeTimeout()) {
+        (uid, it, gs) =>
+          if (gs.hasTimedOut) {
+            val st = gs.get
+            gs.remove()
+            CdcRow(uid, st.lastTus, st.lastType, st.cents, st.nChanges)
+          } else {
+            var st = gs.getOption.getOrElse(CdcState(Long.MinValue, "", 0L, 0L))
+            it.toArray.foreach { case (_, _, t, et, c) =>
+              // same deterministic (tus, event_type, cents) tie order
+              // as st_cdc — the two variants share their oracle
+              val wins = t > st.lastTus || (t == st.lastTus &&
+                (et > st.lastType || (et == st.lastType && c > st.cents)))
+              st = if (wins) CdcState(t, et, c, st.nChanges + 1)
+                   else st.copy(nChanges = st.nChanges + 1)
+            }
+            gs.update(st)
+            gs.setTimeoutTimestamp(st.lastTus / 1000L + CdcTtlUs / 1000L)
+            CdcRow(uid, st.lastTus, st.lastType, st.cents, st.nChanges)
+          }
+      }
+    drain(folded.toDF(), "update", onDone)
       .groupBy(col("user_id"))
       .agg(max(struct(col("last_tus"), col("n_changes"), col("last_type"),
         col("cents"))).as("m"))
@@ -452,6 +523,7 @@ object StreamingOps {
     "st_dedup" -> st_dedup,
     "st_custom_state" -> st_custom_state,
     "st_cdc" -> st_cdc,
+    "st_cdc_ttl" -> st_cdc_ttl,
     "st_stream_join" -> st_stream_join,
     "st_static_join" -> st_static_join,
     "st_parquet_sink" -> st_parquet_sink,
@@ -460,6 +532,21 @@ object StreamingOps {
 
   private val typeWeightValues =
     TypeWeights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+
+  private val cdcOracle =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |last AS (
+      |  SELECT user_id,
+      |    max(struct_pack(tus := tus, et := event_type, c := cents)) AS m,
+      |    COUNT(*) AS n_changes
+      |  FROM e GROUP BY 1)
+      |SELECT user_id, m.tus AS last_tus, m.c AS final_cents,
+      |  CAST(n_changes AS BIGINT) AS n_changes
+      |FROM last WHERE m.et <> 'error'
+      |ORDER BY user_id""".stripMargin
 
   private val tumblingOracle =
     """WITH m AS (SELECT max(ts) AS mx FROM events),
@@ -521,20 +608,10 @@ object StreamingOps {
         |  CAST(COUNT(1) AS INTEGER) AS n_bursts,
         |  CAST(MAX(len) AS INTEGER) AS max_burst
         |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "st_cdc" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events),
-        |last AS (
-        |  SELECT user_id,
-        |    max(struct_pack(tus := tus, et := event_type, c := cents)) AS m,
-        |    COUNT(*) AS n_changes
-        |  FROM e GROUP BY 1)
-        |SELECT user_id, m.tus AS last_tus, m.c AS final_cents,
-        |  CAST(n_changes AS BIGINT) AS n_changes
-        |FROM last WHERE m.et <> 'error'
-        |ORDER BY user_id""".stripMargin,
+    // st_cdc_ttl shares st_cdc's oracle verbatim: the TTL sheds STATE,
+    // never output (timeout rows equal the key's last update row)
+    "st_cdc_ttl" -> cdcOracle,
+    "st_cdc" -> cdcOracle,
     "st_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.ts AS purchase_ts, c.ts AS click_ts

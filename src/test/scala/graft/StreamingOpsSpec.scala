@@ -54,6 +54,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc TTL: output identical to st_cdc while the state store sheds idle keys") {
+    var stateRows = -1L
+    var drained = false
+    val got = StreamingOps.st_cdc_ttl_run(spark, sf, { q =>
+      drained = true
+      // last progress of the terminal (timeout-firing) batch
+      stateRows = q.lastProgress.stateOperators.apply(0).numRowsTotal
+    }).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(drained)
+    val noTtl = StreamingOps.st_cdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == noTtl.toSeq, "TTL must shed state, never change output")
+    // expected survivors: keys whose LAST event is within 12h of the
+    // terminal watermark (max ts - 1h); everyone else timed out and
+    // was removed from the store
+    val lastByUser = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(max(unix_micros(col("ts"))).as("last_tus"))
+    val wmUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0) - 3600L * 1000000L
+    val expectedLive = lastByUser
+      .filter(col("last_tus") / 1000L + 43_200_000L > wmUs / 1000L).count()
+    val allKeys = lastByUser.count()
+    assert(expectedLive < allKeys, "fixture must contain idle keys for the TTL to shed")
+    assert(stateRows == expectedLive,
+      s"state store holds $stateRows rows, expected $expectedLive live of $allKeys keys")
+  }
+
   test("custom state: burst stats cover every user and are internally consistent") {
     val r = StreamingOps.st_custom_state(spark, sf).collect()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
