@@ -185,9 +185,81 @@ object SimilarityOps {
           .as("recall_ge_90"))
   }
 
+  /** Per-vector int8 scalar quantization: scale = max|x|/127, stored
+    * values round(x/scale) ∈ [−127, 127]. Deterministic, no codebook
+    * to train. At 10⁹ vectors the int8 index (64 B codes + 4 B scale
+    * + 4 B norm ≈ 72 B/vector) is ~7× smaller than float32 and ~14×
+    * smaller than float64 arrays — the memory lever that decides
+    * whether a 100 TB corpus's index fits the cluster (SCALING.md
+    * table). */
+  private[graft] def withInt8(df: DataFrame, vecCol: String, prefix: String): DataFrame =
+    df.withColumn(s"${prefix}_scale",
+        greatest(array_max(transform(col(vecCol), x => abs(x))).cast("double") / lit(127.0),
+          lit(1e-30)))
+      .withColumn(s"${prefix}_q",
+        transform(col(vecCol),
+          x => round(x.cast("double") / col(s"${prefix}_scale")).cast("int")))
+
+  /** Survivor count of the quantized preselection (per query) before
+    * the float re-rank — the standard over-fetch dial. */
+  private val QuantRerank = 10
+
+  /** Int8-quantized IVF ANN — [[ivfTopK]] with the index stored
+    * quantized: candidates keep only their int8 codes (+ scale + float
+    * norm) in the probed buckets; the bucket join scores
+    * ASYMMETRICALLY (float query × int8 code, the codegen'd
+    * [[graft.functions.DotProduct]] accepts mixed arrays) and only the
+    * top-[[QuantRerank]] survivors per query are joined back to their
+    * float vectors for exact cosine re-ranking. Same cells, same
+    * probing as the float IVF path. The registered witness asserts
+    * recall@5 ≥ 0.9 against the exact brute force, with the exact side
+    * independently recomputed by DuckDB — identical contract shape to
+    * [[s_ann_ivf]]. */
+  val s_ann_quantized: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = kmeansCentroids(e, NumCentroids)
+    // index build: int8 codes + scale + norm are ALL the bucket keeps
+    val assigned = assignNearest(withInt8(candSide(e), "ce", "c"), cents, "ce", "cent", CandAssign)
+      .withColumn("cn", sqrt(normSq(col("ce"))))
+      .select(col("cid"), col("cent"), col("c_q"), col("c_scale"), col("cn"))
+    val probed = assignNearest(querySide(e), cents, "qe", "cent", nprobe = 5)
+      .withColumn("qn", sqrt(normSq(col("qe"))))
+    // asymmetric int8 scoring inside probed buckets only
+    val pre = assigned.join(probed, "cent")
+      .withColumn("acos_e6",
+        round(dot(col("qe"), col("c_q")) * col("c_scale") / (col("qn") * col("cn")) * 1e6)
+          .cast("long"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(max(col("acos_e6")).as("acos_e6"))
+    val wPre = Window.partitionBy(col("qid")).orderBy(desc("acos_e6"), col("cid"))
+    val survivors = pre.withColumn("prk", row_number().over(wPre))
+      .filter(col("prk") <= QuantRerank)
+      .select(col("qid"), col("cid"))
+    // float re-rank of the survivors only (small: QuantRerank per query)
+    val rer = survivors
+      .join(candSide(e).withColumn("cn", sqrt(normSq(col("ce")))), "cid")
+      .join(broadcast(querySide(e).withColumn("qn", sqrt(normSq(col("qe"))))), "qid")
+      .withColumn("cos_e6",
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
+    val approx = rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cid"), lit(1).as("ap"))
+    val exact = bruteForceTopK(querySide(e), candSide(e), k = 5)
+      .select(col("qid"), col("cid"), lit(1).as("ex"))
+    exact.join(approx, Seq("qid", "cid"), "full_outer")
+      .agg(
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("n_exact"),
+        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
+          .as("recall_ge_90"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s_cosine_topk" -> s_cosine_topk,
     "s_ann_ivf" -> s_ann_ivf,
+    "s_ann_quantized" -> s_ann_quantized,
   )
 
   val oracles: Map[String, String] = {
@@ -209,6 +281,19 @@ object SimilarityOps {
       // the IVF recall flag — the quantizer has no SQL equivalent, but
       // its recall CONTRACT is fully hash-checked.
       "s_ann_ivf" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+           |     s AS (SELECT qid, cid,
+           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+           |           FROM c CROSS JOIN q),
+           |     t AS (SELECT qid, cid FROM (
+           |       SELECT qid, cid,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
+           |       FROM s) x WHERE rk <= 5)
+           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+      // identical witness shape for the int8-quantized index: DuckDB
+      // rebuilds the exact top-5; the quantized path must recover >=90%
+      "s_ann_quantized" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
            |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
            |     s AS (SELECT qid, cid,

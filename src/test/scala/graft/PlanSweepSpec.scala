@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** CI-grade promotion of SCALING.md's manual plan sweep: every
   * registered query's physical plan must be free of
   * `CartesianProduct`, and `BroadcastNestedLoopJoin` may appear ONLY
-  * in the seven allowlisted queries whose BNLJ is a documented
+  * in the eight allowlisted queries whose BNLJ is a documented
   * deliberate shape (1-row bound-witness aggregates crossed onto a
   * result, a broadcast quarter-bucket range list, the brute-force
   * cosine baseline — see SCALING.md "Plan sweep"). Any future
@@ -30,7 +30,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "conv_scale",       // 1-row result-shaping aggregate
     "q_approx_distinct",// bound witness: exact × approx 1-row aggregates
     "d_dedup_simhash",  // bound witness
-    "s_ann_ivf")        // bound witness
+    "s_ann_ivf",        // bound witness
+    "s_ann_quantized")  // bound witness (same brute-force exact side)
 
   private val planCache = scala.collection.mutable.Map.empty[String, String]
   private def planOf(name: String): String =

@@ -107,4 +107,29 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val dims = e.select(size(col("embedding")).as("d")).distinct().collect()
     assert(dims.map(_.getInt(0)).toSeq == Seq(SimilarityOps.Dim))
   }
+
+  test("int8 quantization: codes bounded, reconstruction error under 1% per cosine") {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, sf).select(col("vec_id").as("cid"),
+      col("embedding").as("ce"))
+    val q = SimilarityOps.withInt8(e, "ce", "c")
+    // codes are genuine int8: every element in [-127, 127]
+    val outOfRange = q.select(explode(col("c_q")).as("v"))
+      .filter(col("v") > 127 || col("v") < -127).count()
+    assert(outOfRange == 0)
+    // asymmetric reconstruction: dot(x, q)*scale within 1% of dot(x, x-float)
+    val err = q
+      .withColumn("exact", dot(col("ce"), col("ce")))
+      .withColumn("approx", dot(col("ce"), col("c_q")) * col("c_scale"))
+      .select(max(abs(col("approx") - col("exact")) / abs(col("exact"))).as("rel"))
+      .head.getDouble(0)
+    assert(err < 0.01, s"quantization relative error $err")
+  }
+
+  test("quantized ANN witness: recall flag true and exact count matches brute force") {
+    val row = SimilarityOps.s_ann_quantized(spark, sf).head
+    val nExact = SimilarityOps.s_cosine_topk(spark, sf).count()
+    assert(row.getLong(0) == nExact)
+    assert(row.getBoolean(1), "int8 preselection + float re-rank must keep recall@5 >= 0.9")
+  }
 }
