@@ -274,9 +274,13 @@ object DedupOps {
             // (ANSI-safe); collisions only cost extra verified candidates
             (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L)))))
         .as(Seq("band", "key")))
-    val bucketDf = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("df"))
-    val withDf = banded.join(bucketDf, Seq("band", "key"))
+    // bucket width via a count window, NOT groupBy+join-back: every
+    // branch below then hangs off the SAME (band, key) exchange, which
+    // ReuseExchange/AQE computes once — the codegen'd signature pass
+    // runs a single time for the whole candidate query
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val withDf = banded.withColumn("df", count(lit(1)).over(wBucket))
     val small = withDf.filter(col("df") <= cap)
     val smallPairs = small.as("x")
       .join(small.as("y"),
