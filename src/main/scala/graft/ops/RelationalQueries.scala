@@ -808,6 +808,50 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  private val bloomSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+
+  /** Conf clone for the runtime-bloom-filter demo: broadcast disabled
+    * (a broadcast join already prunes the probe side for free — the
+    * bloom filter exists for the SMJ/shuffle regime where neither side
+    * broadcasts), and the application-side scan threshold lowered so
+    * the optimizer considers the fixture-sized scan (default 10 GB —
+    * sized for real clusters). */
+  private def bloomSession(s0: SparkSession): SparkSession =
+    bloomSessions.getOrElseUpdate(s0, {
+      val c = s0.newSession()
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c
+    })
+
+  /** Runtime bloom-filter semi-join reduction — the 100 TB shuffle
+    * killer for selective dimension filters when NEITHER side
+    * broadcasts: Catalyst builds a bloom filter over the filtered
+    * build side (`bloom_filter_agg` subquery) and injects a
+    * `bloom_filter_might_contain` predicate into the PROBE side's scan
+    * stage, so most of the big table's rows drop before the exchange
+    * instead of shuffling 100 TB to discard 97 % of it at the join.
+    * False positives only cost wasted shuffle rows — the join itself
+    * stays exact, so the oracle is the plain join SQL. The spec
+    * asserts the filter is actually injected (and absent on the
+    * default session). */
+  val q_bloom_join: Q = (s, d) => {
+    val ss = bloomSession(s)
+    val prom = Tables.part(ss, d)
+      .filter(col("p_type") === "PROMO" && col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_brand"))
+    lineitem(ss, d).select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(prom, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"),
+        cents(col("l_extendedprice")).as("rev_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
   /** CASE WHEN + conditional aggregation (pivot-ish shape). */
   val q_conditional_agg: Q = (s, d) =>
     orders(s, d)
@@ -1078,6 +1122,7 @@ object RelationalQueries {
     "q_conditional_agg" -> q_conditional_agg,
     "q_bucketed_join" -> q_bucketed_join,
     "q_skew_join" -> q_skew_join,
+    "q_bloom_join" -> q_bloom_join,
     "q_shuffle_hash_join" -> q_shuffle_hash_join,
     "q_sql_exists" -> q_sql_exists,
     "q_sessionize" -> q_sessionize,
@@ -1468,5 +1513,15 @@ object RelationalQueries {
         |      FROM lineitem) l
         |JOIN orders ON o_orderkey = jk
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the runtime bloom filter only prunes the shuffle; the join is
+    // exact, so the oracle is the plain join
+    "q_bloom_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  COUNT(1) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'PROMO' AND p_size >= 25
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

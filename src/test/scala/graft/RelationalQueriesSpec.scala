@@ -206,6 +206,29 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"sessionize should reuse the user_id partitioning:\n$plan")
   }
 
+  test("bloom join: runtime filter injected on the probe side, absent by default") {
+    import org.apache.spark.sql.functions._
+    val plan = ops.RelationalQueries.q_bloom_join(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"runtime bloom filter not injected:\n${plan.take(3000)}")
+    // the probe-side filter must sit BELOW the lineitem exchange (it
+    // exists to shrink the shuffle, not the join input afterwards)
+    val probeFilterLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val exchangeLine = plan.linesIterator.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(l_partkey"))
+    assert(exchangeLine >= 0 && probeFilterLine > exchangeLine,
+      s"bloom filter should prune before the probe-side exchange:\n${plan.take(3000)}")
+    // same join on the default session: no runtime filter (scan
+    // threshold is cluster-sized), so the demo's conf clone is load-bearing
+    val plain = ops.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"))
+      .join(ops.Tables.part(spark, sf).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .queryExecution.executedPlan.toString
+    assert(!plain.contains("might_contain"))
+  }
+
   test("sessionize_skew: chunked two-phase result equals the plain single-window form") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -48,6 +48,29 @@ class DumpCliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/t").count() == 2)
   }
 
+  test("done line reports quarantined rows separately from written rows") {
+    spark
+    val in = Files.createTempDirectory("cli-quar-in")
+    val out = Files.createTempDirectory("cli-quar-out")
+    val badDump =
+      """CREATE TABLE `t` (`id` bigint NOT NULL);
+        |INSERT INTO `t` VALUES (1),(2);
+        |INSERT INTO `t` VALUES (NULL);
+        |""".stripMargin
+    Files.writeString(in.resolve("dump.sql"), badDump)
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err)) {
+      val oldErr = System.err
+      try {
+        System.setErr(new java.io.PrintStream(err))
+        DumpCli.main(Array("-o", out.toString, "--quarantine", s"$in/dump.sql"))
+      } finally System.setErr(oldErr)
+    }
+    val done = err.toString("UTF-8").linesIterator.find(_.contains("done:")).getOrElse("")
+    assert(done.contains("2 row(s)") && done.contains("1 quarantined"),
+      s"summary must separate written from quarantined: '$done'")
+  }
+
   test("spool streams bounded and byte-exact") {
     val payload = ("x" * 1000 + "\n") * 100
     val tmp = DumpCli.spool(new java.io.ByteArrayInputStream(payload.getBytes("UTF-8")))
