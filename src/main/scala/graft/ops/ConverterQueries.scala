@@ -244,6 +244,33 @@ object ConverterQueries {
       .orderBy(col("r_name"))
   }
 
+  /** Parquet SCHEMA EVOLUTION round-trip — the table-lifecycle reality
+    * every long-lived 100 TB dataset hits: files written before a
+    * column existed coexist with files written after. Half of `part`
+    * (odd keys) is written v1 (no `p_size`), half v2 (with it);
+    * `mergeSchema` unions the footers and v1 rows surface NULL for the
+    * added column, which the aggregate observes via `count(col)` vs
+    * `count(1)` and a null-safe sum. The oracle replays the key split
+    * on the ORIGINAL table, so the hash match proves evolved reads are
+    * lossless and null-semantics-exact. */
+  val src_schema_evolution: (SparkSession, String) => DataFrame = (s, d) => {
+    val path = layout(s, d, "evolve_part") { p =>
+      val part = Tables.part(s, d)
+      part.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey"), col("p_brand"))
+        .write.mode("overwrite").parquet(s"$p/v1")
+      part.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        .write.mode("overwrite").parquet(s"$p/v2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        count(col("p_size")).as("n_with_size"),
+        sum(coalesce(col("p_size"), lit(0)).cast("long")).as("size_sum"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
@@ -251,6 +278,7 @@ object ConverterQueries {
     "src_csv_roundtrip" -> src_csv_roundtrip,
     "src_orc_roundtrip" -> src_orc_roundtrip,
     "src_xml_roundtrip" -> src_xml_roundtrip,
+    "src_schema_evolution" -> src_schema_evolution,
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,6 +306,11 @@ object ConverterQueries {
         |  CAST(MIN(n_nationkey) AS BIGINT) AS min_key
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "src_schema_evolution" ->
+      """SELECT p_brand, COUNT(1) AS n,
+        |  CAST(SUM(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_size,
+        |  CAST(SUM(CASE WHEN p_partkey % 2 = 0 THEN p_size ELSE 0 END) AS BIGINT) AS size_sum
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "src_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,

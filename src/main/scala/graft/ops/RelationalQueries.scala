@@ -100,6 +100,41 @@ object RelationalQueries {
           <= lit(0.03) * col("n_orders")).as("orders_within_3rsd"))
   }
 
+  /** Mergeable-sketch rollup — the DISTINCT-COUNT complement of
+    * [[q_incremental_agg]]'s decomposable-aggregate contract: per-month
+    * Apache DataSketches HLL sketches (`hll_sketch_agg`) are UNIONED
+    * (`hll_union_agg`) into a grand total WITHOUT rescanning history —
+    * exactly how a production rollup maintains daily/monthly/all-time
+    * distinct users from stored partial sketches. (countDistinct can't
+    * do this: distinct counts don't sum across partitions; sketches
+    * union losslessly.) The witness asserts every per-month estimate
+    * AND the merged estimate are within ±5 % (≈3σ at lgConfigK=12) of
+    * their exact sides; the spec additionally pins the merge law —
+    * union-of-partials estimates EXACTLY what one sketch over the
+    * whole column estimates. Exact sides are recomputed independently
+    * by DuckDB. */
+  val q_hll_rollup: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+    val monthly = li.groupBy(col("m"))
+      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
+        count_distinct(col("l_partkey")).as("exact_m"))
+      .withColumn("est_m", hll_sketch_estimate(col("sk")))
+    val monthlyOk = monthly.agg(
+      count(lit(1)).as("n_months"),
+      min(when(abs(col("est_m") - col("exact_m")) * lit(100) <= col("exact_m") * lit(5), 1L)
+        .otherwise(0L)).as("all_ok"))
+      .select(col("n_months"), (col("all_ok") === 1L).as("monthly_ok"))
+    val merged = monthly.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"))
+    val exactTotal = li.select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("exact_total"))
+    monthlyOk.crossJoin(merged).crossJoin(exactTotal)
+      .select(col("n_months"), col("exact_total"), col("monthly_ok"),
+        (abs(col("est_total") - col("exact_total")) * lit(100)
+          <= col("exact_total") * lit(5)).as("merged_ok"))
+  }
+
   /** Exact interpolated quantiles over INTEGER cents — the length/size
     * distribution profile every data-quality pipeline computes. The
     * quarter positions make the linear interpolation exactly
@@ -1097,6 +1132,7 @@ object RelationalQueries {
     "q6_revenue_delta" -> q6_revenue_delta,
     "q_distinct_agg" -> q_distinct_agg,
     "q_approx_distinct" -> q_approx_distinct,
+    "q_hll_rollup" -> q_hll_rollup,
     "q_rollup" -> q_rollup,
     "q_cube" -> q_cube,
     "q_grouping_sets" -> q_grouping_sets,
@@ -1246,6 +1282,11 @@ object RelationalQueries {
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
         |  TRUE AS parts_within_3rsd, TRUE AS orders_within_3rsd
+        |FROM lineitem""".stripMargin,
+    "q_hll_rollup" ->
+      """SELECT CAST(COUNT(DISTINCT strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS n_months,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_total,
+        |  TRUE AS monthly_ok, TRUE AS merged_ok
         |FROM lineitem""".stripMargin,
     "q_approx_percentile" ->
       """SELECT COUNT(1) AS n, TRUE AS p50_within_1pct,

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** CI-grade promotion of SCALING.md's manual plan sweep: every
   * registered query's physical plan must be free of
   * `CartesianProduct`, and `BroadcastNestedLoopJoin` may appear ONLY
-  * in the eight allowlisted queries whose BNLJ is a documented
+  * in the allowlisted queries whose BNLJ is a documented
   * deliberate shape (1-row bound-witness aggregates crossed onto a
   * result, a broadcast quarter-bucket range list, the brute-force
   * cosine baseline — see SCALING.md "Plan sweep"). Any future
@@ -29,6 +29,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "t_idf_score",      // 1-row corpus-constant IDF denominator
     "conv_scale",       // 1-row result-shaping aggregate
     "q_approx_distinct",// bound witness: exact × approx 1-row aggregates
+    "q_hll_rollup",     // bound witness: 1-row sketch/exact aggregates crossed
     "d_dedup_simhash",  // bound witness
     "s_ann_ivf",        // bound witness
     "s_ann_quantized")  // bound witness (same brute-force exact side)

@@ -206,6 +206,24 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"sessionize should reuse the user_id partitioning:\n$plan")
   }
 
+  test("hll rollup: union of monthly partial sketches equals the whole-column sketch") {
+    import org.apache.spark.sql.functions._
+    val li = ops.Tables.lineitem(spark, sf)
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+    // the merge law that makes stored sketch state maintainable: the
+    // rolled-up estimate is IDENTICAL to a one-shot sketch, not merely close
+    val viaMonths = li.groupBy(col("m"))
+      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head.getLong(0)
+    val direct = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), 12)).as("e"))
+      .head.getLong(0)
+    assert(viaMonths == direct, s"merge law broken: rollup $viaMonths vs direct $direct")
+    val row = ops.RelationalQueries.q_hll_rollup(spark, sf).head
+    assert(row.getBoolean(2) && row.getBoolean(3), s"witness flags false: $row")
+  }
+
   test("bloom join: runtime filter injected on the probe side, absent by default") {
     import org.apache.spark.sql.functions._
     val plan = ops.RelationalQueries.q_bloom_join(spark, sf)
