@@ -271,6 +271,31 @@ object ConverterQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** File-level fault tolerance — the FILE analog of the converter's
+    * row-level `--quarantine`: a long-lived 100 TB table accumulates
+    * the odd truncated/corrupt file (failed writer, partial upload),
+    * and one of them must not fail every downstream scan forever. A
+    * copy of `nation` gets a planted garbage `.parquet` file; the read
+    * sets `ignoreCorruptFiles` and skips it (footer parse fails →
+    * file dropped, rows intact). The spec pins BOTH modes: the default
+    * read fails loudly, the tolerant read returns exactly the good
+    * rows — which is what the oracle hash proves against the original
+    * table. */
+  val src_corrupt_skip: (SparkSession, String) => DataFrame = (s, d) => {
+    val path = layout(s, d, "corrupt_nation") { p =>
+      Tables.nation(s, d).write.mode("overwrite").parquet(p)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "part-99999-planted-garbage.parquet"),
+        "definitely not a parquet footer".getBytes("UTF-8"))
+    }
+    s.read.option("ignoreCorruptFiles", "true").parquet(path)
+      .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_nationkey").cast("long")).as("min_key"),
+        countDistinct(col("n_name")).as("n_names"))
+      .orderBy(col("n_regionkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
@@ -279,6 +304,7 @@ object ConverterQueries {
     "src_orc_roundtrip" -> src_orc_roundtrip,
     "src_xml_roundtrip" -> src_xml_roundtrip,
     "src_schema_evolution" -> src_schema_evolution,
+    "src_corrupt_skip" -> src_corrupt_skip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -306,6 +332,11 @@ object ConverterQueries {
         |  CAST(MIN(n_nationkey) AS BIGINT) AS min_key
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "src_corrupt_skip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(1) AS n,
+        |  CAST(MIN(n_nationkey) AS BIGINT) AS min_key,
+        |  CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "src_schema_evolution" ->
       """SELECT p_brand, COUNT(1) AS n,
         |  CAST(SUM(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_size,

@@ -442,6 +442,34 @@ object RelationalQueries {
     }
   }
 
+  /** Correlated SCALAR subquery through the SQL front-end (the TPC-H
+    * Q2/Q17 inner shape): each customer compared against an aggregate
+    * of ITS OWN orders. Catalyst de-correlates this into one
+    * aggregate-then-join — per-custkey max computed with map-side
+    * partials, then a single equi-join — never a per-row re-scan of
+    * orders (the naive nested-loop reading of the syntax, quadratic at
+    * 100 TB). Cents integerization keeps the equality float-proof. */
+  val q_sql_scalar_subquery: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    customer(s, d).createOrReplaceTempView(s"graft_sc_$tag")
+    orders(s, d).createOrReplaceTempView(s"graft_so_$tag")
+    try s.sql(
+      s"""SELECT c_mktsegment,
+         |  COUNT(*) AS n_customers,
+         |  CAST(SUM(best_cents) AS BIGINT) AS best_cents_sum
+         |FROM (
+         |  SELECT c_custkey, c_mktsegment,
+         |    (SELECT CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT)
+         |     FROM graft_so_$tag WHERE o_custkey = c_custkey) AS best_cents
+         |  FROM graft_sc_$tag) t
+         |WHERE best_cents IS NOT NULL
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    finally {
+      s.catalog.dropTempView(s"graft_sc_$tag")
+      s.catalog.dropTempView(s"graft_so_$tag")
+    }
+  }
+
   /** TPC-H Q18's shape through the SQL front-end: `IN (GROUP BY …
     * HAVING)` — a semi-join against an AGGREGATED subquery. The scale
     * shape matters: Catalyst must aggregate lineitem FIRST (map-side
@@ -1167,6 +1195,7 @@ object RelationalQueries {
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
     "q_sql_having_in" -> q_sql_having_in,
+    "q_sql_scalar_subquery" -> q_sql_scalar_subquery,
     "q_sql_double_exists" -> q_sql_double_exists,
     "q_percentiles" -> q_percentiles,
     "q_approx_percentile" -> q_approx_percentile,
@@ -1554,6 +1583,16 @@ object RelationalQueries {
         |      FROM lineitem) l
         |JOIN orders ON o_orderkey = jk
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_scalar_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(best_cents) AS BIGINT) AS best_cents_sum
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    (SELECT CAST(MAX(ROUND(o_totalprice * 100)) AS BIGINT)
+        |     FROM orders WHERE o_custkey = c_custkey) AS best_cents
+        |  FROM customer) t
+        |WHERE best_cents IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the runtime bloom filter only prunes the shuffle; the join is
     // exact, so the oracle is the plain join
     "q_bloom_join" ->

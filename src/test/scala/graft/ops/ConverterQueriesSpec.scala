@@ -31,6 +31,24 @@ class ConverterQueriesSpec extends AnyFunSuite {
     assert(converted.toSeq == direct.toSeq)
   }
 
+  test("corrupt-file skip: default read fails loudly, tolerant read returns the good rows") {
+    // build the planted-garbage layout via the registered query (memoized)
+    val good = ConverterQueries.src_corrupt_skip(spark, sf).collect()
+    assert(good.map(_.getLong(1)).sum == Tables.nation(spark, sf).count())
+    // same directory WITHOUT the option: the garbage file fails the scan
+    val dir = ConverterQueries.src_corrupt_skip(spark, sf) // ensure layout exists
+    dir.count() // force
+    val layoutDir = {
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+      base.listFiles().filter(_.getName.startsWith("graft_corrupt_nation"))
+        .maxBy(_.lastModified).getAbsolutePath
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(layoutDir).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("scale dump fixture is memoized per (session, dir) and non-trivial") {
     val p1 = ConverterQueries.scaleDumpFile(spark, sf)
     val p2 = ConverterQueries.scaleDumpFile(spark, sf)
