@@ -180,6 +180,53 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget per training chunk for [[p_doc_chunk]]. */
+  private val ChunkTokens = 64L
+
+  /** Context-window document chunking — the step between curation and
+    * sequence packing: long documents split into ≤-budget chunks so no
+    * single document blows the training context. Piece-granular and
+    * OFFSET-DETERMINISTIC: each whitespace piece carries its BPE token
+    * count ([[graft.functions.BpeTokenizer]], same per-task memo as
+    * `t_bpe_tokens`), a per-doc prefix sum assigns every piece the
+    * chunk `floor(tokens_before / budget)` — a pure window + integer
+    * division, no greedy reset state, so the same formula runs in
+    * DuckDB and the chunk map is hash-matched end-to-end. (A piece
+    * straddling a boundary belongs to the chunk where it starts, so a
+    * chunk can exceed the budget by at most one piece — the documented
+    * trade for a stateless, distributable rule.) The per-doc window is
+    * skew-safe: its partition is one document's pieces, bounded by doc
+    * length, never a user/corpus-sized key. */
+  val p_doc_chunk: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val pieces = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Integer]()
+        it.flatMap { case (id, text) =>
+          text.split(' ').iterator.filter(_.nonEmpty).zipWithIndex.map { case (w, i) =>
+            var n = memo.get(w)
+            if (n == null) {
+              n = graft.functions.BpeTokenizer.encodePiece(w).length
+              memo.put(w, n)
+            }
+            (id, i.toLong, n.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "piece_idx", "piece_tokens")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("piece_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pieces
+      .withColumn("cum_before", coalesce(sum(col("piece_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"cum_before div $ChunkTokens"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_pieces"), sum(col("piece_tokens")).as("n_tokens"),
+        min(col("piece_idx")).as("first_piece"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   // ------------------------------------------------------- PII scrub
 
   private val EmailRe = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
@@ -392,6 +439,7 @@ object PipelineOps {
     "p_mixture_sample" -> p_mixture_sample,
     "p_stratified_sample" -> p_stratified_sample,
     "p_token_budget" -> p_token_budget,
+    "p_doc_chunk" -> p_doc_chunk,
     "p_pii_scrub" -> p_pii_scrub,
     "p_cdc_apply" -> p_cdc_apply,
     "p_url_dedup" -> p_url_dedup,
@@ -431,6 +479,23 @@ object PipelineOps {
          |      AS INTEGER) AS rk
          |  FROM documents) t
          |WHERE rk <= $StratN ORDER BY doc_id""".stripMargin,
+    "p_doc_chunk" ->
+      s"""WITH ${TextOps.bpeCountCtes},
+         |lists AS (SELECT doc_id, string_split(s, ' ') AS ws
+         |          FROM s${graft.functions.BpeTokenizer.merges.size}),
+         |pieces AS (
+         |  SELECT doc_id, i - 1 AS piece_idx,
+         |    CAST(length(ws[i]) - length(replace(ws[i], chr(1), '')) AS BIGINT) AS piece_tokens
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM lists)),
+         |cum AS (
+         |  SELECT doc_id, piece_idx, piece_tokens,
+         |    COALESCE(SUM(piece_tokens) OVER (PARTITION BY doc_id ORDER BY piece_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM pieces)
+         |SELECT doc_id, CAST(cum_before // $ChunkTokens AS BIGINT) AS chunk_id,
+         |  COUNT(1) AS n_pieces, CAST(SUM(piece_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(piece_idx) AS BIGINT) AS first_piece
+         |FROM cum GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin,
     "p_token_budget" ->
       s"""WITH ${TextOps.bpeCountCtes},
          |c AS (

@@ -189,6 +189,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(survivors.toSeq == expect, "funnel composition must match the driver replay")
   }
 
+  test("doc chunk: chunks partition every doc's pieces and respect the token budget") {
+    val chunks = PipelineOps.p_doc_chunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // totals equal the per-doc BPE counts from t_bpe_tokens
+    val docTotals = TextOps.t_bpe_tokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getLong(2))).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docTotals.keySet)
+    byDoc.foreach { case (doc, cs) =>
+      val (nPieces, nTokens) = docTotals(doc)
+      assert(cs.map(_._3).sum == nPieces, s"doc $doc piece coverage")
+      assert(cs.map(_._4).sum == nTokens, s"doc $doc token coverage")
+      // chunk ids contiguous from 0, first_piece strictly increasing
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (0L until cs.length).toSeq, s"doc $doc chunk gap")
+      assert(ordered.map(_._5).toSeq == ordered.map(_._5).sorted.toSeq)
+    }
+    // the budget bites: some doc has multiple chunks, and no chunk
+    // exceeds budget + the longest single piece (the straddle bound)
+    assert(chunks.exists(_._2 > 0), "fixture docs must exceed one chunk")
+    val maxPiece = graft.ops.Tables.documents(spark, sf).collect()
+      .iterator.flatMap(_.getString(1).split(' ')).filter(_.nonEmpty)
+      .map(w => graft.functions.BpeTokenizer.encodePiece(w).length).max
+    assert(chunks.forall(_._4 <= 64L + maxPiece - 1),
+      s"chunk exceeds budget + straddle bound ($maxPiece)")
+  }
+
   test("pii scrub: exactly the two planted emails per doc are found and removed") {
     val r = PipelineOps.p_pii_scrub(spark, sf).collect()
     assert(r.nonEmpty)
