@@ -277,6 +277,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Heavy hitters — the vocabulary/top-tokens profile every corpus
+    * report starts with, with a Count-Min-Sketch witness: the exact
+    * top 10 tokens (hash-matched by DuckDB) plus a per-token flag that
+    * the CMS estimate respects its published contract — never BELOW
+    * the true count, and over by at most ε·N (ε = 0.001, N = total
+    * token occurrences). The sketch is built DISTRIBUTED in one
+    * aggregate pass (`count_min_sketch`, map-side partials merging
+    * like any decomposable agg — a few KB of counters per task
+    * regardless of corpus size); only the finished sketch reaches the
+    * driver for the 10 probe lookups. At 100 TB this is how you count
+    * "approximately how often does X appear" without a groupBy over
+    * 10¹² distinct keys. */
+  val t_heavy_hitters: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("tok")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = toks.count()
+    val skBytes = toks
+      .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)")).head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val bound = (0.001 * total).ceil.toLong
+    val rows = exact.map { case (tok, n) =>
+      val est = cms.estimateCount(tok)
+      (tok, n, est >= n && est <= n + bound)
+    }
+    s.createDataFrame(rows.toSeq).toDF("tok", "n", "cms_ok")
+      .orderBy(desc("n"), col("tok"))
+  }
+
   val t_fingerprint: Q = (s, d) =>
     Tables.documents(s, d)
       .filter(length(col("text")) >= 8)
@@ -305,6 +338,7 @@ object TextOps {
     "t_bigram_score" -> t_bigram_score,
     "t_repetition" -> t_repetition,
     "t_fingerprint" -> t_fingerprint,
+    "t_heavy_hitters" -> t_heavy_hitters,
   )
 
   private val profValues =
@@ -327,6 +361,13 @@ object TextOps {
     "t_bpe_tokens" ->
       s"""WITH $bpeCountCtes
          |SELECT doc_id, n_pieces, n_tokens FROM bpe ORDER BY doc_id""".stripMargin,
+    // exact top-10 recomputed independently; the CMS contract flag is
+    // the witnessed approximate side
+    "t_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(1) AS n FROM t WHERE len(tok) > 0 GROUP BY tok)
+        |SELECT tok, n, TRUE AS cms_ok FROM c
+        |ORDER BY n DESC, tok LIMIT 10""".stripMargin,
     "t_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |prof(plang, tok) AS (VALUES $profValues),

@@ -85,4 +85,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.filter(col("fp_min") < 0 || col("fp_min") >= 1000003).count() == 0)
     assert(r.filter(col("fp_distinct") < 1).count() == 0)
   }
+
+  test("heavy hitters: exact top-10 descending, CMS never undercounts, planted hitter wins") {
+    val r = TextOps.t_heavy_hitters(spark, sf).collect()
+    assert(r.length == 10)
+    val counts = r.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+    assert(r.forall(_.getBoolean(2)), "CMS estimate broke its contract on a true heavy hitter")
+
+    // Planted corpus: one token is 60% of all occurrences — it must
+    // rank first, with its exact count, and the sketch must agree
+    // within eps*N even on an adversarial singleton tail.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hh-plant").toString
+    val docs = (1L to 50L).map(i => (i, s"whale tail$i whale whale", "src0", "en", 20L))
+    docs.toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = TextOps.t_heavy_hitters(spark, dir).collect()
+    assert(p.head.getString(0) == "whale" && p.head.getLong(1) == 150L)
+    assert(p.forall(_.getBoolean(2)))
+  }
 }
