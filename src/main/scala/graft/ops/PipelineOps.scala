@@ -43,6 +43,10 @@ import graft.functions.WordShingles.wordShingles
   *     the whole corpus. The oracle replays the identical walk as a
   *     recursive CTE — a hash match proves the distributed shard walk
   *     equals the sequential one.
+  *   - [[p_weighted_sample]]: weighted sampling without replacement
+  *     (Efraimidis–Spirakis exponential keys, hash-derived randomness)
+  *     — the quality-weighted curation draw, planned as a distributed
+  *     top-k (TakeOrderedAndProject), never a global sort.
   */
 object PipelineOps {
 
@@ -432,6 +436,42 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------- weighted sampling
+
+  /** Sample size of the weighted draw. */
+  private val WsK = 100
+
+  /** Weighted sampling WITHOUT replacement via the exponential-race
+    * formulation of Efraimidis–Spirakis A-ES: each document draws a
+    * uniform `u` and gets key `-ln(u)/w`; the k smallest keys are a
+    * distributed-exact weighted sample (inclusion probability tracks
+    * weight, no replacement). Weight here is document length — the
+    * "sample long documents preferentially" curation draw; any
+    * quality score drops in unchanged.
+    *
+    * `u` is HASH-derived (md5 of doc_id), not `rand()`: the draw is
+    * reproducible across engines and — critically at 100 TB — across
+    * task retries (a re-executed partition redraws identical keys, so
+    * speculative execution can't change the sample). The oracle
+    * replays the identical md5 → uniform → key arithmetic.
+    *
+    * Scale shape: one narrow projection + `orderBy(key).limit(k)`,
+    * which Spark plans as TakeOrderedAndProject — per-partition top-k
+    * heaps merged on the driver, O(k) memory per task, NO global sort
+    * shuffle. The spec pins that plan. */
+  val p_weighted_sample: Q = (s, d) => {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val w = greatest(col("n_chars"), lit(1L))
+    val key = -log((h + lit(0.5)) / lit(4294967296.0)) / w
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), w.as("w"), key.as("k"))
+      .orderBy(col("k"))
+      .limit(WsK)
+      .select(col("doc_id"), col("source"), col("w"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -445,6 +485,7 @@ object PipelineOps {
     "p_url_dedup" -> p_url_dedup,
     "p_sequence_pack" -> p_sequence_pack,
     "p_curate_apply" -> p_curate_apply,
+    "p_weighted_sample" -> p_weighted_sample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,5 +639,17 @@ object PipelineOps {
          |SELECT doc_id, shard,
          |  CAST(shard AS BIGINT) * 1000000 + pack_idx AS pack_id, pack_off
          |FROM walk ORDER BY doc_id""".stripMargin,
+    // replay the identical md5 → uniform → exponential-key arithmetic;
+    // ln/division are IEEE doubles in both engines and hash-derived keys
+    // are far from ties, so the top-k selection is stable cross-engine
+    "p_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, greatest(n_chars, 1) AS w,
+         |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+         |        / 4294967296.0) / greatest(n_chars, 1) AS k
+         |  FROM documents)
+         |SELECT doc_id, source, w
+         |FROM (SELECT * FROM t ORDER BY k LIMIT $WsK)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -231,4 +231,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       .agg(sum("n")).head.getLong(0)
     assert(residual == 0L)
   }
+
+  test("weighted sample: k rows, biased toward heavy docs, deterministic, top-k plan") {
+    val r = PipelineOps.p_weighted_sample(spark, sf).collect()
+    assert(r.length == 100)
+    // exact witness: replay the md5 → uniform → exponential-key draw on
+    // the driver and assert the operator selected precisely the k
+    // smallest keys (A-ES semantics, not merely "some biased sample")
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(1L))).collect()
+      .map { row =>
+        val id = row.getLong(0); val w = row.getLong(1)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+        (id, -math.log(u) / w)
+      }
+    val expected = all.sortBy(_._2).take(100).map(_._1).toSet
+    assert(r.map(_.getLong(0)).toSet == expected)
+    // and the draw IS weight-biased: sampled mean weight above corpus mean
+    val sampledMean = r.map(_.getLong(2)).sum.toDouble / r.length
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(greatest(col("n_chars"), lit(1L)))).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"sample not weight-biased: sampled=$sampledMean corpus=$corpusMean")
+    // hash-derived draw: identical on a second run (retry safety)
+    assert(r.toSeq == PipelineOps.p_weighted_sample(spark, sf).collect().toSeq)
+    // the k-selection is a distributed top-k, not a global sort: the
+    // physical plan must show TakeOrderedAndProject with no Sort node
+    // feeding it (per-partition heaps + driver merge, O(k) memory)
+    val plan = PipelineOps.p_weighted_sample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
