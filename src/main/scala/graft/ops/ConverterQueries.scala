@@ -296,6 +296,109 @@ object ConverterQueries {
       .orderBy(col("n_regionkey"))
   }
 
+  // ------------------------------------------------- z-order data skipping
+
+  /** Bits per dimension of the z-value (8 → 256 buckets per dim) and
+    * target file count of the clustered layout. */
+  private val ZBits = 8
+  private val ZFiles = 16
+
+  /** Interleave the low [[ZBits]] bits of two bucket ids into a z-value
+    * (Morton code) — x bits land on odd positions, y bits on even. Pure
+    * `shiftleft`/`bitwiseOR` column arithmetic: codegen'd, no UDF. */
+  private def zInterleave(zx: org.apache.spark.sql.Column,
+                          zy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(zx, i).bitwiseAND(lit(1)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(zy, i).bitwiseAND(lit(1)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** (total files, files the box query must read under the z-order
+    * layout, same under the ingest-order layout) — the data-skipping
+    * witness, computed from per-file min/max footer-style stats exactly
+    * the way a scan planner would prune. Shared with the spec. */
+  private[ops] def zorderFileStats(s: SparkSession, d: String): (Long, Long, Long) = {
+    val (zPath, linPath, xlo, xhi, ylo, yhi) = zorderLayouts(s, d)
+    def hit(path: String): (Long, Long) = {
+      val perFile = s.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_partkey")).as("xmn"), max(col("l_partkey")).as("xmx"),
+          min(col("l_suppkey")).as("ymn"), max(col("l_suppkey")).as("ymx"))
+        .collect()
+      (perFile.length.toLong,
+        perFile.count(r => r.getLong(2) >= xlo && r.getLong(1) <= xhi &&
+          r.getLong(4) >= ylo && r.getLong(3) <= yhi).toLong)
+    }
+    val (totalZ, hitZ) = hit(zPath)
+    val (_, hitLin) = hit(linPath)
+    (totalZ, hitZ, hitLin)
+  }
+
+  /** Build (memoized) the two competing physical layouts of lineitem —
+    * z-ordered on (l_partkey, l_suppkey) vs the natural ingest order
+    * (sorted on l_orderkey) — and return them with the box bounds. */
+  private def zorderLayouts(s: SparkSession, d: String): (String, String, Long, Long, Long, Long) = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey").cast("long").as("l_orderkey"),
+      col("l_partkey").cast("long").as("l_partkey"),
+      col("l_suppkey").cast("long").as("l_suppkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val st = li.agg(
+      min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head
+    val (xmn, xmx, ymn, ymx) = (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val (xspan, yspan) = (xmx - xmn + 1, ymx - ymn + 1)
+    // middle-quarter box on both dimensions (floor division, replayed
+    // by the oracle)
+    val xlo = xmn + xspan * 3 / 8
+    val xhi = xmn + xspan * 5 / 8 - 1
+    val ylo = ymn + yspan * 3 / 8
+    val yhi = ymn + yspan * 5 / 8 - 1
+    val zPath = layout(s, d, "zorder_lineitem") { p =>
+      val buckets = 1L << ZBits
+      val z = zInterleave(
+        expr(s"CAST((l_partkey - $xmn) * $buckets DIV $xspan AS INT)"),
+        expr(s"CAST((l_suppkey - $ymn) * $buckets DIV $yspan AS INT)"))
+      li.withColumn("z", z)
+        .repartitionByRange(ZFiles, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode("overwrite").parquet(p)
+    }
+    val linPath = layout(s, d, "linear_lineitem") { p =>
+      li.repartitionByRange(ZFiles, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(p)
+    }
+    (zPath, linPath, xlo, xhi, ylo, yhi)
+  }
+
+  /** Z-order clustering as a data-skipping lever — the layout decision
+    * that makes multi-dimensional selective scans cheap at 100 TB.
+    * lineitem is rewritten clustered by the Morton interleave of
+    * (l_partkey, l_suppkey); because a z-ordered file covers a compact
+    * tile of the (x, y) plane, its footer min/max is tight on BOTH
+    * dimensions, and a quarter×quarter box query skips most files —
+    * while the same query against the natural ingest order (sorted on
+    * l_orderkey, uncorrelated with either filter column) must read
+    * every file. The result aggregates the box query FROM the
+    * z-ordered files (hash-matched against DuckDB on the raw table —
+    * correctness is layout-independent) and carries `prune_ok`:
+    * z-layout hit-file count at most half the ingest layout's,
+    * measured from real per-file min/max stats. At 100 TB the same
+    * z-value column is what you'd range-partition and sort by in a
+    * table format with file-level stats pruning. */
+  val src_zorder_skip: (SparkSession, String) => DataFrame = (s, d) => {
+    val (zPath, _, xlo, xhi, ylo, yhi) = zorderLayouts(s, d)
+    val (total, hitZ, hitLin) = zorderFileStats(s, d)
+    val pruneOk = hitZ * 2 <= hitLin && hitZ < total
+    s.read.parquet(zPath)
+      .filter(col("l_partkey") >= xlo && col("l_partkey") <= xhi &&
+        col("l_suppkey") >= ylo && col("l_suppkey") <= yhi)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue_cents"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .withColumn("prune_ok", lit(pruneOk))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
@@ -305,6 +408,7 @@ object ConverterQueries {
     "src_xml_roundtrip" -> src_xml_roundtrip,
     "src_schema_evolution" -> src_schema_evolution,
     "src_corrupt_skip" -> src_corrupt_skip,
+    "src_zorder_skip" -> src_zorder_skip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +441,23 @@ object ConverterQueries {
         |  CAST(MIN(n_nationkey) AS BIGINT) AS min_key,
         |  CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_names
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // correctness is layout-independent: the oracle runs the same y-box
+    // aggregate on the raw table (same floor-division box arithmetic);
+    // the prune_ok flag is the Spark-side file-skipping witness
+    "src_zorder_skip" ->
+      """WITH s AS (SELECT MIN(l_partkey) AS xmn, MAX(l_partkey) AS xmx,
+        |                  MIN(l_suppkey) AS ymn, MAX(l_suppkey) AS ymx FROM lineitem),
+        |b AS (SELECT xmn + (xmx - xmn + 1) * 3 // 8 AS xlo,
+        |             xmn + (xmx - xmn + 1) * 5 // 8 - 1 AS xhi,
+        |             ymn + (ymx - ymn + 1) * 3 // 8 AS ylo,
+        |             ymn + (ymx - ymn + 1) * 5 // 8 - 1 AS yhi FROM s)
+        |SELECT COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  TRUE AS prune_ok
+        |FROM lineitem, b
+        |WHERE l_partkey >= b.xlo AND l_partkey <= b.xhi
+        |  AND l_suppkey >= b.ylo AND l_suppkey <= b.yhi""".stripMargin,
     "src_schema_evolution" ->
       """SELECT p_brand, COUNT(1) AS n,
         |  CAST(SUM(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_size,

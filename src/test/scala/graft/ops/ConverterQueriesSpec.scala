@@ -57,4 +57,19 @@ class ConverterQueriesSpec extends AnyFunSuite {
     // fact tables — dozens of partition boundaries at minPartitions=32
     assert(java.nio.file.Files.size(p1) > 200 * 1024)
   }
+
+  test("z-order layout skips files a single-column sort cannot") {
+    val (total, hitZ, hitLin) = ConverterQueries.zorderFileStats(spark, sf)
+    // the layout under test actually fanned out into many files
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    // a y-selective box is invisible to a layout sorted on l_orderkey:
+    // every file's suppkey min/max spans the box
+    assert(hitLin == total, s"linear layout unexpectedly pruned: $hitLin/$total")
+    // the z-ordered layout reads at most half the files
+    assert(hitZ * 2 <= hitLin, s"z-order did not skip: $hitZ vs $hitLin")
+    // and the flagged result row agrees
+    val row = ConverterQueries.src_zorder_skip(spark, sf).head
+    assert(row.getBoolean(row.fieldIndex("prune_ok")))
+    assert(row.getLong(row.fieldIndex("n")) > 0)
+  }
 }
