@@ -734,6 +734,79 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ----------------------------------------------------- fuzzy join
+
+  /** Edit-distance (Levenshtein ≤ 1) join via PassJoin-style segment
+    * blocking — the entity-resolution primitive (typo'd names, OCR'd
+    * strings, crawl-url variants) in its never-all-pairs shape. The
+    * pigeonhole rule for threshold k: split each indexed string into
+    * k+1 segments; any string within distance k must contain one
+    * segment EXACTLY, shifted by at most k. So the index side emits
+    * k+1 = 2 (segment_idx, segment, length) keys per name, the probe
+    * side emits its substrings at the segment positions for each
+    * plausible target length (±k) and shift (±k), and candidates come
+    * from a plain EQUI-join on those keys — shuffled by segment
+    * content, per-key work bounded by segment frequency, never |A|×|B|.
+    * Survivors are verified with the real `levenshtein` (codegen'd).
+    *
+    * Probes are planted deterministically from supplier names — one
+    * substitution, deletion or insertion at a key-dependent position —
+    * and the DuckDB oracle runs the EXHAUSTIVE join (fine at fixture
+    * scale): a hash match proves the blocking loses no qualifying pair.
+    * Some probes legitimately match several canonicals (delete a digit
+    * from a numeric suffix and two insertions restore different names)
+    * — the join keeps all of them. */
+  val d_fuzzy_join: Q = (s, d) => {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+    // planted typo probes: position pos = key % 17 (0-based prefix len)
+    val mkProbe =
+      when(col("s_suppkey") % 3 === 0, concat(
+        expr("substring(s_name, 1, CAST(s_suppkey % 17 AS INT))"), lit("x"),
+        expr("substring(s_name, CAST(s_suppkey % 17 AS INT) + 2)")))
+      .when(col("s_suppkey") % 3 === 1, concat(
+        expr("substring(s_name, 1, CAST(s_suppkey % 17 AS INT))"),
+        expr("substring(s_name, CAST(s_suppkey % 17 AS INT) + 2)")))
+      .otherwise(concat(
+        expr("substring(s_name, 1, CAST(s_suppkey % 17 AS INT))"), lit("x"),
+        expr("substring(s_name, CAST(s_suppkey % 17 AS INT) + 1)")))
+    val probes = sup.select(col("s_suppkey").as("probe_id"), mkProbe.as("probe"))
+    // index side: 2 segments per name (halves), keyed by (L, idx, seg)
+    val canonKeys = sup.select(col("s_suppkey"), col("s_name"),
+        length(col("s_name")).as("L"),
+        explode(array(
+          struct(lit(0).as("i"),
+            expr("substring(s_name, 1, length(s_name) DIV 2)").as("seg")),
+          struct(lit(1).as("i"),
+            expr("substring(s_name, length(s_name) DIV 2 + 1)").as("seg")))).as("k"))
+      .select(col("s_suppkey"), col("s_name"), col("L"),
+        col("k.i").as("i"), col("k.seg").as("seg"))
+    // probe side: for each target length L ∈ len±1, segment, shift ∈ ±1
+    val pl = length(col("probe"))
+    val keyStructs: Seq[Column] = for {
+      dl <- Seq(-1, 0, 1); i <- Seq(0, 1); sh <- Seq(-1, 0, 1)
+    } yield {
+      val tl = pl + lit(dl)
+      val l0 = expr(s"(length(probe) + $dl) DIV 2")
+      val segLen = if (i == 0) l0 else tl - l0
+      val start = (if (i == 0) lit(1) else l0 + lit(1)) + lit(sh)
+      val ok = start >= 1 && segLen >= 1 && start + segLen - lit(1) <= pl
+      struct(tl.as("L"), lit(i).as("i"),
+        col("probe").substr(start, segLen).as("seg"), ok.as("ok"))
+    }
+    val probeKeys = probes
+      .select(col("probe_id"), col("probe"), explode(array(keyStructs: _*)).as("k"))
+      .filter(col("k.ok"))
+      .select(col("probe_id"), col("probe"),
+        col("k.L").as("L"), col("k.i").as("i"), col("k.seg").as("seg"))
+    probeKeys.join(canonKeys, Seq("L", "i", "seg"))
+      .select(col("probe_id"), col("probe"), col("s_suppkey"), col("s_name"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("probe"), col("s_name")))
+      .filter(col("dist") <= 1)
+      .orderBy(col("probe_id"), col("s_suppkey"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -746,6 +819,7 @@ object DedupOps {
     "d_dedup_clusters" -> d_dedup_clusters,
     "d_dedup_apply" -> d_dedup_apply,
     "d_dedup_substring" -> d_dedup_substring,
+    "d_fuzzy_join" -> d_fuzzy_join,
   )
 
   val oracles: Map[String, String] = Map(
@@ -889,5 +963,26 @@ object DedupOps {
          |WHERE CAST(ROUND($cos * 1000000) AS BIGINT) >= 900000
          |ORDER BY id_a, id_b""".stripMargin
     },
+    // the oracle join is EXHAUSTIVE (levenshtein over every pair — fine
+    // at fixture scale); the Spark side is segment-blocked, so a hash
+    // match proves the blocking recovers every qualifying pair
+    "d_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS probe_id,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN
+        |      substr(s_name, 1, CAST(s_suppkey % 17 AS INT)) || 'x' ||
+        |        substr(s_name, CAST(s_suppkey % 17 AS INT) + 2)
+        |    WHEN s_suppkey % 3 = 1 THEN
+        |      substr(s_name, 1, CAST(s_suppkey % 17 AS INT)) ||
+        |        substr(s_name, CAST(s_suppkey % 17 AS INT) + 2)
+        |    ELSE
+        |      substr(s_name, 1, CAST(s_suppkey % 17 AS INT)) || 'x' ||
+        |        substr(s_name, CAST(s_suppkey % 17 AS INT) + 1)
+        |    END AS probe
+        |  FROM supplier)
+        |SELECT p.probe_id, p.probe, CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+        |  s.s_name, CAST(levenshtein(p.probe, s.s_name) AS INTEGER) AS dist
+        |FROM p JOIN supplier s ON levenshtein(p.probe, s.s_name) <= 1
+        |ORDER BY probe_id, s_suppkey""".stripMargin,
   )
 }

@@ -313,4 +313,46 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(pairSet(cands) == pairSet(DedupOps.lshCandidates(sigs, cap = Long.MaxValue)),
       "cap changed the fixture's candidate set — it must be inert at this scale")
   }
+
+  test("fuzzy join: segment blocking recovers exactly the naive levenshtein<=1 pairs") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val names = Tables.supplier(spark, sf)
+      .select(col("s_suppkey").cast("long"), col("s_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // replay the planted probe construction
+    val probes = names.map { case (k, n) =>
+      val p = (k % 17).toInt
+      k -> ((k % 3) match {
+        case 0 => n.substring(0, p) + "x" + n.substring(p + 1)
+        case 1 => n.substring(0, p) + n.substring(p + 1)
+        case _ => n.substring(0, p) + "x" + n.substring(p)
+      })
+    }
+    val expected = (for {
+      (pid, probe) <- probes; (sid, name) <- names
+      if lev(probe, name) <= 1
+    } yield (pid, sid)).toSet
+    val got = DedupOps.d_fuzzy_join(spark, sf)
+      .select("probe_id", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+    // every probe must at least find its own origin
+    assert(probes.map(_._1).toSet.subsetOf(got.map(_._1).toSet))
+    // multi-match is vacuous with only 10 suppliers (edits land in the
+    // letter prefix); at sf0.01 digit-zone deletions restore DIFFERENT
+    // canonicals — assert the multi-match path is exercised there
+    val got01 = DedupOps.d_fuzzy_join(spark, "/root/testdata/sf0.01")
+      .select("probe_id", "s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got01.exists { case (p, s) => p != s },
+      "no probe matched a non-origin canonical at sf0.01")
+  }
 }
