@@ -805,6 +805,109 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------ perceptual-hash dedup
+
+  /** Hamming threshold and band count of the 64-bit dHash LSH. */
+  private[ops] val PhashK = 3
+  private val PhashBands = 4
+  private[ops] val BrightOffset = 400000L
+  private[ops] val SpotOffset = 800000L
+
+  /** 64-bit difference hash over a decoded grayscale image: sample a
+    * 9×8 point grid (x_c = c·w/9, y_r = r·h/8, floor division) and set
+    * bit r·8+c when the left sample exceeds its right neighbor. The
+    * gradient-sign encoding is what makes it PERCEPTUAL: a global
+    * brightness/contrast shift moves both samples together and leaves
+    * every bit unchanged, so a re-encoded brightened copy — whose
+    * BYTES and content hash are completely different — collides. */
+  private[ops] def dHash64(px: Array[Byte], w: Int, h: Int): Long = {
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      val y = r * h / 8
+      var c = 0
+      while (c < 8) {
+        val pa = px(y * w + c * w / 9) & 0xFF
+        val pb = px(y * w + (c + 1) * w / 9) & 0xFF
+        if (pa > pb) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Corpus with planted perceptual near-dups, every variant built by
+    * DECODING the original PNG, transforming real pixels, and
+    * re-encoding: a +2 brightness shift for doc_id % 5 == 0 (dHash-
+    * invariant — hamming 0 — yet byte-distinct) and a +100 spot
+    * change at one sampled grid point for doc_id % 7 == 0 (flips a
+    * couple of gradient signs — hamming 1..2, the banded-match path). */
+  private[ops] def phashCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .flatMap { case (id, n) =>
+        val orig = encodePng(id, n)
+        val base = Seq(MediaRecord(id, "image/png", orig))
+        val bright = if (id % 5 == 0) {
+          val img = walkPng(orig, 0, inflate = true)
+          val out = img.pixels.map(b => math.min((b & 0xFF) + 2, 255).toByte)
+          Seq(MediaRecord(id + BrightOffset, "image/png",
+            encodePngPixels(out, img.width, img.height)))
+        } else Nil
+        val spot = if (id % 7 == 0) {
+          val img = walkPng(orig, 0, inflate = true)
+          val out = img.pixels.clone()
+          val idx = (2 * img.height / 8) * img.width + 3 * img.width / 9
+          out(idx) = math.min((out(idx) & 0xFF) + 100, 255).toByte
+          Seq(MediaRecord(id + SpotOffset, "image/png",
+            encodePngPixels(out, img.width, img.height)))
+        } else Nil
+        base ++ bright ++ spot
+      }.toDF()
+  }
+
+  /** Image near-dup pairs at hamming ≤ [[PhashK]] over the dHash of
+    * every DECODED image, found through banded LSH: the 64-bit hash
+    * splits into 4 × 16-bit bands, candidates come from an EQUI-join
+    * on (band, key) — pigeonhole-complete for hamming ≤ 3, never
+    * all-pairs — and survivors are verified with the codegen'd
+    * `bit_count(xor)`. The DuckDB oracle recomputes every hash
+    * arithmetically from the pixel formula and runs the EXHAUSTIVE
+    * pair scan, so the hash match proves both the real-bytes decode →
+    * dHash pipeline and the completeness of the banding. At 100 TB
+    * this is image dedup without a pixel ever crossing the shuffle:
+    * only (doc_id, 64-bit hash) rows move. */
+  val mm_phash_dedup: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val hashes = phashCorpus(s, d).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.iterator.map { r =>
+          val img = walkPng(r.payload, 0, inflate = true)
+          (r.doc_id, dHash64(img.pixels, img.width, img.height))
+        })
+      }.toDF("doc_id", "phash")
+    val bands = hashes.select(col("doc_id"), col("phash"),
+        explode(array((0 until PhashBands).map(b =>
+          struct(lit(b).as("b"),
+            shiftrightunsigned(col("phash"), 16 * b)
+              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.b").as("b"), col("bk.key").as("key"))
+    val left = bands.select(col("b"), col("key"),
+      col("doc_id").as("id_a"), col("phash").as("ha"))
+    val right = bands.select(col("b"), col("key"),
+      col("doc_id").as("id_b"), col("phash").as("hb"))
+    left.join(right, Seq("b", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("ham"))
+      .distinct()
+      .filter(col("ham") <= PhashK)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -814,6 +917,7 @@ object MultimodalOps {
     "mm_audio_decode" -> mm_audio_decode,
     "mm_resize" -> mm_resize,
     "mm_frame_sample" -> mm_frame_sample,
+    "mm_phash_dedup" -> mm_phash_dedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -875,5 +979,48 @@ object MultimodalOps {
         |          x -> (x * 31 + y * 17 + doc_id + f * 1000003) % 256)))))) AS BIGINT)
         |    AS sampled_px_sum
         |FROM p ORDER BY doc_id""".stripMargin,
+    // recompute every dHash arithmetically from the pixel formula (with
+    // the same planted brightness/spot variants), then run the
+    // EXHAUSTIVE hamming scan — a hash match proves the real-bytes
+    // decode pipeline AND that the banded LSH loses no pair. The hash
+    // accumulates in HUGEINT (bit 63 overflows a BIGINT shift) and is
+    // folded to the signed 64-bit value Spark computes.
+    "mm_phash_dedup" -> {
+      def pv(x: String, y: String) =
+        s"""CASE WHEN variant = 1 THEN least(($x * 31 + $y * 17 + base) % 256 + 2, 255)
+           |         WHEN variant = 2 AND $x = (3 * w) // 9 AND $y = (2 * h) // 8
+           |           THEN least(($x * 31 + $y * 17 + base) % 256 + 100, 255)
+           |         ELSE ($x * 31 + $y * 17 + base) % 256 END""".stripMargin
+      s"""WITH dims AS (
+         |  SELECT doc_id, doc_id AS base, 0 AS variant,
+         |    16 + (n_chars % 48) AS w, 16 + (doc_id % 32) AS h FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $BrightOffset, doc_id, 1,
+         |    16 + (n_chars % 48), 16 + (doc_id % 32) FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + $SpotOffset, doc_id, 2,
+         |    16 + (n_chars % 48), 16 + (doc_id % 32) FROM documents WHERE doc_id % 7 = 0),
+         |grid AS (
+         |  SELECT d.doc_id, d.base, d.variant, d.w, d.h, gr.r, gc.c,
+         |    (gr.r * d.h) // 8 AS y, (gc.c * d.w) // 9 AS xa, ((gc.c + 1) * d.w) // 9 AS xb
+         |  FROM dims d, generate_series(0, 7) AS gr(r), generate_series(0, 7) AS gc(c)),
+         |bits AS (
+         |  SELECT doc_id, r, c,
+         |    CASE WHEN (${pv("xa", "y")})
+         |            > (${pv("xb", "y")})
+         |         THEN CAST(1 AS HUGEINT) << (r * 8 + c) ELSE CAST(0 AS HUGEINT) END AS bit
+         |  FROM grid),
+         |hashes AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN SUM(bit) >= 9223372036854775808
+         |              THEN SUM(bit) - 18446744073709551616
+         |              ELSE SUM(bit) END AS BIGINT) AS phash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS ham
+         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashK
+         |ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

@@ -212,4 +212,33 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(big.toSeq == tiny.toSeq)
     assert(big.forall(f => f.n_bytes > 0))
   }
+
+  test("phash dedup: brightness copies collide at hamming 0, spot copies via banding, bytes differ") {
+    val pairs = MultimodalOps.mm_phash_dedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    // every brightness variant pairs with its original at hamming 0:
+    // dHash compares neighbors, so a uniform +2 shift flips no bit
+    for (id <- ids if id % 5 == 0) {
+      val p = pairs.find(t => t._1 == id && t._2 == id + 400000L)
+      assert(p.isDefined, s"bright pair for doc $id not found")
+      assert(p.get._3 == 0, s"bright pair for doc $id at hamming ${p.get._3}")
+    }
+    // every spot variant is found too (pigeonhole: <= 2 flipped bits
+    // cannot touch all 4 bands), and at least one flips a bit — the
+    // nonzero-hamming banded path is genuinely exercised
+    val spot = for (id <- ids if id % 7 == 0)
+      yield pairs.find(t => t._1 == id && t._2 == id + 800000L)
+    assert(spot.forall(_.isDefined), "spot pair lost by banding")
+    assert(spot.exists(_.get._3 > 0), "no spot variant flipped any dHash bit")
+    assert(spot.forall(_.get._3 <= MultimodalOps.PhashK))
+    // the perceptual collision is NOT a byte collision: exact content
+    // dedup (sha2 of payload) would miss every one of these pairs
+    val payloads = MultimodalOps.phashCorpus(spark, sf).collect()
+      .map(r => r.getLong(0) -> java.util.Arrays.hashCode(r.getAs[Array[Byte]]("payload")))
+      .toMap
+    for (id <- ids if id % 5 == 0)
+      assert(payloads(id) != payloads(id + 400000L), s"doc $id variant bytes identical")
+  }
 }
