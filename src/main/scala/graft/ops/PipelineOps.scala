@@ -47,6 +47,10 @@ import graft.functions.WordShingles.wordShingles
   *     (Efraimidis–Spirakis exponential keys, hash-derived randomness)
   *     — the quality-weighted curation draw, planned as a distributed
   *     top-k (TakeOrderedAndProject), never a global sort.
+  *   - [[p_host_rank]]: host-level PageRank over a planted link graph
+  *     in exact fixed-point integer arithmetic — iterative join+agg
+  *     with the edge list partitioned once and reused, bit-identical
+  *     to the oracle's recursive-CTE replay.
   */
 object PipelineOps {
 
@@ -436,6 +440,59 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------- host link analysis
+
+  /** PageRank iterations, damping as the exact fraction 85/100, and
+    * the integer rank scale (ranks are fixed-point at S parts). */
+  private val PrIters = 10
+  private val PrScale = 1000000000000L
+
+  /** Host-level PageRank — the link-analysis quality signal crawl
+    * curation feeds on (rank a page's HOST, weight its documents).
+    * The host graph is PLANTED deterministically (the corpus has no
+    * link column): doc_id maps to a source host (mod 40) and a target
+    * host under a different modulus (mod 37), so hosts get many
+    * distinct outlinks and both engines rebuild the identical graph.
+    *
+    * The recurrence is EXACT INTEGER arithmetic — fixed-point ranks at
+    * [[PrScale]], floor division everywhere:
+    * {{{ r'(v) = ((S·15)//100)//N + (85 · Σ_{u→v} r(u)//outdeg(u)) // 100 }}}
+    * Integer sums are order-independent, so the distributed aggregation
+    * is bit-identical to DuckDB's recursive-CTE replay — no float
+    * drift, no tolerance. (Dangling mass is dropped, the standard
+    * simplified formulation; floor loss stays in the fixed-point dust.)
+    *
+    * Scale shape: each iteration is one equi-join of the edge list
+    * with the 40-row rank table plus one groupBy(dst) — at 10⁹ edges
+    * the edge list is pre-partitioned on src ONCE and every iteration
+    * reuses that exchange, ranks being the small broadcast side. 10
+    * iterations = 10 shuffles of rank-sized data, never edge-sized. */
+  val p_host_rank: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val edges = docs.select((col("doc_id") % 40).as("src"),
+        ((col("doc_id") * 7 + 13) % 37).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).cache()
+    val hosts = edges.select(col("src").as("h"))
+      .union(edges.select(col("dst"))).distinct().cache()
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val n = hosts.count()
+    val teleport = ((PrScale * 15) / 100) / n
+    var ranks = hosts.withColumn("r", lit(PrScale / n))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(ranks, edges("src") === ranks("h"))
+        .join(outd, "src")
+        .groupBy(col("dst")).agg(sum(expr("r DIV od")).as("c"))
+      ranks = hosts.join(contrib, hosts("h") === contrib("dst"), "left")
+        .select(col("h"),
+          (lit(teleport) + expr("85 * coalesce(c, 0L) DIV 100")).as("r"))
+    }
+    ranks.join(outd, ranks("h") === outd("src"), "left")
+      .select(col("h").as("host"), coalesce(col("od"), lit(0L)).as("outdeg"),
+        col("r").as("rank_s"))
+      .orderBy(col("host"))
+  }
+
   // -------------------------------------------------- weighted sampling
 
   /** Sample size of the weighted draw. */
@@ -486,6 +543,7 @@ object PipelineOps {
     "p_sequence_pack" -> p_sequence_pack,
     "p_curate_apply" -> p_curate_apply,
     "p_weighted_sample" -> p_weighted_sample,
+    "p_host_rank" -> p_host_rank,
   )
 
   val oracles: Map[String, String] = Map(
@@ -651,5 +709,36 @@ object PipelineOps {
          |SELECT doc_id, source, w
          |FROM (SELECT * FROM t ORDER BY k LIMIT $WsK)
          |ORDER BY doc_id""".stripMargin,
+    // replay the identical integer fixed-point recurrence as a
+    // recursive CTE; self-edges with weight 0 keep every host (and the
+    // iteration counter) flowing through the single recursive reference
+    "p_host_rank" ->
+      s"""WITH RECURSIVE
+         |edges AS (SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 13) % 37 AS dst
+         |          FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 13) % 37),
+         |-- NOTE: inside WITH RECURSIVE, DuckDB treats a CTE whose body
+         |-- is a top-level UNION as recursive-style and skips the
+         |-- cross-branch dedup — wrap the union in a subquery instead
+         |hosts AS (SELECT DISTINCT h FROM
+         |          (SELECT src AS h FROM edges UNION ALL SELECT dst FROM edges)),
+         |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM hosts),
+         |eaug AS (SELECT src, dst, 1 AS w FROM edges
+         |         UNION ALL SELECT h, h, 0 FROM hosts),
+         |pr AS (
+         |  SELECT h, CAST($PrScale // n AS BIGINT) AS r, 0 AS it FROM hosts, nn
+         |  UNION ALL
+         |  SELECT e.dst AS h,
+         |    CAST((SELECT (($PrScale * 15) // 100) // n FROM nn)
+         |      + (85 * SUM(CASE WHEN e.w = 1 THEN p.r // o.od ELSE 0 END)) // 100
+         |      AS BIGINT) AS r,
+         |    MAX(p.it) + 1 AS it
+         |  FROM pr p JOIN eaug e ON e.src = p.h LEFT JOIN outd o ON o.src = p.h
+         |  WHERE p.it < $PrIters
+         |  GROUP BY e.dst)
+         |SELECT p.h AS host, CAST(COALESCE(o.od, 0) AS BIGINT) AS outdeg,
+         |  p.r AS rank_s
+         |FROM pr p LEFT JOIN outd o ON o.src = p.h
+         |WHERE p.it = $PrIters ORDER BY host""".stripMargin,
   )
 }

@@ -265,4 +265,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("host rank: distributed fixed-point PageRank equals the sequential replay exactly") {
+    val got = PipelineOps.p_host_rank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sequential driver-side replay of the identical integer recurrence
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val edges = ids.map(id => (id % 40, (id * 7 + 13) % 37))
+      .filter { case (a, b) => a != b }.distinct
+    val hosts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outd = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val S = 1000000000000L
+    val n = hosts.length.toLong
+    val teleport = (S * 15 / 100) / n
+    var r = hosts.map(_ -> S / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outd(src) }.sum
+      }
+      r = hosts.map(h => h -> (teleport + 85 * contrib.getOrElse(h, 0L) / 100)).toMap
+    }
+    val expected = hosts.map(h => (h, outd.getOrElse(h, 0L), r(h)))
+    assert(got.toSeq == expected.toSeq)
+    // ranks genuinely differentiated (the graph is not regular) and
+    // total mass stays under the scale (dangling + floor loss only)
+    assert(got.map(_._3).distinct.length > 1)
+    assert(got.map(_._3).sum <= S)
+  }
 }
