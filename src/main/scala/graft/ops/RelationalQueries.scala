@@ -470,6 +470,38 @@ object RelationalQueries {
     }
   }
 
+  /** Recursive CTE through the SQL front-end (Spark 4's
+    * `WITH RECURSIVE`): a bounded breadth-first walk over the planted
+    * host link graph ([[PipelineOps.p_host_rank]]'s edge construction),
+    * counting for every host its minimum hop distance from host 0 and
+    * the number of length-≤3 walks that reach it. Each recursion step
+    * is an EQUI-join of the current frontier against the edge list
+    * plus a union — the iterative dataflow Spark plans as a
+    * UnionLoop; the depth bound caps walk multiplicity, which is what
+    * you do at 100 TB before aggregating reachability (an unbounded
+    * dense-graph recursion is exponential in any engine). DuckDB runs
+    * the identical recursion, so min-depths AND path counts
+    * hash-match. */
+  val q_sql_recursive: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    Tables.documents(s, d).createOrReplaceTempView(s"graft_sd_$tag")
+    try s.sql(
+      s"""WITH RECURSIVE reach(host, depth) AS (
+         |  SELECT CAST(0 AS BIGINT), 0
+         |  UNION ALL
+         |  SELECT e.dst, r.depth + 1
+         |  FROM reach r JOIN (
+         |    SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 13) % 37 AS dst
+         |    FROM graft_sd_$tag
+         |    WHERE doc_id % 40 <> (doc_id * 7 + 13) % 37) e
+         |  ON e.src = r.host
+         |  WHERE r.depth < 3)
+         |SELECT host, CAST(MIN(depth) AS INT) AS min_hops,
+         |  COUNT(*) AS n_walks
+         |FROM reach GROUP BY host ORDER BY host""".stripMargin)
+    finally s.catalog.dropTempView(s"graft_sd_$tag")
+  }
+
   /** TPC-H Q18's shape through the SQL front-end: `IN (GROUP BY …
     * HAVING)` — a semi-join against an AGGREGATED subquery. The scale
     * shape matters: Catalyst must aggregate lineitem FIRST (map-side
@@ -1196,6 +1228,7 @@ object RelationalQueries {
     "q_incremental_agg" -> q_incremental_agg,
     "q_sql_having_in" -> q_sql_having_in,
     "q_sql_scalar_subquery" -> q_sql_scalar_subquery,
+    "q_sql_recursive" -> q_sql_recursive,
     "q_sql_double_exists" -> q_sql_double_exists,
     "q_percentiles" -> q_percentiles,
     "q_approx_percentile" -> q_approx_percentile,
@@ -1593,6 +1626,20 @@ object RelationalQueries {
         |  FROM customer) t
         |WHERE best_cents IS NOT NULL
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE reach(host, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN (
+        |    SELECT DISTINCT doc_id % 40 AS src, (doc_id * 7 + 13) % 37 AS dst
+        |    FROM documents
+        |    WHERE doc_id % 40 <> (doc_id * 7 + 13) % 37) e
+        |  ON e.src = r.host
+        |  WHERE r.depth < 3)
+        |SELECT host, CAST(MIN(depth) AS INTEGER) AS min_hops,
+        |  COUNT(*) AS n_walks
+        |FROM reach GROUP BY host ORDER BY host""".stripMargin,
     // the runtime bloom filter only prunes the shuffle; the join is
     // exact, so the oracle is the plain join
     "q_bloom_join" ->

@@ -356,4 +356,17 @@ class RelationalQueriesSpec extends AnyFunSuite {
       .filter(date_format(col("l_shipdate"), "yyyy-MM") === "2001-11").count()
     assert(deltaRows > 0, "fixture must have rows in the delta month")
   }
+
+  test("recursive CTE: BFS depths bounded, seed at depth 0, dense graph reaches beyond hop 1") {
+    val r = ops.RelationalQueries.q_sql_recursive(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    assert(r.nonEmpty)
+    val byHost = r.map(t => t._1 -> t._2).toMap
+    assert(byHost(0L) == 0, "seed host must be at depth 0")
+    assert(r.forall(t => t._2 >= 0 && t._2 <= 3))
+    assert(r.forall(_._3 >= 1))
+    // the planted graph is dense: some host is first reached at hop >= 2,
+    // so the recursion genuinely iterates past the first frontier
+    assert(r.exists(_._2 >= 2), s"all hosts reached in one hop: ${r.mkString(",")}")
+  }
 }
