@@ -51,6 +51,10 @@ import graft.functions.WordShingles.wordShingles
   *     in exact fixed-point integer arithmetic — iterative join+agg
   *     with the edge list partitioned once and reused, bit-identical
   *     to the oracle's recursive-CTE replay.
+  *   - [[p_triangle_count]]: per-host triangle participation via
+  *     degree-oriented wedge generation — O(m^1.5) total work with
+  *     every task bounded by O(√m) out-degrees, where the naive
+  *     formulation puts a celebrity host's k² wedges in one task.
   */
 object PipelineOps {
 
@@ -529,6 +533,63 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------- triangle counting
+
+  /** Per-host triangle participation over the planted link graph (the
+    * [[p_host_rank]] edge construction, canonicalized undirected) —
+    * the local-clustering signal crawl curation uses to separate
+    * organic link neighborhoods from link farms (a farm's hosts close
+    * far more triangles than organic ones).
+    *
+    * The scale shape IS the algorithm: a naive triangle join pivots
+    * wedges on raw vertices, and one celebrity host with degree k
+    * generates k² wedges in a single task — AQE cannot split it,
+    * exactly the window-skew problem `q_sessionize_skew` demonstrates
+    * for sessions. Instead each undirected edge is ORIENTED from its
+    * (degree, id)-smaller endpoint to its larger one, a total order,
+    * so every vertex's out-degree is O(√m) and each triangle {a,b,c}
+    * has exactly one apex with two out-edges (its (deg,id)-minimum).
+    * Wedge generation on oriented `src` is then bounded by out-degree,
+    * the closing probe is one equi-join against the canonical edge
+    * set, and total work is O(m^1.5) — the bound a 10⁹-edge web graph
+    * needs. Counts stay exact: orientation re-orders work, never
+    * drops a triangle. The DuckDB oracle counts ordered triples
+    * a<b<c, so a hash match proves the oriented plan counts each
+    * triangle exactly once. */
+  val p_triangle_count: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val und = docs
+      .select((col("doc_id") % 40).as("x"), ((col("doc_id") * 7 + 13) % 37).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct().cache()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val da = deg.select(col("v").as("a"), col("dg").as("da"))
+    val db = deg.select(col("v").as("b"), col("dg").as("db"))
+    // orient from (deg, id)-smaller to larger; both dims are broadcast-size
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und.join(da, "a").join(db, "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+    // wedges from each apex's out-neighborhood (out-degree O(sqrt m));
+    // dst < dst2 keeps each unordered wedge once AND id-orders the
+    // pair, so closing is a pure equi-join against the canonical
+    // (a<b) edge set -> each triangle closes exactly once, at its
+    // unique (deg,id)-min apex
+    val o2 = oriented.select(col("src"), col("dst").as("dst2"))
+    val wedges = oriented.join(o2, "src")
+      .filter(col("dst") < col("dst2"))
+      .select(col("src"), col("dst").as("a"), col("dst2").as("b"))
+    val tri = wedges.join(und, Seq("a", "b"), "left_semi").cache()
+    tri.select(col("src").as("host"))
+      .union(tri.select(col("a")))
+      .union(tri.select(col("b")))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("host"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -544,6 +605,7 @@ object PipelineOps {
     "p_curate_apply" -> p_curate_apply,
     "p_weighted_sample" -> p_weighted_sample,
     "p_host_rank" -> p_host_rank,
+    "p_triangle_count" -> p_triangle_count,
   )
 
   val oracles: Map[String, String] = Map(
@@ -740,5 +802,22 @@ object PipelineOps {
          |  p.r AS rank_s
          |FROM pr p LEFT JOIN outd o ON o.src = p.h
          |WHERE p.it = $PrIters ORDER BY host""".stripMargin,
+    // ordered triples a<b<c: the orientation-free formulation -- a hash
+    // match proves the oriented Spark plan counts each triangle once
+    "p_triangle_count" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(doc_id % 40, (doc_id * 7 + 13) % 37) AS a,
+        |         greatest(doc_id % 40, (doc_id * 7 + 13) % 37) AS b
+        |  FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 13) % 37),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT host, COUNT(*) AS n_tri FROM (
+        |  SELECT x AS host FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY host ORDER BY host""".stripMargin,
   )
 }

@@ -292,4 +292,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.length > 1)
     assert(got.map(_._3).sum <= S)
   }
+
+  test("p_triangle_count: matches brute force; orientation bounds wedge work") {
+    val got = PipelineOps.p_triangle_count(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force replay over the tiny planted host graph
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val und = ids.map(id => (id % 40, (id * 7 + 13) % 37))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val hosts = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val tris = for {
+      a <- hosts; b <- hosts if a < b && und((a, b))
+      c <- hosts if b < c && und((b, c)) && und((a, c))
+    } yield (a, b, c)
+    val part = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (h, v) => (h, v.length.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(tris.nonEmpty, "planted graph must contain triangles")
+    assert(got.toSeq == part)
+    assert(got.map(_._2).sum == 3L * tris.length)
+    // the de-skew witness: the (deg,id) orientation strictly lowers the
+    // max per-task wedge pivot degree vs raw undirected degree
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (h, v) => h -> v.length }
+    val ord = hosts.sortBy(h => (deg(h), h)).zipWithIndex.toMap
+    val outDeg = und.toSeq
+      .map { case (a, b) => if (ord(a) < ord(b)) a else b }
+      .groupBy(identity).map(_._2.length)
+    assert(outDeg.max < deg.values.max,
+      s"orientation must cut the max pivot degree: ${outDeg.max} vs ${deg.values.max}")
+  }
 }
