@@ -256,10 +256,47 @@ object SimilarityOps {
           .as("recall_ge_90"))
   }
 
+  /** Fixed-point quantization scale of the gram pass (power of two, so
+    * `x * 64` is exact in double and `floor` is engine-independent). */
+  private val GramScale = 64
+
+  /** Exact upper-triangular gram matrix of the corpus embeddings — the
+    * Σ xᵢxⱼ pass PCA / whitening / covariance-shrinkage runs before
+    * training. Values are quantized `floor(x · 64)` so the sums are
+    * integer-exact and order-independent (float dot products would
+    * drift between engines; a real pipeline runs the same trick to get
+    * a reproducible covariance at any reduction order).
+    *
+    * Scale shape: the d·(d+1)/2 products of each vector are expanded
+    * IN-ROW (nested `transform` over the quantized array + `slice`,
+    * all codegen'd HOFs — no UDF, no self-join) and flow straight into
+    * a hash aggregate on (i, j). Map-side partial aggregation means
+    * the shuffle carries only P · d² partial sums — never vectors, and
+    * never the N · d² expanded products: at 10⁹ vectors the exchange
+    * is still ~2080 rows per partition. Compare the join formulation
+    * the oracle uses (explode + self-join on vec_id), which shuffles
+    * N · d rows TWICE — correct, but 10⁶× more exchange traffic at
+    * corpus scale. */
+  val s_gram_matrix: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val quant = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(GramScale)).cast("long"))
+    val dims = size(col("q"))
+    val pairs = transform(col("q"), (qi, i) =>
+      transform(slice(col("q"), i + lit(1), dims - i), (qj, jr) =>
+        struct(i.as("i"), (i + jr).as("j"), (qi * qj).as("p"))))
+    e.select(quant.as("q"))
+      .select(explode(flatten(pairs)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s_cosine_topk" -> s_cosine_topk,
     "s_ann_ivf" -> s_ann_ivf,
     "s_ann_quantized" -> s_ann_quantized,
+    "s_gram_matrix" -> s_gram_matrix,
   )
 
   val oracles: Map[String, String] = {
@@ -304,6 +341,16 @@ object SimilarityOps {
            |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
            |       FROM s) x WHERE rk <= 5)
            |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+      // explode + self-join replay of the in-row pair expansion; the
+      // floor(x*64) quantization makes both engines integer-exact
+      "s_gram_matrix" ->
+        s"""WITH idx AS (SELECT unnest(generate_series(1, $Dim)) AS k),
+           |q AS (SELECT vec_id, CAST(k - 1 AS INTEGER) AS i,
+           |        CAST(floor(CAST(embedding[k] AS DOUBLE) * $GramScale) AS BIGINT) AS qv
+           |      FROM embeddings CROSS JOIN idx)
+           |SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+           |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+           |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
     )
   }
 }

@@ -326,6 +326,57 @@ object TextOps {
         size(array_distinct(col("hs"))).as("fp_distinct"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- bm25
+
+  /** Query width and result depth of the BM25 retrieval demo. */
+  private[ops] val BmQueryK = 5
+  private[ops] val BmTopK = 20
+
+  /** BM25 ranked retrieval — the corpus-statistics relevance score a
+    * retrieval-augmented pipeline runs over its document store. The
+    * query is derived deterministically (the [[BmQueryK]] highest-df
+    * tokens, ties by token), so the demo is non-vacuous on any corpus.
+    *
+    * Like [[t_idf_score]], the arithmetic is EXACT fixed-point — no
+    * transcendental log: idf_e6 = (10⁶·N) div df, and the BM25
+    * saturation k1 = 1.2 / b = 0.75 terms are integer-scaled:
+    * {{{
+    *   norm_e4    = 10⁴·(1-b) + (10⁴·b · dl · N) div Σdl
+    *   denom_e4   = tf·10⁴ + (120 · norm_e4) div 100
+    *   contrib_e6 = (idf_e6 · tf · 22000) div denom_e4   // ×(k1+1)
+    * }}}
+    * Every division floors identically in Spark and DuckDB, so ranks
+    * (integer scores, doc_id tie-break) hash-match exactly.
+    *
+    * Scale shape: tf/df/dl are the same one-shuffle corpus statistics
+    * as [[t_idf_score]]; the query-term probe is a BROADCAST join (a
+    * real query is a handful of terms — the probe side never
+    * shuffles); the final top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort), the same contract
+    * [[PipelineOps.p_weighted_sample]] pins. */
+  val t_bm25: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = occ.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(desc("df"), col("tok")).limit(BmQueryK)
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+    occ.join(broadcast(qterms), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_e6", expr("(1000000L * n_docs) div df"))
+      .withColumn("norm_e4", expr("2500L + (7500L * dl * n_docs) div sum_dl"))
+      .withColumn("denom_e4", expr("tf * 10000L + (120L * norm_e4) div 100"))
+      .withColumn("contrib_e6", expr("(idf_e6 * tf * 22000L) div denom_e4"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_hit"))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -339,6 +390,7 @@ object TextOps {
     "t_repetition" -> t_repetition,
     "t_fingerprint" -> t_fingerprint,
     "t_heavy_hitters" -> t_heavy_hitters,
+    "t_bm25" -> t_bm25,
   )
 
   private val profValues =
@@ -368,6 +420,33 @@ object TextOps {
         |c AS (SELECT tok, COUNT(1) AS n FROM t WHERE len(tok) > 0 GROUP BY tok)
         |SELECT tok, n, TRUE AS cms_ok FROM c
         |ORDER BY n DESC, tok LIMIT 10""".stripMargin,
+    // identical fixed-point BM25 replay: integer idf, saturation and
+    // length normalization, floor division everywhere
+    "t_bm25" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
+         |qt AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT $BmQueryK),
+         |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl),
+         |sc AS (
+         |  SELECT o.doc_id,
+         |    ((1000000 * t.n_docs) // q.df) AS idf_e6,
+         |    o.tf,
+         |    2500 + (7500 * l.dl * t.n_docs) // t.sum_dl AS norm_e4
+         |  FROM occ o JOIN qt q USING (tok) JOIN dl l USING (doc_id), tot t),
+         |c AS (
+         |  SELECT doc_id,
+         |    (idf_e6 * tf * 22000) // (tf * 10000 + (120 * norm_e4) // 100) AS contrib_e6
+         |  FROM sc),
+         |agg AS (SELECT doc_id, CAST(SUM(contrib_e6) AS BIGINT) AS score_e6,
+         |               COUNT(*) AS n_hit FROM c GROUP BY doc_id)
+         |SELECT doc_id, score_e6, n_hit FROM
+         |  (SELECT * FROM agg ORDER BY score_e6 DESC, doc_id LIMIT $BmTopK)
+         |ORDER BY doc_id""".stripMargin,
     "t_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |prof(plang, tok) AS (VALUES $profValues),

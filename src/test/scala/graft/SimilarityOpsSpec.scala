@@ -132,4 +132,19 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(row.getLong(0) == nExact)
     assert(row.getBoolean(1), "int8 preselection + float re-rank must keep recall@5 >= 0.9")
   }
+
+  test("gram matrix: matches driver-side integer replay, full upper triangle") {
+    val d = SimilarityOps.Dim
+    val got = SimilarityOps.s_gram_matrix(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    assert(got.length == d * (d + 1) / 2)
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 64).toLong).toArray)
+    val acc = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (q <- vecs; i <- 0 until d; j <- i until d)
+      acc((i, j)) = acc.getOrElse((i, j), 0L) + q(i) * q(j)
+    assert(got.toSeq == acc.toSeq.sortBy(_._1))
+    // diagonal entries are sums of squares: strictly positive here
+    assert(got.filter(t => t._1._1 == t._1._2).forall(_._2 > 0L))
+  }
 }

@@ -105,4 +105,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p.head.getString(0) == "whale" && p.head.getLong(1) == 150L)
     assert(p.forall(_.getBoolean(2)))
   }
+
+  test("bm25: matches driver-side integer replay, top-k by score") {
+    val got = TextOps.t_bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sequential replay of the identical fixed-point arithmetic
+    val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val occ = rows.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    }.toMap
+    val dl = occ.map { case (id, c) => id -> c.values.sum }
+    val n = rows.length.toLong
+    val sumDl = dl.values.sum
+    val df = occ.values.flatMap(_.keys).groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val qt = df.toSeq.sortBy { case (t, f) => (-f, t) }.take(5)
+    val scores = occ.flatMap { case (id, c) =>
+      val hits = qt.flatMap { case (t, f) =>
+        c.get(t).map { tf =>
+          val idf = 1000000L * n / f
+          val norm = 2500L + 7500L * dl(id) * n / sumDl
+          val denom = tf * 10000L + 120L * norm / 100L
+          idf * tf * 22000L / denom
+        }
+      }
+      if (hits.isEmpty) None else Some((id, hits.sum, hits.length.toLong))
+    }.toSeq
+    val exp = scores.sortBy { case (id, sc, _) => (-sc, id) }.take(20).sortBy(_._1)
+    assert(got.toSeq == exp)
+    assert(got.nonEmpty && got.forall(_._3 >= 1L))
+  }
 }
