@@ -1184,6 +1184,72 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Rows whose planted-null rule fires in [[q_table_profile]] —
+    * `l_orderkey % 13 == 0` blanks the derived cents column so the
+    * null-counting path is non-vacuous on a fixture with no nulls. */
+  private val ProfileNullMod = 13
+
+  /** ANALYZE-style table profiling — the stats-collection pass every
+    * engine runs before cost-based planning and every data team runs
+    * as a freshness/drift check: per column, row count, null count,
+    * exact distinct count, and min/max (rendered to strings so one
+    * tidy (col_name, stat) relation covers heterogeneous types; dates
+    * go through DATE and doubles through integer cents so the
+    * rendering is engine-exact). Nulls are PLANTED deterministically
+    * (see [[ProfileNullMod]]) and both engines replay the rule.
+    *
+    * Scale shape: ONE pass over the table — the multi-column distinct
+    * counts plan as a single Expand (#cols × rows) feeding partial
+    * hash aggregates, the standard exact-NDV plan; there is no
+    * per-column rescan, and the unpivot to tidy rows happens on the
+    * 1-row aggregate result. At 100 TB the exact distinct would
+    * usually relax to `approx_count_distinct` (no Expand, one
+    * HLL++ sketch per column — [[q_approx_distinct]] proves that
+    * machinery); exact is kept here so the oracle can hash-match. */
+  val q_table_profile: Q = (s, d) => {
+    val li = lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_shipdate").cast("date").as("ship_day"),
+      when(col("l_orderkey") % ProfileNullMod === 0, lit(null))
+        .otherwise(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    def stats(c: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+      count_distinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_mn"),
+      max(col(c)).cast("string").as(s"${c}_mx"))
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "ship_day", "qty_cents")
+    val aggd = li.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(stats): _*)
+    aggd.select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"${c}_nn").as("n_null"),
+          col(s"${c}_nd").as("n_distinct"), col(s"${c}_mn").as("min_s"),
+          col(s"${c}_mx").as("max_s"))): _*)).as("st"))
+      .select(col("st.col_name"), col("n_rows"), col("st.n_null"),
+        col("st.n_distinct"), col("st.min_s"), col("st.max_s"))
+      .orderBy(col("col_name"))
+  }
+
+  /** DuckDB twin of [[q_table_profile]]: one UNION ALL block per
+    * profiled column over the same planted-null projection. */
+  private def tableProfileOracle: String = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "ship_day", "qty_cents")
+    val blocks = cols.map { c =>
+      s"""SELECT '$c' AS col_name, n.n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+         |FROM t, n GROUP BY n.n_rows""".stripMargin
+    }
+    s"""WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+       |             CAST(l_shipdate AS DATE) AS ship_day,
+       |             CASE WHEN l_orderkey % $ProfileNullMod = 0 THEN NULL
+       |                  ELSE CAST(ROUND(l_quantity * 100) AS BIGINT) END AS qty_cents
+       |           FROM lineitem),
+       |n AS (SELECT COUNT(*) AS n_rows FROM t)
+       |SELECT * FROM (${blocks.mkString("\n UNION ALL \n")})
+       |ORDER BY col_name""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1226,6 +1292,7 @@ object RelationalQueries {
     "q_moving_avg" -> q_moving_avg,
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
+    "q_table_profile" -> q_table_profile,
     "q_sql_having_in" -> q_sql_having_in,
     "q_sql_scalar_subquery" -> q_sql_scalar_subquery,
     "q_sql_recursive" -> q_sql_recursive,
@@ -1241,6 +1308,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_table_profile" -> tableProfileOracle,
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
          |f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` corpus — the per-doc
@@ -377,6 +378,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- inverted index
+
+  /** Tokens indexed and posting-head length of [[t_inverted_index]]. */
+  private[ops] val InvTopTokens = 10
+  private[ops] val InvPostingK = 15
+
+  /** Salt buckets for the two-phase posting-head build. */
+  private[ops] val InvSalt = 16
+
+  /** Inverted-index construction — the posting-list build behind
+    * every keyword/BM25 retrieval system: for the [[InvTopTokens]]
+    * highest-df tokens (ties by token, so the probe set is
+    * deterministic), emit the first [[InvPostingK]] postings in
+    * doc_id order with their term frequencies.
+    *
+    * Scale shape: the indexed-token set joins as a BROADCAST (an
+    * index build shards its vocabulary; the probe here is the
+    * hottest slice, exactly where the skew lives), and the
+    * posting-head selection is the SALTED TWO-PHASE min-k of
+    * [[RelationalQueries.q_topk_per_group]]: phase 1 takes k per
+    * (token, doc_id % [[InvSalt]]) so no task ever materializes a
+    * hot token's full df-sized posting run, phase 2 re-ranks the
+    * ≤ salt·k survivors. A single window over the raw postings
+    * would serialize a stopword's entire document set onto one
+    * task — the straggler this formulation exists to avoid. */
+  val t_inverted_index: Q = (s, d) => {
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = occ.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val top = dfreq.orderBy(desc("df"), col("tok")).limit(InvTopTokens)
+    val w1 = Window.partitionBy(col("tok"), col("salt")).orderBy(col("doc_id"))
+    val w2 = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    occ.join(broadcast(top), "tok")
+      .withColumn("salt", col("doc_id") % InvSalt)
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= InvPostingK)
+      .withColumn("pos", row_number().over(w2).cast("int"))
+      .filter(col("pos") <= InvPostingK)
+      .select(col("tok"), col("df"), col("pos"), col("doc_id"), col("tf"))
+      .orderBy(col("tok"), col("pos"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -391,6 +435,7 @@ object TextOps {
     "t_fingerprint" -> t_fingerprint,
     "t_heavy_hitters" -> t_heavy_hitters,
     "t_bm25" -> t_bm25,
+    "t_inverted_index" -> t_inverted_index,
   )
 
   private val profValues =
@@ -420,6 +465,21 @@ object TextOps {
         |c AS (SELECT tok, COUNT(1) AS n FROM t WHERE len(tok) > 0 GROUP BY tok)
         |SELECT tok, n, TRUE AS cms_ok FROM c
         |ORDER BY n DESC, tok LIMIT 10""".stripMargin,
+    // single-window replay of the salted two-phase posting build —
+    // the hash match proves the de-skewed formulation selects the
+    // identical posting heads
+    "t_inverted_index" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
+         |top AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT $InvTopTokens),
+         |p AS (SELECT o.tok, t.df, o.doc_id, o.tf,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY o.tok ORDER BY o.doc_id) AS INTEGER) AS pos
+         |      FROM occ o JOIN top t USING (tok))
+         |SELECT tok, df, pos, doc_id, tf FROM p
+         |WHERE pos <= $InvPostingK ORDER BY tok, pos""".stripMargin,
     // identical fixed-point BM25 replay: integer idf, saturation and
     // length normalization, floor division everywhere
     "t_bm25" ->

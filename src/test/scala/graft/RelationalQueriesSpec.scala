@@ -369,4 +369,36 @@ class RelationalQueriesSpec extends AnyFunSuite {
     // so the recursion genuinely iterates past the first frontier
     assert(r.exists(_._2 >= 2), s"all hosts reached in one hop: ${r.mkString(",")}")
   }
+
+  test("table profile: stats match a driver replay; planted nulls are counted") {
+    import org.apache.spark.sql.functions._
+    val got = ops.RelationalQueries.q_table_profile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    // replay the aggregation over the same planted-null projection
+    val rows = ops.Tables.lineitem(spark, sf).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_shipdate").cast("date").cast("string"),
+        when(col("l_orderkey") % 13 === 0, lit(null))
+          .otherwise(round(col("l_quantity") * 100).cast("long")))
+      .collect()
+    val n = rows.length.toLong
+    def profile[T: Ordering](name: String, vs: Seq[Option[T]]) = {
+      val d = vs.flatten
+      (name, n, (vs.length - d.length).toLong, d.distinct.length.toLong,
+        d.min.toString, d.max.toString)
+    }
+    val exp = Seq(
+      profile("l_orderkey", rows.toSeq.map(r => Option(r.getLong(0)))),
+      profile("l_linenumber", rows.toSeq.map(r => Option(r.getInt(1)))),
+      profile("l_returnflag", rows.toSeq.map(r => Option(r.getString(2)))),
+      profile("ship_day", rows.toSeq.map(r => Option(r.getString(3)))),
+      profile("qty_cents", rows.toSeq.map(r => if (r.isNullAt(4)) None else Some(r.getLong(4)))),
+    ).sortBy(_._1)
+    assert(got.toSeq == exp)
+    // the planted-null rule actually fired, and only on qty_cents
+    val byName = got.map(t => t._1 -> t).toMap
+    assert(byName("qty_cents")._3 > 0, "planted nulls missing")
+    assert(got.filter(_._1 != "qty_cents").forall(_._3 == 0L))
+  }
 }

@@ -135,4 +135,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.toSeq == exp)
     assert(got.nonEmpty && got.forall(_._3 >= 1L))
   }
+
+  test("inverted index: salted two-phase posting heads match sequential replay") {
+    val got = TextOps.t_inverted_index(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val rows = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val occ = rows.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, v) => (t, id, v.length.toLong) }
+    }
+    val df = occ.groupBy(_._1).map { case (t, v) => t -> v.length.toLong }
+    val top = df.toSeq.sortBy { case (t, f) => (-f, t) }.take(TextOps.InvTopTokens)
+    val exp = top.flatMap { case (t, f) =>
+      occ.filter(_._1 == t).sortBy(_._2).take(TextOps.InvPostingK)
+        .zipWithIndex.map { case ((_, id, tf), i) => (t, f, i + 1, id, tf) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got.toSeq == exp)
+    // heads are genuinely truncated posting runs (df beyond the head)
+    assert(got.map(_._1).distinct.length == TextOps.InvTopTokens)
+    assert(top.exists(_._2 > TextOps.InvPostingK),
+      "fixture must have a token hotter than the head size")
+  }
 }
