@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WordShingles.wordShingles
+import graft.functions.VectorFunctions.{dotHof, normSq, oracleNormSqSql}
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * between dedup and training — decontamination, mixture sampling, PII
@@ -590,6 +592,183 @@ object PipelineOps {
       .orderBy(col("host"))
   }
 
+  // ------------------------------------------------- label propagation
+
+  /** Synchronous rounds of [[p_label_prop]] — fixed so both engines
+    * replay the identical (possibly pre-convergence) state. */
+  private[ops] val LpIters = 4
+
+  /** Community detection by synchronous label propagation over the
+    * planted host graph — the clustering signal crawl curation uses
+    * to group mutually-linking hosts (complementing [[p_host_rank]]'s
+    * centrality and [[p_triangle_count]]'s local density): every host
+    * starts as its own label; each round it adopts the label most
+    * frequent among its neighbors, ties broken by smallest label so
+    * the rounds are fully deterministic. [[LpIters]] synchronous
+    * rounds, then each host reports its community and that
+    * community's size.
+    *
+    * Scale shape: the undirected edge list is partitioned ONCE and
+    * reused every round; a round is one join (neighbor labels), one
+    * (host, label) count aggregate with map-side partials, and a mode
+    * pick via window over the ≤ #distinct-neighbor-label rows per
+    * host — a celebrity host's mode costs its distinct labels, not
+    * its degree, so the straggler risk stays in the already-combined
+    * aggregate. The DuckDB oracle replays the SAME four rounds as a
+    * generated CTE chain (window functions are awkward inside
+    * recursive CTEs — same technique as the BPE merge replay), so the
+    * hash match pins every round's tie-breaks, not just the fixed
+    * point. */
+  val p_label_prop: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dir = docs.select((col("doc_id") % 40).as("x"),
+        ((col("doc_id") * 7 + 13) % 37).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val edges = dir.select(col("x").as("u"), col("y").as("v"))
+      .union(dir.select(col("y"), col("x"))).distinct()
+      .repartition(col("u")).cache()
+    var labels = edges.select(col("u").as("h")).distinct()
+      .withColumn("lbl", col("h"))
+    val w = Window.partitionBy(col("u")).orderBy(desc("c"), col("lbl"))
+    for (_ <- 1 to LpIters) {
+      labels = edges.join(labels, edges("v") === labels("h"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("u").as("h"), col("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "lbl")
+      .select(col("h").as("host"), col("lbl").as("label"), col("comm_size"))
+      .orderBy(col("host"))
+  }
+
+  /** DuckDB twin of [[p_label_prop]]: one generated CTE pair per
+    * synchronous round. */
+  private def labelPropOracle: String = {
+    val rounds = (1 to LpIters).map { i =>
+      s"""c$i AS (SELECT e.u, l.lbl, COUNT(*) AS c
+         |  FROM e2 e JOIN l${i - 1} l ON e.v = l.h GROUP BY e.u, l.lbl),
+         |l$i AS (SELECT u AS h, lbl FROM (
+         |  SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rk
+         |  FROM c$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT DISTINCT doc_id % 40 AS x, (doc_id * 7 + 13) % 37 AS y
+       |           FROM documents WHERE doc_id % 40 <> (doc_id * 7 + 13) % 37),
+       |e2 AS (SELECT x AS u, y AS v FROM d UNION SELECT y, x FROM d),
+       |l0 AS (SELECT DISTINCT u AS h, u AS lbl FROM e2),
+       |$rounds
+       |SELECT f.h AS host, f.lbl AS label, CAST(s.cs AS BIGINT) AS comm_size
+       |FROM l$LpIters f JOIN (SELECT lbl, COUNT(*) AS cs FROM l$LpIters GROUP BY lbl) s
+       |  USING (lbl)
+       |ORDER BY host""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- scd2
+
+  /** Type-2 slowly-changing-dimension build from the event stream —
+    * the warehouse operator that turns a change log into validity
+    * intervals (`valid_from`/`valid_to`/`is_current`), one row per
+    * state RUN rather than per event: consecutive events with the
+    * same `event_type` collapse into one version (gaps-and-islands
+    * change detection via `lag`), and each version's interval closes
+    * at the NEXT change's timestamp (`lead`), the open current
+    * version carrying the `-1` sentinel so the column stays a
+    * non-null BIGINT for exact cross-engine hashing.
+    *
+    * Scale shape: change detection, version numbering, and interval
+    * closing are all windows over the SAME (user_id) partitioning and
+    * (t_us, event_id) ordering, so the whole build runs on ONE
+    * exchange + one sort — the filter between passes is narrow.
+    * Ordering ties on t_us break by event_id in both engines, so the
+    * build is deterministic even when a user has two events in the
+    * same microsecond. */
+  val p_scd2: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to_us", coalesce(lead(col("t_us"), 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("t_us").as("valid_from_us"), col("valid_to_us"),
+        (col("valid_to_us") === -1L).as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  // --------------------------------------------------- embedding decon
+
+  /** `cos_e6` threshold above which a corpus vector counts as a
+    * semantic copy of a probe. */
+  private[ops] val EmbedDecontTauE6 = 900000L
+
+  /** Every `vec_id % EmbedProbeMod == 0` seeds a probe. */
+  private[ops] val EmbedProbeMod = 101
+
+  /** Embedding-space decontamination — the semantic companion to the
+    * 8-gram [[p_decontaminate]]: flag corpus vectors whose cosine to
+    * ANY benchmark probe exceeds a threshold, catching paraphrased
+    * contamination that exact n-gram overlap misses. The fixture
+    * plants the phenomenon deterministically: probes are the
+    * `vec_id % EmbedProbeMod == 0` slice with `+0.25` added to the
+    * first coordinate (a paraphrase stand-in — near its source, far
+    * from everything else), and BOTH engines replay that
+    * construction, so each probe's source vector must flag and the
+    * query is non-vacuous on any corpus.
+    *
+    * Arithmetic is the engine-exact cosine discipline of
+    * [[SimilarityOps]]: probe perturbation in double, left-to-right
+    * fold dot products matching the oracle's unrolled left-assoc
+    * expression, e6 integerization before any comparison.
+    *
+    * Scale shape: the probe side is a benchmark suite — MBs at 100 TB
+    * corpus scale — so it BROADCASTS and the corpus makes ONE narrow
+    * pass (per-row cost |probes|·d, no shuffle before the final
+    * per-vector aggregate, which reduces on the already-colocated
+    * vec_id). The `crossJoin(broadcast(…))` is the documented BNLJ
+    * shape of the brute-force cosine family; an IVF-probed variant
+    * (only vectors in cells near a probe) drops the constant further
+    * when the probe suite grows — [[SimilarityOps.s_ann_ivf]] is that
+    * machinery. */
+  val p_embed_decon: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") % EmbedProbeMod === 0)
+      .select(col("vec_id").as("pid"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") + when(i === 0, lit(0.25)).otherwise(lit(0.0))).as("pe"))
+      .withColumn("pn", sqrt(aggregate(
+        zip_with(col("pe"), col("pe"), (x, y) => x * y), lit(0.0), (a, x) => a + x)))
+    // the corpus is scanned IN FULL — the probe sources stay in it
+    // (that is the phenomenon: the benchmark leaked into the corpus),
+    // so every probe's source vector must flag and the query is
+    // non-vacuous by construction
+    val corpus = e.withColumn("cn", sqrt(normSq(col("embedding"))))
+    corpus.crossJoin(broadcast(probes))
+      .withColumn("cos_e6",
+        round(dotHof(col("embedding"), col("pe")) / (col("cn") * col("pn")) * 1e6)
+          .cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos_e6")).as("max_cos_e6"),
+        sum(when(col("cos_e6") >= EmbedDecontTauE6, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Unrolled left-assoc SQL for the perturbed-probe cosine — the
+    * DuckDB twin of [[p_embed_decon]]'s fold arithmetic. */
+  private def embedDeconCosSql: String = {
+    val dim = SimilarityOps.Dim
+    def pv(i: Int) =
+      if (i == 1) s"(CAST(p.embedding[$i] AS DOUBLE)+0.25)"
+      else s"CAST(p.embedding[$i] AS DOUBLE)"
+    val dot = (1 to dim).map(i => s"CAST(c.embedding[$i] AS DOUBLE)*${pv(i)}")
+      .mkString("(", " + ", ")")
+    val pn = (1 to dim).map(i => s"${pv(i)}*${pv(i)}").mkString("(", " + ", ")")
+    val cn = oracleNormSqSql("c.embedding", dim)
+    s"($dot / (sqrt($cn) * sqrt($pn)))"
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -606,9 +785,36 @@ object PipelineOps {
     "p_weighted_sample" -> p_weighted_sample,
     "p_host_rank" -> p_host_rank,
     "p_triangle_count" -> p_triangle_count,
+    "p_scd2" -> p_scd2,
+    "p_embed_decon" -> p_embed_decon,
+    "p_label_prop" -> p_label_prop,
   )
 
   val oracles: Map[String, String] = Map(
+    "p_label_prop" -> labelPropOracle,
+    "p_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
+        |r AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY t_us, event_id) AS prev FROM e),
+        |c AS (SELECT user_id, t_us, event_id, event_type FROM r
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type AS state, t_us AS valid_from_us,
+        |        CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |        CAST(COALESCE(LEAD(t_us) OVER w, -1) AS BIGINT) AS valid_to_us
+        |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
+        |SELECT user_id, version, state, valid_from_us, valid_to_us,
+        |  valid_to_us = -1 AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    "p_embed_decon" ->
+      s"""WITH p AS (SELECT * FROM embeddings WHERE vec_id % $EmbedProbeMod = 0),
+         |c AS (SELECT * FROM embeddings),
+         |s AS (SELECT c.vec_id,
+         |        CAST(ROUND($embedDeconCosSql * 1000000) AS BIGINT) AS cos_e6
+         |      FROM c CROSS JOIN p)
+         |SELECT vec_id, MAX(cos_e6) AS max_cos_e6,
+         |  CAST(SUM(CASE WHEN cos_e6 >= $EmbedDecontTauE6 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  SUM(CASE WHEN cos_e6 >= $EmbedDecontTauE6 THEN 1 ELSE 0 END) > 0 AS contaminated
+         |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "p_decontaminate" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${ShingleN - 1})) AS i FROM words),

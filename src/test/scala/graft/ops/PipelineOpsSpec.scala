@@ -323,4 +323,91 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(outDeg.max < deg.values.max,
       s"orientation must cut the max pivot degree: ${outDeg.max} vs ${deg.values.max}")
   }
+
+  test("scd2: sequential replay matches; runs collapse; intervals chain per user") {
+    val got = PipelineOps.p_scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val runs = rows.sortBy(r => (r._2, r._3))
+        .foldLeft(Vector.empty[(Long, String)]) { (acc, r) =>
+          if (acc.nonEmpty && acc.last._2 == r._4) acc else acc :+ ((r._2, r._4))
+        }
+      runs.zipWithIndex.map { case ((t, st), i) =>
+        val to = if (i + 1 < runs.length) runs(i + 1)._1 else -1L
+        (u, i + 1, st, t, to, to == -1L)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == exp)
+    // non-vacuous: at least one same-state run collapsed, and state
+    // genuinely changes (some user has more than one version)
+    assert(got.length < ev.length, "no run ever collapsed")
+    assert(got.groupBy(_._1).exists(_._2.length > 1))
+    // validity intervals chain: each version closes where the next opens,
+    // and exactly the last version per user is current
+    got.groupBy(_._1).values.foreach { vs =>
+      val s = vs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4, s"gap between versions of user ${a._1}")
+        case _ =>
+      }
+      assert(s.last._6 && s.init.forall(!_._6))
+    }
+  }
+
+  test("embed decon: driver replay matches; every probe source flags; corpus mostly clean") {
+    val got = PipelineOps.p_embed_decon(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(got.length == all.length)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val probes = all.filter(_._1 % PipelineOps.EmbedProbeMod == 0).map { case (_, e) =>
+      val p = e.map(_.toDouble); p(0) += 0.25; p
+    }
+    assert(probes.nonEmpty)
+    val tau = PipelineOps.EmbedDecontTauE6
+    val exp = all.map { case (id, ef) =>
+      val c = ef.map(_.toDouble)
+      val cn = math.sqrt(dot(c, c))
+      val cos = probes.map(p => math.round(dot(c, p) / (cn * math.sqrt(dot(p, p))) * 1e6))
+      (id, cos.max, cos.count(_ >= tau).toLong, cos.exists(_ >= tau))
+    }.sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+    val sources = got.filter(_._1 % PipelineOps.EmbedProbeMod == 0)
+    assert(sources.nonEmpty && sources.forall(_._4),
+      "every probe's leaked source vector must flag as contaminated")
+    assert(got.count(!_._4) > got.length / 2, "most of the corpus must stay clean")
+  }
+
+  test("label prop: four synchronous rounds match sequential replay; communities form") {
+    val got = PipelineOps.p_label_prop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val dirE = ids.map(id => (id % 40, (id * 7 + 13) % 37))
+      .filter(t => t._1 != t._2).distinct
+    val e2 = (dirE ++ dirE.map(_.swap)).distinct
+    val nbrs = e2.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSeq }
+    var lbl = nbrs.keys.map(h => h -> h).toMap
+    for (_ <- 1 to PipelineOps.LpIters) {
+      val prev = lbl
+      lbl = nbrs.map { case (u, vs) =>
+        val counts = vs.map(prev).groupBy(identity).map { case (l, o) => (l, o.size) }
+        u -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, o) => l -> o.size.toLong }
+    val exp = lbl.toSeq.map { case (h, l) => (h, l, sizes(l)) }.sortBy(_._1)
+    assert(got.toSeq == exp)
+    // non-vacuous: labels coalesce into genuine communities
+    assert(got.map(_._2).distinct.length < got.length, "labels never merged")
+    assert(got.map(_._2).distinct.length > 0)
+  }
 }
