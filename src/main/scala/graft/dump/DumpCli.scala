@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * (`/root/reference/src/main.rs:25-33`):
   *
   * {{{
-  *   mysqldump-to-parquet [-o|--output DIR] [--strict-tables] [INPUT]
+  *   mysqldump-to-parquet [-o|--output DIR] [--strict-tables]
+  *                        [--quarantine] [--codec CODEC] [INPUT]
   * }}}
   *
   * INPUT may be a plain `.sql` or gzip `.sql.gz` dump; when absent the
@@ -26,11 +27,13 @@ import org.apache.spark.sql.SparkSession
   */
 object DumpCli {
 
-  private[dump] def parseArgs(args: Array[String]): (String, Option[String], Boolean, Boolean) = {
+  private[dump] def parseArgs(
+      args: Array[String]): (String, Option[String], Boolean, Boolean, String) = {
     var out = "."
     var input: Option[String] = None
     var strict = false
     var quarantine = false
+    var codec = "snappy"
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -41,6 +44,9 @@ object DumpCli {
           strict = true; i += 1
         case "--quarantine" =>
           quarantine = true; i += 1
+        case "--codec" =>
+          require(i + 1 < args.length, "--codec requires a value")
+          codec = args(i + 1); i += 2
         case flag if flag.startsWith("-") =>
           throw new IllegalArgumentException(s"unknown flag $flag")
         case pos =>
@@ -48,7 +54,7 @@ object DumpCli {
           input = Some(pos); i += 1
       }
     }
-    (out, input, strict, quarantine)
+    (out, input, strict, quarantine, codec)
   }
 
   /** Stream stdin to a temp file in bounded memory (8 MB buffer, like
@@ -68,7 +74,7 @@ object DumpCli {
   }
 
   def main(args: Array[String]): Unit = {
-    val (outDir, inputArg, strict, quar) = parseArgs(args)
+    val (outDir, inputArg, strict, quar, codec) = parseArgs(args)
     val spark = SparkSession.builder()
       .appName("mysqldump-to-parquet")
       .config("spark.master",
@@ -85,7 +91,8 @@ object DumpCli {
       // `main.rs:63-86`): table discovery, a throttled rows-written
       // ticker, and a per-table line as each write commits.
       val res = DumpConverter.convert(spark, input, outDir,
-        strictTables = strict, progress = System.err.println, quarantine = quar)
+        strictTables = strict, progress = System.err.println, quarantine = quar,
+        codec = codec)
       // `rowsWritten` includes the `_quarantine` side channel; report
       // rejected rows separately so they never read as successful writes.
       val quarantined = res.rowsWritten.getOrElse(DumpConverter.QuarantineTable, 0L)

@@ -174,11 +174,19 @@ object DumpConverter {
   private def isZstdName(f: String): Boolean =
     f.endsWith(".zst") || f.endsWith(".zstd")
 
+  /** Parquet codecs the sink accepts — the compressions every Spark
+    * build bundles (no extra jars). Validated up front so a typo'd
+    * `--codec` fails before any work, not at first write. */
+  val SupportedCodecs: Set[String] = Set("snappy", "zstd", "gzip", "lz4", "none")
+
   def convert(spark: SparkSession, input: String, outDir: String,
               minPartitions: Int = 1, saltsPerTable: Int = 8,
               strictTables: Boolean = false,
               progress: String => Unit = _ => (),
-              quarantine: Boolean = false): Result = {
+              quarantine: Boolean = false,
+              codec: String = "snappy"): Result = {
+    require(SupportedCodecs(codec),
+      s"unsupported codec '$codec' (one of: ${SupportedCodecs.toSeq.sorted.mkString(", ")})")
     val sc = spark.sparkContext
     val lines = {
       val files = if (isZstdName(input)) Seq(input) else expandInput(sc, input)
@@ -373,7 +381,7 @@ object DumpConverter {
             else lastCreate(table)._2
           val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
           spark.createDataFrame(mine, schema)
-            .write.mode("overwrite").option("compression", "snappy")
+            .write.mode("overwrite").option("compression", codec)
             .parquet(s"$outDir/$table")
           val n = spark.read.parquet(s"$outDir/$table").count()
           progress(s"[dump] (${ti + 1}/${writeOrder.size}) $table: $n rows -> $outDir/$table")

@@ -12,18 +12,25 @@ class DumpCliSpec extends AnyFunSuite {
       |""".stripMargin
 
   test("arg parsing: -o/--output, --strict-tables, optional positional input, errors") {
-    assert(DumpCli.parseArgs(Array()) == (".", None, false, false))
-    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql"), false, false))
-    assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) == ("out", Some("in.sql"), false, false))
-    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None, false, false))
-    assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) == ("out", Some("in.sql"), false, false))
-    assert(DumpCli.parseArgs(Array("--strict-tables", "in.sql")) == (".", Some("in.sql"), true, false))
-    assert(DumpCli.parseArgs(Array("--quarantine", "in.sql")) == (".", Some("in.sql"), false, true))
+    assert(DumpCli.parseArgs(Array()) == (".", None, false, false, "snappy"))
+    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql"), false, false, "snappy"))
+    assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) ==
+      ("out", Some("in.sql"), false, false, "snappy"))
+    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None, false, false, "snappy"))
+    assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) ==
+      ("out", Some("in.sql"), false, false, "snappy"))
+    assert(DumpCli.parseArgs(Array("--strict-tables", "in.sql")) ==
+      (".", Some("in.sql"), true, false, "snappy"))
+    assert(DumpCli.parseArgs(Array("--quarantine", "in.sql")) ==
+      (".", Some("in.sql"), false, true, "snappy"))
     assert(DumpCli.parseArgs(Array("in.sql", "--strict-tables", "-o", "out")) ==
-      ("out", Some("in.sql"), true, false))
+      ("out", Some("in.sql"), true, false, "snappy"))
+    assert(DumpCli.parseArgs(Array("--codec", "zstd", "in.sql")) ==
+      (".", Some("in.sql"), false, false, "zstd"))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-x")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("a", "b")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-o")))
+    intercept[IllegalArgumentException](DumpCli.parseArgs(Array("--codec")))
   }
 
   test("e2e: main with file input writes parquet (main.rs:25-33 parity)") {

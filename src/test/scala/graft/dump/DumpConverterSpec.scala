@@ -430,4 +430,25 @@ class DumpConverterSpec extends AnyFunSuite {
     val res = DumpConverter.convert(spark, s"$in/dump.sql", out)
     assert(res.rowsWritten("_quarantine") == 1)
   }
+
+  test("--codec routes the parquet compression; bad codec fails before any work") {
+    val in = tmpDir("dump-codec-in")
+    val text = DumpRenderer.dump(Seq(("user", userSchema, userRows)), batchSize = 2)
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), text)
+    for ((codec, ext) <- Seq("zstd" -> "zstd", "gzip" -> "gz")) {
+      val out = tmpDir(s"dump-codec-$codec-out")
+      val res = DumpConverter.convert(spark, s"$in/dump.sql", out, codec = codec)
+      assert(res.rowsWritten("user") == 3)
+      val parts = new java.io.File(s"$out/user").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet"))
+      assert(parts.nonEmpty && parts.forall(_.contains(s".$ext.")),
+        s"expected $ext part files, got ${parts.mkString(",")}")
+      val back = spark.read.parquet(s"$out/user").collect().sortBy(_.getLong(0))
+      assert(back.toSeq == userRows)
+    }
+    val e = intercept[IllegalArgumentException] {
+      DumpConverter.convert(spark, s"$in/dump.sql", tmpDir("dump-codec-bad"), codec = "lzo")
+    }
+    assert(e.getMessage.contains("unsupported codec"))
+  }
 }
