@@ -592,6 +592,43 @@ object PipelineOps {
       .orderBy(col("host"))
   }
 
+  // ------------------------------------------- BPE training pair count
+
+  /** Merge candidates reported by [[p_bpe_pair_counts]]. */
+  private[ops] val BpePairTopK = 20
+
+  /** The distributed round of BPE tokenizer TRAINING — the committed
+    * merge table `graft/bpe_merges.txt` that `t_bpe_tokens` encodes
+    * with comes from a training loop whose only corpus-scale step is
+    * this one: count adjacent symbol pairs across every word
+    * occurrence, take the top candidates, pick the merge
+    * driver-side, repeat. This op runs the first round (the raw
+    * byte-alphabet pairs) and emits the top [[BpePairTopK]]
+    * candidates with the deterministic (count desc, pair) tie-break
+    * the in-repo trainer uses.
+    *
+    * Scale shape: one narrow explode (per-word adjacent pairs via an
+    * in-row `transform` over positions — no self-join) into a hash
+    * aggregate whose key space is bounded by the SYMBOL ALPHABET
+    * squared, so map-side partials reduce each task to at most
+    * |alphabet|² rows regardless of corpus size, and the top-k plans
+    * as TakeOrderedAndProject. A 100 TB training corpus pays one
+    * bounded-width shuffle per merge round; the merge pick itself is
+    * a KB-sized driver decision, exactly how production tokenizer
+    * training splits the work. */
+  val p_bpe_pair_counts: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words.select(explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b")).limit(BpePairTopK)
+      .orderBy(col("a"), col("b"))
+  }
+
   // ------------------------------------------------- label propagation
 
   /** Synchronous rounds of [[p_label_prop]] — fixed so both engines
@@ -788,10 +825,19 @@ object PipelineOps {
     "p_scd2" -> p_scd2,
     "p_embed_decon" -> p_embed_decon,
     "p_label_prop" -> p_label_prop,
+    "p_bpe_pair_counts" -> p_bpe_pair_counts,
   )
 
   val oracles: Map[String, String] = Map(
     "p_label_prop" -> labelPropOracle,
+    "p_bpe_pair_counts" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |f AS (SELECT w FROM w WHERE length(w) >= 2),
+         |p AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b
+         |      FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM f)),
+         |c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY a, b),
+         |t AS (SELECT a, b, n FROM c ORDER BY n DESC, a, b LIMIT $BpePairTopK)
+         |SELECT a, b, n FROM t ORDER BY a, b""".stripMargin,
     "p_scd2" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type FROM events),
         |r AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id

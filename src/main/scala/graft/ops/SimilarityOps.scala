@@ -256,6 +256,112 @@ object SimilarityOps {
           .as("recall_ge_90"))
   }
 
+  // --------------------------------------------------------------- pq
+
+  /** PQ geometry: [[PqSub]] subspaces of [[PqSubDim]] dims with
+    * [[PqK]]-entry codebooks → 8-bit codes, 8 B/vector of code
+    * (+ 8 B float norm) vs ~144 B for the int8 path and ~520 B float
+    * — the next rung of the compression ladder (SCALING.md has the
+    * memory-per-10⁹-vectors table). [[PqK]] = 256 is the standard PQ8
+    * codebook size; 16-entry codebooks (4 B/vector) were measured too
+    * lossy on this fixture's unclustered vectors (recall 0.48 at
+    * over-fetch 20). */
+  private[ops] val PqSub = 8
+  private[ops] val PqSubDim = Dim / PqSub
+  private[ops] val PqK = 256
+
+  /** PQ preselection over-fetch — a CONSTANT per query, not a corpus
+    * fraction, so it stays negligible at 10⁹ vectors. 160 is where the
+    * measured recall curve reaches the 0.95 nprobe-5 IVF ceiling on
+    * this fixture at every SF (80 → 0.90, 160 → 0.95; full curve in
+    * SCALING.md). The fixture's uniformly-random vectors are PQ's
+    * WORST case — nothing clusters, so per-subspace codebooks retain
+    * error near the nearest-neighbor distance itself; real embedding
+    * corpora concentrate on low-dimensional manifolds where the same
+    * codebooks bite and the dial shrinks. */
+  private val PqRerank = 160
+
+  /** Per-subspace PQ codebooks — [[PqSub]] independent fixed-seed
+    * KMeans fits over the corpus subspace slices, memoized like the
+    * IVF quantizer (a trained artifact shipped with the index; fit on
+    * a sample at scale). Entry ids are codebook positions. */
+  private def pqCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
+    (0 until PqSub).map { j =>
+      kmeansCentroids(
+        e.select(slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("embedding")),
+        PqK)
+    }
+
+  /** IVF-PQ ANN — the FAISS-style index layout for corpora where even
+    * int8 is too much memory: candidates keep an IVF cell, a float
+    * norm, and [[PqSub]] 4-bit codes; scoring inside probed cells is
+    * asymmetric-distance (ADC) with the codebooks embedded as plan
+    * LITERALS, so `dot(q, decode(codes)) = Σⱼ dot(qⱼ, cbⱼ[codeⱼ])`
+    * runs as a narrow codegen'd expression — the decode never
+    * materializes a vector column, and the codebook "lookup tables"
+    * ship inside the plan (KBs) rather than joining. Top-[[PqRerank]]
+    * survivors per query re-rank in float, and the registered witness
+    * asserts recall@5 ≥ 0.9 with the exact side hash-checked — same
+    * contract as [[s_ann_ivf]] and [[s_ann_quantized]].
+    *
+    * Encode is [[PqSub]] narrow nearest-centroid passes
+    * ([[assignNearest]] against 16 literal centroids each) — one
+    * codegen'd scan of the index build, no shuffle. */
+  /** The ADC preselection relation (qid, cid, acos_e6) — split out so
+    * the spec can measure the recall-vs-over-fetch curve. */
+  private[graft] def pqPreselect(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = kmeansCentroids(e, NumCentroids)
+    val books = pqCodebooks(e)
+    var assigned = assignNearest(candSide(e), cents, "ce", "cent", CandAssign)
+      .withColumn("cn", sqrt(normSq(col("ce"))))
+    for (j <- 0 until PqSub) {
+      assigned = assignNearest(
+        assigned.withColumn(s"_s$j", slice(col("ce"), j * PqSubDim + 1, PqSubDim)),
+        books(j), s"_s$j", s"code$j", nprobe = 1).drop(s"_s$j")
+    }
+    val codeCols = (0 until PqSub).map(j => col(s"code$j"))
+    val index = assigned.select(Seq(col("cid"), col("cent"), col("cn")) ++ codeCols: _*)
+    val probed = assignNearest(querySide(e), cents, "qe", "cent", nprobe = 5)
+      .withColumn("qn", sqrt(normSq(col("qe"))))
+    val adc = (0 until PqSub).map { j =>
+      val bookLit = typedLit(books(j).map(_._2.toSeq))
+      dotHof(slice(col("qe"), j * PqSubDim + 1, PqSubDim),
+        element_at(bookLit, col(s"code$j") + 1))
+    }.reduce(_ + _)
+    index.join(probed, "cent")
+      .withColumn("acos_e6", round(adc / (col("qn") * col("cn")) * 1e6).cast("long"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(max(col("acos_e6")).as("acos_e6"))
+  }
+
+  val s_ann_pq: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val pre = pqPreselect(s, d)
+    val wPre = Window.partitionBy(col("qid")).orderBy(desc("acos_e6"), col("cid"))
+    val survivors = pre.withColumn("prk", row_number().over(wPre))
+      .filter(col("prk") <= PqRerank)
+      .select(col("qid"), col("cid"))
+    val rer = survivors
+      .join(candSide(e).withColumn("cn", sqrt(normSq(col("ce")))), "cid")
+      .join(broadcast(querySide(e).withColumn("qn", sqrt(normSq(col("qe"))))), "qid")
+      .withColumn("cos_e6",
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
+    val approx = rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cid"), lit(1).as("ap"))
+    val exact = bruteForceTopK(querySide(e), candSide(e), k = 5)
+      .select(col("qid"), col("cid"), lit(1).as("ex"))
+    exact.join(approx, Seq("qid", "cid"), "full_outer")
+      .agg(
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("n_exact"),
+        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
+          .as("recall_ge_90"))
+  }
+
   /** Fixed-point quantization scale of the gram pass (power of two, so
     * `x * 64` is exact in double and `floor` is engine-independent). */
   private val GramScale = 64
@@ -296,6 +402,7 @@ object SimilarityOps {
     "s_cosine_topk" -> s_cosine_topk,
     "s_ann_ivf" -> s_ann_ivf,
     "s_ann_quantized" -> s_ann_quantized,
+    "s_ann_pq" -> s_ann_pq,
     "s_gram_matrix" -> s_gram_matrix,
   )
 
@@ -331,6 +438,20 @@ object SimilarityOps {
       // identical witness shape for the int8-quantized index: DuckDB
       // rebuilds the exact top-5; the quantized path must recover >=90%
       "s_ann_quantized" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+           |     s AS (SELECT qid, cid,
+           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+           |           FROM c CROSS JOIN q),
+           |     t AS (SELECT qid, cid FROM (
+           |       SELECT qid, cid,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
+           |       FROM s) x WHERE rk <= 5)
+           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+      // same recall-witness contract for the IVF-PQ index: the exact
+      // side is independently rebuilt and hash-checked, the ADC
+      // path's recall flag is the asserted bound
+      "s_ann_pq" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
            |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
            |     s AS (SELECT qid, cid,

@@ -133,6 +133,13 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(row.getBoolean(1), "int8 preselection + float re-rank must keep recall@5 >= 0.9")
   }
 
+  test("pq ann witness: 8-bit PQ ADC preselection + float re-rank keeps recall@5 >= 0.9") {
+    val row = SimilarityOps.s_ann_pq(spark, sf).head
+    val nExact = SimilarityOps.s_cosine_topk(spark, sf).count()
+    assert(row.getLong(0) == nExact)
+    assert(row.getBoolean(1), "PQ preselection + float re-rank must keep recall@5 >= 0.9")
+  }
+
   test("gram matrix: matches driver-side integer replay, full upper triangle") {
     val d = SimilarityOps.Dim
     val got = SimilarityOps.s_gram_matrix(spark, sf).collect()

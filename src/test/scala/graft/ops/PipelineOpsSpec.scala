@@ -410,4 +410,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length < got.length, "labels never merged")
     assert(got.map(_._2).distinct.length > 0)
   }
+
+  test("bpe pair counts: replay matches; top candidate equals the trainer's first pick") {
+    val got = PipelineOps.p_bpe_pair_counts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (w <- words; i <- 0 until w.length - 1) {
+      val p = (w.substring(i, i + 1), w.substring(i + 1, i + 2))
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    }
+    val exp = counts.toSeq.map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(PipelineOps.BpePairTopK)
+      .sortBy { case (a, b, _) => (a, b) }
+    assert(got.toSeq == exp)
+    // the distributed round agrees with the sequential trainer's
+    // first merge over the same corpus word frequencies
+    val wc = words.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val first = graft.functions.BpeTrainer.train(wc, maxMerges = 1).head
+    val top1 = got.minBy { case (a, b, n) => (-n, a, b) }
+    assert((top1._1, top1._2) == first,
+      s"distributed top pair $top1 != trainer pick $first")
+  }
 }
