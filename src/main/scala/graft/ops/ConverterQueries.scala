@@ -358,11 +358,22 @@ object ConverterQueries {
       val z = zInterleave(
         expr(s"CAST((l_partkey - $xmn) * $buckets DIV $xspan AS INT)"),
         expr(s"CAST((l_suppkey - $ymn) * $buckets DIV $yspan AS INT)"))
+      // FIXED z-range tiles (one per depth-2 Morton quadrant), not
+      // repartitionByRange: range partitioning samples with a random
+      // seed, so tile boundaries drifted between sessions and the
+      // hit-file count sat exactly on the witness threshold (8 of 16
+      // on some runs). Exact tiles make the box → file-set mapping
+      // deterministic: the middle-quarter box intersects exactly the
+      // four central quadrants. repartition(tile) routes each tile to
+      // one task and partitionBy splits files per tile, so each
+      // nonempty tile lands in exactly one file.
+      val tileWidth = (1L << (2 * ZBits)) / ZFiles
       li.withColumn("z", z)
-        .repartitionByRange(ZFiles, col("z"))
-        .sortWithinPartitions(col("z"))
+        .withColumn("tile", expr(s"CAST(z DIV $tileWidth AS INT)"))
+        .repartition(col("tile"))
+        .sortWithinPartitions(col("tile"), col("z"))
         .drop("z")
-        .write.mode("overwrite").parquet(p)
+        .write.partitionBy("tile").mode("overwrite").parquet(p)
     }
     val linPath = layout(s, d, "linear_lineitem") { p =>
       li.repartitionByRange(ZFiles, col("l_orderkey"))
