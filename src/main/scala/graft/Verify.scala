@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet is TIMESTAMP(NANOS); read as Long then convert
-      // (see ops.Tables.events)
+      // legacy-compat only: lets a TIMESTAMP(NANOS)-written events
+      // fixture arrive as Long for ops.Tables.normalizeEventTs; the
+      // current fixture is timestamp[us] NTZ and ignores this flag
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,19 +25,24 @@ import org.apache.spark.sql.types._
   * in the state store. The watermark bounds state: at 100 TB/day the
   * state store holds only windows newer than max-event-time − 1h.
   *
-  * `ts` in the fixture parquet is TIMESTAMP(NANOS); sessions set
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, so the stream schema
-  * declares LongType nanos and converts to micros exactly like
-  * `ops.Tables.events`.
+  * The stream's source schema is derived from a batch footer read of
+  * the SAME file, then `ts` is normalized by
+  * [[graft.ops.Tables.normalizeEventTs]] — the single shared
+  * type-adaptive path (TIMESTAMP_NTZ micros / legacy Long nanos /
+  * TimestampType). Round 8 hard-coded LongType nanos here while the
+  * driver regenerated the fixture as timestamp[us]; the raw micros
+  * were then read as nanos and every event time collapsed to 1970.
+  * Deriving the schema from the file makes that drift impossible.
   */
 object StreamingOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Source schemas per (session, dir): one batch footer read each —
+    * a required-by-API explicit schema for the file stream, kept
+    * honest by reading it from the actual file. */
+  private val sourceSchemas =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), StructType]
 
   /** File-source stream over the events parquet (glob keeps the file
     * source happy with a single-file "directory"). Built on the
@@ -45,8 +50,10 @@ object StreamingOps {
     * [[StatePartitions]] without ever touching the caller's conf. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val ss = streamSession(s)
-    ss.readStream.schema(eventsSchema).parquet(s"$d/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$d/events*.parquet"
+    val schema = sourceSchemas.getOrElseUpdate((ss, d), ss.read.parquet(path).schema)
+    graft.ops.Tables.normalizeEventTs(
+      ss.readStream.schema(schema).parquet(path), path)
   }
 
   /** State-store partition count for the fixture's streaming jobs.
