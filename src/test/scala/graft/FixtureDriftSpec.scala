@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, TimestampNTZType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Tables
+import graft.streaming.StreamingOps
+
+/** Fixture-schema drift guard (round-8 postmortem). The driver
+  * regenerates /root/testdata between rounds and the physical type of
+  * `events.ts` has already drifted once (TIMESTAMP(NANOS) → plain
+  * timestamp[us] NTZ), silently breaking 16 queries. This spec pins the
+  * contract of `Tables.normalizeEventTs`:
+  *
+  *  - every supported arrival (NTZ micros, LTZ micros, legacy Long
+  *    nanos) normalizes to the SAME TimestampType values, batch AND
+  *    streaming;
+  *  - an unsupported arrival fails loudly with one pointed error naming
+  *    the file, instead of sixteen downstream DATATYPE_MISMATCHes.
+  */
+class FixtureDriftSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Write the fixture's events re-encoded with `ts` transformed, into
+    * a temp dir laid out like a fixture dir (events.parquet). */
+  private def variantDir(tag: String)(recode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_drift_${tag}_")
+    recode(Tables.events(spark, sf))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    val r = df.agg(count(lit(1)), sum(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  lazy val expected = fingerprint(Tables.events(spark, sf))
+
+  test("NTZ (timestamp[us]) arrival normalizes to the fixture's exact event times") {
+    val d = variantDir("ntz")(_.withColumn("ts", col("ts").cast(TimestampNTZType)))
+    val ev = Tables.events(spark, d)
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    assert(fingerprint(ev) == expected)
+  }
+
+  test("LTZ (TimestampType) arrival passes through unchanged") {
+    val d = variantDir("ltz")(identity)
+    val ev = Tables.events(spark, d)
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    assert(fingerprint(ev) == expected)
+  }
+
+  test("legacy Long-nanos arrival floor-divides to the same micros") {
+    val d = variantDir("nanos")(_.withColumn("ts", unix_micros(col("ts")) * 1000L))
+    val ev = Tables.events(spark, d)
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    assert(fingerprint(ev) == expected)
+  }
+
+  test("an unsupported ts arrival fails with one pointed error naming the file") {
+    val d = variantDir("bad")(_.withColumn("ts", col("ts").cast(StringType)))
+    val e = intercept[IllegalArgumentException](Tables.events(spark, d))
+    assert(e.getMessage.contains("events.parquet"))
+    assert(e.getMessage.contains("drifted"))
+    assert(e.getMessage.contains("normalizeEventTs"))
+  }
+
+  test("streaming is type-robust: tumbling windows agree across NTZ and nanos encodings") {
+    val baseline = StreamingOps.st_tumbling(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(baseline.nonEmpty)
+    for (tag <- Seq("ntz", "nanos")) {
+      val d =
+        if (tag == "ntz") variantDir("sntz")(_.withColumn("ts", col("ts").cast(TimestampNTZType)))
+        else variantDir("snanos")(_.withColumn("ts", unix_micros(col("ts")) * 1000L))
+      val got = StreamingOps.st_tumbling(spark, d).collect().map(_.toString).sorted.toSeq
+      assert(got == baseline, s"streaming answer drifted for the $tag encoding")
+    }
+  }
+}
