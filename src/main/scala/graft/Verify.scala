@@ -19,11 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must leave a red ROW in the artifact, not a
+    // silently-missing entry (round 8: five plan-time errors simply
+    // vanished from CORRECTNESS). Each failure writes
+    // `{name}.error.txt` next to where its parquet would have been,
+    // and the names are summarized in errors.json — both travel with
+    // the artifact the driver (and judge) reads.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name.error.txt"), msg + "\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +51,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // separate file (NOT a key inside oracle_sql.json — the driver
+    // iterates that map's keys as query names, so a foreign key would
+    // be read as a query called "errors")
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // deliberately rc=0 even with failures: the driver must still run
+    // the DuckDB compare over the queries that DID produce output —
+    // the red rows live in errors.json / *.error.txt, not the exit code
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} of ${SparkEntry.queries.size} queries failed")
   }
 }

@@ -21,6 +21,10 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"create view {t} as select * from read_parquet('{p}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+try:
+    errors = json.load(open(f"{out}/errors.json"))
+except FileNotFoundError:
+    errors = {}
 
 def canon(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -34,6 +38,9 @@ def canon(df: pd.DataFrame):
 fails = []
 for name in sorted(oracle):
     d = f"{out}/{name}"
+    if name in errors:
+        fails.append((name, f"query ERROR: {errors[name]}"))
+        print(f"FAIL {name}: query ERROR: {errors[name][:160]}"); continue
     if not os.path.isdir(d):
         fails.append((name, "missing spark output")); continue
     got = canon(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))],
