@@ -472,8 +472,20 @@ object PipelineOps {
     * with the 40-row rank table plus one groupBy(dst) — at 10⁹ edges
     * the edge list is pre-partitioned on src ONCE and every iteration
     * reuses that exchange, ranks being the small broadcast side. 10
-    * iterations = 10 shuffles of rank-sized data, never edge-sized. */
-  val p_host_rank: Q = (s, d) => {
+    * iterations = 10 shuffles of rank-sized data, never edge-sized.
+    *
+    * Each round's rank table is eagerly `localCheckpoint`ed (same
+    * lineage-truncation pattern as the dedup contraction at
+    * [[DedupOps.connectedComponentsWithRounds]]): without it the plan
+    * deepens by one join-aggregate per iteration, so analysis cost and
+    * failure-recovery recomputation grow linearly with rounds — at
+    * 10⁹ edges a lost executor would replay EVERY previous iteration.
+    * With it, each round's plan is one join-agg over a materialized
+    * 40-row RDD; [[PipelineOpsSpec]] asserts the plan size is
+    * iteration-count-invariant. */
+  val p_host_rank: Q = (s, d) => hostRank(s, d, PrIters)
+
+  private[ops] def hostRank(s: SparkSession, d: String, iters: Int): DataFrame = {
     val docs = Tables.documents(s, d)
     val edges = docs.select((col("doc_id") % 40).as("src"),
         ((col("doc_id") * 7 + 13) % 37).as("dst"))
@@ -485,13 +497,14 @@ object PipelineOps {
     val n = hosts.count()
     val teleport = ((PrScale * 15) / 100) / n
     var ranks = hosts.withColumn("r", lit(PrScale / n))
-    for (_ <- 1 to PrIters) {
+    for (_ <- 1 to iters) {
       val contrib = edges.join(ranks, edges("src") === ranks("h"))
         .join(outd, "src")
         .groupBy(col("dst")).agg(sum(expr("r DIV od")).as("c"))
       ranks = hosts.join(contrib, hosts("h") === contrib("dst"), "left")
         .select(col("h"),
           (lit(teleport) + expr("85 * coalesce(c, 0L) DIV 100")).as("r"))
+        .localCheckpoint()
     }
     ranks.join(outd, ranks("h") === outd("src"), "left")
       .select(col("h").as("host"), coalesce(col("od"), lit(0L)).as("outdeg"),
@@ -655,8 +668,13 @@ object PipelineOps {
     * generated CTE chain (window functions are awkward inside
     * recursive CTEs — same technique as the BPE merge replay), so the
     * hash match pins every round's tie-breaks, not just the fixed
-    * point. */
-  val p_label_prop: Q = (s, d) => {
+    * point.
+    *
+    * Round labels are `localCheckpoint`ed like [[hostRank]]'s ranks —
+    * constant plan depth across rounds, bounded recovery replay. */
+  val p_label_prop: Q = (s, d) => labelProp(s, d, LpIters)
+
+  private[ops] def labelProp(s: SparkSession, d: String, iters: Int): DataFrame = {
     val docs = Tables.documents(s, d)
     val dir = docs.select((col("doc_id") % 40).as("x"),
         ((col("doc_id") * 7 + 13) % 37).as("y"))
@@ -667,11 +685,12 @@ object PipelineOps {
     var labels = edges.select(col("u").as("h")).distinct()
       .withColumn("lbl", col("h"))
     val w = Window.partitionBy(col("u")).orderBy(desc("c"), col("lbl"))
-    for (_ <- 1 to LpIters) {
+    for (_ <- 1 to iters) {
       labels = edges.join(labels, edges("v") === labels("h"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("u").as("h"), col("lbl"))
+        .localCheckpoint()
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
     labels.join(sizes, "lbl")

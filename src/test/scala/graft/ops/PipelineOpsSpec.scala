@@ -433,4 +433,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((top1._1, top1._2) == first,
       s"distributed top pair $top1 != trainer pick $first")
   }
+
+  test("iterative graph ops truncate lineage: plan size is iteration-invariant") {
+    // Without per-round localCheckpoint the logical plan deepens by one
+    // join-aggregate per iteration — linear re-analysis cost and a full
+    // replay of every prior round on executor loss. With it, the final
+    // plan hangs off the LAST round's materialized RDD, so its node
+    // count must not grow with the round count.
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case n => n }.length
+    val pr2 = planNodes(PipelineOps.hostRank(spark, sf, 2))
+    val pr8 = planNodes(PipelineOps.hostRank(spark, sf, 8))
+    assert(pr8 == pr2, s"host-rank plan grew with iterations: $pr2 -> $pr8")
+    val lp2 = planNodes(PipelineOps.labelProp(spark, sf, 2))
+    val lp6 = planNodes(PipelineOps.labelProp(spark, sf, 6))
+    assert(lp6 == lp2, s"label-prop plan grew with iterations: $lp2 -> $lp6")
+  }
 }
