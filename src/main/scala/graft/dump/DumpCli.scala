@@ -9,8 +9,16 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   *   mysqldump-to-parquet [-o|--output DIR] [--strict-tables]
-  *                        [--quarantine] [--codec CODEC] [INPUT]
+  *                        [--quarantine] [--codec CODEC]
+  *                        [--date-as-date] [--unsigned-decimal] [INPUT]
   * }}}
+  *
+  * `--date-as-date` maps MySQL DATE columns to parquet DATE (instead of
+  * the reference's midnight timestamp); `--unsigned-decimal` maps
+  * BIGINT UNSIGNED to DECIMAL(20,0) so values above i64::MAX convert
+  * instead of erroring (the reference rejects them,
+  * `line_parser.rs:247`). Both are opt-in; defaults match the
+  * reference byte-for-byte.
   *
   * INPUT may be a plain `.sql` or gzip `.sql.gz` dump; when absent the
   * dump is read from stdin (`main.rs:56`). Output defaults to `.`.
@@ -28,12 +36,13 @@ import org.apache.spark.sql.SparkSession
 object DumpCli {
 
   private[dump] def parseArgs(
-      args: Array[String]): (String, Option[String], Boolean, Boolean, String) = {
+      args: Array[String]): (String, Option[String], Boolean, Boolean, String, DumpParser.TypeOptions) = {
     var out = "."
     var input: Option[String] = None
     var strict = false
     var quarantine = false
     var codec = "snappy"
+    var types = DumpParser.DefaultTypes
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -47,6 +56,10 @@ object DumpCli {
         case "--codec" =>
           require(i + 1 < args.length, "--codec requires a value")
           codec = args(i + 1); i += 2
+        case "--date-as-date" =>
+          types = types.copy(dateAsDate = true); i += 1
+        case "--unsigned-decimal" =>
+          types = types.copy(unsignedBigintDecimal = true); i += 1
         case flag if flag.startsWith("-") =>
           throw new IllegalArgumentException(s"unknown flag $flag")
         case pos =>
@@ -54,7 +67,7 @@ object DumpCli {
           input = Some(pos); i += 1
       }
     }
-    (out, input, strict, quarantine, codec)
+    (out, input, strict, quarantine, codec, types)
   }
 
   /** Stream stdin to a temp file in bounded memory (8 MB buffer, like
@@ -74,7 +87,7 @@ object DumpCli {
   }
 
   def main(args: Array[String]): Unit = {
-    val (outDir, inputArg, strict, quar, codec) = parseArgs(args)
+    val (outDir, inputArg, strict, quar, codec, types) = parseArgs(args)
     val spark = SparkSession.builder()
       .appName("mysqldump-to-parquet")
       .config("spark.master",
@@ -92,7 +105,7 @@ object DumpCli {
       // ticker, and a per-table line as each write commits.
       val res = DumpConverter.convert(spark, input, outDir,
         strictTables = strict, progress = System.err.println, quarantine = quar,
-        codec = codec)
+        codec = codec, types = types)
       // `rowsWritten` includes the `_quarantine` side channel; report
       // rejected rows separately so they never read as successful writes.
       val quarantined = res.rowsWritten.getOrElse(DumpConverter.QuarantineTable, 0L)

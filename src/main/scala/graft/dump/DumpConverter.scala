@@ -184,7 +184,8 @@ object DumpConverter {
               strictTables: Boolean = false,
               progress: String => Unit = _ => (),
               quarantine: Boolean = false,
-              codec: String = "snappy"): Result = {
+              codec: String = "snappy",
+              types: DumpParser.TypeOptions = DumpParser.DefaultTypes): Result = {
     require(SupportedCodecs(codec),
       s"unsupported codec '$codec' (one of: ${SupportedCodecs.toSeq.sorted.mkString(", ")})")
     val sc = spark.sparkContext
@@ -235,7 +236,7 @@ object DumpConverter {
         .sortBy(_._1)(ordering).toArray
       val creates: Seq[(Pos, String, StructType)] = metaStmts
         .collect { case (pos, s) if s.startsWith("CREATE TABLE") =>
-          val ct = DumpParser.parseCreateTable(s)
+          val ct = DumpParser.parseCreateTable(s, types)
           val db = latestAt(useTimeline, pos).getOrElse("")
           (pos, qualify(db, ct.table), ct.schema)
         }
@@ -293,7 +294,7 @@ object DumpConverter {
                 if strictOk && (pos._1 > cpos._1 || (pos._1 == cpos._1 && pos._2 > cpos._2)) =>
               val salt = (pos.hashCode & Int.MaxValue) % salts
               if (!quarantine)
-                DumpParser.parseInsert(s).rows.iterator
+                DumpParser.parseInsert(s, types).rows.iterator
                   .map(v => ((t, salt), DumpParser.coerceRow(t, schema, v)))
               else {
                 // Bad-row side channel: a malformed STATEMENT (tokenizer
@@ -302,7 +303,7 @@ object DumpConverter {
                 // quarantines just that row — the statement's other rows
                 // still land. One statement can never fail a 10-hour
                 // 100 TB ingest.
-                try DumpParser.parseInsert(s).rows.iterator.flatMap { v =>
+                try DumpParser.parseInsert(s, types).rows.iterator.flatMap { v =>
                   try Iterator(((t, salt), DumpParser.coerceRow(t, schema, v)))
                   catch {
                     case scala.util.control.NonFatal(e) =>

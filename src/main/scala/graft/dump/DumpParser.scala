@@ -49,9 +49,31 @@ object DumpParser extends Serializable {
   final class DumpParseException(msg: String) extends RuntimeException(msg)
   private def fail(msg: String): Nothing = throw new DumpParseException(msg)
 
-  def parse(stmt: String): Statement =
-    if (stmt.startsWith("CREATE TABLE")) parseCreateTable(stmt)
-    else if (stmt.startsWith("INSERT INTO")) parseInsert(stmt)
+  /** Opt-in type-mapping extensions beyond reference parity; the
+    * default instance reproduces the reference's mapping exactly.
+    *
+    *  - `dateAsDate`: MySQL `DATE` columns → `DateType` (faithful
+    *    date round-trip for downstream engines) instead of the
+    *    reference's midnight `TimestampType`
+    *    (`line_parser.rs:158-161`).
+    *  - `unsignedBigintDecimal`: `BIGINT UNSIGNED` columns →
+    *    `DecimalType(20, 0)`, and integer literals above i64::MAX
+    *    parse as scale-0 decimals instead of erroring — converts
+    *    dumps the reference rejects (`line_parser.rs:247`). Values
+    *    are still range-checked to u64. */
+  case class TypeOptions(dateAsDate: Boolean = false,
+                         unsignedBigintDecimal: Boolean = false)
+      extends Serializable
+  val DefaultTypes: TypeOptions = TypeOptions()
+
+  /** u64::MAX — the upper bound of MySQL BIGINT UNSIGNED. */
+  private val U64Max = new java.math.BigDecimal("18446744073709551615")
+
+  def parse(stmt: String): Statement = parse(stmt, DefaultTypes)
+
+  def parse(stmt: String, opts: TypeOptions): Statement =
+    if (stmt.startsWith("CREATE TABLE")) parseCreateTable(stmt, opts)
+    else if (stmt.startsWith("INSERT INTO")) parseInsert(stmt, opts)
     else Nop
 
   // ------------------------------------------------------------ lexing
@@ -130,16 +152,25 @@ object DumpParser extends Serializable {
     "PRIMARY", "UNIQUE", "KEY", "CONSTRAINT", "FOREIGN", "INDEX",
     "FULLTEXT", "SPATIAL", "CHECK")
 
-  def sparkType(typeWord: String): DataType = typeWord.toUpperCase match {
-    case t if IntegerTypes.contains(t)   => LongType
-    case t if FloatTypes.contains(t)     => DoubleType
-    case t if TimestampTypes.contains(t) => TimestampType
-    case t if StringTypes.contains(t)    => StringType
-    case t if BooleanTypes.contains(t)   => BooleanType
-    case t => fail(s"unsupported column type: $t")
-  }
+  def sparkType(typeWord: String): DataType =
+    sparkType(typeWord, unsigned = false, DefaultTypes)
 
-  def parseCreateTable(stmt: String): CreateTable = {
+  def sparkType(typeWord: String, unsigned: Boolean, opts: TypeOptions): DataType =
+    typeWord.toUpperCase match {
+      case "BIGINT" | "INT8" if unsigned && opts.unsignedBigintDecimal =>
+        DecimalType(20, 0)
+      case "DATE" if opts.dateAsDate       => DateType
+      case t if IntegerTypes.contains(t)   => LongType
+      case t if FloatTypes.contains(t)     => DoubleType
+      case t if TimestampTypes.contains(t) => TimestampType
+      case t if StringTypes.contains(t)    => StringType
+      case t if BooleanTypes.contains(t)   => BooleanType
+      case t => fail(s"unsupported column type: $t")
+    }
+
+  def parseCreateTable(stmt: String): CreateTable = parseCreateTable(stmt, DefaultTypes)
+
+  def parseCreateTable(stmt: String, opts: TypeOptions): CreateTable = {
     val c = new Cursor(stmt)
     c.i = "CREATE TABLE".length
     c.skipWs()
@@ -158,13 +189,15 @@ object DumpParser extends Serializable {
         if (typeWord.isEmpty) fail(s"missing type for column $name: ${c.context}")
         // type arguments: (10,2), ('a','b') — skip, quote-aware
         if (c.tryConsume('(')) skipParenBody(c)
+        var unsigned = false
         var extra = c.peekWord().toUpperCase
         if (extra == "UNSIGNED" || extra == "SIGNED" || extra == "ZEROFILL" ||
             (typeWord.equalsIgnoreCase("DOUBLE") && extra == "PRECISION")) {
+          if (extra == "UNSIGNED") unsigned = true
           c.word()
           extra = c.peekWord().toUpperCase
         }
-        val dt = sparkType(typeWord)
+        val dt = sparkType(typeWord, unsigned, opts)
         val nullable = parseColumnOptions(c)
         fields += StructField(name.toLowerCase, dt, nullable)
       }
@@ -290,7 +323,9 @@ object DumpParser extends Serializable {
     c.ident()
   }
 
-  def parseInsert(stmt: String): InsertInto = {
+  def parseInsert(stmt: String): InsertInto = parseInsert(stmt, DefaultTypes)
+
+  def parseInsert(stmt: String, opts: TypeOptions): InsertInto = {
     val c = new Cursor(stmt)
     c.i = "INSERT INTO".length
     val table = c.ident()
@@ -305,7 +340,7 @@ object DumpParser extends Serializable {
       val row = Vector.newBuilder[Any]
       var rowDone = false
       while (!rowDone) {
-        row += parseValue(c)
+        row += parseValue(c, opts)
         if (c.tryConsume(',')) ()
         else { c.expect(')'); rowDone = true }
       }
@@ -322,19 +357,19 @@ object DumpParser extends Serializable {
     * `-` negates a following number — except the introducer/hex forms
     * (DEVIATION, see class doc): those appear in real dumps and the
     * reference bails on them. */
-  private def parseValue(c: Cursor): Any = {
+  private def parseValue(c: Cursor, opts: TypeOptions): Any = {
     c.skipWs()
     if (c.eof) fail("expected value at end of statement")
     c.peek match {
       case '\'' => parseStringLiteral(c)
-      case '-'  => c.i += 1; negate(parseNumber(c))
-      case '+'  => c.i += 1; parseNumber(c)
+      case '-'  => c.i += 1; negate(parseNumber(c, opts))
+      case '+'  => c.i += 1; parseNumber(c, opts)
       case '0' if c.i + 1 < c.s.length &&
           (c.s.charAt(c.i + 1) == 'x' || c.s.charAt(c.i + 1) == 'X') &&
           c.i + 2 < c.s.length && isHex(c.s.charAt(c.i + 2)) =>
         c.i += 2; parseHexBody(c)
-      case d if d >= '0' && d <= '9' => parseNumber(c)
-      case '.' => parseNumber(c)
+      case d if d >= '0' && d <= '9' => parseNumber(c, opts)
+      case '.' => parseNumber(c, opts)
       case ('x' | 'X') if c.i + 1 < c.s.length && c.s.charAt(c.i + 1) == '\'' =>
         // X'ABCD' hex-string: body is hex digits inside quotes
         c.i += 2
@@ -385,10 +420,11 @@ object DumpParser extends Serializable {
   private def negate(v: Any): Any = v match {
     case l: java.lang.Long   => java.lang.Long.valueOf(-l.longValue())
     case d: java.lang.Double => java.lang.Double.valueOf(-d.doubleValue())
+    case b: java.math.BigDecimal => b.negate()
     case other               => fail(s"cannot negate $other")
   }
 
-  private def parseNumber(c: Cursor): Any = {
+  private def parseNumber(c: Cursor, opts: TypeOptions): Any = {
     val start = c.i
     var isFloat = false
     var cont = true
@@ -407,7 +443,15 @@ object DumpParser extends Serializable {
     if (isFloat) java.lang.Double.valueOf(text)
     else
       try java.lang.Long.valueOf(text)
-      catch { case _: NumberFormatException => fail(s"integer out of i64 range: $text") }
+      catch {
+        case _: NumberFormatException =>
+          // parity: the reference parses integers as i64 and errors on
+          // overflow (line_parser.rs:247). The unsigned-decimal opt-in
+          // keeps the literal as a scale-0 decimal; range enforcement
+          // happens at coercion where the column type is known.
+          if (opts.unsignedBigintDecimal) new java.math.BigDecimal(text)
+          else fail(s"integer out of i64 range: $text")
+      }
   }
 
   /** MySQL single-quoted string: backslash escapes + '' doubling. */
@@ -465,6 +509,23 @@ object DumpParser extends Serializable {
         else f.dataType match {
           case LongType => v match {
             case l: java.lang.Long => l
+            case b: java.math.BigDecimal =>
+              // a > i64 literal (admitted by the unsigned-decimal mode)
+              // landing in a plain bigint column is still an overflow
+              fail(s"table $table column ${f.name}: integer out of i64 range: $b")
+            case other => fail(s"table $table column ${f.name}: expected integer, got $other")
+          }
+          case dt: DecimalType if dt.precision == 20 && dt.scale == 0 => v match {
+            // BIGINT UNSIGNED via TypeOptions.unsignedBigintDecimal:
+            // anything integral in [0, u64::MAX]
+            case l: java.lang.Long if l >= 0L => java.math.BigDecimal.valueOf(l)
+            case l: java.lang.Long =>
+              fail(s"table $table column ${f.name}: negative value $l in UNSIGNED column")
+            case b: java.math.BigDecimal
+                if b.signum() >= 0 && b.compareTo(U64Max) <= 0 =>
+              b
+            case b: java.math.BigDecimal =>
+              fail(s"table $table column ${f.name}: integer out of u64 range: $b")
             case other => fail(s"table $table column ${f.name}: expected integer, got $other")
           }
           case DoubleType => v match {
@@ -479,6 +540,17 @@ object DumpParser extends Serializable {
           case TimestampType => v match {
             case s: String => parseTimestamp(s, table, f.name)
             case other => fail(s"table $table column ${f.name}: expected timestamp string, got $other")
+          }
+          case DateType => v match {
+            // TypeOptions.dateAsDate: 'YYYY-MM-DD' only — a DATE column
+            // carrying a time component is a schema lie we refuse
+            case s: String =>
+              try java.sql.Date.valueOf(LocalDate.parse(s))
+              catch {
+                case e: java.time.format.DateTimeParseException =>
+                  fail(s"table $table column ${f.name}: cannot parse date '$s': ${e.getMessage}")
+              }
+            case other => fail(s"table $table column ${f.name}: expected date string, got $other")
           }
           case BooleanType => v match {
             case b: java.lang.Boolean => b

@@ -19,6 +19,8 @@ object DumpRenderer {
     case DoubleType    => "double"
     case FloatType     => "float"
     case TimestampType => "datetime"
+    case DateType      => "date"
+    case d: DecimalType if d.precision == 20 && d.scale == 0 => "bigint unsigned"
     case BooleanType   => "boolean"
     case StringType    => "varchar(255)"
     case other => throw new IllegalArgumentException(s"cannot render $other in a mysqldump")
@@ -55,6 +57,10 @@ object DumpRenderer {
     case t: java.sql.Timestamp =>
       val fmt = if (t.toInstant.getNano == 0) tsFmt else tsFracFmt
       s"'${fmt.format(t.toInstant)}'"
+    case d: java.sql.Date      => s"'$d'"                 // yyyy-MM-dd
+    case d: java.time.LocalDate => s"'$d'"
+    case b: java.math.BigDecimal => b.toPlainString
+    case b: BigDecimal         => b.bigDecimal.toPlainString
     case b: Boolean            => if (b) "TRUE" else "FALSE"
     case b: java.lang.Boolean  => if (b) "TRUE" else "FALSE"
     case other                 => other.toString

@@ -42,6 +42,42 @@ object ConverterQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  /** The two opt-in type-mapping extensions end-to-end
+    * ([[graft.dump.DumpParser.TypeOptions]]): a dump whose DDL declares
+    * a `date` column and a `bigint unsigned` column holding values
+    * ABOVE i64::MAX (the reference errors on these,
+    * `line_parser.rs:247`) is rendered from `orders`, converted with
+    * `--date-as-date --unsigned-decimal`, and read back. Dates compare
+    * as ISO strings and the u64 values via their i64-ranged offset, so
+    * the DuckDB oracle on the ORIGINAL parquet replays the exact
+    * values; [[graft.dump.DumpConverterSpec]] pins the physical schema
+    * (DateType / DecimalType(20,0)) the flags produce. */
+  val conv_typed: (SparkSession, String) => DataFrame = (s, d) => {
+    val in = Files.createTempDirectory("graft-dump-typed-in")
+    val out = Files.createTempDirectory("graft-dump-typed-out")
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate").cast("timestamp")).as("o_date"),
+      (lit("9223372036854775808").cast("decimal(20,0)")
+        + col("o_orderkey").cast("decimal(20,0)")).cast("decimal(20,0)").as("big_id"))
+    val text = DumpRenderer.dump(
+      Seq(DumpRenderer.section("orders_typed", base, Seq("o_orderkey"))),
+      batchSize = 1000)
+    Files.writeString(in.resolve("dump.sql"), text)
+    DumpConverter.convert(s, in.resolve("dump.sql").toString, out.toString,
+      minPartitions = 4,
+      types = graft.dump.DumpParser.TypeOptions(
+        dateAsDate = true, unsignedBigintDecimal = true))
+    s.read.parquet(s"$out/orders_typed")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_date")).as("n_dates"),
+        date_format(min(col("o_date")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("o_date")), "yyyy-MM-dd").as("max_date"),
+        sum(col("big_id") - lit("9223372036854775808").cast("decimal(20,0)"))
+          .cast("long").as("key_sum"),
+        max(col("big_id")).cast("string").as("max_big"))
+  }
+
   // ------------------------------------------------------------- scale
 
   /** Stream one table section of a dump to `w` in bounded driver
@@ -413,6 +449,7 @@ object ConverterQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
+    "conv_typed" -> conv_typed,
     "src_jsonl_roundtrip" -> src_jsonl_roundtrip,
     "src_csv_roundtrip" -> src_csv_roundtrip,
     "src_orc_roundtrip" -> src_orc_roundtrip,
@@ -428,6 +465,14 @@ object ConverterQueries {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "conv_typed" ->
+      """SELECT COUNT(1) AS n,
+        |  CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_dates,
+        |  CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+        |  CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(9223372036854775808 + MAX(o_orderkey) AS VARCHAR) AS max_big
+        |FROM orders""".stripMargin,
     "src_jsonl_roundtrip" ->
       """SELECT event_type, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,

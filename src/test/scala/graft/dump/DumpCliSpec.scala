@@ -11,22 +11,27 @@ class DumpCliSpec extends AnyFunSuite {
       |INSERT INTO `t` VALUES (1,'a'),(2,'b');
       |""".stripMargin
 
+  private val noTypes = DumpParser.DefaultTypes
+
   test("arg parsing: -o/--output, --strict-tables, optional positional input, errors") {
-    assert(DumpCli.parseArgs(Array()) == (".", None, false, false, "snappy"))
-    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql"), false, false, "snappy"))
+    assert(DumpCli.parseArgs(Array()) == (".", None, false, false, "snappy", noTypes))
+    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql"), false, false, "snappy", noTypes))
     assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) ==
-      ("out", Some("in.sql"), false, false, "snappy"))
-    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None, false, false, "snappy"))
+      ("out", Some("in.sql"), false, false, "snappy", noTypes))
+    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None, false, false, "snappy", noTypes))
     assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) ==
-      ("out", Some("in.sql"), false, false, "snappy"))
+      ("out", Some("in.sql"), false, false, "snappy", noTypes))
     assert(DumpCli.parseArgs(Array("--strict-tables", "in.sql")) ==
-      (".", Some("in.sql"), true, false, "snappy"))
+      (".", Some("in.sql"), true, false, "snappy", noTypes))
     assert(DumpCli.parseArgs(Array("--quarantine", "in.sql")) ==
-      (".", Some("in.sql"), false, true, "snappy"))
+      (".", Some("in.sql"), false, true, "snappy", noTypes))
     assert(DumpCli.parseArgs(Array("in.sql", "--strict-tables", "-o", "out")) ==
-      ("out", Some("in.sql"), true, false, "snappy"))
+      ("out", Some("in.sql"), true, false, "snappy", noTypes))
     assert(DumpCli.parseArgs(Array("--codec", "zstd", "in.sql")) ==
-      (".", Some("in.sql"), false, false, "zstd"))
+      (".", Some("in.sql"), false, false, "zstd", noTypes))
+    assert(DumpCli.parseArgs(Array("--date-as-date", "--unsigned-decimal", "in.sql")) ==
+      (".", Some("in.sql"), false, false, "snappy",
+        DumpParser.TypeOptions(dateAsDate = true, unsignedBigintDecimal = true)))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-x")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("a", "b")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-o")))

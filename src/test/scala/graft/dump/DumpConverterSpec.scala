@@ -451,4 +451,30 @@ class DumpConverterSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unsupported codec"))
   }
+
+  test("type options end-to-end: DATE and u64 columns land as date32 / decimal(20,0)") {
+    val in = tmpDir("dump-typed-in")
+    val out = tmpDir("dump-typed-out")
+    val text =
+      """CREATE TABLE `evt` (`id` bigint NOT NULL, `day` date, `big` bigint unsigned);
+        |INSERT INTO `evt` VALUES (1,'2024-01-31',18446744073709551615),(2,'2024-02-29',9223372036854775808);
+        |INSERT INTO `evt` VALUES (3,NULL,42),(4,'1970-01-01',NULL);
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), text)
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out,
+      types = DumpParser.TypeOptions(dateAsDate = true, unsignedBigintDecimal = true))
+    assert(res.rowsWritten("evt") == 4)
+    val back = spark.read.parquet(s"$out/evt")
+    assert(back.schema("day").dataType == org.apache.spark.sql.types.DateType)
+    assert(back.schema("big").dataType == org.apache.spark.sql.types.DecimalType(20, 0))
+    val rows = back.collect().sortBy(_.getLong(0))
+    assert(rows.map(r => Option(r.getDate(1)).map(_.toString).orNull).toSeq ==
+      Seq("2024-01-31", "2024-02-29", null, "1970-01-01"))
+    assert(rows.map(r => Option(r.getDecimal(2)).map(_.toString).orNull).toSeq ==
+      Seq("18446744073709551615", "9223372036854775808", "42", null))
+    // the SAME dump without the flags fails on the > i64 literal
+    // (reference parity preserved by default)
+    assertThrows[org.apache.spark.SparkException](
+      DumpConverter.convert(spark, s"$in/dump.sql", tmpDir("dump-typed-plain")))
+  }
 }

@@ -240,4 +240,69 @@ class DumpParserSpec extends AnyFunSuite {
     assert(ins.rows.map(_(0)) == Vector(
       "😀", "🦀'🎉", "naïve'ünïcode", "𝕊𝕡𝕒𝕣𝕜\n𝕊𝕢𝕃"))
   }
+
+  // ------------------------------------------ opt-in type extensions
+
+  private val typed = DumpParser.TypeOptions(
+    dateAsDate = true, unsignedBigintDecimal = true)
+
+  test("date-as-date: DATE maps to DateType only under the flag; values coerce strictly") {
+    val ddl = "CREATE TABLE `t` (`d` date, `ts` datetime);"
+    assert(DumpParser.parseCreateTable(ddl).schema("d").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val s = DumpParser.parseCreateTable(ddl, typed).schema
+    assert(s("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(s("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val row = DumpParser.coerceRow("t", s,
+      Array[Any]("2024-02-29", "2024-02-29 10:11:12"))
+    assert(row.get(0) == java.sql.Date.valueOf("2024-02-29"))
+    // a time component in a DATE column is refused, not truncated
+    val e = intercept[DumpParser.DumpParseException](
+      DumpParser.coerceRow("t", s, Array[Any]("2024-02-29 10:11:12", null)))
+    assert(e.getMessage.contains("cannot parse date"))
+  }
+
+  test("unsigned-decimal: BIGINT UNSIGNED maps to DECIMAL(20,0) and > i64 values convert") {
+    val ddl = "CREATE TABLE `t` (`u` bigint unsigned, `s` bigint, `iu` int unsigned);"
+    val plain = DumpParser.parseCreateTable(ddl).schema
+    assert(plain("u").dataType == org.apache.spark.sql.types.LongType)
+    val s = DumpParser.parseCreateTable(ddl, typed).schema
+    assert(s("u").dataType == org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(s("s").dataType == org.apache.spark.sql.types.LongType)
+    // only BIGINT widens; smaller unsigned ints already fit in i64
+    assert(s("iu").dataType == org.apache.spark.sql.types.LongType)
+
+    val ins = DumpParser.parseInsert(
+      "INSERT INTO `t` VALUES (18446744073709551615, 7, 1);", typed)
+    val row = DumpParser.coerceRow("t", s, ins.rows.head)
+    assert(row.get(0) == new java.math.BigDecimal("18446744073709551615"))
+    assert(row.get(1) == 7L)
+    // in-range longs still coerce into the decimal column
+    assert(DumpParser.coerceRow("t", s, Array[Any](5L, 1L, 1L)).get(0) ==
+      java.math.BigDecimal.valueOf(5L))
+  }
+
+  test("unsigned-decimal range enforcement: u64 overflow, negatives, i64 columns") {
+    val s = DumpParser.parseCreateTable(
+      "CREATE TABLE `t` (`u` bigint unsigned, `s` bigint);", typed).schema
+    // above u64::MAX errors even in decimal mode
+    val big = DumpParser.parseInsert(
+      "INSERT INTO `t` VALUES (18446744073709551616, 1);", typed)
+    assert(intercept[DumpParser.DumpParseException](
+      DumpParser.coerceRow("t", s, big.rows.head)).getMessage.contains("out of u64 range"))
+    // negative into UNSIGNED errors
+    val neg = DumpParser.parseInsert("INSERT INTO `t` VALUES (-1, 1);", typed)
+    assert(intercept[DumpParser.DumpParseException](
+      DumpParser.coerceRow("t", s, neg.rows.head)).getMessage.contains("negative"))
+    // a > i64 literal admitted by the mode but landing in a PLAIN
+    // bigint column is still the reference's overflow error
+    val wide = DumpParser.parseInsert(
+      "INSERT INTO `t` VALUES (1, 99999999999999999999);", typed)
+    assert(intercept[DumpParser.DumpParseException](
+      DumpParser.coerceRow("t", s, wide.rows.head)).getMessage.contains("out of i64 range"))
+    // and WITHOUT the flag the literal itself still fails at parse
+    // time (reference parity, line_parser.rs:247)
+    assertThrows[DumpParser.DumpParseException](
+      DumpParser.parseInsert("INSERT INTO `t` VALUES (99999999999999999999, 1);"))
+  }
 }
