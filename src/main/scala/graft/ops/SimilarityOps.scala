@@ -281,16 +281,75 @@ object SimilarityOps {
     * codebooks bite and the dial shrinks. */
   private val PqRerank = 160
 
-  /** Per-subspace PQ codebooks — [[PqSub]] independent fixed-seed
-    * KMeans fits over the corpus subspace slices, memoized like the
-    * IVF quantizer (a trained artifact shipped with the index; fit on
-    * a sample at scale). Entry ids are codebook positions. */
-  private def pqCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
-    (0 until PqSub).map { j =>
-      kmeansCentroids(
-        e.select(slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("embedding")),
-        PqK)
+  /** Training-sample cap for the PQ codebooks. Codebook training is a
+    * DRIVER-SIDE in-memory Lloyd over a bounded sample — the FAISS
+    * shape: `train()` runs on ~10⁵ sampled vectors in RAM regardless
+    * of corpus size, and only the resulting codebooks (KBs) touch the
+    * distributed encode/search path. The earlier formulation ran the
+    * [[PqSub]] × [[PqK]] fits through MLlib KMeans — 8 fits × 20 Lloyd
+    * iterations = 160 scheduler-bound Spark jobs to cluster a few
+    * thousand 8-dim slices, 17 of the query's 19 bench seconds doing
+    * no useful distributed work. In-memory training is O(cap · k · d)
+    * per iteration (~40 M flops here) and leaves the cluster free. */
+  private[ops] val PqTrainCap = 100000
+
+  /** Deterministic in-memory Lloyd: seeded distinct-point init, fixed
+    * iteration count, empty clusters keep their previous centroid.
+    * Deterministic for a given (points, k, seed) — the same trained-
+    * artifact reproducibility contract as [[kmeansCentroids]]. */
+  private[ops] def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+                         iters: Int = 10): Seq[(Int, Array[Double])] = {
+    require(points.nonEmpty, "empty codebook training sample")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(points.indices.toVector).take(math.min(k, points.length))
+      .map(points(_).clone).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var dd = 0.0; var j = 0
+          val ce = cents(c)
+          while (j < dim) { val t = p(j) - ce(j); dd += t * t; j += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        val sm = sums(best); var j = 0
+        while (j < dim) { sm(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }
     }
+    cents.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  private val pqBookMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Int, Array[Double])]]]
+
+  /** Per-subspace PQ codebooks — [[PqSub]] independent deterministic
+    * [[lloyd]] fits over one collected, vec_id-ordered, [[PqTrainCap]]-
+    * bounded sample of the corpus (a trained artifact shipped with the
+    * index, memoized per canonicalized input plan like the IVF
+    * quantizer). Entry ids are codebook positions. */
+  private def pqCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
+    pqBookMemo.computeIfAbsent(e.queryExecution.analyzed.canonicalized.toString, _ => {
+      val sample = e.select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(PqTrainCap)
+        .collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      (0 until PqSub).map { j =>
+        lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, j * PqSubDim, (j + 1) * PqSubDim)),
+          PqK, seed = 42L + j)
+      }
+    })
 
   /** IVF-PQ ANN — the FAISS-style index layout for corpora where even
     * int8 is too much memory: candidates keep an IVF cell, a float
@@ -313,21 +372,24 @@ object SimilarityOps {
     val e = Tables.embeddings(s, d)
     val cents = kmeansCentroids(e, NumCentroids)
     val books = pqCodebooks(e)
-    var assigned = assignNearest(candSide(e), cents, "ce", "cent", CandAssign)
+    // Encode: ONE codegen'd [[graft.functions.PqEncode]] pass computes
+    // all PqSub codes per vector (the FAISS encode loop — O(sub·k·
+    // subDim) flops, no per-entry structs, no sorts). The index is a
+    // BUILT ARTIFACT (FAISS writes it to disk; we localCheckpoint it):
+    // downstream window/join plans then see an 8-int-code relation
+    // instead of re-inlining the encode expressions; at 10⁹ vectors
+    // this materialization IS the index-build write.
+    val index = assignNearest(candSide(e), cents, "ce", "cent", CandAssign)
       .withColumn("cn", sqrt(normSq(col("ce"))))
-    for (j <- 0 until PqSub) {
-      assigned = assignNearest(
-        assigned.withColumn(s"_s$j", slice(col("ce"), j * PqSubDim + 1, PqSubDim)),
-        books(j), s"_s$j", s"code$j", nprobe = 1).drop(s"_s$j")
-    }
-    val codeCols = (0 until PqSub).map(j => col(s"code$j"))
-    val index = assigned.select(Seq(col("cid"), col("cent"), col("cn")) ++ codeCols: _*)
+      .withColumn("codes", graft.functions.PqEncode.pqEncode(col("ce"), books))
+      .select(col("cid"), col("cent"), col("cn"), col("codes"))
+      .localCheckpoint()
     val probed = assignNearest(querySide(e), cents, "qe", "cent", nprobe = 5)
       .withColumn("qn", sqrt(normSq(col("qe"))))
     val adc = (0 until PqSub).map { j =>
       val bookLit = typedLit(books(j).map(_._2.toSeq))
       dotHof(slice(col("qe"), j * PqSubDim + 1, PqSubDim),
-        element_at(bookLit, col(s"code$j") + 1))
+        element_at(bookLit, element_at(col("codes"), j + 1) + 1))
     }.reduce(_ + _)
     index.join(probed, "cent")
       .withColumn("acos_e6", round(adc / (col("qn") * col("cn")) * 1e6).cast("long"))

@@ -133,6 +133,27 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(row.getBoolean(1), "int8 preselection + float re-rank must keep recall@5 >= 0.9")
   }
 
+  test("pq encode expression matches a driver-side replay and handles nulls") {
+    import spark.implicits._
+    // tiny deterministic codebooks: 2 subspaces x 3 entries x 2 dims
+    val books: Seq[Seq[(Int, Array[Double])]] = Seq(
+      Seq(0 -> Array(0.0, 0.0), 1 -> Array(1.0, 1.0), 2 -> Array(2.0, 2.0)),
+      Seq(0 -> Array(0.0, 1.0), 1 -> Array(1.0, 0.0), 2 -> Array(5.0, 5.0)))
+    val vecs = Seq(
+      Seq(0.1f, 0.2f, 0.9f, 0.1f),   // sub0 -> 0, sub1 -> 1
+      Seq(1.2f, 0.8f, 4.0f, 4.9f),   // sub0 -> 1, sub1 -> 2
+      Seq(0.5f, 0.5f, 0.5f, 0.5f))   // sub0 tie 0-vs-1 at d=0.5 -> 0 (lower id)
+    val got = vecs.toDF("v")
+      .select(graft.functions.PqEncode.pqEncode(col("v"), books).as("c"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(got.toSeq == Seq(Seq(0, 1), Seq(1, 2), Seq(0, 0)))
+    // short vector -> null, not a wrong code
+    val shortRow = Seq(Seq(1.0f)).toDF("v")
+      .select(graft.functions.PqEncode.pqEncode(col("v"), books).as("c"))
+      .collect()
+    assert(shortRow.head.isNullAt(0))
+  }
+
   test("pq ann witness: 8-bit PQ ADC preselection + float re-rank keeps recall@5 >= 0.9") {
     val row = SimilarityOps.s_ann_pq(spark, sf).head
     val nExact = SimilarityOps.s_cosine_topk(spark, sf).count()
