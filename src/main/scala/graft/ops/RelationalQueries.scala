@@ -1232,6 +1232,115 @@ object RelationalQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Modulus planting referential-integrity violations in
+    * [[q_dq_checks]]: rows with `l_orderkey % 7919 == 0` probe
+    * `−l_orderkey − 1`, strictly negative where every `o_orderkey` is
+    * ≥ 0 — guaranteed deterministic orphans at every SF (the fixture's
+    * orderkeys are DENSE 0..max, so probing key+1 would find a match). */
+  private val DqRiMod = 7919
+
+  /** Data-quality constraint checking — the Deequ/dbt-tests pass every
+    * production table runs before publishing: per rule, rows checked,
+    * violation count, and a pass flag. Five rule families over
+    * lineitem ⋈ orders; four violate via DETERMINISTIC plants (same
+    * technique as [[q_table_profile]]'s nulls, replayed by the
+    * oracle), and one — uniqueness — fails NATURALLY:
+    *
+    *   - `pk_unique`: (l_orderkey, l_linenumber) uniqueness —
+    *     violations = Σ(group − 1) over duplicate groups. The fixture
+    *     genuinely carries ~24 % duplicate pairs, exactly the surprise
+    *     this pass exists to catch.
+    *   - `ri_orders`: referential integrity lineitem → orders with
+    *     [[DqRiMod]]-planted negative probes — violations counted via
+    *     LEFT ANTI join (broadcast-able dimension at fixture scale;
+    *     shuffle-hash on keys at 100 TB).
+    *   - `qty_range`: numeric range 1 ≤ l_quantity ≤ 50 with a planted
+    *     +100 shift.
+    *   - `flag_domain`: l_returnflag ∈ {A, N, R} with a planted 'X'.
+    *   - `ship_not_null`: required-column null rate with
+    *     [[ProfileNullMod]]-planted nulls.
+    *
+    * Scale shape: the three scan rules (range/domain/null) fold into
+    * ONE conditional aggregate over a single lineitem pass; uniqueness
+    * is a two-phase groupBy like [[q_table_profile]]'s NDV; RI is one
+    * anti join. Nothing quadratic, nothing collected. */
+  val q_dq_checks: Q = (s, d) => {
+    // deterministic violation plants, replayed verbatim by the oracle
+    val planted = lineitem(s, d).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      when(col("l_orderkey") % DqRiMod === 0, -col("l_orderkey") - 1)
+        .otherwise(col("l_orderkey")).as("ri_key"),
+      when(col("l_orderkey") % 101 === 0, col("l_quantity") + 100)
+        .otherwise(col("l_quantity")).as("qty"),
+      when(col("l_orderkey") % 103 === 0, lit("X"))
+        .otherwise(col("l_returnflag")).as("flag"),
+      when(col("l_orderkey") % ProfileNullMod === 0, lit(null))
+        .otherwise(col("l_shipdate")).as("ship"))
+    def rule(name: String, checked: Column, violations: Column) =
+      Seq(lit(name).as("rule"), checked.as("n_checked"),
+        violations.as("n_violations"), (violations === 0L).as("pass"))
+    // scan rules: one conditional aggregate, one pass
+    val scanRules = planted.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(col("qty") < 1 || col("qty") > 50, 1L).otherwise(0L)).as("v_range"),
+      sum(when(!col("flag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_domain"),
+      sum(when(col("ship").isNull, 1L).otherwise(0L)).as("v_null"))
+    val scanTidy = Seq(("qty_range", "v_range"), ("flag_domain", "v_domain"),
+        ("ship_not_null", "v_null"))
+      .map { case (n, v) =>
+        scanRules.select(rule(n, col("n_checked"), col(v)): _*)
+      }.reduce(_ unionByName _)
+    // uniqueness: two-phase groupBy, violations = Σ(cnt − 1)
+    val uniq = planted.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_checked"),
+        sum(col("cnt") - 1L).as("v"))
+      .select(rule("pk_unique", col("n_checked"), col("v")): _*)
+    // referential integrity: one LEFT join against the (unique) orders
+    // key column, orphans counted in the same aggregate as n_checked —
+    // no separate count pass, no cross join of the two 1-row results
+    val ri = planted.join(orders(s, d).select(col("o_orderkey")),
+        planted("ri_key") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v"))
+      .select(rule("ri_orders", col("n_checked"), col("v")): _*)
+    scanTidy.unionByName(uniq).unionByName(ri).orderBy(col("rule"))
+  }
+
+  /** DuckDB twin of [[q_dq_checks]] over the same planted relation. */
+  private def dqChecksOracle: String =
+    s"""WITH planted AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CASE WHEN l_orderkey % $DqRiMod = 0 THEN -l_orderkey - 1
+       |         ELSE l_orderkey END AS ri_key,
+       |    CASE WHEN l_orderkey % 101 = 0 THEN l_quantity + 100
+       |         ELSE l_quantity END AS qty,
+       |    CASE WHEN l_orderkey % 103 = 0 THEN 'X'
+       |         ELSE l_returnflag END AS flag,
+       |    CASE WHEN l_orderkey % $ProfileNullMod = 0 THEN NULL
+       |         ELSE l_shipdate END AS ship
+       |  FROM lineitem),
+       |scan AS (SELECT COUNT(1) AS n_checked,
+       |    CAST(SUM(CASE WHEN qty < 1 OR qty > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+       |    CAST(SUM(CASE WHEN flag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+       |    CAST(SUM(CASE WHEN ship IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null
+       |  FROM planted),
+       |uniq AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_checked,
+       |    CAST(SUM(cnt - 1) AS BIGINT) AS v
+       |  FROM (SELECT COUNT(1) AS cnt FROM planted GROUP BY l_orderkey, l_linenumber)),
+       |ri AS (SELECT (SELECT COUNT(1) FROM planted) AS n_checked,
+       |    CAST((SELECT COUNT(1) FROM planted
+       |          WHERE ri_key NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS v)
+       |SELECT * FROM (
+       |  SELECT 'qty_range' AS rule, n_checked, v_range AS n_violations,
+       |    v_range = 0 AS pass FROM scan
+       |  UNION ALL SELECT 'flag_domain', n_checked, v_domain, v_domain = 0 FROM scan
+       |  UNION ALL SELECT 'ship_not_null', n_checked, v_null, v_null = 0 FROM scan
+       |  UNION ALL SELECT 'pk_unique', n_checked, v, v = 0 FROM uniq
+       |  UNION ALL SELECT 'ri_orders', n_checked, v, v = 0 FROM ri)
+       |ORDER BY rule""".stripMargin
+
   /** DuckDB twin of [[q_table_profile]]: one UNION ALL block per
     * profiled column over the same planted-null projection. */
   private def tableProfileOracle: String = {
@@ -1296,6 +1405,7 @@ object RelationalQueries {
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
     "q_table_profile" -> q_table_profile,
+    "q_dq_checks" -> q_dq_checks,
     "q_sql_having_in" -> q_sql_having_in,
     "q_sql_scalar_subquery" -> q_sql_scalar_subquery,
     "q_sql_recursive" -> q_sql_recursive,
@@ -1312,6 +1422,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_table_profile" -> tableProfileOracle,
+    "q_dq_checks" -> dqChecksOracle,
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
          |f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL

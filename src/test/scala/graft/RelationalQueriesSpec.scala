@@ -39,6 +39,28 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(row.schema("sum_base_cents").dataType.typeName == "long")
   }
 
+  test("dq checks: every rule non-vacuous, counts match a driver replay") {
+    val got = ops.RelationalQueries.q_dq_checks(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set("flag_domain", "pk_unique", "qty_range", "ri_orders", "ship_not_null"))
+    val li = ops.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate").collect()
+    val n = li.length.toLong
+    got.values.foreach { case (checked, _, _) => assert(checked == n) }
+    // pass flag consistent with the violation count everywhere
+    got.values.foreach { case (_, v, pass) => assert(pass == (v == 0L)) }
+    // uniqueness fails NATURALLY: the fixture carries duplicate pairs
+    val dupes = n - li.map(r => (r.getLong(0), r.getInt(1))).distinct.length
+    assert(dupes > 0, "fixture must carry duplicate (orderkey, linenumber) pairs")
+    assert(got("pk_unique")._2 == dupes)
+    // planted rules replay exactly
+    assert(got("qty_range")._2 == li.count(_.getLong(0) % 101 == 0))
+    assert(got("flag_domain")._2 == li.count(_.getLong(0) % 103 == 0))
+    assert(got("ship_not_null")._2 == li.count(_.getLong(0) % 13 == 0))
+    assert(got("ri_orders")._2 == li.filter(_.getLong(0) % 7919 == 0).length)
+    assert(got("ri_orders")._2 > 0, "RI plant must produce at least one orphan")
+  }
+
   test("scan pushdown reaches parquet (PushedFilters non-empty)") {
     val plan = ops.RelationalQueries.q_scan_pushdown(spark, sf)
       .queryExecution.executedPlan.toString
