@@ -391,6 +391,113 @@ object StreamingOps {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ------------------------------------------- foreachBatch MERGE sink
+
+  /** Bucket count of the upsert state table — the partition unit
+    * dynamic overwrite rewrites. A 100 TB deployment sizes this so a
+    * micro-batch's affected buckets are a small fraction of the table
+    * (thousands of buckets; here 16 over the fixture's ~10³ users). */
+  private val UpsertBuckets = 16
+
+  /** Write-once multi-file copy of events so the file source can
+    * drain in SEVERAL micro-batches (8 files, maxFilesPerTrigger=2 →
+    * 4 batches) — a single-file fixture would make any foreachBatch
+    * pattern trivially single-batch. */
+  private val splitLayouts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def splitEventsLayout(s: SparkSession, d: String): String =
+    splitLayouts.getOrElseUpdate((s, d), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_evsplit_" +
+        graft.ops.Tables.layoutTag(d)
+      graft.ops.Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Streaming MERGE/upsert — the Delta-style `foreachBatch` pattern
+    * done Spark-native: each micro-batch reduces its rows to per-key
+    * deltas (last-write-wins on the max (tus, event_type, cents)
+    * struct, same tie order as [[st_cdc]]), reads back ONLY the state
+    * buckets the batch touches, merges, and rewrites exactly those
+    * partitions via dynamic partition overwrite. The state table is a
+    * plain parquet table partitioned by `bucket = user_id %
+    * [[UpsertBuckets]]` — no table format required, yet each commit
+    * touches only the affected buckets, which is what makes streaming
+    * upsert viable on a 100 TB keyed table (a full-table rewrite per
+    * micro-batch is not).
+    *
+    * Determinism: the per-key max-struct reduce is commutative and
+    * associative, so the FINAL state is independent of how the files
+    * split into micro-batches — the oracle is a plain batch arg-max
+    * per user over all events. The merged frame is localCheckpointed
+    * before the write because the overwrite targets the very files the
+    * merge read (classic read-modify-write on one table).
+    *
+    * 100 TB notes: state reads are partition-pruned to the affected
+    * buckets; the merge shuffles one batch's keys + the touched
+    * buckets, never the full table; exactly-once comes from the
+    * checkpoint's batch replay being idempotent (re-merging the same
+    * delta is a no-op under last-write-wins). */
+  val st_upsert: Q = (s, d) => st_upsert_run(s, d, _ => ())
+
+  private[graft] def st_upsert_run(s: SparkSession, d: String,
+                                   onBatch: Long => Unit): DataFrame = {
+    val ss = streamSession(s)
+    val src = splitEventsLayout(ss, d)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert_state_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt_")
+    try {
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$src/part-*.parquet")
+      val lww = Seq(col("tus"), col("event_type"), col("cents"))
+      def reduceKeys(df: DataFrame): DataFrame =
+        df.groupBy(col("bucket"), col("user_id"))
+          .agg(max(struct(lww: _*)).as("m"))
+          .select(col("bucket"), col("user_id"), col("m.tus").as("tus"),
+            col("m.event_type").as("event_type"), col("m.cents").as("cents"))
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          onBatch(id)
+          val sb = batch.sparkSession
+          val delta = reduceKeys(batch
+            .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+              col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+            .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int")))
+          // ≤ UpsertBuckets driver-side ints — the partition list, not data
+          val affected = delta.select("bucket").distinct().collect().map(_.getInt(0))
+          val hasState = Option(stateDir.toFile.listFiles()).toSeq.flatten
+            .exists(_.getName.startsWith("bucket="))
+          val cur =
+            if (hasState)
+              sb.read.parquet(stateDir.toString)
+                .filter(col("bucket").isin(affected.map(Integer.valueOf): _*))
+                .select(col("bucket"), col("user_id"), col("tus"),
+                  col("event_type"), col("cents"))
+            else delta.limit(0)
+          // read-modify-write on one table: materialize the merge
+          // before overwriting the files it was read from
+          val merged = reduceKeys(cur.unionByName(delta)).localCheckpoint()
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(stateDir.toString)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = ss.read.parquet(stateDir.toString)
+        .select(col("user_id"), col("tus").as("last_tus"),
+          col("event_type").as("last_type"), col("cents"))
+        .orderBy(col("user_id"))
+      val (data, outSchema) = (rows.collect(), rows.schema)
+      ss.createDataFrame(java.util.Arrays.asList(data: _*), outSchema)
+    } finally {
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(stateDir.toFile)
+    }
+  }
+
   // -------------------------------------------- small-file compaction
 
   case class CompactionResult(filesBefore: Int, filesAfter: Int, rows: Long)
@@ -530,6 +637,7 @@ object StreamingOps {
     "st_dedup" -> st_dedup,
     "st_custom_state" -> st_custom_state,
     "st_cdc" -> st_cdc,
+    "st_upsert" -> st_upsert,
     "st_cdc_ttl" -> st_cdc_ttl,
     "st_stream_join" -> st_stream_join,
     "st_static_join" -> st_static_join,
@@ -619,6 +727,19 @@ object StreamingOps {
     // never output (timeout rows equal the key's last update row)
     "st_cdc_ttl" -> cdcOracle,
     "st_cdc" -> cdcOracle,
+    // batch arg-max replay of the foreachBatch MERGE state: the
+    // per-key last-write-wins reduce is batching-independent
+    "st_upsert" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id,
+        |    max(struct_pack(tus := tus, et := event_type, c := cents)) AS m
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, m.tus AS last_tus, m.et AS last_type, m.c AS cents
+        |FROM last ORDER BY user_id""".stripMargin,
     "st_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.ts AS purchase_ts, c.ts AS click_ts

@@ -196,6 +196,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(!bak.exists())
   }
 
+  test("foreachBatch upsert: multi-batch merge equals the batch arg-max; buckets partitioned") {
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val got = StreamingOps.st_upsert_run(spark, sf, id => batches.synchronized { batches += id; () })
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // the 8-file split + maxFilesPerTrigger=2 must actually exercise
+    // the MERGE loop across several micro-batches
+    assert(batches.distinct.size >= 3, s"expected >=3 micro-batches, saw $batches")
+    val exp = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("tus"), col("event_type"), col("cents"))).as("m"))
+      .select(col("user_id"), col("m.tus"), col("m.event_type"), col("m.cents"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq,
+      "final upsert state must equal the batch last-write-wins reduce regardless of batching")
+    assert(got.map(_._1).distinct.length == got.length, "exactly one state row per key")
+  }
+
   test("session windows: n sums to watermark-closed prefix, gap respected") {
     val r = StreamingOps.st_session(spark, sf).collect()
     assert(r.nonEmpty)
