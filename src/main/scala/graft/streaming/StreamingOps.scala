@@ -442,11 +442,29 @@ object StreamingOps {
 
   private[graft] def st_upsert_run(s: SparkSession, d: String,
                                    onBatch: Long => Unit): DataFrame = {
-    val ss = streamSession(s)
-    val src = splitEventsLayout(ss, d)
     val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert_state_")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt_")
-    try {
+    try runUpsert(s, d, stateDir.toString, ckpt.toString, onBatch)
+    finally {
+      deleteRecursively(ckpt.toFile)
+      deleteRecursively(stateDir.toFile)
+    }
+  }
+
+  /** One upsert drain against EXPLICIT state + checkpoint locations —
+    * the restartable unit [[st_upsert]] wraps (same split as
+    * [[runParquetSink]]), so the spec can run it TWICE over one
+    * checkpoint and prove the claimed restart idempotence: the source
+    * offset log says everything is processed, zero batches fire, and
+    * the state table is byte-identical. */
+  private[graft] def runUpsert(s: SparkSession, d: String,
+                               stateDirPath: String, ckptPath: String,
+                               onBatch: Long => Unit = _ => ()): DataFrame = {
+    val ss = streamSession(s)
+    val src = splitEventsLayout(ss, d)
+    val stateDir = java.nio.file.Paths.get(stateDirPath)
+    val ckpt = java.nio.file.Paths.get(ckptPath)
+    locally {
       val schema = ss.read.parquet(src).schema
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$src/part-*.parquet")
@@ -492,9 +510,6 @@ object StreamingOps {
         .orderBy(col("user_id"))
       val (data, outSchema) = (rows.collect(), rows.schema)
       ss.createDataFrame(java.util.Arrays.asList(data: _*), outSchema)
-    } finally {
-      deleteRecursively(ckpt.toFile)
-      deleteRecursively(stateDir.toFile)
     }
   }
 

@@ -216,6 +216,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == got.length, "exactly one state row per key")
   }
 
+  test("upsert restart is idempotent: rerun over the same checkpoint fires zero batches") {
+    val state = java.nio.file.Files.createTempDirectory("graft_upsert_restart_state_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_restart_ckpt_")
+    val first = StreamingOps.runUpsert(spark, sf, state.toString, ckpt.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty)
+    val stateFiles = java.nio.file.Files.walk(state).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    var rerunBatches = 0
+    val second = StreamingOps.runUpsert(spark, sf, state.toString, ckpt.toString,
+        _ => rerunBatches += 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rerunBatches == 0, "offset log must mark all input processed on restart")
+    assert(second == first, "restart must not change the state table")
+    val stateFiles2 = java.nio.file.Files.walk(state).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(stateFiles2 == stateFiles, "restart must not rewrite any state partition")
+  }
+
   test("session windows: n sums to watermark-closed prefix, gap respected") {
     val r = StreamingOps.st_session(spark, sf).collect()
     assert(r.nonEmpty)
