@@ -501,10 +501,15 @@ object PipelineOps {
       val contrib = edges.join(ranks, edges("src") === ranks("h"))
         .join(outd, "src")
         .groupBy(col("dst")).agg(sum(expr("r DIV od")).as("c"))
+      // rank tables are O(#hosts) — collapse to one partition before
+      // materializing so each round's checkpoint is a single task (32
+      // near-empty partitions cost ~2× the whole query at fixture
+      // scale); at 10⁹ hosts the coalesce target scales with the rank
+      // table, and the next round's join broadcasts it either way
       ranks = hosts.join(contrib, hosts("h") === contrib("dst"), "left")
         .select(col("h"),
           (lit(teleport) + expr("85 * coalesce(c, 0L) DIV 100")).as("r"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
     ranks.join(outd, ranks("h") === outd("src"), "left")
       .select(col("h").as("host"), coalesce(col("od"), lit(0L)).as("outdeg"),
@@ -690,7 +695,7 @@ object PipelineOps {
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("u").as("h"), col("lbl"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()  // O(#hosts) rows — see hostRank
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
     labels.join(sizes, "lbl")
