@@ -64,14 +64,23 @@ object SimilarityOps {
   /** Centroids are a TRAINED ARTIFACT: production systems fit them once
     * and ship them with the index rather than refitting per query. The
     * memo gives every query in a session that property — keyed on the
-    * exact canonicalized input plan (not the path), so a different
-    * dataset or projection can never get stale centroids. */
+    * canonicalized input plan PLUS the scanned file list. The plan
+    * string alone is NOT dataset-distinguishing: a parquet
+    * LogicalRelation canonicalizes to `Relation[cols] parquet` with no
+    * path, so two fixture dirs with identical schemas would share one
+    * key and the second would silently train on the first's vectors
+    * (observed: sf0.001 codebooks applied to sf0.1 cost 7 recall
+    * points). [[datasetKey]] closes that hole for every memo here. */
+  private[graft] def datasetKey(e: DataFrame): String =
+    e.queryExecution.analyzed.canonicalized.toString +
+      e.inputFiles.sorted.mkString("|", ",", "")
+
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, Int), Seq[(Int, Array[Double])]]
 
   def kmeansCentroids(e: DataFrame, k: Int, seed: Long = 42L,
                       maxIter: Int = 20): Seq[(Int, Array[Double])] = {
-    val key = (e.queryExecution.analyzed.canonicalized.toString, k, seed, maxIter)
+    val key = (datasetKey(e), k, seed, maxIter)
     centroidMemo.computeIfAbsent(key, _ => {
       // The fit input is small by construction (full fixture here, a
       // sample at scale) — one partition makes each Lloyd iteration a
@@ -340,7 +349,7 @@ object SimilarityOps {
     * index, memoized per canonicalized input plan like the IVF
     * quantizer). Entry ids are codebook positions. */
   private def pqCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
-    pqBookMemo.computeIfAbsent(e.queryExecution.analyzed.canonicalized.toString, _ => {
+    pqBookMemo.computeIfAbsent(datasetKey(e), _ => {
       val sample = e.select(col("vec_id"), col("embedding"))
         .orderBy(col("vec_id")).limit(PqTrainCap)
         .collect()

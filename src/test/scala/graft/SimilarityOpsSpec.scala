@@ -133,6 +133,17 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(row.getBoolean(1), "int8 preselection + float re-rank must keep recall@5 >= 0.9")
   }
 
+  test("trained-artifact memo key distinguishes same-schema datasets (stale-centroid regression)") {
+    val e1 = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e2 = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    // the canonicalized plan string alone is identical for two parquet
+    // dirs with the same schema — the hole that let one SF's codebooks
+    // silently serve another SF in the same session
+    assert(e1.queryExecution.analyzed.canonicalized.toString ==
+      e2.queryExecution.analyzed.canonicalized.toString)
+    assert(SimilarityOps.datasetKey(e1) != SimilarityOps.datasetKey(e2))
+  }
+
   test("pq encode expression matches a driver-side replay and handles nulls") {
     import spark.implicits._
     // tiny deterministic codebooks: 2 subspaces x 3 entries x 2 dims
