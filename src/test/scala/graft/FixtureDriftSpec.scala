@@ -67,6 +67,59 @@ class FixtureDriftSpec extends AnyFunSuite {
     assert(e.getMessage.contains("normalizeEventTs"))
   }
 
+  test("whole-fixture schema guard: every table's arriving types are in the supported set") {
+    // The driver regenerates /root/testdata between rounds and has
+    // already drifted a physical type once (events.ts). This pins the
+    // ARRIVING Spark type of every column of every table so the next
+    // drift fails HERE, naming the file — not as a scatter of
+    // DATATYPE_MISMATCHes across dozens of queries. Date-ish columns
+    // accept the three arrivals normalizeEventTs supports.
+    val tsish = Set("timestamp", "timestamp_ntz", "long")
+    val expected: Map[String, Map[String, Set[String]]] = Map(
+      "region" -> Map("r_regionkey" -> Set("integer", "long"), "r_name" -> Set("string")),
+      "nation" -> Map("n_nationkey" -> Set("integer", "long"),
+        "n_name" -> Set("string"), "n_regionkey" -> Set("integer", "long")),
+      "customer" -> Map("c_custkey" -> Set("long"), "c_name" -> Set("string"),
+        "c_nationkey" -> Set("integer", "long"), "c_acctbal" -> Set("double"),
+        "c_mktsegment" -> Set("string")),
+      "supplier" -> Map("s_suppkey" -> Set("long"), "s_name" -> Set("string"),
+        "s_nationkey" -> Set("integer", "long"), "s_acctbal" -> Set("double")),
+      "part" -> Map("p_partkey" -> Set("long"), "p_name" -> Set("string"),
+        "p_brand" -> Set("string"), "p_type" -> Set("string"),
+        "p_size" -> Set("integer", "long"), "p_retailprice" -> Set("double")),
+      "orders" -> Map("o_orderkey" -> Set("long"), "o_custkey" -> Set("long"),
+        "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+        "o_orderdate" -> (tsish ++ Set("date")), "o_orderpriority" -> Set("string")),
+      "lineitem" -> Map("l_orderkey" -> Set("long"), "l_partkey" -> Set("long"),
+        "l_suppkey" -> Set("long"), "l_linenumber" -> Set("integer", "long"),
+        "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+        "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+        "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+        "l_shipdate" -> (tsish ++ Set("date"))),
+      "events" -> Map("event_id" -> Set("long"), "ts" -> tsish,
+        "user_id" -> Set("long"), "event_type" -> Set("string"),
+        "value" -> Set("double"), "props" -> Set("string")),
+      "documents" -> Map("doc_id" -> Set("long"), "text" -> Set("string"),
+        "lang" -> Set("string"), "source" -> Set("string"), "n_chars" -> Set("long")),
+      "embeddings" -> Map("vec_id" -> Set("long"),
+        "embedding" -> Set("array"), "label" -> Set("integer", "long")))
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      expected.foreach { case (table, cols) =>
+        val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+        cols.foreach { case (name, allowed) =>
+          assert(schema.fieldNames.contains(name),
+            s"$sfDir/$table.parquet: column $name disappeared — fixture drift")
+          val t = schema(name).dataType.typeName
+          assert(allowed.contains(t),
+            s"$sfDir/$table.parquet: column $name arrived as $t (allowed: " +
+              s"${allowed.mkString("/")}). The fixture's physical type has " +
+              "drifted — extend the relevant Tables loader (see " +
+              "normalizeEventTs for the pattern) and widen this guard.")
+        }
+      }
+    }
+  }
+
   test("streaming is type-robust: tumbling windows agree across NTZ and nanos encodings") {
     val baseline = StreamingOps.st_tumbling(spark, sf).collect().map(_.toString).sorted.toSeq
     assert(baseline.nonEmpty)
