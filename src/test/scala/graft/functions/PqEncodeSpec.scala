@@ -43,6 +43,31 @@ class PqEncodeSpec extends AnyFunSuite {
     assert(got == Seq(1))
   }
 
+  test("interpreted eval agrees with the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rng = new scala.util.Random(13)
+    val (sub, subDim, k) = (3, 2, 5)
+    val books: Seq[Seq[Seq[Double]]] = Seq.fill(sub)(
+      Seq.fill(k)(Seq.fill(subDim)(rng.nextDouble() * 2 - 1)))
+    val booksIdx = books.map(_.zipWithIndex.map { case (c, i) => i -> c.toArray })
+    val vecs = Seq.fill(50)(Seq.fill(sub * subDim)(rng.nextFloat() * 2 - 1))
+    // interpreted: direct eval over a literal child (no codegen involved)
+    val interp = vecs.map { v =>
+      PqEncode(Literal.create(v, ArrayType(FloatType)), books)
+        .eval(null).asInstanceOf[ArrayData].toIntArray.toSeq
+    }
+    // codegen: through the whole-stage-compiled projection
+    val gen = vecs.toDF("v")
+      .select(PqEncode.pqEncode(col("v"), booksIdx).as("c"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(interp == gen.toSeq)
+    // interpreted null handling: short vector and null element -> null
+    assert(PqEncode(Literal.create(Seq(1.0f), ArrayType(FloatType)), books).eval(null) == null)
+    assert(PqEncode(Literal.create(null, ArrayType(FloatType)), books).eval(null) == null)
+  }
+
   test("extra trailing dims are ignored; exact-length vectors encode") {
     val books: Seq[Seq[(Int, Array[Double])]] = Seq(
       Seq(0 -> Array(0.0), 1 -> Array(10.0)),
