@@ -22,7 +22,16 @@ import org.apache.spark.sql.SparkSession
   * not be read as regressions. Additionally, any query whose best-of-2
   * exceeds 3× its entry in the previous committed `bench-latest.json`
   * gets a third run — one extra attempt to shake off a transient
-  * contention spike before the number is recorded. */
+  * contention spike before the number is recorded.
+  *
+  * Variance tracking (round-9 verdict item 8): the persisted
+  * bench-latest.json carries a "runs" block with EVERY attempt's time
+  * per query, so an anomaly like round-9's q5 (best-of-3 all 3.8 s
+  * in-suite, 1.0 s solo) is diagnosable from the committed artifact —
+  * render with tools/bench_summary.py. A System.gc() every 8 queries
+  * drains ContextCleaner's reference queue so dead broadcast /
+  * localCheckpoint blocks from earlier queries stop squeezing unified
+  * memory for later ones. */
 object Bench {
   /** Walk up from `user.dir` to the enclosing git worktree root, so
     * `bench-latest.json` lands next to `.git` (where the round snapshot
@@ -86,27 +95,44 @@ object Bench {
     val cpuT0 = processCpuSec
     val wallT0 = System.nanoTime()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var sinceGc = 0
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val best =
+      val runs =
         try {
-          val b2 = math.min(once(), once())
+          val r = scala.collection.mutable.ArrayBuffer(once(), once())
           // transient-contention shake-off: a best-of-2 still 3× over
           // last round's committed number earns one more attempt
           prev.get(name) match {
-            case Some(base) if base > 0 && b2 > 3 * base => math.min(b2, once())
-            case _ => b2
+            case Some(base) if base > 0 && r.min > 3 * base => r += once()
+            case _ =>
           }
+          r.toSeq
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            Double.NaN
+            Seq.empty[Double]
         }
-      name -> (if (best.isNaN) 0.0 else best)
+      // In-JVM hygiene (round-9 q5 anomaly: 3 consecutive 3.8 s runs in
+      // the 126-query suite vs 1.0 s solo in a fresh JVM): broadcast
+      // relations and localCheckpoint blocks are reclaimed by
+      // ContextCleaner only after their references are GC'd, and a
+      // mostly-idle 8 GB heap can go many queries between collections —
+      // letting dead storage blocks squeeze unified memory for later
+      // queries' broadcast builds. A periodic explicit GC drains the
+      // cleaner's reference queue so each query's number reflects the
+      // query, not its alphabetical predecessors. Every 8 queries keeps
+      // the overhead ~1% of suite wall time.
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
+      name -> runs
+    }
+    val results = timed.map { case (name, runs) =>
+      name -> (if (runs.isEmpty) 0.0 else runs.min)
     }
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     val cpuUtil = (processCpuSec - cpuT0) / wallSec / nCpus
@@ -131,15 +157,25 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","load":${ms(loadAtStart)},"cpu_util":${ms(cpuUtil)},"queries":$qs,"sf":"$sfDir"$errJson}"""
     println(line)
     // the stdout line is the driver contract, but tail-capture can
-    // truncate it (it did in rounds 4 and 5) — persist the identical
-    // JSON twice: under target/ for local tooling, and at the git
-    // worktree root (found by walking up from cwd) where the round
-    // snapshot commits it, so the judge can always read the numbers
-    // even if the stdout tail window clips the line.
+    // truncate it (it did in rounds 4 and 5) — persist the JSON twice:
+    // under target/ for local tooling, and at the git worktree root
+    // (found by walking up from cwd) where the round snapshot commits
+    // it, so the judge can always read the numbers even if the stdout
+    // tail window clips the line. The persisted copy additionally
+    // carries "runs": EVERY attempt's time per query (not just the
+    // best), so a q5-style anomaly — best-of-N all slow in-suite,
+    // fast solo — is diagnosable from the committed artifact without
+    // re-litigating it from memory each round. The runs block stays
+    // out of the stdout line to keep it under the driver's ~2 KB tail
+    // window.
+    val runsJson = timed.map { case (k, rs) =>
+      s"\"" + k + "\":[" + rs.map(ms).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","runs":$runsJson}"""
     for (p <- Seq(root.resolve("target/bench-latest.json"),
                   root.resolve("bench-latest.json"))) {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, line + "\n")
+      java.nio.file.Files.writeString(p, fileLine + "\n")
     }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -258,7 +258,19 @@ object RelationalQueries {
 
   /** TPC-H Q5 shape: star join — the FIXED-SIZE dims (nation 25 rows,
     * region 5 rows) broadcast unconditionally; customer scales with SF
-    * so AQE decides its join side. One fact shuffle either way. */
+    * so AQE decides its join side. One fact shuffle either way.
+    *
+    * Round-10 note on the round-9 bench anomaly (3.79 s vs 1.05 s
+    * clean, unchanged code): solo re-timing in a fresh local[32] JVM
+    * at sf0.1 gave best 1.03 s over 5 runs with the expected
+    * all-broadcast final plan — the slowdown was in-JVM contention in
+    * the 126-query suite (storage blocks awaiting GC-driven
+    * ContextCleaner reclaim squeeze unified memory), not a plan or
+    * code issue. Defenses now in place: `PlanSweepSpec` pins the
+    * customer join's broadcast strategy in the AQE final plan at
+    * sf0.1, `Bench` records every attempt's time in bench-latest's
+    * "runs" block, and `Bench` GCs every 8 queries to drain the
+    * cleaner queue. */
   val q5_region_revenue: Q = (s, d) => {
     val l = lineitem(s, d)
     val o = orders(s, d)

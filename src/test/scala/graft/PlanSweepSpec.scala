@@ -53,6 +53,29 @@ class PlanSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("q5_region_revenue: customer join is broadcast at fixture scale (AQE final plan, sf0.1)") {
+    // Round-9 verdict: q5 benched 3.6× its clean number on unchanged
+    // code, and "AQE stopped broadcasting the customer side" was one
+    // hypothesis. Solo re-timing reproduced the clean 1.0 s and the
+    // all-broadcast star, so the anomaly was in-JVM contention — but
+    // this assertion pins the runtime join strategy at the largest
+    // fixture so a genuine AQE flip (customer falling back to a fact
+    // shuffle at local scale) fails `sbt test` instead of surfacing as
+    // an unexplained bench regression. At 100× the customer join is
+    // EXPECTED to become a shuffle join — that is why the query leaves
+    // it AQE-decided — so this pin is deliberately fixture-scoped.
+    val df = SparkEntry.queries("q5_region_revenue")(spark, "/root/testdata/sf0.1")
+    // collect() (5-row result) executes df's OWN QueryExecution — a
+    // .write would spawn a separate one, leaving this plan un-finalized
+    assert(df.collect().length == 5)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), "expected an executed adaptive plan")
+    val custJoin = "BroadcastHashJoin \\[o_custkey#\\d+L?\\], \\[c_custkey#\\d+L?\\]".r
+    assert(custJoin.findFirstIn(finalPlan).isDefined,
+      s"customer join not broadcast in AQE final plan:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("CartesianProduct"))
+  }
+
   test("BNLJ allowlist stays tight: every listed query still plans one") {
     // Keeps the allowlist honest — an entry whose query no longer
     // plans a BNLJ is stale and must be removed, so the list can
