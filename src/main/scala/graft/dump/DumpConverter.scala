@@ -293,26 +293,35 @@ object DumpConverter {
             case Some((cpos, schema))
                 if strictOk && (pos._1 > cpos._1 || (pos._1 == cpos._1 && pos._2 > cpos._2)) =>
               val salt = (pos.hashCode & Int.MaxValue) % salts
-              if (!quarantine)
-                DumpParser.parseInsert(s, types).rows.iterator
-                  .map(v => ((t, salt), DumpParser.coerceRow(t, schema, v)))
-              else {
+              if (!quarantine) {
+                val ins = DumpParser.parseInsert(s, types)
+                val align = DumpParser.rowAligner(ins, schema)
+                ins.rows.iterator
+                  .map(v => ((t, salt), DumpParser.coerceRow(t, schema, align(v))))
+              } else {
                 // Bad-row side channel: a malformed STATEMENT (tokenizer
                 // failure, i64 overflow) quarantines once with the
                 // statement prefix; a bad ROW in a well-formed statement
                 // quarantines just that row — the statement's other rows
                 // still land. One statement can never fail a 10-hour
                 // 100 TB ingest.
-                try DumpParser.parseInsert(s, types).rows.iterator.flatMap { v =>
-                  try Iterator(((t, salt), DumpParser.coerceRow(t, schema, v)))
-                  catch {
-                    case scala.util.control.NonFatal(e) =>
-                      // getMessage can be null (bare NPE); the reason
-                      // column is non-nullable, so fall back to the class.
-                      Iterator(((QuarantineTable, salt),
-                        Row(t, Option(e.getMessage).getOrElse(e.getClass.getName),
-                          v.map(x => if (x == null) "NULL" else x.toString)
-                            .mkString("(", ", ", ")"))))
+                try {
+                  val ins = DumpParser.parseInsert(s, types)
+                  // a bad column LIST (unknown/duplicate name) fails
+                  // eagerly here → statement-level quarantine; a bad
+                  // ROW arity fails inside align(v) → row-level
+                  val align = DumpParser.rowAligner(ins, schema)
+                  ins.rows.iterator.flatMap { v =>
+                    try Iterator(((t, salt), DumpParser.coerceRow(t, schema, align(v))))
+                    catch {
+                      case scala.util.control.NonFatal(e) =>
+                        // getMessage can be null (bare NPE); the reason
+                        // column is non-nullable, so fall back to the class.
+                        Iterator(((QuarantineTable, salt),
+                          Row(t, Option(e.getMessage).getOrElse(e.getClass.getName),
+                            v.map(x => if (x == null) "NULL" else x.toString)
+                              .mkString("(", ", ", ")"))))
+                    }
                   }
                 } catch {
                   case scala.util.control.NonFatal(e) =>

@@ -41,9 +41,14 @@ object DumpParser extends Serializable {
 
   sealed trait Statement extends Serializable
   case class CreateTable(table: String, schema: StructType) extends Statement
-  /** Raw row values: Long | Double | String | Boolean | null, positional
-    * in schema order (typed against the schema by [[coerceRow]]). */
-  case class InsertInto(table: String, rows: Vector[Array[Any]]) extends Statement
+  /** Raw row values: Long | Double | String | Boolean | null.
+    * `columns` empty (the common mysqldump shape) → values are
+    * positional in schema order; non-empty (`INSERT INTO t (b, a)
+    * VALUES …`) → values are positional in LIST order and must be
+    * permuted to schema order by [[rowAligner]] before [[coerceRow]].
+    * Names are lowercased to match the extracted schema's names. */
+  case class InsertInto(table: String, rows: Vector[Array[Any]],
+                        columns: Vector[String] = Vector.empty) extends Statement
   case object Nop extends Statement
 
   final class DumpParseException(msg: String) extends RuntimeException(msg)
@@ -330,7 +335,23 @@ object DumpParser extends Serializable {
     c.i = "INSERT INTO".length
     val table = c.ident()
     c.skipWs()
-    if (!c.eof && c.peek == '(') { c.i += 1; skipParenBody(c) } // column list (ignored; rows are positional)
+    // Optional column list (`--complete-insert` dumps, hand-written
+    // inserts). The reference assigns values positionally and silently
+    // ignores the list (`line_parser.rs:200-272`) — DEVIATION: we honor
+    // it, because a reordered or partial list under positional
+    // assignment is SILENTLY WRONG data, the worst failure mode a
+    // 100 TB ingest can have. Names are lowercased like the schema
+    // extractor's (first-wins DDL lowercases column names).
+    val columns = Vector.newBuilder[String]
+    if (!c.eof && c.peek == '(') {
+      c.i += 1
+      var more = true
+      while (more) {
+        columns += c.ident().toLowerCase(java.util.Locale.ROOT)
+        more = c.tryConsume(',')
+      }
+      c.expect(')')
+    }
     val kw = c.word()
     if (!kw.equalsIgnoreCase("VALUES")) fail(s"expected VALUES in INSERT, got '$kw': ${c.context}")
     val rows = Vector.newBuilder[Array[Any]]
@@ -347,7 +368,7 @@ object DumpParser extends Serializable {
       rows += row.result().toArray
       more = c.tryConsume(',')
     }
-    InsertInto(table, rows.result())
+    InsertInto(table, rows.result(), columns.result())
   }
 
   /** One literal: NULL | TRUE | FALSE | number | 'string' |
@@ -494,6 +515,43 @@ object DumpParser extends Serializable {
     * `RecordBatch::try_new` when the non-nullable arrow field sees it;
     * we surface the same hard failure at the parser boundary instead of
     * a confusing downstream parquet-write error. */
+  /** Per-row permutation from an INSERT's value order to schema order.
+    *
+    * Positional insert (no column list) → identity; [[coerceRow]]
+    * still checks the arity. With a column list: statement-level
+    * validation happens HERE, eagerly (unknown column → the values
+    * cannot be placed; duplicate column → ambiguous assignment — both
+    * fail the statement), while per-row arity is checked inside the
+    * returned function so quarantine mode can drop just the bad row.
+    * Schema columns absent from the list become NULL — MySQL's
+    * implicit-default behavior for DEFAULT NULL columns; a NOT NULL
+    * column left unlisted is then rejected row-by-row by
+    * [[coerceRow]]'s non-null check, which is the "error on missing"
+    * half of honoring the list. */
+  def rowAligner(ins: InsertInto, schema: StructType): Array[Any] => Array[Any] = {
+    if (ins.columns.isEmpty) identity
+    else {
+      val cols = ins.columns
+      val schemaIdx = schema.fieldNames.zipWithIndex.toMap
+      val unknown = cols.filterNot(schemaIdx.contains)
+      if (unknown.nonEmpty)
+        fail(s"table ${ins.table}: INSERT column list names unknown column(s) " +
+          s"${unknown.mkString(", ")} (schema: ${schema.fieldNames.mkString(", ")})")
+      if (cols.distinct.length != cols.length)
+        fail(s"table ${ins.table}: INSERT column list repeats a column: ${cols.mkString(", ")}")
+      val target = cols.map(schemaIdx).toArray
+      raw => {
+        if (raw.length != cols.length)
+          fail(s"table ${ins.table}: row has ${raw.length} values but INSERT " +
+            s"column list has ${cols.length} columns")
+        val out = new Array[Any](schema.length)
+        var i = 0
+        while (i < raw.length) { out(target(i)) = raw(i); i += 1 }
+        out
+      }
+    }
+  }
+
   def coerceRow(table: String, schema: StructType, raw: Array[Any]): org.apache.spark.sql.Row = {
     if (raw.length != schema.length)
       fail(s"table $table: row has ${raw.length} values but schema has ${schema.length} columns")

@@ -74,9 +74,15 @@ object DumpRenderer {
     s"CREATE TABLE `$table` (\n${cols.mkString(",\n")}\n) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;"
   }
 
-  def insert(table: String, rows: Seq[Row]): String = {
+  /** `columns` non-empty renders mysqldump's `--complete-insert` shape
+    * (`INSERT INTO t (a, b) VALUES …`); each Row's values must already
+    * be in LIST order. Empty renders the default positional shape. */
+  def insert(table: String, rows: Seq[Row], columns: Seq[String] = Nil): String = {
+    val colList =
+      if (columns.isEmpty) ""
+      else columns.map(c => s"`$c`").mkString(" (", ", ", ")")
     val tuples = rows.map(r => r.toSeq.map(literal).mkString("(", ",", ")"))
-    s"INSERT INTO `$table` VALUES ${tuples.mkString(",")};"
+    s"INSERT INTO `$table`$colList VALUES ${tuples.mkString(",")};"
   }
 
   /** Full dump text for (table, rows-per-insert-batched) sections, with

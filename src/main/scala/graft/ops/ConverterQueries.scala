@@ -78,6 +78,43 @@ object ConverterQueries {
         max(col("big_id")).cast("string").as("max_big"))
   }
 
+  /** INSERT column lists end-to-end ([[graft.dump.DumpParser.rowAligner]]).
+    * The reference assigns positionally and ignores the list
+    * (`line_parser.rs:200-272`) — silently wrong on any
+    * `--complete-insert`-style dump whose list order differs from the
+    * DDL. Here `customer` is rendered twice: `customer_cm` with a fully
+    * REORDERED column list, and `customer_part` with a PARTIAL list
+    * (unlisted nullable columns must surface as NULL). A hash match
+    * against DuckDB over the ORIGINAL parquet proves values landed in
+    * the right columns by name, not by position. */
+  val conv_colmap: (SparkSession, String) => DataFrame = (s, d) => {
+    val in = Files.createTempDirectory("graft-dump-colmap-in")
+    val out = Files.createTempDirectory("graft-dump-colmap-out")
+    val cm = Tables.customer(s, d)
+    val reordered = Seq("c_mktsegment", "c_custkey", "c_acctbal", "c_name", "c_nationkey")
+    val partial = Seq("c_custkey", "c_acctbal")
+    val sb = new StringBuilder
+    sb.append("-- MySQL dump 10.13  Distrib 8.0.36\n\n")
+    for ((table, cols) <- Seq(("customer_cm", reordered), ("customer_part", partial))) {
+      sb.append(DumpRenderer.createTable(table, cm.schema)).append("\n")
+      cm.select(cols.map(col): _*).orderBy(col("c_custkey")).collect()
+        .grouped(500)
+        .foreach(b => sb.append(DumpRenderer.insert(table, b.toSeq, cols)).append("\n"))
+      sb.append("\n")
+    }
+    Files.writeString(in.resolve("dump.sql"), sb.toString)
+    DumpConverter.convert(s, in.resolve("dump.sql").toString, out.toString, minPartitions = 4)
+    val full = s.read.parquet(s"$out/customer_cm")
+    val part = s.read.parquet(s"$out/customer_part").select(
+      col("c_custkey"),
+      col("c_acctbal").as("p_acctbal"),
+      // coalesce proves the unlisted column really arrived NULL while
+      // keeping the compared column non-null (all-NULL string columns
+      // compare fragile across engines)
+      coalesce(col("c_name"), lit("absent")).as("p_name"))
+    full.join(part, "c_custkey").orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------------------- scale
 
   /** Stream one table section of a dump to `w` in bounded driver
@@ -450,6 +487,7 @@ object ConverterQueries {
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
     "conv_typed" -> conv_typed,
+    "conv_colmap" -> conv_colmap,
     "src_jsonl_roundtrip" -> src_jsonl_roundtrip,
     "src_csv_roundtrip" -> src_csv_roundtrip,
     "src_orc_roundtrip" -> src_orc_roundtrip,
@@ -465,6 +503,11 @@ object ConverterQueries {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
+    "conv_colmap" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_acctbal, c_mktsegment,
+        |  c_acctbal AS p_acctbal, 'absent' AS p_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "conv_typed" ->
       """SELECT COUNT(1) AS n,
         |  CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_dates,

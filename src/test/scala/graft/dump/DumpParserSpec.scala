@@ -305,4 +305,68 @@ class DumpParserSpec extends AnyFunSuite {
     assertThrows[DumpParser.DumpParseException](
       DumpParser.parseInsert("INSERT INTO `t` VALUES (99999999999999999999, 1);"))
   }
+
+  // --- INSERT column lists (deviation: reference ignores them,
+  //     line_parser.rs:200-272 — positional assignment of a reordered
+  //     list is silently wrong data)
+
+  val clSchema = DumpParser.parseCreateTable(
+    "CREATE TABLE `t` (`a` bigint, `b` varchar(10), `c` double, `d` bigint NOT NULL);").schema
+
+  private def aligned(stmt: String) = {
+    val ins = DumpParser.parseInsert(stmt)
+    val align = DumpParser.rowAligner(ins, clSchema)
+    ins.rows.map(v => DumpParser.coerceRow("t", clSchema, align(v)))
+  }
+
+  test("column list: reordered list maps values by name, not position") {
+    val rows = aligned("INSERT INTO `t` (`c`, `a`, `d`, `b`) VALUES (1.5, 7, 9, 'x'),(2.5, 8, 10, 'y');")
+    assert(rows(0).toSeq == Seq(7L, "x", 1.5, 9L))
+    assert(rows(1).toSeq == Seq(8L, "y", 2.5, 10L))
+  }
+
+  test("column list: partial list leaves unlisted nullable columns NULL") {
+    val rows = aligned("INSERT INTO `t` (`d`, `a`) VALUES (1, 2);")
+    assert(rows(0).toSeq == Seq(2L, null, null, 1L))
+  }
+
+  test("column list: case-insensitive and bare identifiers match lowercased schema names") {
+    val rows = aligned("INSERT INTO `t` (D, A, B, C) VALUES (1, 2, 'z', 0.5);")
+    assert(rows(0).toSeq == Seq(2L, "z", 0.5, 1L))
+  }
+
+  test("column list: unlisted NOT NULL column is rejected (error on missing)") {
+    assert(intercept[DumpParser.DumpParseException](
+      aligned("INSERT INTO `t` (`a`) VALUES (1);")).getMessage.contains("NOT NULL"))
+  }
+
+  test("column list: unknown column errors at statement level") {
+    assert(intercept[DumpParser.DumpParseException](
+      aligned("INSERT INTO `t` (`a`, `nope`, `d`) VALUES (1, 2, 3);"))
+      .getMessage.contains("unknown column"))
+  }
+
+  test("column list: duplicate column errors at statement level") {
+    assert(intercept[DumpParser.DumpParseException](
+      aligned("INSERT INTO `t` (`a`, `a`, `d`) VALUES (1, 2, 3);"))
+      .getMessage.contains("repeats"))
+  }
+
+  test("column list: row arity must match the LIST, not the schema") {
+    assert(intercept[DumpParser.DumpParseException](
+      aligned("INSERT INTO `t` (`a`, `d`) VALUES (1, 2, 3);"))
+      .getMessage.contains("column list"))
+    // and a list covering the whole schema still checks per-row arity
+    assert(intercept[DumpParser.DumpParseException](
+      aligned("INSERT INTO `t` (`a`, `b`, `c`, `d`) VALUES (1, 'x', 0.5);"))
+      .getMessage.contains("column list"))
+  }
+
+  test("column list: list-less INSERT stays positional (reference parity)") {
+    val ins = DumpParser.parseInsert("INSERT INTO `t` VALUES (1, 'x', 0.5, 2);")
+    assert(ins.columns.isEmpty)
+    val align = DumpParser.rowAligner(ins, clSchema)
+    assert(DumpParser.coerceRow("t", clSchema, align(ins.rows.head)).toSeq ==
+      Seq(1L, "x", 0.5, 2L))
+  }
 }

@@ -89,6 +89,35 @@ class DumpRoundTripSpec extends AnyFunSuite {
     assert(secs == List(Some(1L), Some(86399L), None))
   }
 
+  test("column-list round-trip: shuffled INSERT order reproduces every row in schema order") {
+    // The reference ignores column lists (line_parser.rs:200-272);
+    // rowAligner honors them — so a dump whose INSERTs list columns in
+    // ANY permutation must still land every value in its named column.
+    val genCase = for {
+      (schema, rows) <- genTable
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+      perm = new scala.util.Random(seed).shuffle(schema.fieldNames.toList)
+    } yield (schema, rows, perm)
+    checkProp(Prop.forAll(genCase) { case (schema, rows, perm) =>
+      val idx = perm.map(schema.fieldIndex)
+      val text = new StringBuilder()
+        .append(DumpRenderer.createTable("t", schema)).append("\n")
+        .append(rows.grouped(7).map(b =>
+          DumpRenderer.insert("t",
+            b.map(r => Row.fromSeq(idx.map(r.get))), perm)).mkString("\n"))
+        .toString
+      val stmts = StatementReader.statements(text.linesIterator).toList
+      val parsedSchema = DumpParser.parseCreateTable(
+        stmts.find(_.startsWith("CREATE TABLE")).get).schema
+      val got = stmts.filter(_.startsWith("INSERT INTO")).flatMap { s =>
+        val ins = DumpParser.parseInsert(s)
+        val align = DumpParser.rowAligner(ins, parsedSchema)
+        ins.rows.map(v => DumpParser.coerceRow("t", parsedSchema, align(v)))
+      }
+      (got == rows) :| s"rows: got=${got.take(3)} want=${rows.take(3)} perm=$perm"
+    })
+  }
+
   test("statement splitter never splits inside string literals") {
     checkProp(Prop.forAll(Gen.listOfN(5, genString)) { strs =>
       val rows = strs.map(s => Row(s))
