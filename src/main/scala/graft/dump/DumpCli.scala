@@ -10,8 +10,13 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   mysqldump-to-parquet [-o|--output DIR] [--strict-tables]
   *                        [--quarantine] [--codec CODEC]
-  *                        [--date-as-date] [--unsigned-decimal] [INPUT]
+  *                        [--date-as-date] [--unsigned-decimal]
+  *                        [--resume] [INPUT]
   * }}}
+  *
+  * `--resume` restarts a died convert: tables whose completion-manifest
+  * entry matches the input's fingerprint are skipped, partially-written
+  * tables are redone (see [[DumpConverter.ManifestDir]]).
   *
   * `--date-as-date` maps MySQL DATE columns to parquet DATE (instead of
   * the reference's midnight timestamp); `--unsigned-decimal` maps
@@ -35,39 +40,44 @@ import org.apache.spark.sql.SparkSession
   */
 object DumpCli {
 
-  private[dump] def parseArgs(
-      args: Array[String]): (String, Option[String], Boolean, Boolean, String, DumpParser.TypeOptions) = {
-    var out = "."
-    var input: Option[String] = None
-    var strict = false
-    var quarantine = false
-    var codec = "snappy"
-    var types = DumpParser.DefaultTypes
+  private[dump] case class CliArgs(
+      out: String = ".",
+      input: Option[String] = None,
+      strict: Boolean = false,
+      quarantine: Boolean = false,
+      codec: String = "snappy",
+      types: DumpParser.TypeOptions = DumpParser.DefaultTypes,
+      resume: Boolean = false)
+
+  private[dump] def parseArgs(args: Array[String]): CliArgs = {
+    var a = CliArgs()
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-o" | "--output" =>
           require(i + 1 < args.length, s"${args(i)} requires a value")
-          out = args(i + 1); i += 2
+          a = a.copy(out = args(i + 1)); i += 2
         case "--strict-tables" =>
-          strict = true; i += 1
+          a = a.copy(strict = true); i += 1
         case "--quarantine" =>
-          quarantine = true; i += 1
+          a = a.copy(quarantine = true); i += 1
         case "--codec" =>
           require(i + 1 < args.length, "--codec requires a value")
-          codec = args(i + 1); i += 2
+          a = a.copy(codec = args(i + 1)); i += 2
         case "--date-as-date" =>
-          types = types.copy(dateAsDate = true); i += 1
+          a = a.copy(types = a.types.copy(dateAsDate = true)); i += 1
         case "--unsigned-decimal" =>
-          types = types.copy(unsignedBigintDecimal = true); i += 1
+          a = a.copy(types = a.types.copy(unsignedBigintDecimal = true)); i += 1
+        case "--resume" =>
+          a = a.copy(resume = true); i += 1
         case flag if flag.startsWith("-") =>
           throw new IllegalArgumentException(s"unknown flag $flag")
         case pos =>
-          require(input.isEmpty, s"unexpected extra argument $pos")
-          input = Some(pos); i += 1
+          require(a.input.isEmpty, s"unexpected extra argument $pos")
+          a = a.copy(input = Some(pos)); i += 1
       }
     }
-    (out, input, strict, quarantine, codec, types)
+    a
   }
 
   /** Stream stdin to a temp file in bounded memory (8 MB buffer, like
@@ -87,13 +97,13 @@ object DumpCli {
   }
 
   def main(args: Array[String]): Unit = {
-    val (outDir, inputArg, strict, quar, codec, types) = parseArgs(args)
+    val a = parseArgs(args)
     val spark = SparkSession.builder()
       .appName("mysqldump-to-parquet")
       .config("spark.master",
         sys.props.get("spark.master").orElse(sys.env.get("MASTER")).getOrElse("local[*]"))
       .getOrCreate()
-    val (input, cleanup) = inputArg match {
+    val (input, cleanup) = a.input match {
       case Some(p) => (p, None)
       case None =>
         val tmp = spool(System.in)
@@ -103,9 +113,9 @@ object DumpCli {
       // Live progress (the reference's indicatif counters,
       // `main.rs:63-86`): table discovery, a throttled rows-written
       // ticker, and a per-table line as each write commits.
-      val res = DumpConverter.convert(spark, input, outDir,
-        strictTables = strict, progress = System.err.println, quarantine = quar,
-        codec = codec, types = types)
+      val res = DumpConverter.convert(spark, input, a.out,
+        strictTables = a.strict, progress = System.err.println, quarantine = a.quarantine,
+        codec = a.codec, types = a.types, resume = a.resume)
       // `rowsWritten` includes the `_quarantine` side channel; report
       // rejected rows separately so they never read as successful writes.
       val quarantined = res.rowsWritten.getOrElse(DumpConverter.QuarantineTable, 0L)

@@ -179,16 +179,121 @@ object DumpConverter {
     * `--codec` fails before any work, not at first write. */
   val SupportedCodecs: Set[String] = Set("snappy", "zstd", "gzip", "lz4", "none")
 
+  // ------------------------------------------------- restartability
+
+  /** Completion-manifest directory under outDir. One JSON file per
+    * COMMITTED table (written atomically after the table's parquet
+    * commit + count), carrying the input fingerprint it was built
+    * from. `resume = true` skips manifested tables whose fingerprint
+    * still matches and whose output still exists — the difference
+    * between "a 100 TB ingest that dies at 99% restarts from zero"
+    * and "it redoes one table". The reference has no analogue. */
+  val ManifestDir = "_graft_manifest"
+
+  private def manifestFile(outDir: String, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$outDir/$ManifestDir/" + java.net.URLEncoder.encode(table, "UTF-8") + ".json")
+
+  /** Identity of the INPUT a manifest entry was computed from: name +
+    * length + mtime of every resolved file. A rerun against different
+    * or modified dump files must not skip anything — byte-hashing
+    * 100 TB to decide restartability would defeat the point, and
+    * (name, size, mtime) is the standard cheap sentinel (rsync's
+    * quick check). */
+  private[dump] def inputFingerprint(sc: org.apache.spark.SparkContext, input: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    expandInput(sc, input).foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(sc.hadoopConfiguration).getFileStatus(p)
+      md.update(s"$f|${st.getLen}|${st.getModificationTime}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Atomic manifest commit: write a temp file, then rename — a
+    * half-written entry can never be mistaken for a completed table. */
+  private def writeManifestEntry(conf: org.apache.hadoop.conf.Configuration,
+                                 outDir: String, table: String,
+                                 rows: Long, fingerprint: String): Unit = {
+    val p = manifestFile(outDir, table)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"table":${jsonStr(table)},"rows":$rows,"fingerprint":"$fingerprint"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not commit manifest entry $p")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Tables already completed for this exact input: manifest entry
+    * present, fingerprint matches, output directory still exists. */
+  private def completedTables(conf: org.apache.hadoop.conf.Configuration,
+                              outDir: String, fingerprint: String): Map[String, Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$outDir/$ManifestDir")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq.filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        try {
+          import org.json4s._
+          val j = org.json4s.jackson.JsonMethods.parse(
+            new String(readFully(fs, st.getPath), java.nio.charset.StandardCharsets.UTF_8))
+          (j \ "table", j \ "rows", j \ "fingerprint") match {
+            case (JString(t), JInt(n), JString(fp))
+                if fp == fingerprint &&
+                  fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$t")) =>
+              Some(t -> n.toLong)
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.toMap
+  }
+
+  private def readFully(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
   def convert(spark: SparkSession, input: String, outDir: String,
               minPartitions: Int = 1, saltsPerTable: Int = 8,
               strictTables: Boolean = false,
               progress: String => Unit = _ => (),
               quarantine: Boolean = false,
               codec: String = "snappy",
-              types: DumpParser.TypeOptions = DumpParser.DefaultTypes): Result = {
+              types: DumpParser.TypeOptions = DumpParser.DefaultTypes,
+              resume: Boolean = false): Result = {
     require(SupportedCodecs(codec),
       s"unsupported codec '$codec' (one of: ${SupportedCodecs.toSeq.sorted.mkString(", ")})")
     val sc = spark.sparkContext
+    val fingerprint = inputFingerprint(sc, input)
+    val completed: Map[String, Long] =
+      if (resume) completedTables(sc.hadoopConfiguration, outDir, fingerprint)
+      else {
+        // fresh run: stale manifest entries (previous inputs, aborted
+        // runs) must not survive to mislead a LATER --resume
+        val dir = new org.apache.hadoop.fs.Path(s"$outDir/$ManifestDir")
+        val fs = dir.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(dir)) fs.delete(dir, true)
+        Map.empty
+      }
     val lines = {
       val files = if (isZstdName(input)) Seq(input) else expandInput(sc, input)
       if (files.nonEmpty && files.forall(isZstdName)) zstdLines(sc, files)
@@ -349,7 +454,17 @@ object DumpConverter {
         return Result(Nil, Map.empty, dropped.value)
       }
 
-      val routed = keyed
+      // Resume: completed tables' GOOD rows are dropped BEFORE the
+      // shuffle — a restarted 100 TB ingest re-parses the dump (the
+      // cheap, stateless pass) but re-shuffles and re-writes only the
+      // unfinished tables. Quarantine rows still flow (keyed under
+      // QuarantineTable) because the side channel, if unfinished,
+      // needs bad rows from ALL statements including completed tables'.
+      val completedB = sc.broadcast(completed.keySet)
+      val pending =
+        if (completed.isEmpty) keyed
+        else keyed.filter { case ((t, _), _) => !completedB.value.contains(t) }
+      val routed = pending
         .partitionBy(new TablePartitioner(tableIndex, salts))
         .values
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -383,19 +498,31 @@ object DumpConverter {
         val writeOrder =
           if (quarantine) tableOrder :+ QuarantineTable else tableOrder
         val rowCounts = writeOrder.zipWithIndex.map { case (table, ti) =>
-          val idx = tableIndex(table)
-          // `quarantine &&` matters: with the flag off, `_quarantine`
-          // is an ordinary dump table and keeps its OWN schema.
-          val schema =
-            if (quarantine && table == QuarantineTable) QuarantineSchema
-            else lastCreate(table)._2
-          val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
-          spark.createDataFrame(mine, schema)
-            .write.mode("overwrite").option("compression", codec)
-            .parquet(s"$outDir/$table")
-          val n = spark.read.parquet(s"$outDir/$table").count()
-          progress(s"[dump] (${ti + 1}/${writeOrder.size}) $table: $n rows -> $outDir/$table")
-          table -> n
+          completed.get(table) match {
+            case Some(n) =>
+              // committed by a previous run of this exact input —
+              // counts come from the manifest, bytes stay untouched
+              progress(s"[dump] (${ti + 1}/${writeOrder.size}) $table: $n rows (already complete, skipped)")
+              table -> n
+            case None =>
+              val idx = tableIndex(table)
+              // `quarantine &&` matters: with the flag off, `_quarantine`
+              // is an ordinary dump table and keeps its OWN schema.
+              val schema =
+                if (quarantine && table == QuarantineTable) QuarantineSchema
+                else lastCreate(table)._2
+              val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
+              spark.createDataFrame(mine, schema)
+                .write.mode("overwrite").option("compression", codec)
+                .parquet(s"$outDir/$table")
+              val n = spark.read.parquet(s"$outDir/$table").count()
+              // manifest AFTER the parquet commit and count: a crash in
+              // between leaves no entry, so resume safely redoes the
+              // table (overwrite) rather than trusting a torn write
+              writeManifestEntry(sc.hadoopConfiguration, outDir, table, n, fingerprint)
+              progress(s"[dump] (${ti + 1}/${writeOrder.size}) $table: $n rows -> $outDir/$table")
+              table -> n
+          }
         }.toMap
         if (dropped.value > 0)
           System.err.println(s"[dump] dropped ${dropped.value} INSERT statement(s) with no (preceding) CREATE TABLE")

@@ -14,24 +14,27 @@ class DumpCliSpec extends AnyFunSuite {
   private val noTypes = DumpParser.DefaultTypes
 
   test("arg parsing: -o/--output, --strict-tables, optional positional input, errors") {
-    assert(DumpCli.parseArgs(Array()) == (".", None, false, false, "snappy", noTypes))
-    assert(DumpCli.parseArgs(Array("in.sql")) == (".", Some("in.sql"), false, false, "snappy", noTypes))
+    import DumpCli.CliArgs
+    assert(DumpCli.parseArgs(Array()) == CliArgs())
+    assert(DumpCli.parseArgs(Array("in.sql")) == CliArgs(input = Some("in.sql")))
     assert(DumpCli.parseArgs(Array("-o", "out", "in.sql")) ==
-      ("out", Some("in.sql"), false, false, "snappy", noTypes))
-    assert(DumpCli.parseArgs(Array("--output", "out")) == ("out", None, false, false, "snappy", noTypes))
+      CliArgs(out = "out", input = Some("in.sql")))
+    assert(DumpCli.parseArgs(Array("--output", "out")) == CliArgs(out = "out"))
     assert(DumpCli.parseArgs(Array("in.sql", "-o", "out")) ==
-      ("out", Some("in.sql"), false, false, "snappy", noTypes))
+      CliArgs(out = "out", input = Some("in.sql")))
     assert(DumpCli.parseArgs(Array("--strict-tables", "in.sql")) ==
-      (".", Some("in.sql"), true, false, "snappy", noTypes))
+      CliArgs(input = Some("in.sql"), strict = true))
     assert(DumpCli.parseArgs(Array("--quarantine", "in.sql")) ==
-      (".", Some("in.sql"), false, true, "snappy", noTypes))
+      CliArgs(input = Some("in.sql"), quarantine = true))
     assert(DumpCli.parseArgs(Array("in.sql", "--strict-tables", "-o", "out")) ==
-      ("out", Some("in.sql"), true, false, "snappy", noTypes))
+      CliArgs(out = "out", input = Some("in.sql"), strict = true))
     assert(DumpCli.parseArgs(Array("--codec", "zstd", "in.sql")) ==
-      (".", Some("in.sql"), false, false, "zstd", noTypes))
+      CliArgs(input = Some("in.sql"), codec = "zstd"))
     assert(DumpCli.parseArgs(Array("--date-as-date", "--unsigned-decimal", "in.sql")) ==
-      (".", Some("in.sql"), false, false, "snappy",
-        DumpParser.TypeOptions(dateAsDate = true, unsignedBigintDecimal = true)))
+      CliArgs(input = Some("in.sql"),
+        types = DumpParser.TypeOptions(dateAsDate = true, unsignedBigintDecimal = true)))
+    assert(DumpCli.parseArgs(Array("--resume", "in.sql")) ==
+      CliArgs(input = Some("in.sql"), resume = true))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-x")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("a", "b")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-o")))

@@ -369,6 +369,92 @@ class DumpConverterSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  // --- restartability (completion manifest + --resume)
+
+  val resumeDump =
+    """CREATE TABLE `ta` (`id` bigint, `v` varchar(10));
+      |INSERT INTO `ta` VALUES (1,'a1'),(2,'a2');
+      |CREATE TABLE `tb` (`id` bigint, `v` varchar(10));
+      |INSERT INTO `tb` VALUES (3,'b1'),(4,'b2'),(5,'b3');
+      |CREATE TABLE `tc` (`id` bigint, `v` varchar(10));
+      |INSERT INTO `tc` VALUES (6,'c1');
+      |""".stripMargin
+
+  private def tableRows(out: String, t: String): Seq[(Long, String)] =
+    spark.read.parquet(s"$out/$t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("resume: kill after first table commits, rerun skips it and completes the rest") {
+    val in = tmpDir("dump-resume-in")
+    val out = tmpDir("dump-resume-out")
+    val clean = tmpDir("dump-resume-clean")
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), resumeDump)
+
+    // clean single run for the equality oracle
+    DumpConverter.convert(spark, s"$in/dump.sql", clean)
+
+    // killed run: the progress hook throws as soon as the FIRST
+    // per-table commit line appears — table 1 is committed+manifested,
+    // tables 2..3 never start (same observable state as a mid-run
+    // SIGKILL between table commits)
+    val boom = new RuntimeException("injected kill")
+    val killed = intercept[RuntimeException] {
+      DumpConverter.convert(spark, s"$in/dump.sql", out,
+        progress = line => if (line.contains("(1/3)")) throw boom)
+    }
+    assert(killed eq boom)
+    assert(new java.io.File(s"$out/ta").exists(), "first table must be committed")
+    assert(!new java.io.File(s"$out/tb").exists(), "second table must not exist yet")
+    val manifest = new java.io.File(s"$out/${DumpConverter.ManifestDir}")
+    assert(manifest.isDirectory && manifest.listFiles().exists(_.getName.contains("ta")))
+    val taFilesBefore = new java.io.File(s"$out/ta").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+
+    // resumed run: ta skipped (bytes untouched), tb/tc completed
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out,
+      progress = seen += _, resume = true)
+    assert(res.rowsWritten == Map("ta" -> 2L, "tb" -> 3L, "tc" -> 1L))
+    assert(seen.exists(l => l.contains("ta") && l.contains("skipped")),
+      s"expected a skip line for ta in: $seen")
+    val taFilesAfter = new java.io.File(s"$out/ta").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(taFilesAfter == taFilesBefore, "resume must not rewrite the completed table")
+
+    // and the final output equals the clean single run, table by table
+    for (t <- Seq("ta", "tb", "tc"))
+      assert(tableRows(out, t) == tableRows(clean, t), s"table $t differs from clean run")
+  }
+
+  test("resume: a changed input invalidates the manifest (no stale skips)") {
+    val in = tmpDir("dump-resume2-in")
+    val out = tmpDir("dump-resume2-out")
+    val f = java.nio.file.Paths.get(s"$in/dump.sql")
+    Files.writeString(f, resumeDump)
+    DumpConverter.convert(spark, s"$in/dump.sql", out)
+    // same tables, different content AND size → different fingerprint
+    Files.writeString(f, resumeDump.replace("'a1'", "'a1-CHANGED'"))
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out, resume = true)
+    assert(res.rowsWritten.values.sum == 6)
+    assert(tableRows(out, "ta").exists(_._2 == "a1-CHANGED"),
+      "rerun against changed input must rewrite, not skip")
+  }
+
+  test("resume off: a fresh run clears stale manifest entries") {
+    val in = tmpDir("dump-resume3-in")
+    val out = tmpDir("dump-resume3-out")
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), resumeDump)
+    DumpConverter.convert(spark, s"$in/dump.sql", out)
+    assert(new java.io.File(s"$out/${DumpConverter.ManifestDir}").isDirectory)
+    // a NON-resume rerun is a fresh convert: old entries must go so a
+    // later --resume can only ever see entries this run committed
+    DumpConverter.convert(spark, s"$in/dump.sql", out)
+    // count .json entries only — local Hadoop FS adds .crc sidecars
+    val entries = new java.io.File(s"$out/${DumpConverter.ManifestDir}").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(entries.length == 3, "fresh run rewrites the manifest for its own tables")
+  }
+
   test("multi-database dump: USE routes same-named tables to per-db output dirs") {
     val in = tmpDir("dump-multidb-in")
     val out = tmpDir("dump-multidb-out")
