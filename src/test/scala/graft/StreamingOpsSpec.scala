@@ -235,6 +235,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(stateFiles2 == stateFiles, "restart must not rewrite any state partition")
   }
 
+  test("upsert commit is atomic across buckets: torn epoch dirs are invisible to readers") {
+    // Round-9 verdict item 4. A crash between the per-bucket epoch-dir
+    // renames and the manifest flip leaves NEW epoch dirs on disk with
+    // the OLD manifest — the exact mixed-epoch state a concurrent
+    // reader could previously observe under dynamic partition
+    // overwrite. Simulate that torn state after a completed run by
+    // planting unreferenced epoch dirs (bogus rows) plus a stale
+    // staging dir, then read the table again: the manifest-resolved
+    // view must be byte-for-byte the committed state, garbage unseen.
+    val state = java.nio.file.Files.createTempDirectory("graft_upsert_torn_state_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_torn_ckpt_")
+    val first = StreamingOps.runUpsert(spark, sf, state.toString, ckpt.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty)
+    // torn state: an un-flipped "future epoch" for bucket 0 and a
+    // half-written staging dir, both with poison rows that would
+    // corrupt the result if any reader resolved paths by listing
+    import spark.implicits._
+    val poison = Seq((-999L, 0L, "POISON", -1L)).toDF("user_id", "tus", "event_type", "cents")
+    poison.write.parquet(state.resolve("b0").resolve("e999").toString)
+    poison.write.parquet(state.resolve(".stage-e999").resolve("bucket=0").toString)
+    // a restart over the drained checkpoint fires zero batches and
+    // reads the state table exactly as an external reader would
+    val second = StreamingOps.runUpsert(spark, sf, state.toString, ckpt.toString)
+      .collect().map(_.toString).sorted.toSeq
+    assert(!second.exists(_.contains("POISON")),
+      "unreferenced epoch dirs must be invisible to the manifest-resolved read")
+    assert(second == first, "torn-commit garbage must not change the committed state")
+  }
+
   test("session windows: n sums to watermark-closed prefix, gap respected") {
     val r = StreamingOps.st_session(spark, sf).collect()
     assert(r.nonEmpty)
