@@ -40,9 +40,16 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
 
   override def checkInputDataTypes(): TypeCheckResult = elemType match {
     case FloatType | DoubleType | LongType | IntegerType | ShortType =>
-      if (books.nonEmpty && books.forall(b => b.nonEmpty && b.forall(_.length == books.head.head.length)))
+      // every book must have the SAME entry count (k) and every entry
+      // the same subDim: the flat (j·k + c)·subDim layout silently
+      // mis-indexes later books if an earlier one is shorter
+      if (books.nonEmpty &&
+          books.forall(b => b.length == books.head.length &&
+            b.nonEmpty && b.forall(_.length == books.head.head.length)))
         TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("pq_encode: ragged or empty codebooks")
+      else TypeCheckResult.TypeCheckFailure(
+        "pq_encode: ragged or empty codebooks (every subspace needs the same " +
+          "entry count and every entry the same sub-dimension)")
     case _ => TypeCheckResult.TypeCheckFailure(
       s"pq_encode expects a numeric array, got ${child.dataType.catalogString}")
   }

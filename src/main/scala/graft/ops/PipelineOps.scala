@@ -477,12 +477,17 @@ object PipelineOps {
     * Each round's rank table is eagerly `localCheckpoint`ed (same
     * lineage-truncation pattern as the dedup contraction at
     * [[DedupOps.connectedComponentsWithRounds]]): without it the plan
-    * deepens by one join-aggregate per iteration, so analysis cost and
-    * failure-recovery recomputation grow linearly with rounds — at
-    * 10⁹ edges a lost executor would replay EVERY previous iteration.
-    * With it, each round's plan is one join-agg over a materialized
-    * 40-row RDD; [[PipelineOpsSpec]] asserts the plan size is
-    * iteration-count-invariant. */
+    * deepens by one join-aggregate per iteration, so analysis and
+    * optimization cost grow linearly with rounds. With it, each
+    * round's plan is one join-agg over a materialized 40-row RDD;
+    * [[PipelineOpsSpec]] asserts the plan size is
+    * iteration-count-invariant. The trade is FAULT TOLERANCE, not a
+    * gain of it: localCheckpoint blocks live only in executor block
+    * managers, so losing an executor fails the job instead of
+    * replaying lineage — acceptable for short interactive runs; a
+    * 10⁹-edge production iteration would use reliable `checkpoint()`
+    * to shared storage (constant plan depth AND survivable executor
+    * loss, at the cost of a write per round). */
   val p_host_rank: Q = (s, d) => hostRank(s, d, PrIters)
 
   private[ops] def hostRank(s: SparkSession, d: String, iters: Int): DataFrame = {
@@ -676,7 +681,9 @@ object PipelineOps {
     * point.
     *
     * Round labels are `localCheckpoint`ed like [[hostRank]]'s ranks —
-    * constant plan depth across rounds, bounded recovery replay. */
+    * constant plan depth across rounds (NOT added fault tolerance:
+    * see hostRank's doc for the executor-loss trade and the reliable
+    * `checkpoint()` variant at production scale). */
   val p_label_prop: Q = (s, d) => labelProp(s, d, LpIters)
 
   private[ops] def labelProp(s: SparkSession, d: String, iters: Int): DataFrame = {

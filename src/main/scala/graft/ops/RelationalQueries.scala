@@ -1273,9 +1273,12 @@ object RelationalQueries {
     *     [[ProfileNullMod]]-planted nulls.
     *
     * Scale shape: the three scan rules (range/domain/null) fold into
-    * ONE conditional aggregate over a single lineitem pass; uniqueness
-    * is a two-phase groupBy like [[q_table_profile]]'s NDV; RI is one
-    * anti join. Nothing quadratic, nothing collected. */
+    * ONE conditional aggregate over a single lineitem pass, unpivoted
+    * into tidy rows by a generator over the 1-row result (so the plan
+    * physically scans once — not a union of per-rule selects that
+    * re-instantiate the aggregate); uniqueness is a two-phase groupBy
+    * like [[q_table_profile]]'s NDV; RI is one join-aggregate.
+    * Nothing quadratic, nothing collected. */
   val q_dq_checks: Q = (s, d) => {
     // deterministic violation plants, replayed verbatim by the oracle
     val planted = lineitem(s, d).select(
@@ -1292,17 +1295,23 @@ object RelationalQueries {
     def rule(name: String, checked: Column, violations: Column) =
       Seq(lit(name).as("rule"), checked.as("n_checked"),
         violations.as("n_violations"), (violations === 0L).as("pass"))
-    // scan rules: one conditional aggregate, one pass
-    val scanRules = planted.agg(
-      count(lit(1)).as("n_checked"),
-      sum(when(col("qty") < 1 || col("qty") > 50, 1L).otherwise(0L)).as("v_range"),
-      sum(when(!col("flag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_domain"),
-      sum(when(col("ship").isNull, 1L).otherwise(0L)).as("v_null"))
-    val scanTidy = Seq(("qty_range", "v_range"), ("flag_domain", "v_domain"),
-        ("ship_not_null", "v_null"))
-      .map { case (n, v) =>
-        scanRules.select(rule(n, col("n_checked"), col(v)): _*)
-      }.reduce(_ unionByName _)
+    // scan rules: one conditional aggregate, one pass — then UNPIVOTED
+    // with a generator over the single 1-row result. (A select-per-rule
+    // union would re-instantiate the aggregate subtree per branch and
+    // could scan lineitem three times unless exchange reuse happens to
+    // kick in; explode keeps the plan physically single-scan.)
+    val scanTidy = planted.agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("qty") < 1 || col("qty") > 50, 1L).otherwise(0L)).as("v_range"),
+        sum(when(!col("flag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_domain"),
+        sum(when(col("ship").isNull, 1L).otherwise(0L)).as("v_null"))
+      .select(explode(array(
+        struct(lit("qty_range").as("rule"), col("n_checked"), col("v_range").as("n_violations")),
+        struct(lit("flag_domain").as("rule"), col("n_checked"), col("v_domain").as("n_violations")),
+        struct(lit("ship_not_null").as("rule"), col("n_checked"), col("v_null").as("n_violations"))
+      )).as("r"))
+      .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
     // uniqueness: two-phase groupBy, violations = Σ(cnt − 1)
     val uniq = planted.groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(count(lit(1)).as("cnt"))

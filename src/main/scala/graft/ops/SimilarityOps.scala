@@ -350,10 +350,15 @@ object SimilarityOps {
     * quantizer). Entry ids are codebook positions. */
   private def pqCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
     pqBookMemo.computeIfAbsent(datasetKey(e), _ => {
-      val sample = e.select(col("vec_id"), col("embedding"))
+      // cast to array<double> in the PLAN so the collect path is
+      // element-type-agnostic — a fixture regenerated with
+      // array<double> embeddings would throw a ClassCastException in
+      // a raw getSeq[Float] (the element type hides behind typeName
+      // "array", so the whole-fixture drift guard can't pin it alone)
+      val sample = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         .orderBy(col("vec_id")).limit(PqTrainCap)
         .collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        .map(_.getSeq[Double](1).toArray)
       (0 until PqSub).map { j =>
         lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, j * PqSubDim, (j + 1) * PqSubDim)),
           PqK, seed = 42L + j)
@@ -386,8 +391,11 @@ object SimilarityOps {
     // subDim) flops, no per-entry structs, no sorts). The index is a
     // BUILT ARTIFACT (FAISS writes it to disk; we localCheckpoint it):
     // downstream window/join plans then see an 8-int-code relation
-    // instead of re-inlining the encode expressions; at 10⁹ vectors
-    // this materialization IS the index-build write.
+    // instead of re-inlining the encode expressions. localCheckpoint
+    // blocks are executor-local (executor loss fails the job, it does
+    // not replay) — fine for a session-lifetime index here; at 10⁹
+    // vectors the index build IS a real write to shared storage
+    // (parquet/checkpoint), which also survives executor loss.
     val index = assignNearest(candSide(e), cents, "ce", "cent", CandAssign)
       .withColumn("cn", sqrt(normSq(col("ce"))))
       .withColumn("codes", graft.functions.PqEncode.pqEncode(col("ce"), books))

@@ -101,8 +101,19 @@ class FixtureDriftSpec extends AnyFunSuite {
         "value" -> Set("double"), "props" -> Set("string")),
       "documents" -> Map("doc_id" -> Set("long"), "text" -> Set("string"),
         "lang" -> Set("string"), "source" -> Set("string"), "n_chars" -> Set("long")),
+      // the embedding ELEMENT type is pinned via catalogString because
+      // typeName erases it to "array": code that reads elements
+      // generically (cast to array<double>) tolerates either, but a
+      // drift to some third shape should fail loudly here
       "embeddings" -> Map("vec_id" -> Set("long"),
         "embedding" -> Set("array"), "label" -> Set("integer", "long")))
+    locally {
+      val et = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .schema("embedding").dataType.catalogString
+      assert(Set("array<float>", "array<double>").contains(et),
+        s"embeddings.embedding arrived as $et — element type drifted beyond " +
+          "the float/double pair the loaders' array<double> casts absorb")
+    }
     for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       expected.foreach { case (table, cols) =>
         val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
