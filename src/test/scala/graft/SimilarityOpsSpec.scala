@@ -172,6 +172,98 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(row.getBoolean(1), "PQ preselection + float re-rank must keep recall@5 >= 0.9")
   }
 
+  test("salted IVF returns exactly the unsalted results (salting only repartitions)") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def rows(salt: Int) =
+      SimilarityOps.ivfTopK(e, cands, queries, k = 5, nprobe = 5, saltFactor = salt)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(4) == rows(1))
+  }
+
+  test("salted IVF witness query emits the exact top-k size and an all-true recall flag") {
+    val r = SimilarityOps.s_ann_ivf_salted(spark, sf).head()
+    assert(r.getLong(0) == SimilarityOps.s_cosine_topk(spark, sf).count())
+    assert(r.getBoolean(1), "recall_ge_90 flag must hold with the salted join")
+  }
+
+  test("celebrity cell: salting splits the hot cell's join groups, recall unchanged") {
+    // plant a 30% celebrity cluster: vec_id % 10 < 3 collapses to a
+    // tight blob around vector 0 (1% residual of the original vector
+    // keeps rows distinct), so one coarse cell holds ~30% of the corpus
+    val e = Tables.embeddings(spark, sf)
+    val celeb = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val skewed = e.withColumn("embedding",
+      when(col("vec_id") % 10 < 3,
+        zip_with(typedLit(celeb), col("embedding"),
+          (c, x) => (c + x * lit(0.01)).cast("float")))
+        .otherwise(col("embedding")))
+    val cents = SimilarityOps.kmeansCentroids(skewed, SimilarityOps.NumCentroids)
+    val cands = skewed.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val queries = skewed.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // the skew is real: the hottest cell holds >= 20% of all postings
+    // (the 30% vector plant dilutes to ~23% of POSTINGS because each
+    // candidate posts to CandAssign=2 cells and the blob's second-
+    // nearest assignments spread)
+    val assigned = SimilarityOps.assignNearest(cands, cents, "ce", "cent", SimilarityOps.CandAssign)
+    val cellCounts = assigned.groupBy("cent").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hot = cellCounts.values.max
+    assert(hot.toDouble / cellCounts.values.sum >= 0.2,
+      s"celebrity plant failed to concentrate: $cellCounts")
+    // salting splits it: max (cent, salt) group is a fraction of the hot cell
+    val saltF = 4
+    val saltedCounts = assigned
+      .withColumn("salt", pmod(xxhash64(col("cid")), lit(saltF.toLong)).cast("int"))
+      .groupBy("cent", "salt").count().collect().map(_.getLong(2))
+    assert(saltedCounts.max <= hot / 2,
+      s"salting must split the hot cell: max salted group ${saltedCounts.max} vs hot $hot")
+    // the salted plan physically partitions the bucket join on (cent, salt)
+    val salted = SimilarityOps.ivfTopK(skewed, cands, queries, k = 5, nprobe = 5,
+      saltFactor = saltF)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), s"salted join key missing from plan:\n$plan")
+    // results identical to unsalted on the skewed corpus...
+    val unsalted = SimilarityOps.ivfTopK(skewed, cands, queries, k = 5, nprobe = 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(key(salted) == key(unsalted))
+    // ...and recall@5 vs brute force on the skewed corpus still >= 0.9
+    val exact = SimilarityOps.bruteForceTopK(queries, cands, k = 5)
+      .select(col("qid"), col("cid"))
+    val nExact = exact.count()
+    val hit = salted.select(col("qid"), col("cid"))
+      .join(exact, Seq("qid", "cid"), "left_semi").count()
+    assert(hit.toDouble / nExact >= 0.9,
+      s"salted recall ${hit.toDouble / nExact} on celebrity corpus")
+  }
+
+  test("ivf delta maintenance: incremental == full rebuild, state read partition-pruned") {
+    val run = SimilarityOps.ivfDeltaRun(spark, sf)
+    val r = run.result.head()
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val nUpd = e.filter(col("vec_id") % SimilarityOps.DeltaUpdateMod === 0).count()
+    val nIns = e.filter(col("vec_id") % SimilarityOps.DeltaInsertMod === 0).count()
+    assert(r.getLong(0) == SimilarityOps.CandAssign * n)
+    assert(r.getLong(1) == nUpd && nUpd > 0)
+    assert(r.getLong(2) == nIns && nIns > 0)
+    assert(r.getLong(3) == SimilarityOps.CandAssign * (n + nIns))
+    assert(r.getBoolean(4), "incrementally-maintained index must equal a full rebuild")
+    // the merge read touched only the affected cell partitions
+    assert(run.affected.nonEmpty &&
+      run.affected.forall(c => c >= 0 && c < SimilarityOps.NumCentroids))
+    assert(run.prunedPlan.contains("PartitionFilters") &&
+      run.prunedPlan.contains("cent"),
+      s"state read must be partition-pruned:\n${run.prunedPlan}")
+  }
+
   test("gram matrix: matches driver-side integer replay, full upper triangle") {
     val d = SimilarityOps.Dim
     val got = SimilarityOps.s_gram_matrix(spark, sf).collect()
