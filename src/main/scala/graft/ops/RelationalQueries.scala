@@ -1329,6 +1329,187 @@ object RelationalQueries {
     scanTidy.unionByName(uniq).unionByName(ri).orderBy(col("rule"))
   }
 
+  // ------------------------------------- statistical aggregates (r10)
+
+  /** Pearson correlation / covariance / stddev / regression slope per
+    * group, computed from EXACT integer co-moments: one pass collects
+    * n, Σx, Σy, Σxy, Σx², Σy² as DECIMAL(38,0) sums (order-independent,
+    * overflow-free — Σy² ≈ 6·10¹⁹ exceeds Int64 at sf0.1), then each
+    * statistic is a fixed IEEE expression over those exact integers, so
+    * Spark and DuckDB (HUGEINT side) agree bit-for-bit — the hash-exact
+    * way to ship corr at 100 TB, where the naive float accumulation is
+    * partition-order-dependent and never reproduces. The co-moment
+    * vector is also MERGEABLE (sums), i.e. incremental-MV-compatible,
+    * unlike a float corr state. Spark's native `corr` runs alongside
+    * and must land within 1e-6 of the exact value (witness flag). */
+  val q_corr_stats: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        corr(col("x").cast("double"), col("y").cast("double")).as("corr_native"))
+    val nD = col("n").cast(dec)
+    val numXy = (nD * col("sxy") - col("sx") * col("sy")).as("num_xy")
+    val numXx = (nD * col("sxx") - col("sx") * col("sx")).as("num_xx")
+    val numYy = (nD * col("syy") - col("sy") * col("sy")).as("num_yy")
+    val corrExact = col("num_xy").cast("double") /
+      sqrt(col("num_xx").cast("double") * col("num_yy").cast("double"))
+    g.select(col("l_returnflag"), col("n"), col("corr_native"),
+        numXy, numXx, numYy)
+      .select(
+        col("l_returnflag"), col("n"),
+        round(corrExact, 6).as("corr_qty_price"),
+        round(col("num_xy").cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"), 4).as("covar_samp"),
+        round(sqrt(col("num_yy").cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")), 4).as("stddev_price_cents"),
+        round(col("num_xy").cast("double") / col("num_xx").cast("double"), 6)
+          .as("slope_cents_per_qty"),
+        (abs(col("corr_native") - corrExact) < 1e-6).as("native_corr_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q2's argmin-join shape: the rows achieving a per-group
+    * minimum, TIES KEPT (contrast [[q_supplier_stats]]' single-winner
+    * struct-max): cheapest supplier(s) per large part. The part filter
+    * is applied FIRST and semi-joined into the fact before the argmin —
+    * legal because the extremum is per-part — so at 100 TB the min
+    * aggregate runs over the filtered subset, not the whole fact. The
+    * min table is one row per part (AQE broadcasts it when small);
+    * equality join back keeps every tied supplier. */
+  val q2_min_cost_supplier: Q = (s, d) => {
+    val bigParts = part(s, d).filter(col("p_size") >= 40)
+    val li = lineitem(s, d)
+      .join(bigParts.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    val mins = li.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("price_cents")).as("min_cents"))
+    li.join(mins, col("l_partkey") === col("mk") &&
+        col("price_cents") === col("min_cents"))
+      .select(col("l_partkey"), col("l_suppkey"), col("min_cents"))
+      .distinct()
+      .join(bigParts, col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("min_cents"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** TPC-H Q10 shape: revenue lost to returns per customer over a
+    * quarter-window — fact⋈fact shuffle join, scaling-dim join
+    * (customer, AQE-decided), fixed-dim broadcast (nation), group on
+    * customer attributes, deterministic top-20 (revenue desc, custkey
+    * tiebreak). The returnflag + date filters push to the scans. */
+  val q10_returned_revenue: Q = (s, d) => {
+    val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+      .orderBy(desc("rev_cents"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** UNPIVOT (wide → long), the inverse of [[q_pivot]]: the per-status
+    * priority counts are pivoted wide, then melted back with
+    * `Dataset.unpivot` — one narrow projection, no shuffle beyond the
+    * pivot's own aggregate, zero-cells preserved. Round-tripping
+    * through pivot∘unpivot against a plain GROUP BY oracle (grid
+    * completed with zeros) proves both directions exact. */
+  val q_unpivot: Q = (s, d) => {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val safe = prios.map(p => "p" + p.charAt(0))
+    val wide = orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        prios.zip(safe).map { case (p, a) => coalesce(wide_col(p), lit(0L)).as(a) }: _*)
+    val backToName = map(safe.zip(prios).flatMap { case (a, p) => Seq(lit(a), lit(p)) }: _*)
+    wide.unpivot(Array(col("o_orderstatus")), safe.map(col).toArray, "pcol", "n")
+      .select(col("o_orderstatus"),
+        element_at(backToName, col("pcol")).as("priority"), col("n"))
+      .orderBy(col("o_orderstatus"), col("priority"))
+  }
+
+  /** Pivot output columns are named by the raw priority values, which
+    * contain `-`/space — resolve them as literal names, not parsed
+    * attribute paths. */
+  private def wide_col(name: String): Column = col(s"`$name`")
+
+  /** Exponentially-weighted smoothing of a monthly revenue series —
+    * the time-series operator (EWMA, α=½, horizon truncated at 8 taps)
+    * kept HASH-EXACT: the weighted numerator Σ_{k≤K} 2^{7−k}·x_{t−k}
+    * and denominator 2^8 − 2^{7−K} are pure Int64 arithmetic over lag()
+    * taps, so both engines agree bit-for-bit (a pow()-based infinite-
+    * memory EWMA is float-path and engine-dependent). The 8-tap window
+    * is one pass over each partition's sort — same cost shape as any
+    * ROWS frame; series count scales with group cardinality, length
+    * with months, both fine at 100 TB. */
+  val q_ewma_smooth: Q = (s, d) => {
+    val monthly = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(cents(col("l_extendedprice")).as("rev_cents"))
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("m"))
+    val num = (0 to 7).map { k =>
+      val tap = if (k == 0) col("rev_cents")
+                else coalesce(lag(col("rev_cents"), k).over(w), lit(0L))
+      lit(1L << (7 - k)) * tap
+    }.reduce(_ + _)
+    val kAvail = least(row_number().over(w) - 1, lit(7))
+    monthly
+      .withColumn("ewma_num", num)
+      .withColumn("ewma_den",
+        lit(256L) - pow(lit(2.0), (lit(7) - kAvail).cast("double")).cast("long"))
+      .withColumn("n_taps", (kAvail + 1).cast("long"))
+      .withColumn("smoothed_cents",
+        round(col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+          .cast("long"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("m"))
+  }
+
+  /** Windowed DISTINCT count — running number of distinct event types
+    * each user has touched, a stream-profile staple Spark's window
+    * functions don't support directly (no DISTINCT in window
+    * aggregates). Decomposed exactly: a first-occurrence flag
+    * (row_number = 1 over (user, type)) summed over the user's ordered
+    * history. Two window passes, both partition-local after one
+    * shuffle on user_id; nothing holds a distinct set per row — the
+    * trick is what makes windowed distinct viable at 100 TB. */
+  val q_window_cum_distinct: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"), col("event_type"))
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    val runW = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("first_of_type",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("cum_distinct_types", sum(col("first_of_type")).over(runW))
+      .select(col("user_id"), col("t_us"), col("event_id"),
+        col("cum_distinct_types"))
+      .orderBy(col("user_id"), col("t_us"), col("event_id"))
+  }
+
   /** DuckDB twin of [[q_dq_checks]] over the same planted relation. */
   private def dqChecksOracle: String =
     s"""WITH planted AS (
@@ -1439,11 +1620,116 @@ object RelationalQueries {
     "q_window_dist" -> q_window_dist,
     "q_window_first_last" -> q_window_first_last,
     "q_array_fns" -> q_array_fns,
+    "q_corr_stats" -> q_corr_stats,
+    "q2_min_cost_supplier" -> q2_min_cost_supplier,
+    "q10_returned_revenue" -> q10_returned_revenue,
+    "q_unpivot" -> q_unpivot,
+    "q_ewma_smooth" -> q_ewma_smooth,
+    "q_window_cum_distinct" -> q_window_cum_distinct,
   )
 
   val oracles: Map[String, String] = Map(
     "q_table_profile" -> tableProfileOracle,
     "q_dq_checks" -> dqChecksOracle,
+    // exact integer co-moments (HUGEINT side of the DECIMAL(38,0)
+    // contract): every derived statistic is the same IEEE expression
+    // over identical integers, so doubles match bit-for-bit
+    "q_corr_stats" ->
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT) AS x,
+        |    CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS y
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, COUNT(1) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy,
+        |    corr(CAST(x AS DOUBLE), CAST(y AS DOUBLE)) AS corr_native
+        |  FROM t GROUP BY 1),
+        |m AS (SELECT l_returnflag, n, corr_native,
+        |    n*sxy - sx*sy AS num_xy, n*sxx - sx*sx AS num_xx,
+        |    n*syy - sy*sy AS num_yy
+        |  FROM g)
+        |SELECT l_returnflag, n,
+        |  ROUND(CAST(num_xy AS DOUBLE) /
+        |    sqrt(CAST(num_xx AS DOUBLE) * CAST(num_yy AS DOUBLE)), 6) AS corr_qty_price,
+        |  ROUND(CAST(num_xy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE), 4) AS covar_samp,
+        |  ROUND(sqrt(CAST(num_yy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)), 4) AS stddev_price_cents,
+        |  ROUND(CAST(num_xy AS DOUBLE) / CAST(num_xx AS DOUBLE), 6) AS slope_cents_per_qty,
+        |  abs(corr_native - CAST(num_xy AS DOUBLE) /
+        |    sqrt(CAST(num_xx AS DOUBLE) * CAST(num_yy AS DOUBLE))) < 1e-6 AS native_corr_ok
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)),
+        |m AS (SELECT l_partkey AS mk, MIN(price_cents) AS min_cents
+        |      FROM li GROUP BY 1)
+        |SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, m.min_cents
+        |FROM li JOIN m ON li.l_partkey = m.mk AND li.price_cents = m.min_cents
+        |JOIN part ON p_partkey = li.l_partkey
+        |JOIN supplier ON s_suppkey = li.l_suppkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    // pivot∘unpivot round-trip vs the plain long-form GROUP BY with
+    // the status×priority grid completed (unpivot keeps zero cells)
+    "q_unpivot" ->
+      """WITH st AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |p AS (SELECT * FROM (VALUES ('1-URGENT'),('2-HIGH'),('3-MEDIUM'),
+        |                            ('4-NOT SPECIFIED'),('5-LOW')) t(priority)),
+        |c AS (SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT st.o_orderstatus, p.priority, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM st CROSS JOIN p
+        |LEFT JOIN c ON c.o_orderstatus = st.o_orderstatus
+        |           AND c.o_orderpriority = p.priority
+        |ORDER BY st.o_orderstatus, p.priority""".stripMargin,
+    "q_ewma_smooth" ->
+      """WITH monthly AS (
+        |  SELECT l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m') AS m,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |w AS (SELECT l_returnflag, l_linestatus, m, rev_cents,
+        |    128*rev_cents
+        |      + 64*COALESCE(lag(rev_cents, 1) OVER win, 0)
+        |      + 32*COALESCE(lag(rev_cents, 2) OVER win, 0)
+        |      + 16*COALESCE(lag(rev_cents, 3) OVER win, 0)
+        |      +  8*COALESCE(lag(rev_cents, 4) OVER win, 0)
+        |      +  4*COALESCE(lag(rev_cents, 5) OVER win, 0)
+        |      +  2*COALESCE(lag(rev_cents, 6) OVER win, 0)
+        |      +  1*COALESCE(lag(rev_cents, 7) OVER win, 0) AS ewma_num,
+        |    LEAST(ROW_NUMBER() OVER win - 1, 7) AS k
+        |  FROM monthly
+        |  WINDOW win AS (PARTITION BY l_returnflag, l_linestatus ORDER BY m))
+        |SELECT l_returnflag, l_linestatus, m, rev_cents,
+        |  CAST(ewma_num AS BIGINT) AS ewma_num,
+        |  CAST(256 - CAST(pow(2, 7 - k) AS BIGINT) AS BIGINT) AS ewma_den,
+        |  CAST(k + 1 AS BIGINT) AS n_taps,
+        |  CAST(ROUND(CAST(ewma_num AS DOUBLE) /
+        |    CAST(256 - CAST(pow(2, 7 - k) AS BIGINT) AS DOUBLE)) AS BIGINT) AS smoothed_cents
+        |FROM w ORDER BY l_returnflag, l_linestatus, m""".stripMargin,
+    "q_window_cum_distinct" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY t_us, event_id) = 1
+        |    THEN 1 ELSE 0 END AS first_of_type FROM e)
+        |SELECT user_id, t_us, event_id,
+        |  CAST(SUM(first_of_type) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_distinct_types
+        |FROM f ORDER BY user_id, t_us, event_id""".stripMargin,
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
          |f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL

@@ -421,9 +421,33 @@ object TextOps {
       .orderBy(col("tok"), col("pos"))
   }
 
+  /** Jaro-Winkler fuzzy string similarity over a KEYED candidate pairing
+    * (adjacent part names) — the record-linkage scorer, via the
+    * codegen'd [[graft.functions.JaroWinkler]] expression, alongside
+    * built-in `levenshtein` for the edit-distance view of the same
+    * pairs. Rounded to 9 dp: the kernel mirrors DuckDB's operation
+    * order so the doubles agree to the ulp, and 9 dp absorbs any
+    * platform libm drift. The pairing is an equi-join (each row meets
+    * exactly one candidate) — the 100 TB contract for any O(len²)
+    * per-pair scorer is that candidates come from a bounded join
+    * (blocking/banding), never a cross join. */
+  val t_jaro_winkler: Q = (s, d) => {
+    val p1 = Tables.part(s, d)
+      .select(col("p_partkey").as("k1"), col("p_name").as("name1"))
+    val p2 = Tables.part(s, d)
+      .select((col("p_partkey") - 1).as("k2"), col("p_name").as("name2"))
+    p1.join(p2, col("k1") === col("k2"))
+      .select(col("k1").as("p_partkey"),
+        round(graft.functions.JaroWinkler.jaroWinkler(col("name1"), col("name2")), 9)
+          .as("jw9"),
+        levenshtein(col("name1"), col("name2")).cast("long").as("lev"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "t_jaro_winkler" -> t_jaro_winkler,
     "t_text_stats" -> t_text_stats,
     "t_token_count" -> t_token_count,
     "t_bpe_tokens" -> t_bpe_tokens,
@@ -443,6 +467,12 @@ object TextOps {
   private val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "t_jaro_winkler" ->
+      """SELECT p1.p_partkey,
+        |  ROUND(jaro_winkler_similarity(p1.p_name, p2.p_name), 9) AS jw9,
+        |  CAST(levenshtein(p1.p_name, p2.p_name) AS BIGINT) AS lev
+        |FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1
+        |ORDER BY p1.p_partkey""".stripMargin,
     "t_text_stats" ->
       """SELECT lang, COUNT(1) AS n_docs, COUNT(DISTINCT source) AS n_sources,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

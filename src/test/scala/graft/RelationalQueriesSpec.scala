@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, countDistinct, min, round, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
@@ -422,5 +423,74 @@ class RelationalQueriesSpec extends AnyFunSuite {
     val byName = got.map(t => t._1 -> t).toMap
     assert(byName("qty_cents")._3 > 0, "planted nulls missing")
     assert(got.filter(_._1 != "qty_cents").forall(_._3 == 0L))
+  }
+
+  test("corr stats: exact co-moment corr in [-1,1], native corr within 1e-6") {
+    val rows = ops.RelationalQueries.q_corr_stats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val corr = r.getAs[Double]("corr_qty_price")
+      assert(corr >= -1.0 && corr <= 1.0, s"corr out of range: $corr")
+      assert(r.getAs[Boolean]("native_corr_ok"),
+        s"native corr drifted >1e-6 from exact for ${r.getString(0)}")
+      assert(r.getAs[Double]("stddev_price_cents") > 0)
+    }
+  }
+
+  test("argmin join: every winner's price is its part's true minimum, ties kept") {
+    import spark.implicits._
+    val got = ops.RelationalQueries.q2_min_cost_supplier(spark, sf).collect()
+    assert(got.nonEmpty)
+    val mins = ops.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .groupBy("l_partkey").agg(min("c").as("m"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("min_cents") == mins(r.getAs[Long]("p_partkey")))
+    }
+    // exactly the filtered parts appear — the semi-join dropped nothing
+    val expParts = ops.Tables.part(spark, sf)
+      .filter(col("p_size") >= 40).select("p_partkey")
+      .as[Long].collect().toSet
+    assert(got.map(_.getAs[Long]("p_partkey")).toSet == expParts)
+  }
+
+  test("unpivot: long form sums back to the orders rowcount, grid complete") {
+    val rows = ops.RelationalQueries.q_unpivot(spark, sf).collect()
+    val nStatuses = ops.Tables.orders(spark, sf)
+      .select("o_orderstatus").distinct().count()
+    assert(rows.length == nStatuses * 5, "status × priority grid incomplete")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == ops.Tables.orders(spark, sf).count())
+  }
+
+  test("ewma: first month of each series is the identity, weights telescope") {
+    val rows = ops.RelationalQueries.q_ewma_smooth(spark, sf).collect()
+    val bySeries = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    bySeries.values.foreach { series =>
+      val first = series.minBy(_.getAs[String]("m"))
+      assert(first.getAs[Long]("smoothed_cents") == first.getAs[Long]("rev_cents"),
+        "1-tap smoothing must be identity")
+      assert(first.getAs[Long]("ewma_den") == 128L)
+      series.foreach { r =>
+        val nTaps = r.getAs[Long]("n_taps")
+        assert(r.getAs[Long]("ewma_den") == 256L - (1L << (8 - nTaps.toInt)))
+      }
+    }
+  }
+
+  test("windowed distinct count: per-user non-decreasing, ends at true distinct") {
+    import spark.implicits._
+    val rows = ops.RelationalQueries.q_window_cum_distinct(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val trueDistinct = ops.Tables.events(spark, sf)
+      .groupBy("user_id").agg(countDistinct("event_type").as("n"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (user, evs) =>
+      val cums = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a },
+        s"user $user cum distinct not monotone")
+      assert(cums.last == trueDistinct(user), s"user $user final distinct wrong")
+    }
   }
 }
