@@ -238,6 +238,98 @@ object SimilarityOps {
           .as("recall_ge_90"))
   }
 
+  /** LSH geometry: [[LshBands]] bands × [[LshRowsPerBand]] sign bits,
+    * sized to the FIXTURE'S measured geometry, not a textbook ideal:
+    * true top-5 neighbors here sit at cosine ≈ 0.3 (per-bit agreement
+    * 1 − θ/π ≈ 0.60) while random pairs sit at ≈ 0 (agreement 0.5) —
+    * a weak gap, so amplification needs many bands. 24 × 4 measures
+    * recall@5 = 1.0 / 0.975 / 0.95 at sf0.001/0.01/0.1 with a
+    * candidate fraction ≈ 0.78 (strict subset, but a modest prune —
+    * SRP-LSH prunes hard only when neighbors are far more similar
+    * than random pairs; on tightly-clustered corpora, agreement 0.86+,
+    * 4 × 4 already exceeds 0.95 recall at a few percent candidates).
+    * The geometry dial is data-dependent; the registered witness pins
+    * the resulting recall contract either way. */
+  val LshBands = 24
+  val LshRowsPerBand = 4
+
+  /** Deterministic pseudo-random hyperplanes for sign-random-projection
+    * LSH — splitmix64 over (plane, dim) mapped to [−1, 1]. No RNG
+    * object, no seed state: the index is reproducible from code alone,
+    * which is what makes an LSH index REBUILDABLE at 100 TB (any
+    * executor, any epoch, same planes). */
+  private[graft] def lshPlanes(nPlanes: Int): Seq[Array[Double]] =
+    (0 until nPlanes).map { p =>
+      Array.tabulate(Dim) { j =>
+        var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        // top 53 bits → [0,1) → [-1,1)
+        (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    }
+
+  /** Banded sign signatures as a NARROW codegen'd map (mirror of
+    * [[assignNearest]]'s no-join philosophy): the planes are plan
+    * literals, each row computes its 16 sign bits and explodes into
+    * [[LshBands]] (band, sig) keys. One pass, no shuffle. */
+  private[graft] def lshBandKeys(df: DataFrame, vecCol: String,
+                                 planes: Seq[Array[Double]]): DataFrame = {
+    val bits = planes.map(h => (dot(col(vecCol), typedLit(h.toSeq)) >= 0).cast("int"))
+    val bandKeys = (0 until LshBands).map { b =>
+      val sig = (0 until LshRowsPerBand)
+        .map(r => bits(b * LshRowsPerBand + r) * lit(1 << r))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    df.withColumn("bk", explode(array(bandKeys: _*)))
+      .select(df.columns.map(col) :+ col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
+  }
+
+  /** Sign-random-projection (SimHash-for-vectors) LSH top-k — the
+    * LSH-bucketed ANN alternative to [[ivfTopK]]: no trained quantizer
+    * at all, candidates meet queries through an EQUI-JOIN on (band,
+    * sig) keys, exact cosine re-ranks the collided pairs. A pair
+    * colliding in several bands scores identically in each, so the
+    * (qid, cid, cos) groupBy is exact dedup (same argument as IVF's
+    * shared-cell dedup). At 100 TB: the index is 4 × (int band, int
+    * sig) per vector — no centroids to fit or ship — and the join
+    * shuffles on 4·2^[[LshRowsPerBand]] keys; a skewed signature
+    * bucket takes the same salting dial as the IVF celebrity cell. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val planes = lshPlanes(LshBands * LshRowsPerBand)
+    val c = lshBandKeys(candidates.withColumn("cn", sqrt(normSq(col("ce")))), "ce", planes)
+    val q = lshBandKeys(queries.withColumn("qn", sqrt(normSq(col("qe")))), "qe", planes)
+    val scored = c.join(q, Seq("band", "sig"))
+      .withColumn("cos_e6",
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
+      .groupBy(col("qid"), col("cid"), col("cos_e6"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_e6"), col("n_shared_bands"))
+  }
+
+  /** BOUND-WITNESS for the LSH path, same contract as [[s_ann_ivf]]:
+    * DuckDB independently rebuilds the exact top-5; the banded
+    * signature join must recover ≥ 90 % of it. */
+  val s_ann_lsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val exact = bruteForceTopK(querySide(e), candSide(e), k = 5)
+      .select(col("qid"), col("cid"), lit(1).as("ex"))
+    val approx = lshTopK(candSide(e), querySide(e), k = 5)
+      .select(col("qid"), col("cid"), lit(1).as("ap"))
+    exact.join(approx, Seq("qid", "cid"), "full_outer")
+      .agg(
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("n_exact"),
+        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
+          .as("recall_ge_90"))
+  }
+
   /** Per-vector int8 scalar quantization: scale = max|x|/127, stored
     * values round(x/scale) ∈ [−127, 127]. Deterministic, no codebook
     * to train. At 10⁹ vectors the int8 index (64 B codes + 4 B scale
@@ -658,6 +750,7 @@ object SimilarityOps {
     "s_cosine_topk" -> s_cosine_topk,
     "s_ann_ivf" -> s_ann_ivf,
     "s_ann_ivf_salted" -> s_ann_ivf_salted,
+    "s_ann_lsh" -> s_ann_lsh,
     "s_ann_quantized" -> s_ann_quantized,
     "s_ann_pq" -> s_ann_pq,
     "s_ivf_delta" -> s_ivf_delta,
@@ -696,6 +789,19 @@ object SimilarityOps {
       // the salted plan must emit EXACTLY the unsalted results (salting
       // only changes partitioning), so it shares s_ann_ivf's witness SQL
       "s_ann_ivf_salted" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+           |     s AS (SELECT qid, cid,
+           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+           |           FROM c CROSS JOIN q),
+           |     t AS (SELECT qid, cid FROM (
+           |       SELECT qid, cid,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
+           |       FROM s) x WHERE rk <= 5)
+           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+      // the LSH path carries the identical recall-witness contract —
+      // exact top-5 rebuilt independently, banded-signature recall flag
+      "s_ann_lsh" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
            |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
            |     s AS (SELECT qid, cid,

@@ -213,6 +213,124 @@ object StreamingOps {
     drain(dedup, "append").orderBy(col("day"), col("user_id"), col("event_type"))
   }
 
+  // --------------------------------------------- late-data accounting
+
+  /** Planted-straggler geometry for [[st_late_data]] (mod rules are
+    * mirrored verbatim by the DuckDB oracle). Three arrival batches,
+    * because Spark's late-row filter uses the PREVIOUS batch's
+    * watermark (`eventTimeWatermarkForLateEvents` in
+    * `StateStoreSaveExec` — rows admissible when a batch was planned
+    * are not retroactively dropped), so a straggler is only dropped
+    * when it arrives ≥ 2 batches after the data that advanced the
+    * watermark past its window. */
+  private val LateDropMod = 7
+  private val LateKeepMod = 11
+  private val LateMid = "2024-01-29 00:00:00"
+  private val LateCutover = "2024-01-30 00:00:00"
+
+  private val lateLayouts =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]
+
+  /** One parquet FILE (not directory) per arrival batch, with an
+    * explicit mtime — the file source processes oldest-first, so
+    * distinct mtimes pin the arrival order the late-data semantics
+    * depend on. */
+  private def writeSingleFile(df: DataFrame, dest: java.nio.file.Path,
+                              mtime: Long): Unit = {
+    val staging = java.nio.file.Files.createTempDirectory("graft_late_stage_")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written under $staging"))
+      java.nio.file.Files.move(part.toPath, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime): Unit
+    } finally deleteRecursively(staging.toFile)
+  }
+
+  /** Three-file arrival layout: batch 0 = every event before Jan 29
+    * (on-time history — its completion advances the watermark to
+    * ≈ Jan 28 23h − 1h); batch 1 = the on-time Jan 29 day; batch 2 =
+    * the Jan 30 tail PLUS the planted stragglers — beyond-watermark
+    * clones (`event_id % LateDropMod` of the history, event time
+    * shifted back 25 days: their day windows closed before the
+    * batch-2 late-events watermark (= post-batch-0 watermark, one
+    * batch behind eviction) → must be DROPPED) and within-watermark
+    * clones (`event_id % LateKeepMod` of the Jan 29 rows, same event
+    * time, arriving one batch late: their window is still open →
+    * must be MERGED). */
+  private def lateLayout(s: SparkSession, d: String): String =
+    perSession(lateLayouts, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_evlate_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val ev = graft.ops.Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      val mid = lit(LateMid).cast("timestamp")
+      val cut = lit(LateCutover).cast("timestamp")
+      val base = ev.filter(col("ts") < mid)
+      val day29 = ev.filter(col("ts") >= mid && col("ts") < cut)
+      val tail = ev.filter(col("ts") >= cut)
+      val dropClones = base.filter(col("event_id") % LateDropMod === 0)
+        .withColumn("ts", col("ts") - expr("INTERVAL 25 DAYS"))
+      val keepClones = day29.filter(col("event_id") % LateKeepMod === 0)
+      val now = System.currentTimeMillis()
+      writeSingleFile(base, java.nio.file.Paths.get(p, "batch0.parquet"), now - 180000)
+      writeSingleFile(day29, java.nio.file.Paths.get(p, "batch1.parquet"), now - 120000)
+      writeSingleFile(tail.unionByName(dropClones).unionByName(keepClones),
+        java.nio.file.Paths.get(p, "batch2.parquet"), now - 60000)
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** Late-data accounting under an event-time watermark — the
+    * semantics every production stream must prove: a straggler whose
+    * window the watermark has already closed is DROPPED (its window's
+    * emitted count excludes it), while an out-of-order arrival within
+    * the allowed lateness is MERGED into its still-open window. The
+    * arrival order is pinned by [[lateLayout]] (two files, oldest-
+    * first, one micro-batch each via maxFilesPerTrigger=1), so which
+    * clones fall on which side of the watermark is fully deterministic
+    * and the DuckDB oracle replays it exactly: batch-0 rows + within-
+    * watermark clones + the Jan 30 tail, aggregated per (day, type),
+    * emitted for windows the FINAL watermark (global max − 1 h)
+    * closed; the beyond-watermark clones appear nowhere. (The oracle
+    * splits arrivals at Jan 30 only — the Jan 29 on-time day and the
+    * history differ only in WHEN they arrive, not in how they count.)
+    * A hash match therefore proves both the drop and the merge. At
+    * 100 TB/day this
+    * is exactly the mechanism that bounds aggregation state: state for
+    * a window lives only until watermark passes its end, and
+    * stragglers older than the allowed lateness cost nothing.
+    * (Arrival pinning: three files, oldest-first by explicit mtime,
+    * one micro-batch each — the drop clones arrive two batches after
+    * the history because the engine's late-row filter runs one batch
+    * behind eviction, see [[lateLayout]].) [[StreamingOpsSpec]]
+    * additionally asserts the engine-reported
+    * `numRowsDroppedByWatermark` equals the planted drop-clone count. */
+  val st_late_data: Q = (s, d) => st_late_data_run(s, d)
+
+  private[graft] def st_late_data_run(s: SparkSession, d: String,
+      onDone: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())
+      : DataFrame = {
+    val ss = streamSession(s)
+    val src = lateLayout(ss, d)
+    // the layout is written from the already-normalized Tables.events,
+    // so the stream reads clean TimestampType back — no re-normalization
+    val schema = ss.read.parquet(s"$src/*.parquet").schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*.parquet")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"))
+    drain(agg, "append", onDone).orderBy(col("window_start"), col("event_type"))
+  }
+
   // ------------------------------------------- custom state (mapGroups)
 
   /** Per-user burst bookkeeping state carried ACROSS micro-batches. */
@@ -779,6 +897,7 @@ object StreamingOps {
     "st_static_join" -> st_static_join,
     "st_parquet_sink" -> st_parquet_sink,
     "st_compact" -> st_compact,
+    "st_late_data" -> st_late_data,
   )
 
   private val typeWeightValues =
@@ -833,6 +952,28 @@ object StreamingOps {
     "st_dedup" ->
       """SELECT DISTINCT date_trunc('day', ts) AS day, user_id, event_type
         |FROM events ORDER BY day, user_id, event_type""".stripMargin,
+    // replays the pinned two-batch arrival exactly: on-time history +
+    // within-watermark clones + the Jan 30 tail count toward their
+    // windows; beyond-watermark clones appear NOWHERE (dropped); only
+    // windows the final watermark closed are emitted
+    "st_late_data" ->
+      s"""WITH base AS (SELECT ts, event_type, event_id FROM events
+         |  WHERE ts < TIMESTAMP '$LateCutover'),
+         |tail AS (SELECT ts, event_type, event_id FROM events
+         |  WHERE ts >= TIMESTAMP '$LateCutover'),
+         |keep AS (SELECT * FROM base
+         |  WHERE event_id % $LateKeepMod = 0 AND ts >= TIMESTAMP '$LateMid'),
+         |allr AS (SELECT * FROM base UNION ALL SELECT * FROM keep
+         |  UNION ALL SELECT * FROM tail),
+         |m AS (SELECT max(ts) AS mx FROM events),
+         |agg AS (
+         |  SELECT date_trunc('day', ts) AS window_start,
+         |    date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+         |    event_type, COUNT(1) AS n
+         |  FROM allr GROUP BY 1, 2, 3)
+         |SELECT window_start, window_end, event_type, n
+         |FROM agg, m WHERE window_end <= mx - INTERVAL 1 HOUR
+         |ORDER BY window_start, event_type""".stripMargin,
     "st_static_join" ->
       s"""WITH m AS (SELECT max(ts) AS mx FROM events),
          |dim(event_type, weight) AS (VALUES $typeWeightValues),

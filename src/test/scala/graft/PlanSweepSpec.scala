@@ -33,6 +33,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "d_dedup_simhash",  // bound witness
     "s_ann_ivf",        // bound witness
     "s_ann_ivf_salted", // bound witness (same brute-force exact side)
+    "s_ann_lsh",        // bound witness (same brute-force exact side)
     "s_ann_quantized",  // bound witness (same brute-force exact side)
     "s_ann_pq",         // bound witness (same brute-force exact side)
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits

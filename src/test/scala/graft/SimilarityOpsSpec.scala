@@ -278,4 +278,46 @@ class SimilarityOpsSpec extends AnyFunSuite {
     // diagonal entries are sums of squares: strictly positive here
     assert(got.filter(t => t._1._1 == t._1._2).forall(_._2 > 0L))
   }
+
+  test("LSH ANN: recall@5 >= 0.9, candidate set is a strict subset of all pairs") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = SimilarityOps.s_cosine_topk(spark, sf).select(col("qid"), col("cid"))
+    val nExact = exact.count()
+    val approx = SimilarityOps.lshTopK(cands, queries, k = 5)
+    val hit = approx.select(col("qid"), col("cid"))
+      .join(exact, Seq("qid", "cid"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    info(f"LSH recall@5 = $recall%.3f")
+    assert(recall >= 0.9, f"LSH recall@5 $recall%.3f below the 0.9 witness floor")
+    // pruning witness: the banded join must examine strictly fewer
+    // pairs than brute force (otherwise it IS brute force)
+    val planes = SimilarityOps.lshPlanes(
+      SimilarityOps.LshBands * SimilarityOps.LshRowsPerBand)
+    val nPairs = SimilarityOps.lshBandKeys(cands, "ce", planes)
+      .join(SimilarityOps.lshBandKeys(queries, "qe", planes), Seq("band", "sig"))
+      .select(col("qid"), col("cid")).distinct().count()
+    val allPairs = queries.count() * cands.count()
+    info(f"LSH candidate pairs: $nPairs of $allPairs (${nPairs.toDouble / allPairs}%.3f)")
+    assert(nPairs < allPairs, "LSH candidate set must prune the pair space")
+  }
+
+  test("LSH planes are deterministic, in [-1,1], and sign-balanced") {
+    val p1 = SimilarityOps.lshPlanes(16)
+    val p2 = SimilarityOps.lshPlanes(16)
+    assert(p1.map(_.toSeq) == p2.map(_.toSeq))
+    val all = p1.flatten
+    assert(all.forall(x => x >= -1.0 && x < 1.0))
+    val pos = all.count(_ >= 0).toDouble / all.length
+    assert(pos > 0.4 && pos < 0.6, s"hyperplane signs skewed: $pos positive")
+  }
+
+  test("LSH bound-witness query emits the exact top-k size and an all-true recall flag") {
+    val r = SimilarityOps.s_ann_lsh(spark, sf).head()
+    assert(r.getAs[Long]("n_exact") > 0)
+    assert(r.getAs[Boolean]("recall_ge_90"))
+  }
 }

@@ -284,4 +284,46 @@ class StreamingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("late data: beyond-watermark stragglers dropped, within-watermark merged") {
+    var dropped = -1L
+    val res = graft.streaming.StreamingOps.st_late_data_run(spark, sf, q => {
+      dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+    }).collect()
+    val ev = Tables.events(spark, sf)
+    val cut = lit("2024-01-30 00:00:00").cast("timestamp")
+    // drop clones come from the pre-Jan-29 history (they must arrive
+    // two batches after the data that advanced the watermark). The
+    // engine's numRowsDroppedByWatermark counts rows reaching the
+    // STATEFUL operator — i.e. after map-side partial aggregation has
+    // collapsed the batch to one row per (window, event_type) — so the
+    // expected count is the clones' distinct pair count, not their raw
+    // row count.
+    val nDropPairs = ev
+      .filter(col("ts") < lit("2024-01-29 00:00:00").cast("timestamp") &&
+        col("event_id") % 7 === 0)
+      .select(date_trunc("day", col("ts") - expr("INTERVAL 25 DAYS")), col("event_type"))
+      .distinct().count()
+    assert(nDropPairs > 0, "fixture must plant beyond-watermark clones")
+    assert(dropped == nDropPairs,
+      s"engine dropped $dropped aggregate rows, planted clones span $nDropPairs (window, type) pairs")
+    // the dropped clones' 25-day-shifted windows must not exist at all
+    val minWindow = res.map(_.getTimestamp(0)).min
+    assert(minWindow.toString.startsWith("2024-01-01"),
+      s"a beyond-watermark clone leaked into window $minWindow")
+    // the within-watermark clones must be MERGED: Jan 29 windows carry
+    // strictly more rows than the on-time history alone
+    val jan29Streamed = res
+      .filter(_.getTimestamp(0).toString.startsWith("2024-01-29"))
+      .map(_.getAs[Long]("n")).sum
+    val jan29Base = ev.filter(
+      col("ts") >= lit("2024-01-29 00:00:00").cast("timestamp") && col("ts") < cut).count()
+    val jan29Keep = ev.filter(
+      col("ts") >= lit("2024-01-29 00:00:00").cast("timestamp") && col("ts") < cut &&
+        col("event_id") % 11 === 0).count()
+    assert(jan29Keep > 0, "fixture must plant within-watermark clones")
+    assert(jan29Streamed == jan29Base + jan29Keep,
+      s"Jan 29 count $jan29Streamed != on-time $jan29Base + merged stragglers $jan29Keep")
+  }
 }
