@@ -454,6 +454,35 @@ object RelationalQueries {
     }
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT through the SQL
+    * front-end — the "top-N related rows per outer row" idiom
+    * (`FROM customer, LATERAL (SELECT … WHERE o_custkey = c_custkey
+    * ORDER BY … LIMIT 3)`). The naive reading is a per-customer rescan
+    * of orders — quadratic at 100 TB; Catalyst DECORRELATES the
+    * limit-under-lateral into one windowed rank over a single
+    * equi-join (the same physical shape [[q_topk_per_group]] writes by
+    * hand), so the SQL sugar costs one shuffle like the explicit form.
+    * Ties broken by o_orderkey for determinism. */
+  val q_sql_lateral: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    orders(s, d).createOrReplaceTempView(s"graft_o_$tag")
+    customer(s, d).createOrReplaceTempView(s"graft_c_$tag")
+    try s.sql(
+      s"""SELECT c_custkey, o_orderkey, total_cents
+         |FROM graft_c_$tag, LATERAL (
+         |  SELECT o_orderkey,
+         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+         |  FROM graft_o_$tag
+         |  WHERE o_custkey = c_custkey
+         |  ORDER BY total_cents DESC, o_orderkey LIMIT 3) best
+         |WHERE c_mktsegment = 'BUILDING'
+         |ORDER BY c_custkey, total_cents DESC, o_orderkey""".stripMargin)
+    finally {
+      s.catalog.dropTempView(s"graft_o_$tag")
+      s.catalog.dropTempView(s"graft_c_$tag")
+    }
+  }
+
   /** Correlated SCALAR subquery through the SQL front-end (the TPC-H
     * Q2/Q17 inner shape): each customer compared against an aggregate
     * of ITS OWN orders. Catalyst de-correlates this into one
@@ -1626,6 +1655,7 @@ object RelationalQueries {
     "q_unpivot" -> q_unpivot,
     "q_ewma_smooth" -> q_ewma_smooth,
     "q_window_cum_distinct" -> q_window_cum_distinct,
+    "q_sql_lateral" -> q_sql_lateral,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1719,6 +1749,16 @@ object RelationalQueries {
         |  CAST(ROUND(CAST(ewma_num AS DOUBLE) /
         |    CAST(256 - CAST(pow(2, 7 - k) AS BIGINT) AS DOUBLE)) AS BIGINT) AS smoothed_cents
         |FROM w ORDER BY l_returnflag, l_linestatus, m""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT c_custkey, o_orderkey, total_cents
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+        |  FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY total_cents DESC, o_orderkey LIMIT 3) best
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, total_cents DESC, o_orderkey""".stripMargin,
     "q_window_cum_distinct" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
         |  FROM events),

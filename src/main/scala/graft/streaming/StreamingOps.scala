@@ -576,16 +576,96 @@ object StreamingOps {
     }
   }
 
-  /** The atomic flip: write to a temp sibling, ATOMIC_MOVE over the
-    * manifest. Readers see the old complete snapshot or the new one. */
+  /** How many committed epochs stay readable as snapshots (time
+    * travel). Retention bounds the extra disk to ≤ retain × the
+    * updated buckets' sizes — the Delta `delta.logRetentionDuration`
+    * dial, here counted in epochs because the fixture has no clock. */
+  private[graft] val UpsertRetainEpochs = 3
+
+  private def versionedManifestPath(stateDir: java.nio.file.Path,
+                                    epoch: Long): java.nio.file.Path =
+    stateDir.resolve(s"_manifest-e$epoch.json")
+
+  /** Epochs currently readable via [[readUpsertStateAt]], ascending. */
+  private[graft] def listUpsertEpochs(stateDirPath: String): Seq[Long] = {
+    val dir = java.nio.file.Paths.get(stateDirPath).toFile
+    Option(dir.listFiles()).toSeq.flatten.map(_.getName)
+      .collect { case n if n.startsWith("_manifest-e") && n.endsWith(".json") =>
+        n.stripPrefix("_manifest-e").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  private def readManifestFile(p: java.nio.file.Path): UpsertManifest = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+    val epoch = (j \ "epoch") match { case JInt(n) => n.toLong; case other => sys.error(s"bad epoch $other") }
+    val buckets = (j \ "buckets") match {
+      case JObject(fs) => fs.map { case (k, JString(v)) => k.toInt -> v
+                                   case other => sys.error(s"bad bucket entry $other") }.toMap
+      case other => sys.error(s"bad buckets $other")
+    }
+    UpsertManifest(epoch, buckets)
+  }
+
+  /** Snapshot (time-travel) read: resolve the state table AS OF a
+    * retained epoch through that epoch's immutable manifest — same
+    * column shape as the live read in [[runUpsert]]. */
+  private[graft] def readUpsertStateAt(s: SparkSession, stateDirPath: String,
+                                       epoch: Long): DataFrame = {
+    val stateDir = java.nio.file.Paths.get(stateDirPath)
+    val p = versionedManifestPath(stateDir, epoch)
+    require(java.nio.file.Files.exists(p),
+      s"epoch $epoch is not retained (have: ${listUpsertEpochs(stateDirPath).mkString(",")})")
+    val m = readManifestFile(p)
+    val paths = m.buckets.values.toSeq.sorted.map(rel => s"$stateDir/$rel")
+    s.read.parquet(paths: _*)
+      .select(col("user_id"), col("tus").as("last_tus"),
+        col("event_type").as("last_type"), col("cents"))
+  }
+
+  /** The atomic flip: write the immutable per-epoch manifest first
+    * (the snapshot the epoch stays readable through), then ATOMIC_MOVE
+    * the current-pointer manifest. Readers of the pointer see the old
+    * complete snapshot or the new one; a crash between the two writes
+    * leaves an unreferenced versioned manifest that the checkpoint's
+    * idempotent batch replay simply rewrites. */
   private def writeUpsertManifest(stateDir: java.nio.file.Path, m: UpsertManifest): Unit = {
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
+    val json = s"""{"epoch":${m.epoch},"buckets":$body}"""
+    java.nio.file.Files.writeString(versionedManifestPath(stateDir, m.epoch), json)
     val tmp = stateDir.resolve(s"._manifest-${m.epoch}.tmp")
-    java.nio.file.Files.writeString(tmp, s"""{"epoch":${m.epoch},"buckets":$body}""")
+    java.nio.file.Files.writeString(tmp, json)
     java.nio.file.Files.move(tmp, upsertManifestPath(stateDir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Retention GC, run after each flip: keep every epoch dir referenced
+    * by a RETAINED manifest (current epoch − [[UpsertRetainEpochs]] + 1
+    * … current, clamped at 0), delete versioned manifests below the
+    * horizon and any `b∗/e∗` dir that (a) no retained manifest
+    * references and (b) carries an epoch below the current one — (b)
+    * protects a crashed in-flight commit's future dirs, which the
+    * checkpoint replay will reuse. Single-writer op, like the commit
+    * itself. */
+  private def gcUpsertEpochs(stateDir: java.nio.file.Path, current: Long,
+                             retain: Int): Unit = {
+    val horizon = math.max(0L, current - retain + 1)
+    for (e <- listUpsertEpochs(stateDir.toString) if e < horizon)
+      java.nio.file.Files.deleteIfExists(versionedManifestPath(stateDir, e)): Unit
+    val referenced: Set[String] =
+      listUpsertEpochs(stateDir.toString)
+        .map(e => readManifestFile(versionedManifestPath(stateDir, e)))
+        .flatMap(_.buckets.values).toSet
+    val bucketDirs = Option(stateDir.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+    for (bd <- bucketDirs; ed <- Option(bd.listFiles()).toSeq.flatten
+           if ed.getName.matches("e\\d+")) {
+      val rel = s"${bd.getName}/${ed.getName}"
+      val epoch = ed.getName.stripPrefix("e").toLong
+      if (!referenced.contains(rel) && epoch < current) deleteRecursively(ed)
+    }
   }
 
   /** Write-once multi-file copy of events so the file source can
@@ -666,7 +746,8 @@ object StreamingOps {
     * the state table is byte-identical. */
   private[graft] def runUpsert(s: SparkSession, d: String,
                                stateDirPath: String, ckptPath: String,
-                               onBatch: Long => Unit = _ => ()): DataFrame = {
+                               onBatch: Long => Unit = _ => (),
+                               retainEpochs: Int = UpsertRetainEpochs): DataFrame = {
     val ss = streamSession(s)
     val src = splitEventsLayout(ss, d)
     val stateDir = java.nio.file.Paths.get(stateDirPath)
@@ -712,8 +793,11 @@ object StreamingOps {
             //      rows under .stage-eN/bucket=B/
             //   2. publish: per-bucket rename into the immutable
             //      bB/eN location (metadata-only moves)
-            //   3. flip: atomically replace _manifest.json
-            //   4. gc: delete the replaced buckets' old epoch dirs
+            //   3. flip: write the immutable per-epoch manifest, then
+            //      atomically replace the _manifest.json pointer
+            //   4. gc: drop manifests + epoch dirs older than the
+            //      retention horizon (epochs inside it stay readable
+            //      as snapshots via readUpsertStateAt — time travel)
             // A crash before 3 leaves the manifest pointing at the old
             // consistent epoch set (stale stage/epoch dirs are
             // unreferenced garbage, overwritten by the checkpoint's
@@ -734,8 +818,7 @@ object StreamingOps {
             val newBuckets = man.map(_.buckets).getOrElse(Map.empty) ++
               affected.map(b => b -> s"b$b/e$newEpoch")
             writeUpsertManifest(stateDir, UpsertManifest(newEpoch, newBuckets))
-            for (m <- man; (b, rel) <- m.buckets if affected.contains(b))
-              deleteRecursively(stateDir.resolve(rel).toFile)
+            gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
           }
           ()
         }

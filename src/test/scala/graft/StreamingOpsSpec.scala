@@ -285,6 +285,70 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert time travel: retained epoch snapshots are monotone LWW prefixes") {
+    val state = java.nio.file.Files.createTempDirectory("graft_upsert_tt_state_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_tt_ckpt_")
+    locally {
+      val live = StreamingOps.runUpsert(spark, sf, state.toString, ckpt.toString)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      val epochs = StreamingOps.listUpsertEpochs(state.toString)
+      assert(epochs.length >= 2, s"need >= 2 retained epochs, got $epochs")
+      assert(epochs.length <= StreamingOps.UpsertRetainEpochs + 1)
+      // snapshot at the newest epoch IS the live table
+      val atHead = StreamingOps.readUpsertStateAt(spark, state.toString, epochs.last)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      assert(atHead == live, "head snapshot must equal the live manifest read")
+      // across consecutive snapshots: key set grows, per-key LWW struct
+      // is monotone under the (tus, type, cents) order — the defining
+      // invariant of a max-merge upsert's history
+      val snaps = epochs.map(e =>
+        e -> StreamingOps.readUpsertStateAt(spark, state.toString, e)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap)
+      var changed = false
+      snaps.sliding(2).foreach {
+        case Seq((e1, s1), (e2, s2)) =>
+          assert(s1.keySet.subsetOf(s2.keySet), s"keys shrank from e$e1 to e$e2")
+          s1.foreach { case (k, v1) =>
+            val v2 = s2(k)
+            assert(Ordering[(Long, String, Long)].lteq(v1, v2),
+              s"key $k regressed from $v1 (e$e1) to $v2 (e$e2)")
+          }
+          if (s1 != s2) changed = true
+        case _ => ()
+      }
+      assert(changed, "snapshots must actually differ across epochs (non-vacuous)")
+    }
+  }
+
+  test("upsert retention GC: epochs beyond the horizon are dropped, retained reads stay whole") {
+    val state = java.nio.file.Files.createTempDirectory("graft_upsert_gc_state_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_gc_ckpt_")
+    locally {
+      StreamingOps.runUpsert(spark, sf, state.toString, ckpt.toString,
+        retainEpochs = 1)
+      val epochs = StreamingOps.listUpsertEpochs(state.toString)
+      assert(epochs.length == 1, s"retain=1 must keep exactly the head epoch, got $epochs")
+      // the head snapshot still resolves every bucket dir it references
+      val rows = StreamingOps.readUpsertStateAt(spark, state.toString, epochs.head).count()
+      assert(rows > 0)
+      // no unreferenced sub-horizon epoch dirs survive on disk
+      val head = epochs.head
+      val leftover = Option(state.toFile.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+        .flatMap(b => Option(b.listFiles()).toSeq.flatten.map(e => s"${b.getName}/${e.getName}"))
+        .filter(_.split("/e")(1).toLong < head)
+      val referenced = StreamingOps.readUpsertStateAt(spark, state.toString, head)
+        .inputFiles.toSeq
+      leftover.foreach { rel =>
+        assert(referenced.exists(_.contains(rel)),
+          s"sub-horizon epoch dir $rel survives but nothing references it")
+      }
+    }
+  }
+
   test("late data: beyond-watermark stragglers dropped, within-watermark merged") {
     var dropped = -1L
     val res = graft.streaming.StreamingOps.st_late_data_run(spark, sf, q => {
