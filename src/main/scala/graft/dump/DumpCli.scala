@@ -77,6 +77,12 @@ object DumpCli {
           a = a.copy(input = Some(pos)); i += 1
       }
     }
+    // --resume keys on the input files' (name, size, mtime); a stdin
+    // spool gets a fresh temp name every run, so the fingerprint could
+    // never match and "resume" would silently restart from zero.
+    require(!(a.resume && a.input.isEmpty),
+      "--resume requires a file input: stdin is spooled to a fresh temp " +
+        "file each run, so no previous manifest can ever match")
     a
   }
 

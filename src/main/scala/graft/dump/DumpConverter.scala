@@ -195,12 +195,18 @@ object DumpConverter {
       s"$outDir/$ManifestDir/" + java.net.URLEncoder.encode(table, "UTF-8") + ".json")
 
   /** Identity of the INPUT a manifest entry was computed from: name +
-    * length + mtime of every resolved file. A rerun against different
-    * or modified dump files must not skip anything — byte-hashing
-    * 100 TB to decide restartability would defeat the point, and
-    * (name, size, mtime) is the standard cheap sentinel (rsync's
-    * quick check). */
-  private[dump] def inputFingerprint(sc: org.apache.spark.SparkContext, input: String): String = {
+    * length + mtime of every resolved file, PLUS every option that
+    * changes what the output contains (type mapping, codec,
+    * quarantine, strict routing) — a rerun against different or
+    * modified dump files, or with different conversion semantics,
+    * must not skip anything: skipping a table converted under other
+    * flags would silently mix configurations across tables (e.g. DATE
+    * columns in some tables, midnight TIMESTAMPs in others).
+    * Byte-hashing 100 TB to decide restartability would defeat the
+    * point; (name, size, mtime) is the standard cheap sentinel
+    * (rsync's quick check). */
+  private[dump] def inputFingerprint(sc: org.apache.spark.SparkContext, input: String,
+                                     optionsTag: String = ""): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     expandInput(sc, input).foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
@@ -208,6 +214,7 @@ object DumpConverter {
       md.update(s"$f|${st.getLen}|${st.getModificationTime}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    md.update(optionsTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -283,7 +290,10 @@ object DumpConverter {
     require(SupportedCodecs(codec),
       s"unsupported codec '$codec' (one of: ${SupportedCodecs.toSeq.sorted.mkString(", ")})")
     val sc = spark.sparkContext
-    val fingerprint = inputFingerprint(sc, input)
+    // TypeOptions is a case class: its toString is a stable, total
+    // rendering of the semantic knobs
+    val fingerprint = inputFingerprint(sc, input,
+      s"codec=$codec|quarantine=$quarantine|strict=$strictTables|types=$types")
     val completed: Map[String, Long] =
       if (resume) completedTables(sc.hadoopConfiguration, outDir, fingerprint)
       else {
@@ -383,6 +393,16 @@ object DumpConverter {
       val useTimelineB = sc.broadcast(useTimeline)
       val dropped = sc.longAccumulator("droppedInserts")
       val salts = math.max(1, saltsPerTable)
+      // Resume, statement level: a completed table's INSERTs skip
+      // parseInsert/coerceRow entirely — at a 99 %-complete restart
+      // the parse CPU is the dominant cost, and paying it only to
+      // filter the rows later would make "resume" a re-run with extra
+      // steps. Quarantine mode must NOT take this shortcut: the bad-row
+      // side channel, if unfinished, needs failures from completed
+      // tables' statements too (their good rows are dropped by the
+      // pending filter below).
+      val completedStmtSkipB =
+        sc.broadcast(if (quarantine) Set.empty[String] else completed.keySet)
 
       // The single parse pass: INSERT → coerced Rows keyed for routing.
       val keyed: RDD[((String, Int), Row)] = all.flatMap { case (pos, s) =>
@@ -395,6 +415,7 @@ object DumpConverter {
           // statement on stderr and drops, like the reference.
           val strictOk = !strictTables || latestAt(timelineB.value, pos).contains(t)
           lastCreateB.value.get(t) match {
+            case _ if completedStmtSkipB.value.contains(t) => Iterator.empty
             case Some((cpos, schema))
                 if strictOk && (pos._1 > cpos._1 || (pos._1 == cpos._1 && pos._2 > cpos._2)) =>
               val salt = (pos.hashCode & Int.MaxValue) % salts

@@ -189,6 +189,22 @@ object SimilarityOps {
     * nprobe curve lives in SCALING.md and SimilarityOpsSpec). */
   private val IvfRecallFloorPct = 90L
 
+  /** Shared recall bound-witness tail: the exact top-k's (qid, cid)
+    * picks full-outer-joined against an approximate path's, reduced to
+    * (n_exact, recall ≥ floor). ONE definition for every `s_ann_*`
+    * witness, so the floor, join shape, and output contract can never
+    * silently diverge between index variants. */
+  private def recallWitness(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("qid"), col("cid"), lit(1).as("ex"))
+      .join(approx.select(col("qid"), col("cid"), lit(1).as("ap")),
+        Seq("qid", "cid"), "full_outer")
+      .agg(
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("n_exact"),
+        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
+          .as("recall_ge_90"))
+
   /** BOUND-WITNESS for the IVF path — the registered, DRIVER-CHECKED
     * face of [[ivfTopK]]. The quantizer's bucket contents have no SQL
     * equivalent, so instead of an unverifiable rows-only dump the
@@ -201,17 +217,9 @@ object SimilarityOps {
     * driver's compare fails. */
   val s_ann_ivf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val exact = bruteForceTopK(querySide(e), candSide(e), k = 5)
-      .select(col("qid"), col("cid"), lit(1).as("ex"))
-    val approx = ivfTopK(e, candSide(e), querySide(e), k = 5, nprobe = 5)
-      .select(col("qid"), col("cid"), lit(1).as("ap"))
-    exact.join(approx, Seq("qid", "cid"), "full_outer")
-      .agg(
-        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
-      .select(col("n_exact"),
-        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
-          .as("recall_ge_90"))
+    recallWitness(
+      bruteForceTopK(querySide(e), candSide(e), k = 5),
+      ivfTopK(e, candSide(e), querySide(e), k = 5, nprobe = 5))
   }
 
   /** The salted-join face of [[ivfTopK]] under the SAME bound-witness
@@ -225,17 +233,9 @@ object SimilarityOps {
     * the salt range. */
   val s_ann_ivf_salted: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val exact = bruteForceTopK(querySide(e), candSide(e), k = 5)
-      .select(col("qid"), col("cid"), lit(1).as("ex"))
-    val approx = ivfTopK(e, candSide(e), querySide(e), k = 5, nprobe = 5, saltFactor = 4)
-      .select(col("qid"), col("cid"), lit(1).as("ap"))
-    exact.join(approx, Seq("qid", "cid"), "full_outer")
-      .agg(
-        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
-      .select(col("n_exact"),
-        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
-          .as("recall_ge_90"))
+    recallWitness(
+      bruteForceTopK(querySide(e), candSide(e), k = 5),
+      ivfTopK(e, candSide(e), querySide(e), k = 5, nprobe = 5, saltFactor = 4))
   }
 
   /** LSH geometry: [[LshBands]] bands × [[LshRowsPerBand]] sign bits,
@@ -284,7 +284,7 @@ object SimilarityOps {
       struct(lit(b).as("band"), sig.as("sig"))
     }
     df.withColumn("bk", explode(array(bandKeys: _*)))
-      .select(df.columns.map(col) :+ col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
+      .select(df.columns.toSeq.map(col) :+ col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
   }
 
   /** Sign-random-projection (SimHash-for-vectors) LSH top-k — the
@@ -317,17 +317,9 @@ object SimilarityOps {
     * signature join must recover ≥ 90 % of it. */
   val s_ann_lsh: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-    val exact = bruteForceTopK(querySide(e), candSide(e), k = 5)
-      .select(col("qid"), col("cid"), lit(1).as("ex"))
-    val approx = lshTopK(candSide(e), querySide(e), k = 5)
-      .select(col("qid"), col("cid"), lit(1).as("ap"))
-    exact.join(approx, Seq("qid", "cid"), "full_outer")
-      .agg(
-        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
-      .select(col("n_exact"),
-        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
-          .as("recall_ge_90"))
+    recallWitness(
+      bruteForceTopK(querySide(e), candSide(e), k = 5),
+      lshTopK(candSide(e), querySide(e), k = 5))
   }
 
   /** Per-vector int8 scalar quantization: scale = max|x|/127, stored
@@ -389,16 +381,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
     val approx = rer.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("qid"), col("cid"), lit(1).as("ap"))
-    val exact = bruteForceTopK(querySide(e), candSide(e), k = 5)
-      .select(col("qid"), col("cid"), lit(1).as("ex"))
-    exact.join(approx, Seq("qid", "cid"), "full_outer")
-      .agg(
-        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
-      .select(col("n_exact"),
-        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
-          .as("recall_ge_90"))
+    recallWitness(bruteForceTopK(querySide(e), candSide(e), k = 5), approx)
   }
 
   // --------------------------------------------------------------- pq
@@ -565,16 +548,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
     val approx = rer.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("qid"), col("cid"), lit(1).as("ap"))
-    val exact = bruteForceTopK(querySide(e), candSide(e), k = 5)
-      .select(col("qid"), col("cid"), lit(1).as("ex"))
-    exact.join(approx, Seq("qid", "cid"), "full_outer")
-      .agg(
-        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
-      .select(col("n_exact"),
-        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
-          .as("recall_ge_90"))
+    recallWitness(bruteForceTopK(querySide(e), candSide(e), k = 5), approx)
   }
 
   /** Fixed-point quantization scale of the gram pass (power of two, so
@@ -759,6 +733,22 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = {
     val cos = oracleCosineSql("qe", "ce", Dim)
+    // ONE witness SQL for every recall-bound ANN variant (ivf, salted,
+    // lsh, int8, pq): DuckDB independently rebuilds the brute-force
+    // top-5 and asserts the recall flag — the Scala-side twin is the
+    // shared recallWitness helper above, so the contract has exactly
+    // one definition per engine.
+    val recallWitnessSql =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+         |     s AS (SELECT qid, cid,
+         |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+         |           FROM c CROSS JOIN q),
+         |     t AS (SELECT qid, cid FROM (
+         |       SELECT qid, cid,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
+         |       FROM s) x WHERE rk <= 5)
+         |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin
     Map(
       "s_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -776,42 +766,15 @@ object SimilarityOps {
       // the IVF recall flag — the quantizer has no SQL equivalent, but
       // its recall CONTRACT is fully hash-checked.
       "s_ann_ivf" ->
-        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
-           |     s AS (SELECT qid, cid,
-           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-           |           FROM c CROSS JOIN q),
-           |     t AS (SELECT qid, cid FROM (
-           |       SELECT qid, cid,
-           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
-           |       FROM s) x WHERE rk <= 5)
-           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+        recallWitnessSql,
       // the salted plan must emit EXACTLY the unsalted results (salting
       // only changes partitioning), so it shares s_ann_ivf's witness SQL
       "s_ann_ivf_salted" ->
-        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
-           |     s AS (SELECT qid, cid,
-           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-           |           FROM c CROSS JOIN q),
-           |     t AS (SELECT qid, cid FROM (
-           |       SELECT qid, cid,
-           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
-           |       FROM s) x WHERE rk <= 5)
-           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+        recallWitnessSql,
       // the LSH path carries the identical recall-witness contract —
       // exact top-5 rebuilt independently, banded-signature recall flag
       "s_ann_lsh" ->
-        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
-           |     s AS (SELECT qid, cid,
-           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-           |           FROM c CROSS JOIN q),
-           |     t AS (SELECT qid, cid FROM (
-           |       SELECT qid, cid,
-           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
-           |       FROM s) x WHERE rk <= 5)
-           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+        recallWitnessSql,
       // incremental-maintenance witness: DuckDB independently recomputes
       // the entry-count arithmetic (CandAssign postings per vector,
       // update/insert batch sizes from the same mod rules, final size =
@@ -827,30 +790,12 @@ object SimilarityOps {
       // identical witness shape for the int8-quantized index: DuckDB
       // rebuilds the exact top-5; the quantized path must recover >=90%
       "s_ann_quantized" ->
-        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
-           |     s AS (SELECT qid, cid,
-           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-           |           FROM c CROSS JOIN q),
-           |     t AS (SELECT qid, cid FROM (
-           |       SELECT qid, cid,
-           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
-           |       FROM s) x WHERE rk <= 5)
-           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+        recallWitnessSql,
       // same recall-witness contract for the IVF-PQ index: the exact
       // side is independently rebuilt and hash-checked, the ADC
       // path's recall flag is the asserted bound
       "s_ann_pq" ->
-        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
-           |     s AS (SELECT qid, cid,
-           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-           |           FROM c CROSS JOIN q),
-           |     t AS (SELECT qid, cid FROM (
-           |       SELECT qid, cid,
-           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
-           |       FROM s) x WHERE rk <= 5)
-           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+        recallWitnessSql,
       // explode + self-join replay of the in-row pair expansion; the
       // floor(x*64) quantization makes both engines integer-exact
       "s_gram_matrix" ->

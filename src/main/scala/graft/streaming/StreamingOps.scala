@@ -562,18 +562,7 @@ object StreamingOps {
 
   private def readUpsertManifest(stateDir: java.nio.file.Path): Option[UpsertManifest] = {
     val p = upsertManifestPath(stateDir)
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      import org.json4s._
-      val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
-      val epoch = (j \ "epoch") match { case JInt(n) => n.toLong; case other => sys.error(s"bad epoch $other") }
-      val buckets = (j \ "buckets") match {
-        case JObject(fs) => fs.map { case (k, JString(v)) => k.toInt -> v
-                                     case other => sys.error(s"bad bucket entry $other") }.toMap
-        case other => sys.error(s"bad buckets $other")
-      }
-      Some(UpsertManifest(epoch, buckets))
-    }
+    if (java.nio.file.Files.exists(p)) Some(readManifestFile(p)) else None
   }
 
   /** How many committed epochs stay readable as snapshots (time
@@ -625,20 +614,25 @@ object StreamingOps {
 
   /** The atomic flip: write the immutable per-epoch manifest first
     * (the snapshot the epoch stays readable through), then ATOMIC_MOVE
-    * the current-pointer manifest. Readers of the pointer see the old
-    * complete snapshot or the new one; a crash between the two writes
-    * leaves an unreferenced versioned manifest that the checkpoint's
-    * idempotent batch replay simply rewrites. */
+    * the current-pointer manifest. BOTH writes go through temp +
+    * ATOMIC_MOVE — a snapshot reader lists versioned manifests, so a
+    * torn `_manifest-eN.json` would advertise an unreadable epoch; a
+    * crash between the two moves leaves a complete-but-unreferenced
+    * versioned manifest that the checkpoint's idempotent batch replay
+    * simply rewrites. */
   private def writeUpsertManifest(stateDir: java.nio.file.Path, m: UpsertManifest): Unit = {
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
     val json = s"""{"epoch":${m.epoch},"buckets":$body}"""
-    java.nio.file.Files.writeString(versionedManifestPath(stateDir, m.epoch), json)
-    val tmp = stateDir.resolve(s"._manifest-${m.epoch}.tmp")
-    java.nio.file.Files.writeString(tmp, json)
-    java.nio.file.Files.move(tmp, upsertManifestPath(stateDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def atomicWrite(dest: java.nio.file.Path): Unit = {
+      val tmp = dest.resolveSibling("." + dest.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    atomicWrite(versionedManifestPath(stateDir, m.epoch))
+    atomicWrite(upsertManifestPath(stateDir))
   }
 
   /** Retention GC, run after each flip: keep every epoch dir referenced

@@ -39,6 +39,10 @@ class DumpCliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("a", "b")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-o")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("--codec")))
+    // --resume over stdin could never match a previous manifest (the
+    // spool gets a fresh temp name per run) — reject loudly instead of
+    // silently restarting a 100 TB ingest from zero
+    intercept[IllegalArgumentException](DumpCli.parseArgs(Array("--resume")))
   }
 
   test("e2e: main with file input writes parquet (main.rs:25-33 parity)") {

@@ -440,6 +440,30 @@ class DumpConverterSpec extends AnyFunSuite {
       "rerun against changed input must rewrite, not skip")
   }
 
+  test("resume: changed conversion options invalidate the manifest (no mixed-config output)") {
+    val in = tmpDir("dump-resume4-in")
+    val out = tmpDir("dump-resume4-out")
+    Files.writeString(java.nio.file.Paths.get(s"$in/dump.sql"), resumeDump)
+    DumpConverter.convert(spark, s"$in/dump.sql", out, codec = "snappy")
+    // same input bytes, different codec: skipping would leave snappy
+    // tables inside a zstd run — the fingerprint must refuse the skip
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val res = DumpConverter.convert(spark, s"$in/dump.sql", out,
+      codec = "zstd", resume = true, progress = seen += _)
+    assert(res.rowsWritten.values.sum == 6, "all tables must re-convert")
+    assert(!seen.exists(_.contains("skipped")), s"nothing may be skipped: $seen")
+    val taCodecs = new java.io.File(s"$out/ta").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    assert(taCodecs.nonEmpty && taCodecs.forall(_.contains("zstd")),
+      s"completed-under-snappy table must be rewritten as zstd: ${taCodecs.toSeq}")
+    // unchanged options DO skip (the fingerprint is stable, not paranoid)
+    val seen2 = scala.collection.mutable.ArrayBuffer[String]()
+    DumpConverter.convert(spark, s"$in/dump.sql", out,
+      codec = "zstd", resume = true, progress = seen2 += _)
+    assert(seen2.count(_.contains("skipped")) == 3,
+      s"identical rerun must skip all three tables: $seen2")
+  }
+
   test("resume off: a fresh run clears stale manifest entries") {
     val in = tmpDir("dump-resume3-in")
     val out = tmpDir("dump-resume3-out")
