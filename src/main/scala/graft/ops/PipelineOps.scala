@@ -111,6 +111,40 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------- training-order global shuffle
+
+  /** Output shard count for [[p_train_shuffle]]. At 100 TB this is
+    * thousands — shard size, not shard count, is the bounded quantity. */
+  private val TrainShards = 8
+
+  /** Deterministic global shuffle + sharding — the "randomize training
+    * order" step every pretraining pipeline runs between curation and
+    * tokenization, without `rand()`: each doc gets a Knuth-mixed key
+    * (same ANSI-overflow-safe congruence as [[p_mixture_sample]]),
+    * shard = key mod [[TrainShards]], position = rank of the key
+    * within its shard. Retry-safe and re-runnable (a lost task or a
+    * rerun reproduces the identical order — `rand()` would not), and
+    * cross-engine exact, so the ENTIRE permutation is hash-checked
+    * against DuckDB, not just its size.
+    *
+    * Scale shape: NO global sort — one hash exchange on `shard`, then
+    * a per-shard sort of N/shards rows (the window's partition). Shard
+    * count is sized so a shard fits a task; writing each shard in key
+    * order IS the shuffled training order. A global `orderBy(key)`
+    * would range-partition and sort everything for an order nobody
+    * reads across shard boundaries. */
+  val p_train_shuffle: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val key = ((col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L).as("key")
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), key)
+      .withColumn("shard", col("key") % TrainShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   // -------------------------------------------- stratified sampling
 
   /** Per-source sample size. */
@@ -842,6 +876,7 @@ object PipelineOps {
   val queries: Map[String, Q] = Map(
     "p_decontaminate" -> p_decontaminate,
     "p_mixture_sample" -> p_mixture_sample,
+    "p_train_shuffle" -> p_train_shuffle,
     "p_stratified_sample" -> p_stratified_sample,
     "p_token_budget" -> p_token_budget,
     "p_doc_chunk" -> p_doc_chunk,
@@ -861,6 +896,17 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "p_label_prop" -> labelPropOracle,
+    // the full permutation is checked, not just its shape: every
+    // (shard, pos, doc_id) triple must match the Knuth-mix replay
+    "p_train_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    (doc_id % 1000003) * 2654435761 % 1000003 AS key
+         |  FROM documents)
+         |SELECT CAST(key % $TrainShards AS BIGINT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY key % $TrainShards
+         |    ORDER BY key, doc_id) AS BIGINT) AS pos,
+         |  doc_id
+         |FROM k ORDER BY shard, pos""".stripMargin,
     "p_bpe_pair_counts" ->
       s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          |f AS (SELECT w FROM w WHERE length(w) >= 2),

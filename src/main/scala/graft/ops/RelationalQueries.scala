@@ -864,6 +864,29 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** DYNAMIC partition pruning over the same layout: the months to
+    * scan are not a literal — they come from a JOIN against a filtered
+    * dimension (the months in which anything shipped in spring 1995),
+    * so static pruning can't fire. Spark plans a
+    * `dynamicpruningexpression` on the fact scan instead: the dim side
+    * executes first (it is broadcast anyway) and its month set prunes
+    * the fact's directories AT RUNTIME before any fact I/O
+    * (plan-asserted in RelationalQueriesSpec). At 100 TB this is the
+    * difference between scanning 3 months and scanning 80 whenever the
+    * partition predicate arrives through a star join rather than a
+    * WHERE literal. */
+  val q_dpp: Q = (s, d) => {
+    val fact = s.read.parquet(partitionedOrdersPath(s, d))
+    val dim = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-06-01").cast("timestamp"))
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("m")).distinct()
+    fact.join(dim, col("o_month") === col("m"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(col("o_month"))
+  }
+
   // ------------------------------------------------------ AQE skew join
 
   /** Conf clone for the skew demo, memoized per parent session (the
@@ -1656,6 +1679,7 @@ object RelationalQueries {
     "q_ewma_smooth" -> q_ewma_smooth,
     "q_window_cum_distinct" -> q_window_cum_distinct,
     "q_sql_lateral" -> q_sql_lateral,
+    "q_dpp" -> q_dpp,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1749,6 +1773,17 @@ object RelationalQueries {
         |  CAST(ROUND(CAST(ewma_num AS DOUBLE) /
         |    CAST(256 - CAST(pow(2, 7 - k) AS BIGINT) AS DOUBLE)) AS BIGINT) AS smoothed_cents
         |FROM w ORDER BY l_returnflag, l_linestatus, m""".stripMargin,
+    "q_dpp" ->
+      """WITH dim AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS m
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-06-01 00:00:00'),
+        |f AS (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+        |      FROM orders)
+        |SELECT o_month, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM f JOIN dim ON o_month = m
+        |GROUP BY o_month ORDER BY o_month""".stripMargin,
     "q_sql_lateral" ->
       """SELECT c_custkey, o_orderkey, total_cents
         |FROM customer, LATERAL (

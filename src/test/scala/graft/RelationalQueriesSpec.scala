@@ -150,6 +150,18 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(parts.headOption.contains(1), s"expected exactly 1 partition read, got $parts")
   }
 
+  test("dpp: join-derived month set prunes the fact scan at runtime") {
+    val df = ops.RelationalQueries.q_dpp(spark, sf)
+    // the fact scan must carry a DYNAMIC pruning predicate — the month
+    // list is join-derived, so no static PartitionFilter literal exists
+    val factScan = df.queryExecution.executedPlan.toString
+    assert(factScan.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression on the partitioned fact scan:\n${factScan.take(4000)}")
+    val rows = df.collect()
+    assert(rows.length == 3, s"spring 1995 spans 3 ship months, got ${rows.length}")
+    assert(rows.map(_.getString(0)).toSeq == Seq("1995-03", "1995-04", "1995-05"))
+  }
+
   test("bucketed join subtree is exchange-free (co-located scan feeds the SMJ directly)") {
     val df = ops.RelationalQueries.q_bucketed_join(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -449,4 +449,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     val lp6 = planNodes(PipelineOps.labelProp(spark, sf, 6))
     assert(lp6 == lp2, s"label-prop plan grew with iterations: $lp2 -> $lp6")
   }
+
+  test("train shuffle: a true permutation, dense per-shard positions, actually shuffled, deterministic") {
+    val rows = PipelineOps.p_train_shuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.ops.Tables.documents(spark, sf).count()
+    // permutation: every doc exactly once
+    assert(rows.length == nDocs)
+    assert(rows.map(_._3).distinct.length == nDocs)
+    // dense positions 1..n within each shard
+    rows.groupBy(_._1).foreach { case (shard, srows) =>
+      assert(srows.map(_._2).sorted.toSeq == (1L to srows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // the order is genuinely shuffled: within at least one shard the
+    // doc_id sequence in position order is not monotone
+    val shuffledSomewhere = rows.groupBy(_._1).values.exists { srows =>
+      val ids = srows.sortBy(_._2).map(_._3)
+      ids.zip(ids.drop(1)).exists { case (a, b) => a > b }
+    }
+    assert(shuffledSomewhere, "key order degenerated to doc_id order — not a shuffle")
+    // retry-safety: a second run reproduces the identical permutation
+    val again = PipelineOps.p_train_shuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
