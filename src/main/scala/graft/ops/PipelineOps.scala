@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.WordShingles.wordShingles
@@ -95,6 +95,22 @@ object PipelineOps {
       .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 500L)
       .otherwise(200L)
 
+  /** THE deterministic-randomness primitive every sampler/shuffler here
+    * shares: Knuth multiplicative mix of doc_id under a prime modulus,
+    * with doc_id reduced mod 1000003 BEFORE the multiply — congruent
+    * (mod-multiplication commutes with reduction), and the reduced
+    * product stays < 2.7×10¹⁵ where the raw product would overflow
+    * Long (an ANSI runtime ERROR, not a wrap) for doc_id ≳ 3.5×10⁹.
+    * One definition on the Scala side and one SQL fragment for the
+    * oracles, so an arithmetic change can never drift between the six
+    * call sites and their DuckDB twins (the ANN recall witnesses got
+    * the same consolidation in round 10). */
+  private def knuthKey(c: Column): Column =
+    (c % 1000003L) * lit(2654435761L) % 1000003L
+
+  private def knuthKeySql(col: String): String =
+    s"($col % 1000003) * 2654435761 % 1000003"
+
   /** Deterministic mixture sample: keep a doc iff
     * ((doc_id·2654435761) mod 1000003) mod 1000 < quota(source).
     * The Knuth multiplier + prime mod mixes sequential ids; everything
@@ -106,7 +122,7 @@ object PipelineOps {
   val p_mixture_sample: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("bucket",
-        (col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L % 1000L)
+        knuthKey(col("doc_id")) % 1000L)
       .filter(col("bucket") < quota)
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy(col("doc_id"))
@@ -127,15 +143,19 @@ object PipelineOps {
     * cross-engine exact, so the ENTIRE permutation is hash-checked
     * against DuckDB, not just its size.
     *
-    * Scale shape: NO global sort — one hash exchange on `shard`, then
-    * a per-shard sort of N/shards rows (the window's partition). Shard
-    * count is sized so a shard fits a task; writing each shard in key
-    * order IS the shuffled training order. A global `orderBy(key)`
-    * would range-partition and sort everything for an order nobody
-    * reads across shard boundaries. */
+    * Scale shape: the WORK is one hash exchange on `shard` plus a
+    * per-shard sort of N/shards rows (the window's partition) — shard
+    * count is sized so a shard fits a task, and at scale each shard is
+    * then WRITTEN in that order (`repartition(shard).
+    * sortWithinPartitions(key)`); a global `orderBy(key)` would
+    * range-partition and sort everything for an order nobody reads
+    * across shard boundaries. The trailing `orderBy(shard, pos)` here
+    * is the fixture's presentation sort for oracle determinism (the
+    * convention SCALING.md's header excludes from every query's
+    * shuffle count), not part of the operator's shape. */
   val p_train_shuffle: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val key = ((col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L).as("key")
+    val key = knuthKey(col("doc_id")).as("key")
     val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
     Tables.documents(s, d)
       .select(col("doc_id"), key)
@@ -162,7 +182,7 @@ object PipelineOps {
     * as the mixture sampler). */
   val p_stratified_sample: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val key = (col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L
+    val key = knuthKey(col("doc_id"))
     val salted = Tables.documents(s, d)
       .withColumn("k", key)
       .withColumn("salt", pmod(col("doc_id"), lit(16)))
@@ -206,7 +226,7 @@ object PipelineOps {
     * two-phase scan equals the sequential prefix sum. */
   val p_token_budget: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val key = (col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L
+    val key = knuthKey(col("doc_id"))
     val bucketed = TextOps.bpeSourceTokens(s, d)
       .withColumn("k", key)
       .withColumn("bkt", expr(s"(k * $BudgetBuckets) div 1000003").cast("int"))
@@ -338,7 +358,7 @@ object PipelineOps {
     val clean = deduped.filter(col("doc_id") % ProbeMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     clean
-      .filter((col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L % 1000L < quota)
+      .filter(knuthKey(col("doc_id")) % 1000L < quota)
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
@@ -459,7 +479,7 @@ object PipelineOps {
     val rows = docs.select(
       col("doc_id"),
       (col("doc_id") % PackShards).cast("int").as("shard"),
-      ((col("doc_id") % 1000003L) * lit(2654435761L) % 1000003L).as("k"),
+      (knuthKey(col("doc_id"))).as("k"),
       col("n_chars"))
       .as[(Long, Int, Long, Long)]
     rows.repartition(col("shard"))
@@ -900,7 +920,7 @@ object PipelineOps {
     // (shard, pos, doc_id) triple must match the Knuth-mix replay
     "p_train_shuffle" ->
       s"""WITH k AS (SELECT doc_id,
-         |    (doc_id % 1000003) * 2654435761 % 1000003 AS key
+         |    ${knuthKeySql("doc_id")} AS key
          |  FROM documents)
          |SELECT CAST(key % $TrainShards AS BIGINT) AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY key % $TrainShards
@@ -953,10 +973,10 @@ object PipelineOps {
          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "p_mixture_sample" ->
-      """SELECT doc_id, source,
-        |  (((doc_id % 1000003) * 2654435761) % 1000003) % 1000 AS bucket
+      s"""SELECT doc_id, source,
+        |  (${knuthKeySql("doc_id")}) % 1000 AS bucket
         |FROM documents
-        |WHERE (((doc_id % 1000003) * 2654435761) % 1000003) % 1000 <
+        |WHERE (${knuthKeySql("doc_id")}) % 1000 <
         |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
         |       ELSE 200 END
@@ -965,7 +985,7 @@ object PipelineOps {
       s"""SELECT doc_id, source, rk FROM (
          |  SELECT doc_id, source,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id)
+         |      ORDER BY ${knuthKeySql("doc_id")}, doc_id)
          |      AS INTEGER) AS rk
          |  FROM documents) t
          |WHERE rk <= $StratN ORDER BY doc_id""".stripMargin,
@@ -991,7 +1011,7 @@ object PipelineOps {
          |c AS (
          |  SELECT d.doc_id, d.source, b.n_tokens,
          |    COALESCE(SUM(b.n_tokens) OVER (PARTITION BY d.source
-         |      ORDER BY ((d.doc_id % 1000003) * 2654435761) % 1000003, d.doc_id
+         |      ORDER BY ${knuthKeySql("d.doc_id")}, d.doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id)
          |SELECT doc_id, source, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
@@ -1027,7 +1047,7 @@ object PipelineOps {
          |  WHERE doc_id % $ProbeMod <> 0
          |    AND doc_id NOT IN (SELECT doc_id FROM contam))
          |SELECT doc_id, source FROM clean
-         |WHERE (((doc_id % 1000003) * 2654435761) % 1000003) % 1000 <
+         |WHERE (${knuthKeySql("doc_id")}) % 1000 <
          |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 900
          |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
          |       ELSE 200 END
@@ -1067,7 +1087,7 @@ object PipelineOps {
       s"""WITH RECURSIVE base AS (
          |  SELECT doc_id, n_chars,
          |    CAST(doc_id % $PackShards AS INTEGER) AS shard,
-         |    ((doc_id % 1000003) * 2654435761) % 1000003 AS k
+         |    ${knuthKeySql("doc_id")} AS k
          |  FROM documents),
          |ordered AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rn

@@ -838,7 +838,7 @@ object RelationalQueries {
   private val partitionedPrepared =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
-  private[ops] def partitionedOrdersPath(s: SparkSession, d: String): String =
+  private[graft] def partitionedOrdersPath(s: SparkSession, d: String): String =
     partitionedPrepared.getOrElseUpdate((s, d), {
       val tag = Tables.layoutTag(d)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_$tag"

@@ -152,14 +152,47 @@ class RelationalQueriesSpec extends AnyFunSuite {
 
   test("dpp: join-derived month set prunes the fact scan at runtime") {
     val df = ops.RelationalQueries.q_dpp(spark, sf)
-    // the fact scan must carry a DYNAMIC pruning predicate — the month
-    // list is join-derived, so no static PartitionFilter literal exists
+    // the fact scan must carry a LIVE dynamic pruning predicate — a
+    // bare "contains(dynamicpruning)" would also match the no-op
+    // fallback dynamicpruningexpression(true) that Spark substitutes
+    // when it declines to prune (e.g. the dim join stops broadcasting),
+    // which is exactly the regression this test exists to catch
     val factScan = df.queryExecution.executedPlan.toString
-    assert(factScan.contains("dynamicpruning"),
+    assert(factScan.contains("dynamicpruningexpression"),
       s"expected dynamicpruningexpression on the partitioned fact scan:\n${factScan.take(4000)}")
+    assert(!factScan.contains("dynamicpruningexpression(true)"),
+      "dynamic pruning degenerated to the no-op fallback — nothing is pruned")
     val rows = df.collect()
     assert(rows.length == 3, s"spring 1995 spans 3 ship months, got ${rows.length}")
     assert(rows.map(_.getString(0)).toSeq == Seq("1995-03", "1995-04", "1995-05"))
+    // and the pruning actually HAPPENED: the executed fact scan read
+    // only the 3 matching month directories' files, not the ~80 months
+    val path = ops.RelationalQueries.partitionedOrdersPath(spark, sf)
+    val monthDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_month="))
+    def filesIn(dirs: Seq[java.io.File]): Long =
+      dirs.flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))).length.toLong
+    val expectedFiles = filesIn(monthDirs.filter(d =>
+      Seq("1995-03", "1995-04", "1995-05").exists(m => d.getName.endsWith(m))).toSeq)
+    val totalFiles = filesIn(monthDirs.toSeq)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan) // AQE stages are leaves wrapping their subtree
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scansOf(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft_part_orders")) =>
+        Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "partitioned fact scan not found in executed plan")
+    val numFiles = scans.head.metrics("numFiles").value
+    assert(numFiles == expectedFiles && numFiles < totalFiles,
+      s"fact scan read $numFiles files; runtime pruning should leave $expectedFiles of $totalFiles")
   }
 
   test("bucketed join subtree is exchange-free (co-located scan feeds the SMJ directly)") {
