@@ -290,10 +290,20 @@ object DumpConverter {
     require(SupportedCodecs(codec),
       s"unsupported codec '$codec' (one of: ${SupportedCodecs.toSeq.sorted.mkString(", ")})")
     val sc = spark.sparkContext
+    // Per-phase wall-clock, reported through `progress` as parseable
+    // `[dump-phase] name=secs` lines — ConvScaleBench aggregates them
+    // so a regression names the phase that grew instead of one opaque
+    // end-to-end number (SCALING.md's diagnosis loop).
+    def phase[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      progress(f"[dump-phase] $name=${(System.nanoTime() - t0) / 1e9}%.3f")
+      r
+    }
     // TypeOptions is a case class: its toString is a stable, total
     // rendering of the semantic knobs
-    val fingerprint = inputFingerprint(sc, input,
-      s"codec=$codec|quarantine=$quarantine|strict=$strictTables|types=$types")
+    val fingerprint = phase("fingerprint")(inputFingerprint(sc, input,
+      s"codec=$codec|quarantine=$quarantine|strict=$strictTables|types=$types"))
     val completed: Map[String, Long] =
       if (resume) completedTables(sc.hadoopConfiguration, outDir, fingerprint)
       else {
@@ -317,7 +327,7 @@ object DumpConverter {
       // fragments (healed below) and CREATE TABLE statements with their
       // positions. Both are O(#partitions + #tables), never O(rows).
       val small: Array[(Int, Either[StatementReader.Seg, (Pos, String)])] =
-        segs.mapPartitionsWithIndex { (pid, it) =>
+        phase("assemble")(segs.mapPartitionsWithIndex { (pid, it) =>
           var seq = -1L
           it.flatMap {
             case h: StatementReader.Head => Iterator((pid, Left(h: StatementReader.Seg)))
@@ -328,7 +338,7 @@ object DumpConverter {
                 Iterator((pid, Right(((2L * pid + 1, seq): Pos, s))))
               else Iterator.empty
           }
-        }.collect()
+        }.collect())
 
       val frags = small.collect { case (pid, Left(seg)) => (pid, seg) }
       val healed: Seq[(Pos, String)] = heal(frags)
@@ -401,6 +411,13 @@ object DumpConverter {
       // side channel, if unfinished, needs failures from completed
       // tables' statements too (their good rows are dropped by the
       // pending filter below).
+      // METRIC ASYMMETRY, by design: the skip bypasses strict-routing
+      // stderr warnings and the droppedInserts accumulator for the
+      // completed tables' statements, so a resumed run's drop count /
+      // warning lines cover only the REDONE tables — authoritative
+      // per-table row counts come from the manifest and stay exact,
+      // but telemetry of a resumed run is not comparable to a fresh
+      // run's and must not be read as data loss or gain.
       val completedStmtSkipB =
         sc.broadcast(if (quarantine) Set.empty[String] else completed.keySet)
 
@@ -533,10 +550,13 @@ object DumpConverter {
                 if (quarantine && table == QuarantineTable) QuarantineSchema
                 else lastCreate(table)._2
               val mine = PartitionPruningRDD.create(routed, pid => pid / salts == idx)
-              spark.createDataFrame(mine, schema)
+              // the FIRST table's write also pays the one parse+shuffle
+              // pass that materializes `routed` for every table
+              phase(s"write:$table")(spark.createDataFrame(mine, schema)
                 .write.mode("overwrite").option("compression", codec)
-                .parquet(s"$outDir/$table")
-              val n = spark.read.parquet(s"$outDir/$table").count()
+                .parquet(s"$outDir/$table"))
+              val n = phase(s"count:$table")(
+                spark.read.parquet(s"$outDir/$table").count())
               // manifest AFTER the parquet commit and count: a crash in
               // between leaves no entry, so resume safely redoes the
               // table (overwrite) rather than trusting a torn write

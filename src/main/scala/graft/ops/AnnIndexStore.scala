@@ -1,0 +1,388 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Durable, versioned IVF index artifact — the production conclusion of
+  * [[SimilarityOps]]'s session-scoped memos (round-10 verdict item 2).
+  *
+  * The trained pieces of an ANN index (coarse centroids, posting
+  * lists) are a CORPUS artifact, not a query artifact: a production
+  * system trains once, persists, and serves every later session from
+  * the persisted bytes — retraining per session would be a full-corpus
+  * KMeans per process at 100 TB. This store gives the IVF index the
+  * same commit discipline the streaming upsert state table already has
+  * ([[graft.streaming.StreamingOps]]'s manifest flip):
+  *
+  * {{{
+  *   dir/
+  *     _manifest.json         current-epoch pointer (atomic replace)
+  *     _manifest-eN.json      immutable per-epoch snapshot: centroids
+  *                            + cell -> "cK/eM" mapping (time travel)
+  *     cK/eM/ (parquet)       cell K's postings as committed by epoch M
+  * }}}
+  *
+  *   - The CENTROIDS live in the manifest (k × dim doubles — KBs): the
+  *     quantizer ships WITH the index, so opening an index needs zero
+  *     training jobs and two indexes can never silently mix quantizers
+  *     (an epoch's cells are only meaningful under its centroids).
+  *   - Each posting is (cent, vec_id, embedding, nrm_e6): the index is
+  *     self-contained for serving — probed cells are read by explicit
+  *     path from the manifest (the Delta-style file manifest, not
+  *     directory listing), and exact re-ranking recomputes the norm
+  *     from the stored vector so served scores are bit-identical to
+  *     the in-session [[SimilarityOps.ivfTopK]] plan.
+  *   - [[applyDelta]] is the incremental maintenance path: work is
+  *     proportional to the BATCH (narrow assignment of delta vectors,
+  *     read-merge-rewrite of only the affected cells, per-cell rename
+  *     into fresh epoch dirs, one atomic manifest flip). Updates carry
+  *     their BEFORE-image embedding (the CDC shape a real feed
+  *     provides), which is what locates stale postings without any
+  *     index scan: old cells derive from the old vector by the same
+  *     narrow assignment as new cells from the new one.
+  *   - Retention GC mirrors the upsert table's: the last
+  *     [[RetainEpochs]] manifests stay readable as snapshots
+  *     ([[openAt]] — time travel over the index), older manifests and
+  *     unreferenced cell-epoch dirs are deleted.
+  *
+  * Crash windows (same argument as the upsert commit): a crash before
+  * the flip leaves the previous manifest live and only unreferenced
+  * stage/epoch garbage behind; a replayed build/delta rewrites the
+  * same epoch dirs before re-flipping.
+  */
+object AnnIndexStore {
+
+  /** Committed epochs kept readable as snapshots. */
+  val RetainEpochs = 3
+
+  /** `codebooks` non-empty ⇔ the index was built with PQ codes: the
+    * [[SimilarityOps.PqSub]] per-subspace codebooks ship in the
+    * manifest beside the centroids (the two trained artifacts of an
+    * IVF-PQ index), and every posting carries its 8 codes — so the
+    * ADC serve path ([[topKPq]]) also needs zero training. */
+  case class AnnManifest(epoch: Long,
+                         centroids: Seq[(Int, Array[Double])],
+                         cells: Map[Int, String],
+                         codebooks: Seq[Seq[Array[Double]]] = Seq.empty)
+
+  // ------------------------------------------------------ manifest io
+
+  private def manifestPath(dir: String) = java.nio.file.Paths.get(dir, "_manifest.json")
+  private def versionedPath(dir: String, e: Long) =
+    java.nio.file.Paths.get(dir, s"_manifest-e$e.json")
+
+  private def renderManifest(m: AnnManifest): String = {
+    val cents = m.centroids.sortBy(_._1).map(_._2.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val cells = m.cells.toSeq.sortBy(_._1)
+      .map { case (c, rel) => s""""$c":"$rel"""" }.mkString("{", ",", "}")
+    val books = m.codebooks
+      .map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""{"epoch":${m.epoch},"centroids":$cents,"cells":$cells,"codebooks":$books}"""
+  }
+
+  private def parseManifest(p: java.nio.file.Path): AnnManifest = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+    val epoch = (j \ "epoch") match {
+      case JInt(n) => n.toLong; case o => sys.error(s"bad epoch $o") }
+    val cents = (j \ "centroids") match {
+      case JArray(cs) => cs.zipWithIndex.map {
+        case (JArray(vs), i) =>
+          (i, vs.map { case JDouble(d) => d; case JInt(n) => n.toDouble
+                       case o => sys.error(s"bad centroid value $o") }.toArray)
+        case (o, _) => sys.error(s"bad centroid $o")
+      }
+      case o => sys.error(s"bad centroids $o")
+    }
+    val cells = (j \ "cells") match {
+      case JObject(fs) => fs.map { case (k, JString(v)) => k.toInt -> v
+                                   case o => sys.error(s"bad cell entry $o") }.toMap
+      case o => sys.error(s"bad cells $o")
+    }
+    def darr(v: JValue): Array[Double] = v match {
+      case JArray(vs) => vs.map { case JDouble(d) => d; case JInt(n) => n.toDouble
+                                  case o => sys.error(s"bad codebook value $o") }.toArray
+      case o => sys.error(s"bad codebook entry $o")
+    }
+    val books = (j \ "codebooks") match {
+      case JArray(subs) => subs.map {
+        case JArray(entries) => entries.map(darr)
+        case o => sys.error(s"bad codebook $o")
+      }
+      case JNothing => Seq.empty // pre-PQ manifests
+      case o => sys.error(s"bad codebooks $o")
+    }
+    AnnManifest(epoch, cents, cells, books)
+  }
+
+  /** Write the immutable per-epoch manifest, then atomically replace
+    * the current pointer — both via temp + ATOMIC_MOVE. */
+  private def commitManifest(dir: String, m: AnnManifest): Unit = {
+    val json = renderManifest(m)
+    def atomicWrite(dest: java.nio.file.Path): Unit = {
+      val tmp = dest.resolveSibling("." + dest.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    atomicWrite(versionedPath(dir, m.epoch))
+    atomicWrite(manifestPath(dir))
+  }
+
+  /** Current manifest — the live view of the index. */
+  def open(dir: String): AnnManifest = {
+    val p = manifestPath(dir)
+    require(java.nio.file.Files.exists(p), s"no ANN index at $dir")
+    parseManifest(p)
+  }
+
+  /** Snapshot manifest: the index AS OF a retained epoch. */
+  def openAt(dir: String, epoch: Long): AnnManifest = {
+    val p = versionedPath(dir, epoch)
+    require(java.nio.file.Files.exists(p),
+      s"epoch $epoch is not retained (have: ${listEpochs(dir).mkString(",")})")
+    parseManifest(p)
+  }
+
+  /** Epochs currently readable via [[openAt]], ascending. */
+  def listEpochs(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
+      .collect { case n if n.startsWith("_manifest-e") && n.endsWith(".json") =>
+        n.stripPrefix("_manifest-e").stripSuffix(".json").toLong }
+      .sorted
+
+  // ----------------------------------------------------- build / read
+
+  /** Postings of `vecs` under `cents`: one (cent, vec_id, embedding,
+    * nrm_e6) row per assigned cell — [[SimilarityOps.CandAssign]]
+    * entries per vector via the same narrow codegen'd assignment the
+    * in-session index uses. nrm_e6 is the quantized-norm identity
+    * column exact set-equality checks compare on; serving recomputes
+    * the float norm from the stored vector. */
+  private[graft] def entries(vecs: DataFrame,
+                             cents: Seq[(Int, Array[Double])],
+                             codebooks: Seq[Seq[Array[Double]]] = Seq.empty): DataFrame = {
+    val base = SimilarityOps.assignNearest(
+        vecs.select(col("vec_id"), col("embedding")), cents,
+        "embedding", "cent", SimilarityOps.CandAssign)
+      .select(col("cent"), col("vec_id"), col("embedding"),
+        round(sqrt(normSq(col("embedding"))) * 1e6).cast("long").as("nrm_e6"))
+    if (codebooks.isEmpty) base
+    else base.withColumn("codes", graft.functions.PqEncode.pqEncode(
+      col("embedding"), codebooks.map(_.zipWithIndex.map { case (v, i) => (i, v) })))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Stage `rows` (must carry a `cent` column) partitioned by cell,
+    * then publish each affected cell via a per-cell rename into its
+    * immutable `cK/e<epoch>` location. The cell id is duplicated into
+    * a `pcent` PARTITION column so the data files keep `cent` as a
+    * real column after the rename strips the `pcent=K` dir name.
+    * Returns the published cells. */
+  private def publishCells(rows: DataFrame, dir: String, epoch: Long,
+                           affected: Seq[Int]): Seq[Int] = {
+    val stage = java.nio.file.Paths.get(dir, s".stage-e$epoch")
+    deleteRecursively(stage.toFile)
+    rows.withColumn("pcent", col("cent"))
+      .write.mode("overwrite").partitionBy("pcent").parquet(stage.toString)
+    val published = affected.filter { c =>
+      val src = stage.resolve(s"pcent=$c")
+      java.nio.file.Files.exists(src) && {
+        val dst = java.nio.file.Paths.get(dir, s"c$c", s"e$epoch")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        deleteRecursively(dst.toFile) // crashed attempt's leftovers
+        java.nio.file.Files.move(src, dst)
+        true
+      }
+    }
+    deleteRecursively(stage.toFile)
+    published
+  }
+
+  /** Retention GC after each flip: drop versioned manifests below the
+    * horizon, then any cell-epoch dir no retained manifest references
+    * (guarding in-flight future dirs, same rule as the upsert GC). */
+  private def gc(dir: String, current: Long, retain: Int): Unit = {
+    val horizon = math.max(0L, current - retain + 1)
+    for (e <- listEpochs(dir) if e < horizon)
+      java.nio.file.Files.deleteIfExists(versionedPath(dir, e)): Unit
+    val referenced: Set[String] =
+      listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
+        .flatMap(_.cells.values).toSet
+    val cellDirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("c\\d+"))
+    for (cd <- cellDirs; ed <- Option(cd.listFiles()).toSeq.flatten
+           if ed.getName.matches("e\\d+")) {
+      val rel = s"${cd.getName}/${ed.getName}"
+      val epoch = ed.getName.stripPrefix("e").toLong
+      if (!referenced.contains(rel) && epoch < current) deleteRecursively(ed)
+    }
+  }
+
+  /** Build epoch 0: fit (or memo-hit) the coarse quantizer on
+    * `corpus`, write the indexed vectors' postings (`index`, default
+    * the corpus itself — kept separate so a witness can index only the
+    * candidate split while training on everything, like
+    * [[SimilarityOps.ivfTopK]]), commit the manifest. The ONLY place
+    * the store ever trains — [[topK]]/[[applyDelta]] read the
+    * quantizer back from the manifest. */
+  def build(corpus: DataFrame, dir: String,
+            k: Int = SimilarityOps.NumCentroids,
+            index: Option[DataFrame] = None,
+            pq: Boolean = false): AnnManifest = {
+    val cents = SimilarityOps.kmeansCentroids(corpus, k)
+    val books: Seq[Seq[Array[Double]]] =
+      if (pq) SimilarityOps.pqCodebooks(corpus).map(_.map(_._2)) else Seq.empty
+    val rows = entries(index.getOrElse(corpus), cents, books)
+    val affected = rows.select("cent").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val published = publishCells(rows, dir, 0L, affected)
+    val m = AnnManifest(0L, cents, published.map(c => c -> s"c$c/e0").toMap, books)
+    commitManifest(dir, m)
+    m
+  }
+
+  /** Posting lists of `cells` (default: all) under a manifest — read
+    * by explicit epoch path, never by directory listing. */
+  def postings(s: SparkSession, dir: String, m: AnnManifest,
+               cells: Option[Seq[Int]] = None): DataFrame = {
+    val dataCols =
+      if (m.codebooks.nonEmpty) Seq("cent", "vec_id", "embedding", "nrm_e6", "codes")
+      else Seq("cent", "vec_id", "embedding", "nrm_e6")
+    val wanted = cells.getOrElse(m.cells.keys.toSeq)
+    val paths = wanted.sorted.flatMap(m.cells.get).map(rel => s"$dir/$rel")
+    if (paths.isEmpty)
+      s.emptyDataFrame.select(lit(0).as("cent"), lit(0L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding"), lit(0L).as("nrm_e6"))
+        .limit(0)
+    else s.read.parquet(paths: _*).select(dataCols.map(col): _*)
+  }
+
+  /** Serve exact-reranked top-k from the PERSISTED index: queries are
+    * assigned to their `nprobe` nearest manifest centroids (narrow
+    * literal expression — zero training, zero corpus scan), only the
+    * probed cells' parquet is read, and scoring/dedup/ranking replays
+    * [[SimilarityOps.ivfTopK]] exactly (float norms recomputed from
+    * the stored vectors), so a served result is bit-identical to the
+    * in-session plan under the same quantizer. */
+  def topK(s: SparkSession, dir: String, m: AnnManifest, queries: DataFrame,
+           k: Int, nprobe: Int): DataFrame = {
+    val probed = SimilarityOps.assignNearest(queries, m.centroids, "qe", "cent", nprobe)
+      .withColumn("qn", sqrt(normSq(col("qe"))))
+    // ≤ k centroid ids, driver-side — the probed-cell path list
+    val probedCells = probed.select("cent").distinct().collect().map(_.getInt(0)).toSeq
+    val cand = postings(s, dir, m, Some(probedCells))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cent"))
+      .withColumn("cn", sqrt(normSq(col("ce"))))
+    val scored = cand.join(probed, "cent")
+      .withColumn("cos_e6",
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
+      .groupBy(col("qid"), col("cid"), col("cos_e6"))
+      .agg(min(col("cent")).as("cent"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_e6"), col("cent"))
+  }
+
+  /** Serve IVF-PQ top-k from the persisted index: ADC preselection
+    * over the STORED codes with the MANIFEST's codebooks as plan
+    * literals (the [[SimilarityOps.s_ann_pq]] geometry — probed cells
+    * only, top-[[SimilarityOps.PqRerank]] survivors per query), then
+    * exact float re-rank from the stored vectors. Zero training jobs:
+    * both trained artifacts (centroids, codebooks) come from the
+    * manifest. */
+  def topKPq(s: SparkSession, dir: String, m: AnnManifest, queries: DataFrame,
+             k: Int, nprobe: Int,
+             rerank: Int = SimilarityOps.PqRerank): DataFrame = {
+    require(m.codebooks.nonEmpty, s"index at $dir was built without PQ codes")
+    import SimilarityOps.{PqSub, PqSubDim}
+    val probed = SimilarityOps.assignNearest(queries, m.centroids, "qe", "cent", nprobe)
+      .withColumn("qn", sqrt(normSq(col("qe"))))
+    val probedCells = probed.select("cent").distinct().collect().map(_.getInt(0)).toSeq
+    val cand = postings(s, dir, m, Some(probedCells))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("cent"), col("codes"))
+      .withColumn("cn", sqrt(normSq(col("ce"))))
+    val adc = (0 until PqSub).map { j =>
+      val bookLit = typedLit(m.codebooks(j).map(_.toSeq))
+      dotHof(slice(col("qe"), j * PqSubDim + 1, PqSubDim),
+        element_at(bookLit, element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _)
+    val pre = cand.join(probed, "cent")
+      .withColumn("acos_e6", round(adc / (col("qn") * col("cn")) * 1e6).cast("long"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(max(col("acos_e6")).as("acos_e6"))
+    val wPre = Window.partitionBy(col("qid")).orderBy(desc("acos_e6"), col("cid"))
+    val survivors = pre.withColumn("prk", row_number().over(wPre))
+      .filter(col("prk") <= rerank)
+      .select(col("qid"), col("cid"))
+    // float re-rank of the survivors from the index's own vectors
+    val vecs = postings(s, dir, m, Some(probedCells))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .groupBy(col("cid")).agg(first(col("ce")).as("ce"))
+      .withColumn("cn", sqrt(normSq(col("ce"))))
+    val rer = survivors
+      .join(vecs, "cid")
+      .join(broadcast(queries.withColumn("qn", sqrt(normSq(col("qe"))))), "qid")
+      .withColumn("cos_e6",
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
+    rer.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_e6"))
+  }
+
+  /** Outcome of one incremental maintenance commit, with the
+    * diagnostics the spec asserts on: which cells were affected and
+    * exactly which paths the merge read (must all lie inside affected
+    * cells — the manifest-pruning witness). */
+  case class DeltaCommit(manifest: AnnManifest, affected: Seq[Int],
+                         readPaths: Seq[String])
+
+  /** Apply a CDC-style embedding delta to the live index. `delta`
+    * columns: `vec_id`, `embedding` (after-image), `op` ("update" |
+    * "insert"), `old_embedding` (before-image, updates only). Work is
+    * proportional to the batch: both old and new cells derive from the
+    * batch's own vectors by narrow assignment; only affected cells are
+    * read (by manifest path), merged, and republished under the next
+    * epoch; untouched cells keep their existing dirs and manifest
+    * entries. Cells that end empty leave the manifest. One atomic flip
+    * commits the epoch; retention GC runs after. */
+  def applyDelta(s: SparkSession, dir: String, delta: DataFrame,
+                 retain: Int = RetainEpochs): DeltaCommit = {
+    val m = open(dir)
+    val cents = m.centroids
+    val updKeys = delta.filter(col("op") === "update").select("vec_id")
+    val oldCells = entries(
+      delta.filter(col("op") === "update")
+        .select(col("vec_id"), col("old_embedding").as("embedding")), cents)
+      .select("cent")
+    val newEntries = entries(delta.select(col("vec_id"), col("embedding")), cents,
+      m.codebooks)
+    val affected = oldCells.union(newEntries.select("cent"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val cur = postings(s, dir, m, Some(affected))
+    val readPaths = affected.sorted.flatMap(m.cells.get).map(rel => s"$dir/$rel")
+    val newEpoch = m.epoch + 1
+    val rewritten = cur
+      .join(broadcast(updKeys), Seq("vec_id"), "left_anti")
+      .unionByName(newEntries)
+    val published = publishCells(rewritten, dir, newEpoch, affected)
+    val newCells = (m.cells -- affected.filterNot(published.contains)) ++
+      published.map(c => c -> s"c$c/e$newEpoch")
+    val next = AnnManifest(newEpoch, cents, newCells, m.codebooks)
+    commitManifest(dir, next)
+    gc(dir, newEpoch, retain)
+    DeltaCommit(next, affected, readPaths)
+  }
+}

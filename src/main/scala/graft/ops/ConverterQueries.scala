@@ -121,8 +121,8 @@ object ConverterQueries {
     * memory: `toLocalIterator` fetches one partition at a time and each
     * extended-INSERT batch is rendered and released. (The collect-based
     * [[DumpRenderer.section]] stays for KB-scale fixtures.) */
-  private def streamSection(w: java.io.Writer, table: String, df: DataFrame,
-                            sortCols: Seq[String], batchSize: Int): Unit = {
+  private[ops] def streamSection(w: java.io.Writer, table: String, df: DataFrame,
+                                 sortCols: Seq[String], batchSize: Int): Unit = {
     w.write(s"--\n-- Table structure for table `$table`\n--\n\n")
     w.write(s"DROP TABLE IF EXISTS `$table`;\n")
     w.write(DumpRenderer.createTable(table, df.schema)); w.write("\n\n")

@@ -543,6 +543,45 @@ object RelationalQueries {
     finally s.catalog.dropTempView(s"graft_sd_$tag")
   }
 
+  /** TPC-H Q15's shape through the SQL front-end: a revenue VIEW (CTE)
+    * consumed TWICE — joined to supplier AND max-aggregated in a
+    * scalar subquery (`WHERE total = (SELECT MAX(total) FROM
+    * revenue)`), the classic arg-max-over-an-aggregated-view. The
+    * scale question is whether the view is computed once or re-scanned
+    * per consumer: Catalyst plans both consumers over the SAME
+    * per-suppkey aggregate — the scalar subquery's plan resolves its
+    * exchange as a `ReusedExchange` of the main side's shuffle
+    * (asserted in [[graft.RelationalQueriesSpec]]), so lineitem is
+    * scanned and partially aggregated exactly once; the second
+    * consumer costs one extra reduce over the already-shuffled
+    * per-suppkey rows, never a second pass over the fact table.
+    * Revenue is exact-integer: cents × (100 − discount%), both factors
+    * individually ROUND-exact in both engines, so the MAX equality
+    * cannot float-drift (ties would all be kept, deterministically). */
+  val q_sql_revenue_view: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    lineitem(s, d).createOrReplaceTempView(s"graft_rl_$tag")
+    supplier(s, d).createOrReplaceTempView(s"graft_rs_$tag")
+    try s.sql(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+         |        (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS total_e4
+         |  FROM graft_rl_$tag
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+         |    AND l_suppkey IS NOT NULL
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_e4
+         |FROM graft_rs_$tag JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_e4 = (SELECT MAX(total_e4) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin)
+    finally {
+      s.catalog.dropTempView(s"graft_rl_$tag")
+      s.catalog.dropTempView(s"graft_rs_$tag")
+    }
+  }
+
   /** TPC-H Q18's shape through the SQL front-end: `IN (GROUP BY …
     * HAVING)` — a semi-join against an AGGREGATED subquery. The scale
     * shape matters: Catalyst must aggregate lineitem FIRST (map-side
@@ -1415,15 +1454,17 @@ object RelationalQueries {
     val numYy = (nD * col("syy") - col("sy") * col("sy")).as("num_yy")
     val corrExact = col("num_xy").cast("double") /
       sqrt(col("num_xx").cast("double") * col("num_yy").cast("double"))
+    // n(n-1) through the SAME DECIMAL(38,0) lane as the co-moments —
+    // Long n*(n-1) overflows past n ≈ 3.04e9 rows per group, which a
+    // 100 TB fact table reaches; decimal holds to n ≈ 1.7e19
+    val nn1 = (col("n").cast(dec) * (col("n").cast(dec) - lit(1))).cast("double")
     g.select(col("l_returnflag"), col("n"), col("corr_native"),
         numXy, numXx, numYy)
       .select(
         col("l_returnflag"), col("n"),
         round(corrExact, 6).as("corr_qty_price"),
-        round(col("num_xy").cast("double") /
-          (col("n") * (col("n") - 1)).cast("double"), 4).as("covar_samp"),
-        round(sqrt(col("num_yy").cast("double") /
-          (col("n") * (col("n") - 1)).cast("double")), 4).as("stddev_price_cents"),
+        round(col("num_xy").cast("double") / nn1, 4).as("covar_samp"),
+        round(sqrt(col("num_yy").cast("double") / nn1), 4).as("stddev_price_cents"),
         round(col("num_xy").cast("double") / col("num_xx").cast("double"), 6)
           .as("slope_cents_per_qty"),
         (abs(col("corr_native") - corrExact) < 1e-6).as("native_corr_ok"))
@@ -1679,10 +1720,27 @@ object RelationalQueries {
     "q_ewma_smooth" -> q_ewma_smooth,
     "q_window_cum_distinct" -> q_window_cum_distinct,
     "q_sql_lateral" -> q_sql_lateral,
+    "q_sql_revenue_view" -> q_sql_revenue_view,
     "q_dpp" -> q_dpp,
   )
 
   val oracles: Map[String, String] = Map(
+    // Q15 arg-max over the revenue view, exact-integer revenue
+    // (cents × (100 − disc%)) so the MAX equality never float-drifts
+    "q_sql_revenue_view" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS total_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_e4
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_e4 = (SELECT MAX(total_e4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_table_profile" -> tableProfileOracle,
     "q_dq_checks" -> dqChecksOracle,
     // exact integer co-moments (HUGEINT side of the DECIMAL(38,0)

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{AnnIndexStore, SimilarityOps, Tables}
+
+/** The durable-ANN-index contract (round-10 verdict item 2): the index
+  * on disk is a complete, versioned artifact — a later session opens
+  * the manifest and serves WITHOUT any training job, incremental
+  * maintenance commits atomically behind the manifest flip, and old
+  * epochs stay readable until retention GC drops them.
+  */
+class AnnIndexStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def e0 = Tables.embeddings(spark, sf)
+  private def queries = e0.filter(col("vec_id") < 8)
+    .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+  private def cands = e0.filter(col("vec_id") >= 8)
+    .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  private def topKey(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rk", "cid", "cos_e6").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+  private def postingKey(df: org.apache.spark.sql.DataFrame) =
+    df.select("cent", "vec_id", "nrm_e6").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("a fresh session serves bit-identical top-k from the persisted index, zero training") {
+    val dir = SimilarityOps.persistedIndexDir(spark, sf)
+    // the in-session plan the served result must reproduce exactly
+    val expected = topKey(
+      SimilarityOps.ivfTopK(e0, cands, queries, k = 5, nprobe = 5))
+    // a separate session (fresh SQL conf/temp state; one JVM is the
+    // closest a test gets to "second process") opens the manifest —
+    // centroids come from JSON, not from any fit
+    val s2 = spark.newSession()
+    val before = SimilarityOps.kmeansTrainCount.get()
+    val m = AnnIndexStore.open(dir)
+    val served = AnnIndexStore.topK(s2, dir, m,
+      Tables.embeddings(s2, sf).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      k = 5, nprobe = 5)
+    assert(topKey(served) == expected,
+      "served top-k must be bit-identical to the in-session IVF plan")
+    assert(SimilarityOps.kmeansTrainCount.get() == before,
+      "serving from the persisted index must run ZERO training jobs")
+  }
+
+  test("manifest centroids round-trip the trained quantizer exactly") {
+    val dir = SimilarityOps.persistedIndexDir(spark, sf)
+    val m = AnnIndexStore.open(dir)
+    val trained = SimilarityOps.kmeansCentroids(e0, SimilarityOps.NumCentroids)
+    assert(m.centroids.map(_._1) == trained.map(_._1))
+    m.centroids.zip(trained).foreach { case ((_, got), (_, exp)) =>
+      assert(got.toSeq == exp.toSeq, "JSON round-trip must be bit-exact")
+    }
+  }
+
+  test("PQ serve path: codebooks from the manifest, zero training, cross-session identical") {
+    val dir = SimilarityOps.persistedIndexDir(spark, sf)
+    val m = AnnIndexStore.open(dir)
+    assert(m.codebooks.nonEmpty, "persisted index must carry PQ codebooks")
+    // codebooks round-trip the trained artifact bit-exactly
+    val trained = SimilarityOps.pqCodebooks(e0).map(_.map(_._2))
+    assert(m.codebooks.size == trained.size)
+    m.codebooks.zip(trained).foreach { case (got, exp) =>
+      got.zip(exp).foreach { case (g, x) => assert(g.toSeq == x.toSeq) }
+    }
+    def serve(s: org.apache.spark.sql.SparkSession) =
+      AnnIndexStore.topKPq(s, dir, AnnIndexStore.open(dir),
+        Tables.embeddings(s, sf).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        k = 5, nprobe = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val inSession = serve(spark)
+    val kmBefore = SimilarityOps.kmeansTrainCount.get()
+    val pqBefore = SimilarityOps.pqTrainCount.get()
+    val crossSession = serve(spark.newSession())
+    assert(crossSession == inSession, "PQ serve must be session-independent")
+    assert(SimilarityOps.kmeansTrainCount.get() == kmBefore &&
+      SimilarityOps.pqTrainCount.get() == pqBefore,
+      "PQ serving must run zero training jobs (both artifacts from the manifest)")
+    // and it meets the shared recall contract
+    val w = SimilarityOps.s_ann_pq_persisted(spark, sf).head
+    assert(w.getBoolean(1), "persisted-PQ recall@5 must be >= 0.9")
+  }
+
+  test("applyDelta flips atomically and keeps the pre-delta epoch readable (time travel)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec_").toString
+    try {
+      val m0 = AnnIndexStore.build(e0, dir)
+      val before = postingKey(AnnIndexStore.postings(spark, dir, m0))
+      val maxId = e0.agg(max(col("vec_id"))).head.getLong(0)
+      val commit = AnnIndexStore.applyDelta(spark, dir,
+        SimilarityOps.ivfDeltaBatch(e0.select(col("vec_id"), col("embedding")), maxId))
+      assert(commit.manifest.epoch == 1L)
+      assert(AnnIndexStore.open(dir).epoch == 1L)
+      // the epoch-0 snapshot resolves to exactly the pre-delta postings
+      val snap = postingKey(
+        AnnIndexStore.postings(spark, dir, AnnIndexStore.openAt(dir, 0L)))
+      assert(snap == before, "epoch-0 snapshot must replay the pre-delta index")
+      // and the live view differs (the delta really landed)
+      val live = postingKey(
+        AnnIndexStore.postings(spark, dir, AnnIndexStore.open(dir)))
+      assert(live != before)
+      // untouched cells still serve through their ORIGINAL epoch-0 dirs
+      val untouched = m0.cells.keySet -- commit.affected
+      untouched.foreach { c =>
+        assert(AnnIndexStore.open(dir).cells(c) == s"c$c/e0") }
+    } finally deleteDir(dir)
+  }
+
+  test("retention GC drops epochs beyond the horizon; evicted snapshots fail pointedly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec_gc_").toString
+    try {
+      AnnIndexStore.build(e0, dir)
+      val base = e0.select(col("vec_id"), col("embedding"))
+      val maxId = e0.agg(max(col("vec_id"))).head.getLong(0)
+      // four insert-only delta batches at disjoint fresh ids → epochs 1..4
+      (0 until 4).foreach { i =>
+        val delta = base.filter(col("vec_id") % 17 === i)
+          .select((col("vec_id") + lit((maxId + 1) * (i + 1))).as("vec_id"),
+            col("embedding"), lit("insert").as("op"),
+            lit(null).cast(base.schema("embedding").dataType).as("old_embedding"))
+        AnnIndexStore.applyDelta(spark, dir, delta)
+      }
+      // RetainEpochs = 3 → epochs 2,3,4 retained; 0 and 1 gone
+      assert(AnnIndexStore.listEpochs(dir) == Seq(2L, 3L, 4L))
+      val err = intercept[IllegalArgumentException](AnnIndexStore.openAt(dir, 0L))
+      assert(err.getMessage.contains("not retained"))
+      // every dir a retained manifest references still exists on disk
+      AnnIndexStore.listEpochs(dir).foreach { ep =>
+        AnnIndexStore.openAt(dir, ep).cells.values.foreach { rel =>
+          assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, rel)),
+            s"retained epoch $ep references missing dir $rel")
+        }
+      }
+      // and the retained snapshots still read cleanly end-to-end
+      val oldest = AnnIndexStore.listEpochs(dir).head
+      assert(AnnIndexStore.postings(spark, dir,
+        AnnIndexStore.openAt(dir, oldest)).count() > 0)
+    } finally deleteDir(dir)
+  }
+
+  test("served recall meets the same witness floor as the in-session IVF path") {
+    val r = SimilarityOps.s_ann_persisted(spark, sf).head
+    assert(r.getLong(0) > 0)
+    assert(r.getBoolean(1), "persisted-index recall@5 must be >= 0.9")
+  }
+
+  private def deleteDir(d: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete(); ()
+    }
+    rec(new java.io.File(d))
+  }
+}

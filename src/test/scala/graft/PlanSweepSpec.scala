@@ -36,6 +36,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "s_ann_lsh",        // bound witness (same brute-force exact side)
     "s_ann_quantized",  // bound witness (same brute-force exact side)
     "s_ann_pq",         // bound witness (same brute-force exact side)
+    "s_ann_persisted",  // bound witness (same brute-force exact side)
+    "s_ann_pq_persisted", // bound witness (same brute-force exact side)
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits
     "p_embed_decon")    // broadcast benchmark-probe cosine scan
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, countDistinct, min, round, when}
+import org.apache.spark.sql.functions.{col, countDistinct, lit, max, min, round, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
@@ -148,6 +148,52 @@ class RelationalQueriesSpec extends AnyFunSuite {
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.partitionCount }
     assert(parts.headOption.contains(1), s"expected exactly 1 partition read, got $parts")
+  }
+
+  test("revenue view: scalar-subquery MAX reuses the CTE's exchange — lineitem scanned once") {
+    val df = ops.RelationalQueries.q_sql_revenue_view(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "Q1-1995 must have a top supplier")
+    // arg-max contract: every returned supplier carries THE max revenue
+    val totals = rows.map(_.getLong(2)).distinct
+    assert(totals.length == 1, s"all winners must share the max, got ${totals.toSeq}")
+    // replay: max over the view computed directly
+    val lv = ops.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long"))).as("t"))
+    val mx = lv.agg(max(col("t"))).head.getLong(0)
+    assert(totals.head == mx)
+    // THE scale assertion: the scalar subquery's aggregate reads the
+    // SAME shuffle as the main consumer — a ReusedExchange over the
+    // per-suppkey exchange, so the revenue view (and the lineitem scan
+    // under it) is computed once, not once per consumer
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange \\[[^\\]]*\\], Exchange hashpartitioning\\(l_suppkey".r
+        .findFirstIn(plan).isDefined,
+      s"scalar-subquery MAX must reuse the CTE's l_suppkey exchange:\n${plan.take(6000)}")
+    // walk the FINAL adaptive plan (main + subqueries, through query
+    // stages, stopping at reuse nodes): exactly two real file scans —
+    // lineitem once, supplier once
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def realScans(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => realScans(a.executedPlan)
+        case q: QueryStageExec => realScans(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case f: FileSourceScanExec => Seq(f.relation.location.rootPaths.mkString)
+        case other => other.children.flatMap(realScans)
+      }
+      here ++ p.subqueries.flatMap(realScans)
+    }
+    val scans = realScans(df.queryExecution.executedPlan)
+    assert(scans.count(_.contains("lineitem")) == 1,
+      s"lineitem must be scanned exactly once, got $scans")
+    assert(scans.length == 2, s"expected lineitem + supplier only, got $scans")
   }
 
   test("dpp: join-derived month set prunes the fact scan at runtime") {

@@ -256,12 +256,18 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == nIns && nIns > 0)
     assert(r.getLong(3) == SimilarityOps.CandAssign * (n + nIns))
     assert(r.getBoolean(4), "incrementally-maintained index must equal a full rebuild")
-    // the merge read touched only the affected cell partitions
+    // the merge read touched ONLY the affected cells — every read path
+    // is one of the affected cells' manifest entries, and no unaffected
+    // cell's dir appears (manifest pruning is the path list itself)
     assert(run.affected.nonEmpty &&
       run.affected.forall(c => c >= 0 && c < SimilarityOps.NumCentroids))
-    assert(run.prunedPlan.contains("PartitionFilters") &&
-      run.prunedPlan.contains("cent"),
-      s"state read must be partition-pruned:\n${run.prunedPlan}")
+    assert(run.readPaths.nonEmpty)
+    val affectedDirs = run.affected.map(c => s"/c$c/").toSet
+    assert(run.readPaths.forall(p => affectedDirs.exists(p.contains)),
+      s"merge read outside affected cells: ${run.readPaths}")
+    // durable-store time travel: the pre-delta epoch 0 snapshot is
+    // still retained alongside the committed epoch 1
+    assert(run.epochs == Seq(0L, 1L), s"retained epochs ${run.epochs}")
   }
 
   test("gram matrix: matches driver-side integer replay, full upper triangle") {

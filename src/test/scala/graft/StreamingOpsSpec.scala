@@ -349,6 +349,96 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot read vs GC: lease spares the epoch, expired snapshot fails pointedly") {
+    val state = java.nio.file.Files.createTempDirectory("graft_upsert_lease_state_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_lease_ckpt_")
+    locally {
+      StreamingOps.runUpsert(spark, sf, state.toString, ckpt.toString)
+      val epochs = StreamingOps.listUpsertEpochs(state.toString)
+      assert(epochs.length >= 2, s"need >= 2 retained epochs, got $epochs")
+      val oldest = epochs.head
+      val head = epochs.last
+      // INTERLEAVING 1 — reader holds a lease while GC tries to drop
+      // its epoch: inside withUpsertSnapshot, run a GC pass whose
+      // horizon excludes `oldest` (retain=1 keeps only the head). The
+      // leased epoch must survive the pass and the read must return
+      // the complete snapshot afterwards — the grace-window half.
+      val expected = StreamingOps.readUpsertStateAt(spark, state.toString, oldest)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      val got = StreamingOps.withUpsertSnapshot(spark, state.toString, oldest) { df =>
+        StreamingOps.gcUpsertEpochs(
+          java.nio.file.Paths.get(state.toString), head, retain = 1)
+        // GC ran mid-read: the leased epoch's manifest and dirs must
+        // still be there, and the frame must materialize whole
+        assert(StreamingOps.listUpsertEpochs(state.toString).contains(oldest),
+          "leased epoch was GC'd out from under an active reader")
+        df.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      }
+      assert(got == expected, "leased snapshot read must be complete, never partial")
+      // INTERLEAVING 2 — lease released, same GC pass now evicts the
+      // epoch; a late reader gets the pointed error, never a partial
+      // table: the expired-epoch half.
+      StreamingOps.gcUpsertEpochs(
+        java.nio.file.Paths.get(state.toString), head, retain = 1)
+      assert(!StreamingOps.listUpsertEpochs(state.toString).contains(oldest))
+      val err = intercept[IllegalStateException](
+        StreamingOps.readUpsertStateAt(spark, state.toString, oldest))
+      assert(err.getMessage.contains("snapshot expired"), err.getMessage)
+      // and a lease attempt on the evicted epoch also fails pointedly
+      // (the lease-landed-too-late race), leaving no stray lease file
+      val err2 = intercept[IllegalStateException](
+        StreamingOps.withUpsertSnapshot(spark, state.toString, oldest)(_ => ()))
+      assert(err2.getMessage.contains("snapshot expired"), err2.getMessage)
+      val strays = Option(state.toFile.listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("_lease-"))
+      assert(strays.isEmpty, s"lease files leaked: $strays")
+      // the head epoch is untouched throughout
+      assert(StreamingOps.readUpsertStateAt(spark, state.toString, head).count() > 0)
+    }
+  }
+
+  test("scd join: dim really changes between micro-batches, per-batch as-of resolution") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val res = graft.streaming.StreamingOps.st_scd_join_run(spark, sf,
+      (id, dimRows) => seen.synchronized { seen += ((id, dimRows)); () })
+    val byBatch = seen.sortBy(_._1)
+    // three real micro-batches, one per arrival file
+    assert(byBatch.map(_._1) == Seq(0L, 1L, 2L), s"batches: $byBatch")
+    // the dimension GREW between batches: each batch saw strictly more
+    // version rows than the previous (v0 all users, then +v1, +v2) —
+    // the dim demonstrably changed between two real micro-batches
+    assert(byBatch.map(_._2).sliding(2).forall {
+        case Seq(a: Long, b: Long) => a < b; case _ => true },
+      s"dim version rows must grow across batches: $byBatch")
+    // batch replay of the full resolution (the oracle's CASE, in Spark)
+    val ev = Tables.events(spark, sf)
+      .select((col("event_id") % 3).as("b"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val expected = ev.withColumn("v",
+        when(col("b") >= 2 && col("user_id") % 5 === 0, 2L)
+          .when(col("b") >= 1 && col("user_id") % 2 === 0, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"), ((col("user_id") + col("v")) % 4).as("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val got = res.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, "streamed changing-dim enrichment must equal the batch as-of replay")
+    // a plan-time dim snapshot would give every row tier = user_id % 4:
+    // prove the result is NOT that (batches 1-2 really saw new versions)
+    val stale = ev
+      .groupBy(col("event_type"), (col("user_id") % 4).as("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got != stale, "result must differ from a frozen-dim enrichment")
+  }
+
   test("late data: beyond-watermark stragglers dropped, within-watermark merged") {
     var dropped = -1L
     val res = graft.streaming.StreamingOps.st_late_data_run(spark, sf, q => {

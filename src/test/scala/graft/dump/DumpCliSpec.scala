@@ -35,6 +35,11 @@ class DumpCliSpec extends AnyFunSuite {
         types = DumpParser.TypeOptions(dateAsDate = true, unsignedBigintDecimal = true)))
     assert(DumpCli.parseArgs(Array("--resume", "in.sql")) ==
       CliArgs(input = Some("in.sql"), resume = true))
+    assert(DumpCli.parseArgs(Array("--salts", "32", "in.sql")) ==
+      CliArgs(input = Some("in.sql"), salts = 32))
+    intercept[IllegalArgumentException](DumpCli.parseArgs(Array("--salts")))
+    intercept[IllegalArgumentException](DumpCli.parseArgs(Array("--salts", "zero", "in.sql")))
+    intercept[IllegalArgumentException](DumpCli.parseArgs(Array("--salts", "0", "in.sql")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-x")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("a", "b")))
     intercept[IllegalArgumentException](DumpCli.parseArgs(Array("-o")))

@@ -56,6 +56,25 @@ class JaroWinklerSpec extends AnyFunSuite {
     }
   }
 
+  test("non-ASCII pins UTF-16 code-unit semantics (documented DuckDB divergence)") {
+    // "café" is 4 UTF-16 code units but 5 UTF-8 bytes; DuckDB's
+    // jaro_winkler_similarity works on bytes, so this pair is where
+    // the class doc's divergence claim becomes observable:
+    //   code-unit semantics: m=3 over |a|=|b|=4 → 0.8833333333333334
+    //   byte semantics:      m=3 over |a|=5,|b|=4 → 0.8483333333333334
+    // Both numbers are IEEE-exact replays of the same formula; a
+    // silent switch to byte semantics (or any other regression in the
+    // claim) flips the value across the gap and fails this test.
+    val charExpected = 0.8833333333333334
+    val byteExpected = 0.8483333333333334
+    assert(charExpected != byteExpected)
+    val got = Seq(("café", "cafe")).toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b"))).head.getDouble(0)
+    assert(got == charExpected,
+      s"jw('café','cafe') = $got — expected the UTF-16 value $charExpected, " +
+        s"not DuckDB's byte-level $byteExpected")
+  }
+
   test("rejects non-string input") {
     val e = JaroWinkler(
       org.apache.spark.sql.catalyst.expressions.Literal(1),

@@ -19,12 +19,30 @@ object ConvScaleBench {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dump = ConverterQueries.scaleDumpFile(spark, sf)
     println(s"#CONV# dump bytes = ${Files.size(dump)}")
+    // capture the converter's own `[dump-phase] name=secs` lines so a
+    // regression names the phase that grew, not one opaque number
+    def timedConvert(parts: Int, out: java.nio.file.Path): (Double, Long, String) = {
+      val phases = new scala.collection.mutable.LinkedHashMap[String, Double]
+      val prog: String => Unit = {
+        case s if s.startsWith("[dump-phase] ") =>
+          val kv = s.stripPrefix("[dump-phase] ").split("=")
+          phases(kv(0)) = phases.getOrElse(kv(0), 0.0) + kv(1).toDouble
+        case _ => ()
+      }
+      val t0 = System.nanoTime()
+      val res = DumpConverter.convert(spark, dump.toString, out.toString,
+        minPartitions = parts, progress = prog)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val other = sec - phases.values.sum
+      val detail = (phases.toSeq :+ ("other" -> other))
+        .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
+      (sec, res.rowsWritten.values.sum, detail)
+    }
     for (parts <- Seq(1, 2, 4, 8, 16, 32); _ <- 1 to 2) {
       val out = Files.createTempDirectory(s"convbench_$parts")
-      val t0 = System.nanoTime()
-      val res = DumpConverter.convert(spark, dump.toString, out.toString, minPartitions = parts)
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"#CONV# minPartitions=$parts%2d  ${sec}%6.2f s  rows=${res.rowsWritten.values.sum}")
+      val (sec, rows, detail) = timedConvert(parts, out)
+      println(f"#CONV# minPartitions=$parts%2d  ${sec}%6.2f s  rows=$rows")
+      println(s"#CONVPHASE# minPartitions=$parts  $detail")
     }
     // splittable-compressed leg: bzip2 (Hadoop block-splittable, unlike
     // gzip) — same converter, same minPartitions knob, compressed input
