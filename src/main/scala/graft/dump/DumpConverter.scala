@@ -297,7 +297,12 @@ object DumpConverter {
     def phase[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()
       val r = body
-      progress(f"[dump-phase] $name=${(System.nanoTime() - t0) / 1e9}%.3f")
+      // Locale.ROOT: the line is machine-parsed (ConvScaleBench et al.
+      // call .toDouble), so a comma-decimal default locale must not
+      // change the rendering
+      progress("[dump-phase] " + name + "=" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box((System.nanoTime() - t0) / 1e9)))
       r
     }
     // TypeOptions is a case class: its toString is a stable, total

@@ -53,6 +53,7 @@ import graft.functions.VectorFunctions._
   * same epoch dirs before re-flipping.
   */
 object AnnIndexStore {
+  import graft.Fs.deleteRecursively
 
   /** Committed epochs kept readable as snapshots. */
   val RetainEpochs = 3
@@ -142,12 +143,48 @@ object AnnIndexStore {
     parseManifest(p)
   }
 
-  /** Snapshot manifest: the index AS OF a retained epoch. */
+  /** Snapshot manifest: the index AS OF a retained epoch. NOTE the
+    * resolve/read gap: postings resolved through this manifest read
+    * their parquet lazily, so a [[gc]] running concurrently (from
+    * another process's [[applyDelta]]) can delete the epoch's dirs
+    * mid-read. A reader that must survive concurrent maintenance pins
+    * the epoch with [[withSnapshot]] — the same lease contract as the
+    * upsert state table's withUpsertSnapshot. */
   def openAt(dir: String, epoch: Long): AnnManifest = {
     val p = versionedPath(dir, epoch)
     require(java.nio.file.Files.exists(p),
       s"epoch $epoch is not retained (have: ${listEpochs(dir).mkString(",")})")
     parseManifest(p)
+  }
+
+  private def leasePath(dir: String, epoch: Long, token: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, s"_lease-e$epoch-$token.json")
+
+  /** Epochs currently pinned by a reader lease — [[gc]] spares them. */
+  private def leasedEpochs(dir: String): Set[Long] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
+      .collect { case n if n.startsWith("_lease-e") && n.endsWith(".json") =>
+        n.stripPrefix("_lease-e").takeWhile(_ != '-').toLong }
+      .toSet
+
+  /** Pin `epoch` against retention GC for the duration of `body` —
+    * write the lease FIRST, then re-check the epoch manifest: if GC
+    * won the race the lease is withdrawn and the read fails with a
+    * pointed "snapshot expired" error, never a partial index. Same
+    * protocol (and same honest list/delete residual, documented at
+    * the upsert GC) as
+    * [[graft.streaming.StreamingOps]]'s withUpsertSnapshot. */
+  def withSnapshot[A](dir: String, epoch: Long)(body: AnnManifest => A): A = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val lease = leasePath(dir, epoch, token)
+    java.nio.file.Files.writeString(lease, s"""{"epoch":$epoch}""")
+    try {
+      if (!java.nio.file.Files.exists(versionedPath(dir, epoch)))
+        throw new IllegalStateException(
+          s"snapshot expired: epoch $epoch of $dir was GC'd before the lease " +
+            "landed; raise retain or lease earlier")
+      body(parseManifest(versionedPath(dir, epoch)))
+    } finally { java.nio.file.Files.deleteIfExists(lease); () }
   }
 
   /** Epochs currently readable via [[openAt]], ascending. */
@@ -178,43 +215,45 @@ object AnnIndexStore {
       col("embedding"), codebooks.map(_.zipWithIndex.map { case (v, i) => (i, v) })))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
-    f.delete(); ()
-  }
-
   /** Stage `rows` (must carry a `cent` column) partitioned by cell,
-    * then publish each affected cell via a per-cell rename into its
+    * then publish each staged cell via a per-cell rename into its
     * immutable `cK/e<epoch>` location. The cell id is duplicated into
     * a `pcent` PARTITION column so the data files keep `cent` as a
     * real column after the rename strips the `pcent=K` dir name.
-    * Returns the published cells. */
-  private def publishCells(rows: DataFrame, dir: String, epoch: Long,
-                           affected: Seq[Int]): Seq[Int] = {
+    * Published cells come from the STAGE DIRECTORY LISTING — the write
+    * is the only job, so the caller never needs a second pass over
+    * `rows` (a corpus-sized assignment + PQ encode at build time) just
+    * to learn which cells materialized. Returns the published cells,
+    * sorted. */
+  private def publishCells(rows: DataFrame, dir: String, epoch: Long): Seq[Int] = {
     val stage = java.nio.file.Paths.get(dir, s".stage-e$epoch")
     deleteRecursively(stage.toFile)
     rows.withColumn("pcent", col("cent"))
       .write.mode("overwrite").partitionBy("pcent").parquet(stage.toString)
-    val published = affected.filter { c =>
+    val staged = Option(stage.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("pcent="))
+      .map(_.getName.stripPrefix("pcent=").toInt).sorted
+    staged.foreach { c =>
       val src = stage.resolve(s"pcent=$c")
-      java.nio.file.Files.exists(src) && {
-        val dst = java.nio.file.Paths.get(dir, s"c$c", s"e$epoch")
-        java.nio.file.Files.createDirectories(dst.getParent)
-        deleteRecursively(dst.toFile) // crashed attempt's leftovers
-        java.nio.file.Files.move(src, dst)
-        true
-      }
+      val dst = java.nio.file.Paths.get(dir, s"c$c", s"e$epoch")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      deleteRecursively(dst.toFile) // crashed attempt's leftovers
+      java.nio.file.Files.move(src, dst)
     }
     deleteRecursively(stage.toFile)
-    published
+    staged
   }
 
   /** Retention GC after each flip: drop versioned manifests below the
     * horizon, then any cell-epoch dir no retained manifest references
-    * (guarding in-flight future dirs, same rule as the upsert GC). */
+    * (guarding in-flight future dirs, same rule as the upsert GC).
+    * Epochs pinned by a [[withSnapshot]] lease are spared — leases are
+    * re-listed before each delete, with the same honest list/delete
+    * residual documented at the upsert GC. */
   private def gc(dir: String, current: Long, retain: Int): Unit = {
     val horizon = math.max(0L, current - retain + 1)
-    for (e <- listEpochs(dir) if e < horizon)
+    for (e <- listEpochs(dir)
+           if e < horizon && !leasedEpochs(dir).contains(e))
       java.nio.file.Files.deleteIfExists(versionedPath(dir, e)): Unit
     val referenced: Set[String] =
       listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
@@ -244,8 +283,8 @@ object AnnIndexStore {
     val books: Seq[Seq[Array[Double]]] =
       if (pq) SimilarityOps.pqCodebooks(corpus).map(_.map(_._2)) else Seq.empty
     val rows = entries(index.getOrElse(corpus), cents, books)
-    val affected = rows.select("cent").distinct().collect().map(_.getInt(0)).sorted.toSeq
-    val published = publishCells(rows, dir, 0L, affected)
+    // ONE job: the stage write; published cells come from its listing
+    val published = publishCells(rows, dir, 0L)
     val m = AnnManifest(0L, cents, published.map(c => c -> s"c$c/e0").toMap, books)
     commitManifest(dir, m)
     m
@@ -260,11 +299,20 @@ object AnnIndexStore {
       else Seq("cent", "vec_id", "embedding", "nrm_e6")
     val wanted = cells.getOrElse(m.cells.keys.toSeq)
     val paths = wanted.sorted.flatMap(m.cells.get).map(rel => s"$dir/$rel")
-    if (paths.isEmpty)
-      s.emptyDataFrame.select(lit(0).as("cent"), lit(0L).as("vec_id"),
+    if (paths.nonEmpty) s.read.parquet(paths: _*).select(dataCols.map(col): _*)
+    else {
+      // no requested cell exists in the manifest (e.g. an insert-only
+      // delta landing entirely in previously-empty cells): an EMPTY
+      // frame with the SAME columns as the non-empty path — including
+      // `codes` for a PQ index — so unions/selects downstream resolve
+      val base = Seq(
+        lit(0).as("cent"), lit(0L).as("vec_id"),
         lit(null).cast("array<float>").as("embedding"), lit(0L).as("nrm_e6"))
-        .limit(0)
-    else s.read.parquet(paths: _*).select(dataCols.map(col): _*)
+      val withCodes =
+        if (m.codebooks.nonEmpty) base :+ lit(null).cast("array<int>").as("codes")
+        else base
+      s.emptyDataFrame.select(withCodes: _*).limit(0)
+    }
   }
 
   /** Serve exact-reranked top-k from the PERSISTED index: queries are
@@ -369,6 +417,11 @@ object AnnIndexStore {
       .select("cent")
     val newEntries = entries(delta.select(col("vec_id"), col("embedding")), cents,
       m.codebooks)
+    // the affected-cells collect re-evaluates newEntries once more in
+    // the stage write below — acceptable because both passes are
+    // BATCH-sized (the narrow assignment of |delta| rows), unlike the
+    // corpus-sized build where publishCells' stage listing replaced
+    // the second pass entirely
     val affected = oldCells.union(newEntries.select("cent"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
     val cur = postings(s, dir, m, Some(affected))
@@ -377,7 +430,8 @@ object AnnIndexStore {
     val rewritten = cur
       .join(broadcast(updKeys), Seq("vec_id"), "left_anti")
       .unionByName(newEntries)
-    val published = publishCells(rewritten, dir, newEpoch, affected)
+    // staged ⊆ affected: `rewritten` only carries affected cells' rows
+    val published = publishCells(rewritten, dir, newEpoch)
     val newCells = (m.cells -- affected.filterNot(published.contains)) ++
       published.map(c => c -> s"c$c/e$newEpoch")
     val next = AnnManifest(newEpoch, cents, newCells, m.codebooks)

@@ -1736,6 +1736,7 @@ object RelationalQueries {
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        |    AND l_suppkey IS NOT NULL
         |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name, total_e4
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no

@@ -26,6 +26,7 @@ import graft.functions.VectorFunctions._
   *     sample (see [[kmeansCentroids]]).
   */
 object SimilarityOps {
+  import graft.Fs.deleteRecursively
   val Dim = 64
 
   /** Coarse-quantizer cell count for the IVF paths. */
@@ -635,11 +636,6 @@ object SimilarityOps {
         "embedding", "cent", CandAssign)
       .select(col("cent"), col("vec_id"),
         round(sqrt(normSq(col("embedding"))) * 1e6).cast("long").as("nrm_e6"))
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
-    f.delete(); ()
-  }
 
   /** Diagnostics the spec asserts on: the witness row, exactly the
     * paths the merge read (must all lie inside affected cells — the

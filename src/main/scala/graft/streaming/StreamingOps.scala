@@ -35,6 +35,7 @@ import org.apache.spark.sql.types._
   * Deriving the schema from the file makes that drift impossible.
   */
 object StreamingOps {
+  import graft.Fs.deleteRecursively
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -146,11 +147,6 @@ object StreamingOps {
         deleteRecursively(ckpt.toFile)
       }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Tumbling 1-day windows per event_type, append mode: only windows
@@ -698,9 +694,20 @@ object StreamingOps {
   private[graft] def gcUpsertEpochs(stateDir: java.nio.file.Path, current: Long,
                                     retain: Int): Unit = {
     val horizon = math.max(0L, current - retain + 1)
-    val leased = leasedEpochs(stateDir)
+    // leases are re-listed immediately before EACH manifest delete,
+    // not once per pass — a reader whose lease lands while GC walks
+    // earlier epochs is still seen. HONEST RESIDUAL: list-then-delete
+    // is not atomic, so a lease written in the microseconds between
+    // this epoch's lease check and its delete is missed; the reader's
+    // write-then-recheck then passes just before the delete lands and
+    // its in-flight read fails with a loud FileNotFound (a crash, not
+    // a silent partial result). Fully closing that gap needs an
+    // atomic primitive the local FS lacks — on an object store the
+    // delete becomes a conditional op predicated on no lease; here
+    // the practical guard is leasing while the epoch is comfortably
+    // inside retention, not at the horizon.
     for (e <- listUpsertEpochs(stateDir.toString)
-           if e < horizon && !leased.contains(e))
+           if e < horizon && !leasedEpochs(stateDir).contains(e))
       java.nio.file.Files.deleteIfExists(versionedManifestPath(stateDir, e)): Unit
     val referenced: Set[String] =
       listUpsertEpochs(stateDir.toString)

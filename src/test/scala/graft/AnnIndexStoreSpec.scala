@@ -145,16 +145,54 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     } finally deleteDir(dir)
   }
 
+  test("snapshot lease: GC spares a leased epoch; evicted lease fails pointedly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec_lease_").toString
+    try {
+      AnnIndexStore.build(e0, dir)
+      val base = e0.select(col("vec_id"), col("embedding"))
+      val maxId = e0.agg(max(col("vec_id"))).head.getLong(0)
+      AnnIndexStore.applyDelta(spark, dir,
+        SimilarityOps.ivfDeltaBatch(base, maxId))
+      assert(AnnIndexStore.listEpochs(dir) == Seq(0L, 1L))
+      // a reader pins epoch 0 while a maintenance commit (retain=1,
+      // which would evict it) lands mid-read: the leased epoch and
+      // every dir it references must survive the pass
+      val got = AnnIndexStore.withSnapshot(dir, 0L) { m0 =>
+        val delta = base.filter(col("vec_id") % 17 === 0)
+          .select((col("vec_id") + lit(2 * (maxId + 1))).as("vec_id"),
+            col("embedding"), lit("insert").as("op"),
+            lit(null).cast(base.schema("embedding").dataType).as("old_embedding"))
+        AnnIndexStore.applyDelta(spark, dir, delta, retain = 1)
+        assert(AnnIndexStore.listEpochs(dir).contains(0L),
+          "leased epoch GC'd out from under an active reader")
+        m0.cells.values.foreach { rel =>
+          assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, rel))) }
+        AnnIndexStore.postings(spark, dir, m0).count()
+      }
+      assert(got > 0)
+      // lease released: the next maintenance pass evicts epoch 0 and a
+      // late lease attempt fails pointedly, leaving no stray lease file
+      val delta2 = base.filter(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + lit(3 * (maxId + 1))).as("vec_id"),
+          col("embedding"), lit("insert").as("op"),
+          lit(null).cast(base.schema("embedding").dataType).as("old_embedding"))
+      AnnIndexStore.applyDelta(spark, dir, delta2, retain = 1)
+      assert(!AnnIndexStore.listEpochs(dir).contains(0L))
+      val err = intercept[IllegalStateException](
+        AnnIndexStore.withSnapshot(dir, 0L)(_ => ()))
+      assert(err.getMessage.contains("snapshot expired"), err.getMessage)
+      val strays = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("_lease-"))
+      assert(strays.isEmpty, s"lease files leaked: $strays")
+    } finally deleteDir(dir)
+  }
+
   test("served recall meets the same witness floor as the in-session IVF path") {
     val r = SimilarityOps.s_ann_persisted(spark, sf).head
     assert(r.getLong(0) > 0)
     assert(r.getBoolean(1), "persisted-index recall@5 must be >= 0.9")
   }
 
-  private def deleteDir(d: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete(); ()
-    }
-    rec(new java.io.File(d))
-  }
+  private def deleteDir(d: String): Unit =
+    graft.Fs.deleteRecursively(new java.io.File(d))
 }
