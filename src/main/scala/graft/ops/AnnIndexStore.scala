@@ -157,35 +157,18 @@ object AnnIndexStore {
     parseManifest(p)
   }
 
-  private def leasePath(dir: String, epoch: Long, token: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, s"_lease-e$epoch-$token.json")
-
-  /** Epochs currently pinned by a reader lease — [[gc]] spares them. */
-  private def leasedEpochs(dir: String): Set[Long] =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
-      .collect { case n if n.startsWith("_lease-e") && n.endsWith(".json") =>
-        n.stripPrefix("_lease-e").takeWhile(_ != '-').toLong }
-      .toSet
-
   /** Pin `epoch` against retention GC for the duration of `body` —
-    * write the lease FIRST, then re-check the epoch manifest: if GC
-    * won the race the lease is withdrawn and the read fails with a
-    * pointed "snapshot expired" error, never a partial index. Same
-    * protocol (and same honest list/delete residual, documented at
-    * the upsert GC) as
-    * [[graft.streaming.StreamingOps]]'s withUpsertSnapshot. */
-  def withSnapshot[A](dir: String, epoch: Long)(body: AnnManifest => A): A = {
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val lease = leasePath(dir, epoch, token)
-    java.nio.file.Files.writeString(lease, s"""{"epoch":$epoch}""")
-    try {
-      if (!java.nio.file.Files.exists(versionedPath(dir, epoch)))
-        throw new IllegalStateException(
-          s"snapshot expired: epoch $epoch of $dir was GC'd before the lease " +
-            "landed; raise retain or lease earlier")
+    * the two-phase lease/intent handshake in [[graft.EpochGuard]]
+    * (shared with the upsert state table): the reader publishes its
+    * lease before checking for a GC intent, GC publishes its intent
+    * before re-listing leases, so neither can miss the other. Fails
+    * with a pointed "snapshot expired" error when GC won — never a
+    * partial index. */
+  def withSnapshot[A](dir: String, epoch: Long)(body: AnnManifest => A): A =
+    graft.EpochGuard.withLease(java.nio.file.Paths.get(dir), epoch,
+      java.nio.file.Files.exists(versionedPath(dir, epoch)), dir) {
       body(parseManifest(versionedPath(dir, epoch)))
-    } finally { java.nio.file.Files.deleteIfExists(lease); () }
-  }
+    }
 
   /** Epochs currently readable via [[openAt]], ascending. */
   def listEpochs(dir: String): Seq[Long] =
@@ -247,14 +230,19 @@ object AnnIndexStore {
   /** Retention GC after each flip: drop versioned manifests below the
     * horizon, then any cell-epoch dir no retained manifest references
     * (guarding in-flight future dirs, same rule as the upsert GC).
-    * Epochs pinned by a [[withSnapshot]] lease are spared — leases are
-    * re-listed before each delete, with the same honest list/delete
-    * residual documented at the upsert GC. */
-  private def gc(dir: String, current: Long, retain: Int): Unit = {
+    * Epochs pinned by a [[withSnapshot]] lease are spared via
+    * [[graft.EpochGuard.guardedDelete]]'s two-phase intent handshake
+    * (closing the round-10 list/delete residual; `afterIntent` is its
+    * test seam — specs plant a racing lease at the formerly-vulnerable
+    * point). */
+  private[graft] def gc(dir: String, current: Long, retain: Int,
+                        afterIntent: Long => Unit = _ => ()): Unit = {
     val horizon = math.max(0L, current - retain + 1)
-    for (e <- listEpochs(dir)
-           if e < horizon && !leasedEpochs(dir).contains(e))
-      java.nio.file.Files.deleteIfExists(versionedPath(dir, e)): Unit
+    for (e <- listEpochs(dir) if e < horizon)
+      graft.EpochGuard.guardedDelete(java.nio.file.Paths.get(dir), e,
+        () => afterIntent(e)) {
+        java.nio.file.Files.deleteIfExists(versionedPath(dir, e)): Unit
+      }
     val referenced: Set[String] =
       listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
         .flatMap(_.cells.values).toSet

@@ -891,9 +891,98 @@ object PipelineOps {
     s"($dot / (sqrt($cn) * sqrt($pn)))"
   }
 
+  // ------------------------------------------------- snapshot diff
+
+  /** Keyed diff of two table snapshots — the data-versioning op every
+    * production pipeline runs before promoting a refreshed corpus
+    * ("what changed since the last crawl?"). Snapshots are PLANTED
+    * deterministically from orders (the fixture has only one version
+    * of each table): OLD = keys not divisible by 11, NEW = keys not
+    * divisible by 13, with every 5th key's price bumped and every
+    * 17th key's priority reclassified. The diff is one FULL OUTER
+    * join on the key → status ∈ {added, removed, changed} plus the
+    * exact list of changed columns (`concat_ws` skips the NULL CASE
+    * arms identically in both engines); unchanged rows are dropped —
+    * at 100 TB the diff output is proportional to the CHANGE RATE,
+    * not the corpus, which is what makes snapshot promotion reviews
+    * tractable.
+    *
+    * Scale shape: one shuffle per side on the join key (sort-merge at
+    * scale, AQE-decided here); the planted mutations are narrow
+    * projections. No driver materialization. */
+  val p_snapshot_diff: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderpriority").as("prio"))
+    val oldSnap = base.filter(col("k") % 11 =!= 0)
+    val newSnap = base.filter(col("k") % 13 =!= 0).select(
+      col("k"),
+      (col("cents") + when(col("k") % 5 === 0, 500L).otherwise(0L)).as("cents"),
+      when(col("k") % 17 === 0, "9-RECLASS").otherwise(col("prio")).as("prio"))
+    val o = oldSnap.select(col("k").as("ok"), col("cents").as("old_cents"),
+      col("prio").as("old_prio"))
+    val n = newSnap.select(col("k").as("nk"), col("cents").as("new_cents"),
+      col("prio").as("new_prio"))
+    o.join(n, col("ok") === col("nk"), "full_outer")
+      .withColumn("status",
+        when(col("ok").isNull, "added")
+          .when(col("nk").isNull, "removed")
+          .when(col("old_cents") =!= col("new_cents") ||
+            col("old_prio") =!= col("new_prio"), "changed"))
+      .filter(col("status").isNotNull)
+      .withColumn("changed_cols",
+        when(col("status") === "changed", concat_ws(",",
+          when(col("old_cents") =!= col("new_cents"), "cents"),
+          when(col("old_prio") =!= col("new_prio"), "prio"))))
+      .select(coalesce(col("ok"), col("nk")).as("o_orderkey"), col("status"),
+        col("old_cents"), col("new_cents"), col("changed_cols"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------------- mixture weighting
+
+  /** Domain-mixture weight solver — given per-language target shares
+    * (ppm, planted: en 400k, de/es/fr/zh 150k each — sums to 1M), the
+    * upsampling weight each language needs so the mixed corpus hits
+    * the target. All arithmetic is exact: token counts are integers,
+    * `weight_e6 = floor(target_ppm × total / actual)` is a product
+    * < 2^53 (exactly representable) followed by one IEEE division and
+    * floor — bit-identical in both engines — and the 3× upsampling cap
+    * (`capped` flag) is integer `least`. The expected post-mix token
+    * count is the same floor arithmetic. This is the step that turns
+    * a mixture spec ("40% English") into the per-domain sampling
+    * weights [[p_mixture_sample]] consumes.
+    *
+    * Scale shape: one groupBy(lang) with map-side partials; the
+    * global total is a window over the 5-row aggregate (never a
+    * 1-row broadcast crossJoin — no BNLJ). */
+  val p_mix_weights: Q = (s, d) => {
+    val byLang = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("lang")).agg(sum(col("toks")).as("actual_tokens"))
+      .withColumn("target_ppm",
+        when(col("lang") === "en", 400000L).otherwise(150000L))
+    byLang
+      .withColumn("total_tokens",
+        sum(col("actual_tokens")).over(Window.partitionBy()))
+      .withColumn("raw_e6",
+        floor(col("target_ppm").cast("double") * col("total_tokens") /
+          col("actual_tokens")).cast("long"))
+      .select(col("lang"), col("actual_tokens"), col("target_ppm"),
+        least(col("raw_e6"), lit(3000000L)).as("weight_e6"),
+        (col("raw_e6") > 3000000L).as("capped"),
+        floor(col("actual_tokens").cast("double") *
+          least(col("raw_e6"), lit(3000000L)) / lit(1000000.0d))
+          .cast("long").as("expected_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "p_snapshot_diff" -> p_snapshot_diff,
+    "p_mix_weights" -> p_mix_weights,
     "p_decontaminate" -> p_decontaminate,
     "p_mixture_sample" -> p_mixture_sample,
     "p_train_shuffle" -> p_train_shuffle,
@@ -915,6 +1004,55 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the planted two-snapshot construction replayed; concat_ws skips
+    // NULL CASE arms identically in both engines
+    "p_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority AS prio
+        |  FROM orders),
+        |olds AS (SELECT * FROM base WHERE k % 11 <> 0),
+        |news AS (SELECT k,
+        |    cents + CASE WHEN k % 5 = 0 THEN 500 ELSE 0 END AS cents,
+        |    CASE WHEN k % 17 = 0 THEN '9-RECLASS' ELSE prio END AS prio
+        |  FROM base WHERE k % 13 <> 0),
+        |d AS (
+        |  SELECT COALESCE(o.k, n.k) AS o_orderkey,
+        |    CASE WHEN o.k IS NULL THEN 'added'
+        |         WHEN n.k IS NULL THEN 'removed'
+        |         WHEN o.cents <> n.cents OR o.prio <> n.prio THEN 'changed'
+        |         END AS status,
+        |    o.cents AS old_cents, n.cents AS new_cents,
+        |    CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+        |           AND (o.cents <> n.cents OR o.prio <> n.prio)
+        |         THEN concat_ws(',',
+        |           CASE WHEN o.cents <> n.cents THEN 'cents' END,
+        |           CASE WHEN o.prio <> n.prio THEN 'prio' END)
+        |         END AS changed_cols
+        |  FROM olds o FULL OUTER JOIN news n ON o.k = n.k)
+        |SELECT * FROM d WHERE status IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    // exact integer/IEEE mixture-weight arithmetic: products < 2^53,
+    // one division, floor — bit-identical in both engines
+    "p_mix_weights" ->
+      """WITH lt AS (
+        |  SELECT lang,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT lang, actual_tokens,
+        |    CASE WHEN lang = 'en' THEN 400000 ELSE 150000 END AS target_ppm,
+        |    SUM(actual_tokens) OVER () AS total_tokens
+        |  FROM lt),
+        |w AS (SELECT lang, actual_tokens, CAST(target_ppm AS BIGINT) AS target_ppm,
+        |    CAST(FLOOR(CAST(target_ppm AS DOUBLE) * total_tokens / actual_tokens)
+        |      AS BIGINT) AS raw_e6
+        |  FROM t)
+        |SELECT lang, actual_tokens, target_ppm,
+        |  LEAST(raw_e6, 3000000) AS weight_e6,
+        |  raw_e6 > 3000000 AS capped,
+        |  CAST(FLOOR(CAST(actual_tokens AS DOUBLE) * LEAST(raw_e6, 3000000)
+        |    / 1000000.0) AS BIGINT) AS expected_tokens
+        |FROM w ORDER BY lang""".stripMargin,
     "p_label_prop" -> labelPropOracle,
     // the full permutation is checked, not just its shape: every
     // (shard, pos, doc_id) triple must match the Knuth-mix replay

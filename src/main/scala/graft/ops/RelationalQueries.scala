@@ -1657,6 +1657,309 @@ object RelationalQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ----------------------------- TPC-H long tail (SQL front-end)
+  //
+  // The eleven classic TPC-H shapes not yet in the surface (Q7, Q8,
+  // Q9, Q11, Q12, Q13, Q14, Q16, Q19, Q20, Q22), each adapted to the
+  // fixture schema (no partsupp table — lineitem is the
+  // part↔supplier association; no l_shipmode/l_commitdate — order
+  // priority and shipdate-vs-orderdate lag stand in). Every query is
+  // a single SQL TEMPLATE over a table→view mapping: the Spark side
+  // runs it through the SQL front-end over per-call temp views, and
+  // the DuckDB oracle is the SAME template under the identity
+  // mapping — the two engines run literally identical SQL, so
+  // Spark↔DuckDB drift can only come from semantics, never from a
+  // hand-maintained second copy. Dialect discipline for that:
+  // `CAST(SUM(…) AS BIGINT)` always (DuckDB sums BIGINT into
+  // HUGEINT), `CAST(YEAR(…) AS INT)` (DuckDB's year() is BIGINT),
+  // exact e4 revenue (cents × (100 − disc%)) everywhere a product of
+  // price and discount appears, and a total ORDER BY.
+
+  /** Register per-call unique temp views for `tables` and run the
+    * template through the SQL front-end. Views are dropped after
+    * `sql()` resolves the plan (resolution is eager; execution no
+    * longer needs the catalog entries). */
+  private def sqlQ(tables: String*)(tpl: (String => String) => String): Q =
+    (s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val views = tables.map(t => t -> s"graft_${t}_$tag").toMap
+      views.foreach { case (t, vn) =>
+        Tables.table(s, d, t).createOrReplaceTempView(vn)
+      }
+      try s.sql(tpl(views))
+      finally views.valuesIterator.foreach(s.catalog.dropTempView(_))
+    }
+
+  /** Oracle view mapping: table names map to themselves. */
+  private val asIs: String => String = identity
+
+  /** TPC-H Q7 (volume shipping): bidirectional two-nation trade by
+    * ship year. Scale shape: nation is a 25-row dim joined twice —
+    * both sides broadcast; the two fact-fact joins
+    * (lineitem⋈orders⋈customer) shuffle on their keys; the
+    * disjunctive nation-pair predicate filters after the broadcasts,
+    * so the shuffled volume is the date-filtered lineitem only. */
+  private def tplVolumeShipping(v: String => String): String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST(SUM(vol_e4) AS BIGINT) AS rev_e4, COUNT(1) AS n
+       |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |        CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       |        CAST(ROUND(l_extendedprice*100) AS BIGINT) *
+       |          (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_e4
+       |      FROM ${v("supplier")}, ${v("lineitem")}, ${v("orders")},
+       |        ${v("customer")}, ${v("nation")} n1, ${v("nation")} n2
+       |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |        AND c_nationkey = n2.n_nationkey
+       |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       |          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+       |        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+       |          AND TIMESTAMP '1996-12-31 23:59:59') shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val q_sql_volume_shipping: Q =
+    sqlQ("supplier", "lineitem", "orders", "customer", "nation")(tplVolumeShipping)
+
+  /** TPC-H Q8 (market share): one supplier nation's share of a
+    * region's PROMO volume by order year — returned as exact
+    * numerator/denominator e4 pairs, NOT a ratio (a double division
+    * would be the only inexact step; the caller divides). Scale
+    * shape: the widest star in the surface — 8 relations; region,
+    * nation×2 broadcast; part's type filter pushes to its scan and
+    * the part join is broadcast-able at any scale where part ≪
+    * lineitem. */
+  private def tplMarketShare(v: String => String): String =
+    s"""SELECT o_year,
+       |  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol_e4 ELSE 0 END) AS BIGINT) AS target_e4,
+       |  CAST(SUM(vol_e4) AS BIGINT) AS total_e4, COUNT(1) AS n
+       |FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |        CAST(ROUND(l_extendedprice*100) AS BIGINT) *
+       |          (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_e4,
+       |        n2.n_name AS nation
+       |      FROM ${v("part")}, ${v("supplier")}, ${v("lineitem")}, ${v("orders")},
+       |        ${v("customer")}, ${v("nation")} n1, ${v("nation")} n2, ${v("region")}
+       |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+       |        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+       |          AND TIMESTAMP '1996-12-31 23:59:59'
+       |        AND p_type = 'PROMO') all_nations
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  val q_sql_market_share: Q =
+    sqlQ("part", "supplier", "lineitem", "orders", "customer", "nation", "region")(
+      tplMarketShare)
+
+  /** TPC-H Q9 (product-type profit): profit per supplier nation per
+    * order year for parts matching a name infix. The fixture has no
+    * partsupp.ps_supplycost, so cost = p_retailprice × quantity (a
+    * per-part constant — same arithmetic shape, exact in e4). The
+    * `%widget%` infix can't prune row groups, but it IS pushed to the
+    * part scan and the surviving ~1/9 of part keys then drive the
+    * join; group-by fan-in is nation × year — tiny. */
+  private def tplProductProfit(v: String => String): String =
+    s"""SELECT nation, o_year,
+       |  CAST(SUM(amount_e4) AS BIGINT) AS profit_e4, COUNT(1) AS n
+       |FROM (SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |        CAST(ROUND(l_extendedprice*100) AS BIGINT) *
+       |          (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+       |        - CAST(ROUND(p_retailprice*100) AS BIGINT) * 100 *
+       |          CAST(ROUND(l_quantity) AS BIGINT) AS amount_e4
+       |      FROM ${v("part")}, ${v("supplier")}, ${v("lineitem")},
+       |        ${v("orders")}, ${v("nation")}
+       |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+       |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |        AND p_name LIKE '%widget%') profit
+       |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  val q_sql_product_profit: Q =
+    sqlQ("part", "supplier", "lineitem", "orders", "nation")(tplProductProfit)
+
+  /** TPC-H Q11 (important stock): per-part value from one nation's
+    * suppliers, kept only above a fraction of the GLOBAL total — a
+    * grouped aggregate HAVING-compared against an uncorrelated scalar
+    * subquery over the same source. The threshold is integer-exact
+    * (`value×1000 > total`, no division). Scale note: the per-part
+    * and global aggregates group by different keys, so this is
+    * honestly TWO aggregations of the filtered join; Catalyst reuses
+    * the subquery result across partitions (one broadcast scalar),
+    * and the filtered join itself is the recomputed piece — at 100 TB
+    * you'd materialize it once (the incremental-MV machinery in this
+    * repo) if the fraction test ran repeatedly. */
+  private def tplImportantParts(v: String => String): String =
+    s"""SELECT l_partkey AS p_key,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM ${v("lineitem")}, ${v("supplier")}, ${v("nation")}
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND n_name = 'NATION_3'
+       |GROUP BY l_partkey
+       |HAVING SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) * 1000 > (
+       |  SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+       |  FROM ${v("lineitem")}, ${v("supplier")}, ${v("nation")}
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |    AND n_name = 'NATION_3')
+       |ORDER BY value_cents DESC, p_key""".stripMargin
+
+  val q_sql_important_parts: Q =
+    sqlQ("lineitem", "supplier", "nation")(tplImportantParts)
+
+  /** TPC-H Q12 (shipping modes & priority): lines shipped more than
+    * 60 days after ordering in one year, split into high/low priority
+    * counts per line status (the fixture has no l_shipmode). The
+    * shipdate range pushes to the lineitem scan; the lag predicate
+    * (l_shipdate > o_orderdate + 60d) is a post-join filter — it
+    * references both sides, which is exactly why Q12 is the classic
+    * "join-then-filter you cannot push" shape. */
+  private def tplPriorityShipping(v: String => String): String =
+    s"""SELECT l_linestatus,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM ${v("orders")}, ${v("lineitem")}
+       |WHERE o_orderkey = l_orderkey
+       |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+       |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  val q_sql_priority_shipping: Q =
+    sqlQ("orders", "lineitem")(tplPriorityShipping)
+
+  /** TPC-H Q13 (customer distribution): histogram of urgent-orders-
+    * per-customer — the double-aggregation shape. The priority filter
+    * lives in the JOIN's ON clause, not WHERE (a WHERE would turn the
+    * left join inner and drop zero-order customers — the exact rows
+    * Q13 exists to count; ~14% of customers have no urgent order, so
+    * the outer-join semantics are data-visible and oracle-checked).
+    * First aggregate shuffles on custkey; the second groups ~50
+    * distinct counts — free. */
+  private def tplCustDistribution(v: String => String): String =
+    s"""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+       |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |      FROM ${v("customer")} LEFT OUTER JOIN ${v("orders")}
+       |        ON c_custkey = o_custkey
+       |          AND o_orderpriority = '1-URGENT'
+       |      GROUP BY c_custkey) c_orders
+       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  val q_sql_cust_distribution: Q =
+    sqlQ("customer", "orders")(tplCustDistribution)
+
+  /** TPC-H Q14 (promo revenue): one month's PROMO share of revenue as
+    * an exact numerator/denominator pair (no division — the only
+    * possible float drift). Single-row global conditional aggregate;
+    * the month filter pushes to the lineitem scan and at 100 TB
+    * prunes to ~1/80 of partitions under shipdate partitioning. */
+  private def tplPromoRevenue(v: String => String): String =
+    s"""SELECT
+       |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol_e4 ELSE 0 END) AS BIGINT) AS promo_e4,
+       |  CAST(SUM(vol_e4) AS BIGINT) AS total_e4, COUNT(1) AS n
+       |FROM (SELECT p_type,
+       |        CAST(ROUND(l_extendedprice*100) AS BIGINT) *
+       |          (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_e4
+       |      FROM ${v("lineitem")}, ${v("part")}
+       |      WHERE l_partkey = p_partkey
+       |        AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+       |        AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00') t""".stripMargin
+
+  val q_sql_promo_revenue: Q = sqlQ("lineitem", "part")(tplPromoRevenue)
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct suppliers per
+    * (brand, size) for selected parts, excluding suppliers from a
+    * NOT IN subquery. lineitem stands in for partsupp as the
+    * part↔supplier association. Scale shape: the NOT IN plans as a
+    * null-aware anti join against a tiny broadcast set; COUNT
+    * (DISTINCT) shuffles once on the group keys with partial
+    * de-duplication map-side. */
+  private def tplPartsSupplierCnt(v: String => String): String =
+    s"""SELECT p_brand, p_size,
+       |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ${v("part")}, ${v("lineitem")}
+       |WHERE p_partkey = l_partkey
+       |  AND p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+       |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM ${v("supplier")} WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  val q_sql_parts_supplier_cnt: Q =
+    sqlQ("part", "lineitem", "supplier")(tplPartsSupplierCnt)
+
+  /** TPC-H Q19 (disjunctive predicate): an OR of three
+    * brand/size/quantity conjunct groups over the part join — the
+    * canonical test that a disjunction referencing both join sides
+    * still yields a plain equi-join (the equi-condition is extracted;
+    * the OR stays as a post-join filter) and that the part-side
+    * bounds within the OR are derivable for scan pruning. Zero
+    * cartesian/BNLJ — plan-asserted in the spec. */
+  private def tplDisjunctiveScan(v: String => String): String =
+    s"""SELECT CAST(SUM(vol_e4) AS BIGINT) AS rev_e4, COUNT(1) AS n
+       |FROM (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) *
+       |          (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol_e4
+       |      FROM ${v("lineitem")}, ${v("part")}
+       |      WHERE p_partkey = l_partkey AND (
+       |        (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |          AND l_quantity BETWEEN 1 AND 11)
+       |        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       |          AND l_quantity BETWEEN 10 AND 20)
+       |        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |          AND l_quantity BETWEEN 20 AND 30))) t""".stripMargin
+
+  val q_sql_disjunctive_scan: Q = sqlQ("lineitem", "part")(tplDisjunctiveScan)
+
+  /** TPC-H Q20 (excess inventory): suppliers who shipped a large
+    * quantity of red parts in one year — nested IN subqueries (part
+    * keys inside the lineitem aggregate inside the supplier semi
+    * join). Catalyst chains two LEFT SEMI equi-joins and aggregates
+    * lineitem BEFORE the outer semi join — the keeper-key set that
+    * reaches supplier is ≤100 keys regardless of fact size. */
+  private def tplExcessSuppliers(v: String => String): String =
+    s"""SELECT s_suppkey, s_name
+       |FROM ${v("supplier")}, ${v("nation")}
+       |WHERE s_suppkey IN (
+       |    SELECT l_suppkey FROM ${v("lineitem")}
+       |    WHERE l_partkey IN (
+       |        SELECT p_partkey FROM ${v("part")} WHERE p_name LIKE 'red%')
+       |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |    GROUP BY l_suppkey
+       |    HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300)
+       |  AND s_nationkey = n_nationkey AND n_regionkey <= 2
+       |ORDER BY s_suppkey""".stripMargin
+
+  val q_sql_excess_suppliers: Q =
+    sqlQ("supplier", "nation", "lineitem", "part")(tplExcessSuppliers)
+
+  /** TPC-H Q22 (global sales opportunity): customers in selected
+    * country codes with above-average balance and no recent orders
+    * (the fixture's every customer HAS orders, so "idle" = none since
+    * 2000 — same NOT EXISTS anti-join shape with a pushable date
+    * filter on the subquery side). The average is an uncorrelated
+    * scalar subquery over exact cents — sum is integer-exact, and
+    * the single division is the same IEEE op in both engines. */
+  private def tplIdleCustomers(v: String => String): String =
+    s"""SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       |  CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+       |FROM (SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+       |        CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_cents
+       |      FROM ${v("customer")}
+       |      WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+       |        AND CAST(ROUND(c_acctbal*100) AS BIGINT) > (
+       |          SELECT AVG(CAST(ROUND(c_acctbal*100) AS BIGINT))
+       |          FROM ${v("customer")}
+       |          WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 2, 3, 4, 5))
+       |        AND NOT EXISTS (
+       |          SELECT 1 FROM ${v("orders")}
+       |          WHERE o_custkey = c_custkey
+       |            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) custsale
+       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
+  val q_sql_idle_customers: Q = sqlQ("customer", "orders")(tplIdleCustomers)
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1722,9 +2025,33 @@ object RelationalQueries {
     "q_sql_lateral" -> q_sql_lateral,
     "q_sql_revenue_view" -> q_sql_revenue_view,
     "q_dpp" -> q_dpp,
+    "q_sql_volume_shipping" -> q_sql_volume_shipping,
+    "q_sql_market_share" -> q_sql_market_share,
+    "q_sql_product_profit" -> q_sql_product_profit,
+    "q_sql_important_parts" -> q_sql_important_parts,
+    "q_sql_priority_shipping" -> q_sql_priority_shipping,
+    "q_sql_cust_distribution" -> q_sql_cust_distribution,
+    "q_sql_promo_revenue" -> q_sql_promo_revenue,
+    "q_sql_parts_supplier_cnt" -> q_sql_parts_supplier_cnt,
+    "q_sql_disjunctive_scan" -> q_sql_disjunctive_scan,
+    "q_sql_excess_suppliers" -> q_sql_excess_suppliers,
+    "q_sql_idle_customers" -> q_sql_idle_customers,
   )
 
   val oracles: Map[String, String] = Map(
+    // TPC-H long tail: oracle = the SAME template Spark ran, under the
+    // identity table→view mapping (zero hand-maintained SQL drift)
+    "q_sql_volume_shipping" -> tplVolumeShipping(asIs),
+    "q_sql_market_share" -> tplMarketShare(asIs),
+    "q_sql_product_profit" -> tplProductProfit(asIs),
+    "q_sql_important_parts" -> tplImportantParts(asIs),
+    "q_sql_priority_shipping" -> tplPriorityShipping(asIs),
+    "q_sql_cust_distribution" -> tplCustDistribution(asIs),
+    "q_sql_promo_revenue" -> tplPromoRevenue(asIs),
+    "q_sql_parts_supplier_cnt" -> tplPartsSupplierCnt(asIs),
+    "q_sql_disjunctive_scan" -> tplDisjunctiveScan(asIs),
+    "q_sql_excess_suppliers" -> tplExcessSuppliers(asIs),
+    "q_sql_idle_customers" -> tplIdleCustomers(asIs),
     // Q15 arg-max over the revenue view, exact-integer revenue
     // (cents × (100 − disc%)) so the MAX equality never float-drifts
     "q_sql_revenue_view" ->

@@ -444,9 +444,55 @@ object TextOps {
       .orderBy(col("p_partkey"))
   }
 
+  // ---------------------------------------------------- n-gram LM
+
+  /** Bigram language-model training + held-out scoring — the
+    * CCNet-style "perplexity filter" shape: fit an n-gram LM on half
+    * the corpus (even doc_ids), score the other half. The
+    * oracle-checked outputs are the EXACT INTEGER score inputs per
+    * held-out document — bigram total, out-of-vocabulary bigrams, and
+    * the summed model counts (bigram and conditioning-unigram) — from
+    * which a client computes `Σ −ln(c(a,b)/c(a·))` downstream. The ln
+    * itself is deliberately NOT in the oracle-checked columns:
+    * transcendental functions are not correctly-rounded-guaranteed
+    * across libm implementations, so a cross-engine hash on them
+    * would be a coin flip — the integers are the portable contract
+    * (same reasoning as q_corr_stats' exact co-moments).
+    *
+    * Scale shape: bigram extraction is a narrow in-row HOF
+    * (`zip_with` over two slices — no posexplode self-join); the
+    * model is an aggregated count table bounded by the observed
+    * bigram vocabulary, orders of magnitude below the corpus, so the
+    * scoring joins are AQE-broadcast here and stay shuffle-joins at
+    * whatever vocabulary size outgrows broadcast; per-doc scoring is
+    * one hash aggregate. Unigram counts are bigram-FIRST-position
+    * counts, so c(a,b)/c(a,·) is a proper conditional MLE. */
+  val t_ngram_lm: Q = (s, d) => {
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(x, y) -> named_struct('a', x, 'b', y))")).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val train = bigrams.filter(col("doc_id") % 2 === 0)
+    val biModel = train.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("bi_n"))
+    val uniModel = train.groupBy(col("a")).agg(count(lit(1)).as("uni_n"))
+    bigrams.filter(col("doc_id") % 2 === 1)
+      .join(biModel, Seq("a", "b"), "left")
+      .join(uniModel, Seq("a"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bi_n").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("bi_n"), lit(0L))).as("sum_bi_n"),
+        sum(coalesce(col("uni_n"), lit(0L))).as("sum_uni_n"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "t_ngram_lm" -> t_ngram_lm,
     "t_jaro_winkler" -> t_jaro_winkler,
     "t_text_stats" -> t_text_stats,
     "t_token_count" -> t_token_count,
@@ -467,6 +513,26 @@ object TextOps {
   private val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // the bigram extraction replayed via 1-based array indexing; the
+    // model CTEs and scoring joins mirror the Spark plan exactly
+    "t_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+        |       FROM (SELECT doc_id, t,
+        |               unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM toks)),
+        |bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS bi_n
+        |       FROM bg WHERE doc_id % 2 = 0 GROUP BY a, b),
+        |uni AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS uni_n
+        |        FROM bg WHERE doc_id % 2 = 0 GROUP BY a)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN bi.bi_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(COALESCE(bi.bi_n, 0)) AS BIGINT) AS sum_bi_n,
+        |  CAST(SUM(COALESCE(uni.uni_n, 0)) AS BIGINT) AS sum_uni_n
+        |FROM bg g LEFT JOIN bi ON g.a = bi.a AND g.b = bi.b
+        |          LEFT JOIN uni ON g.a = uni.a
+        |WHERE g.doc_id % 2 = 1
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "t_jaro_winkler" ->
       """SELECT p1.p_partkey,
         |  ROUND(jaro_winkler_similarity(p1.p_name, p2.p_name), 9) AS jw9,

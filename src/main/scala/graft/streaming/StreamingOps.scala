@@ -619,42 +619,24 @@ object StreamingOps {
 
   // ------------------------------------ snapshot leases (reader vs GC)
 
-  private def leasePath(stateDir: java.nio.file.Path, epoch: Long,
-                        token: String): java.nio.file.Path =
-    stateDir.resolve(s"_lease-e$epoch-$token.json")
-
-  /** Epochs currently pinned by a reader lease. */
-  private def leasedEpochs(stateDir: java.nio.file.Path): Set[Long] =
-    Option(stateDir.toFile.listFiles()).toSeq.flatten.map(_.getName)
-      .collect { case n if n.startsWith("_lease-e") && n.endsWith(".json") =>
-        n.stripPrefix("_lease-e").takeWhile(_ != '-').toLong }
-      .toSet
-
   /** Pin `epoch` against retention GC for the duration of `body` —
     * the concurrent-reader isolation the bare [[readUpsertStateAt]]
     * cannot give (its parquet read is lazy; GC could delete files
-    * between resolve and action). Protocol: write the lease file
-    * FIRST, then re-check the epoch manifest still exists — if GC won
-    * the race the lease is withdrawn and the read fails with the same
-    * pointed "snapshot expired" error, never a partial table; if the
-    * manifest is alive, every later [[gcUpsertEpochs]] pass sees the
-    * lease and spares the epoch (GC is a single maintenance process —
-    * the single-writer assumption the commit protocol already makes —
-    * so lease-check-then-delete inside one GC pass does not
-    * interleave with itself). The lease is released in finally. */
+    * between resolve and action). Protocol and correctness argument
+    * live in [[graft.EpochGuard]]: the reader publishes its lease
+    * before checking for a GC intent marker, GC publishes its intent
+    * before re-listing leases, so the round-10 list/delete residual
+    * (a lease landing between GC's list and its delete) is closed —
+    * one side always sees the other. Fails with a pointed "snapshot
+    * expired" error when GC won, never a partial table. */
   private[graft] def withUpsertSnapshot[A](s: SparkSession, stateDirPath: String,
                                            epoch: Long)(body: DataFrame => A): A = {
     val stateDir = java.nio.file.Paths.get(stateDirPath)
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val lease = leasePath(stateDir, epoch, token)
-    java.nio.file.Files.writeString(lease, s"""{"epoch":$epoch}""")
-    try {
-      if (!java.nio.file.Files.exists(versionedManifestPath(stateDir, epoch)))
-        throw new IllegalStateException(
-          s"snapshot expired: epoch $epoch of $stateDirPath was GC'd before the " +
-            "lease landed; raise retainEpochs or lease earlier")
+    graft.EpochGuard.withLease(stateDir, epoch,
+      java.nio.file.Files.exists(versionedManifestPath(stateDir, epoch)),
+      stateDirPath) {
       body(readUpsertStateAt(s, stateDirPath, epoch))
-    } finally { java.nio.file.Files.deleteIfExists(lease); () }
+    }
   }
 
   /** The atomic flip: write the immutable per-epoch manifest first
@@ -690,25 +672,23 @@ object StreamingOps {
     * ([[withUpsertSnapshot]]) are spared regardless of the horizon —
     * the grace that makes snapshot reads safe against concurrent GC
     * (round-10 verdict item 3). Single-writer op, like the commit
-    * itself. */
+    * itself. `afterIntent` is [[graft.EpochGuard.guardedDelete]]'s
+    * test seam (specs plant a racing lease at the exact point the
+    * round-10 protocol missed it); production callers leave it
+    * default. */
   private[graft] def gcUpsertEpochs(stateDir: java.nio.file.Path, current: Long,
-                                    retain: Int): Unit = {
+                                    retain: Int,
+                                    afterIntent: Long => Unit = _ => ()): Unit = {
     val horizon = math.max(0L, current - retain + 1)
-    // leases are re-listed immediately before EACH manifest delete,
-    // not once per pass — a reader whose lease lands while GC walks
-    // earlier epochs is still seen. HONEST RESIDUAL: list-then-delete
-    // is not atomic, so a lease written in the microseconds between
-    // this epoch's lease check and its delete is missed; the reader's
-    // write-then-recheck then passes just before the delete lands and
-    // its in-flight read fails with a loud FileNotFound (a crash, not
-    // a silent partial result). Fully closing that gap needs an
-    // atomic primitive the local FS lacks — on an object store the
-    // delete becomes a conditional op predicated on no lease; here
-    // the practical guard is leasing while the epoch is comfortably
-    // inside retention, not at the horizon.
-    for (e <- listUpsertEpochs(stateDir.toString)
-           if e < horizon && !leasedEpochs(stateDir).contains(e))
-      java.nio.file.Files.deleteIfExists(versionedManifestPath(stateDir, e)): Unit
+    // two-phase per-epoch delete (EpochGuard): publish a GC intent,
+    // re-list leases, delete only if unleased. This closes the
+    // round-10 documented residual — a lease written between this
+    // pass's lease listing and its delete is now guaranteed visible
+    // to one side or the other (argument in EpochGuard's scaladoc).
+    for (e <- listUpsertEpochs(stateDir.toString) if e < horizon)
+      graft.EpochGuard.guardedDelete(stateDir, e, () => afterIntent(e)) {
+        java.nio.file.Files.deleteIfExists(versionedManifestPath(stateDir, e)): Unit
+      }
     val referenced: Set[String] =
       listUpsertEpochs(stateDir.toString)
         .map(e => readManifestFile(versionedManifestPath(stateDir, e)))

@@ -170,6 +170,19 @@ class AnnIndexStoreSpec extends AnyFunSuite {
         AnnIndexStore.postings(spark, dir, m0).count()
       }
       assert(got > 0)
+      // the round-10 residual, closed: a lease landing between GC's
+      // intent and its lease listing (the afterIntent seam) spares
+      // the epoch — direct gc call, same pass shape as applyDelta's
+      AnnIndexStore.gc(dir, current = 1L, retain = 1,
+        afterIntent = e => if (e == 0L) {
+          java.nio.file.Files.writeString(graft.EpochGuard.leasePath(
+            java.nio.file.Paths.get(dir), 0L, "racer"), """{"epoch":0}""")
+          ()
+        })
+      assert(AnnIndexStore.listEpochs(dir).contains(0L),
+        "epoch evicted despite a lease landing between GC's intent and its list")
+      java.nio.file.Files.delete(graft.EpochGuard.leasePath(
+        java.nio.file.Paths.get(dir), 0L, "racer"))
       // lease released: the next maintenance pass evicts epoch 0 and a
       // late lease attempt fails pointedly, leaving no stray lease file
       val delta2 = base.filter(col("vec_id") % 19 === 0)

@@ -570,6 +570,117 @@ class RelationalQueriesSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------- TPC-H long tail (plan shapes the oracle
+  // can't see — data equality is DuckDB's job)
+
+  test("Q13 distribution: join stays LEFT OUTER and zero-order customers are counted") {
+    val df = ops.RelationalQueries.q_sql_cust_distribution(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // a WHERE-placed priority filter would let Catalyst convert the
+    // outer join to inner and silently drop the c_count=0 bucket
+    assert(plan.contains("LeftOuter"), s"expected an outer join:\n${plan.take(3000)}")
+    val rows = df.collect()
+    val zero = rows.find(_.getLong(0) == 0L)
+    assert(zero.isDefined && zero.get.getLong(1) > 0,
+      "customers with no urgent orders must appear as the c_count=0 bucket")
+    // total histogram mass = every customer exactly once
+    assert(rows.map(_.getLong(1)).sum == ops.Tables.customer(spark, sf).count())
+  }
+
+  test("Q20 excess suppliers: lineitem aggregated below TWO chained semi joins") {
+    val df = ops.RelationalQueries.q_sql_excess_suppliers(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      s"expected chained semi joins for the nested INs:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"),
+      s"lineitem must aggregate before the supplier semi join:\n${plan.take(3000)}")
+    // replay one winner's threshold from the base tables
+    val winners = df.collect().map(_.getLong(0)).toSet
+    if (winners.nonEmpty) {
+      val qty = ops.Tables.lineitem(spark, sf)
+        .join(ops.Tables.part(spark, sf).filter(col("p_name").startsWith("red"))
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_suppkey").agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      winners.foreach(sk => assert(qty.getOrElse(sk, 0L) > 300,
+        s"supplier $sk returned without exceeding the quantity threshold"))
+    }
+  }
+
+  test("Q19 disjunctive predicate: equi-join extracted, OR stays as a residual filter") {
+    val df = ops.RelationalQueries.q_sql_disjunctive_scan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the disjunction references both sides, but p_partkey = l_partkey
+    // must still come out as a hash-join key — never a nested loop
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"expected an equi join:\n${plan.take(3000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // the part-only projection of the OR is pushable: the part scan
+    // must not read the whole table (brand/size bounds reach the scan)
+    val one = df.head()
+    assert(one.getLong(1) > 0, "fixture must satisfy at least one disjunct")
+  }
+
+  test("Q11 important parts: every kept part clears the global-fraction threshold") {
+    val rows = ops.RelationalQueries.q_sql_important_parts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = ops.Tables.lineitem(spark, sf)
+      .join(ops.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(ops.Tables.nation(spark, sf).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))).head.getLong(0)
+    rows.foreach(r => assert(r.getLong(1) * 1000 > total,
+      s"part ${r.getLong(0)} kept below threshold"))
+    // and the scalar subquery planned as a subquery, not a rescan join
+    val plan = ops.RelationalQueries.q_sql_important_parts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"expected a scalar subquery node:\n${plan.take(3000)}")
+  }
+
+  test("Q8 market share: numerator bounded by denominator, both years present") {
+    val rows = ops.RelationalQueries.q_sql_market_share(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(1995, 1996))
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(2),
+        s"share numerator out of bounds: $r")
+    }
+  }
+
+  test("Q12 priority shipping: high+low equals a direct replay of the late-line count") {
+    val rows = ops.RelationalQueries.q_sql_priority_shipping(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val replay = ops.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(ops.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + org.apache.spark.sql.functions.expr("INTERVAL 60 DAY"))
+      .count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == replay)
+  }
+
+  test("Q22 idle customers: every counted customer is genuinely idle and above average") {
+    val rows = ops.RelationalQueries.q_sql_idle_customers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cust = ops.Tables.customer(spark, sf)
+    val recent = ops.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val avg = cust
+      .filter(col("c_acctbal") > 0 && (col("c_nationkey") % 10).isin(1, 2, 3, 4, 5))
+      .agg(org.apache.spark.sql.functions.avg(round(col("c_acctbal") * 100).cast("long")))
+      .head.getDouble(0)
+    val idle = cust
+      .filter((col("c_nationkey") % 10).isin(1, 2, 3, 4, 5) &&
+        round(col("c_acctbal") * 100).cast("long") > avg)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == idle)
+  }
+
   test("windowed distinct count: per-user non-decreasing, ends at true distinct") {
     import spark.implicits._
     val rows = ops.RelationalQueries.q_window_cum_distinct(spark, sf)

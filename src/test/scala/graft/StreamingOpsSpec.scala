@@ -377,6 +377,23 @@ class StreamingOpsSpec extends AnyFunSuite {
           ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
       }
       assert(got == expected, "leased snapshot read must be complete, never partial")
+      // INTERLEAVING 1b — the round-10 residual, now closed: a lease
+      // that lands AFTER GC has decided to collect (its intent is
+      // published) but BEFORE its lease listing must be seen, sparing
+      // the epoch. The afterIntent seam plants the lease at exactly
+      // that point.
+      StreamingOps.gcUpsertEpochs(
+        java.nio.file.Paths.get(state.toString), head, retain = 1,
+        afterIntent = e => if (e == oldest) {
+          java.nio.file.Files.writeString(
+            graft.EpochGuard.leasePath(state, oldest, "racer"),
+            s"""{"epoch":$oldest}""")
+          ()
+        })
+      assert(StreamingOps.listUpsertEpochs(state.toString).contains(oldest),
+        "epoch evicted despite a lease landing between GC's intent and its list")
+      assert(StreamingOps.readUpsertStateAt(spark, state.toString, oldest).count() > 0)
+      java.nio.file.Files.delete(graft.EpochGuard.leasePath(state, oldest, "racer"))
       // INTERLEAVING 2 — lease released, same GC pass now evicts the
       // epoch; a late reader gets the pointed error, never a partial
       // table: the expired-epoch half.
