@@ -260,9 +260,10 @@ object AnnIndexStore {
     * `corpus`, write the indexed vectors' postings (`index`, default
     * the corpus itself — kept separate so a witness can index only the
     * candidate split while training on everything, like
-    * [[SimilarityOps.ivfTopK]]), commit the manifest. The ONLY place
-    * the store ever trains — [[topK]]/[[applyDelta]] read the
-    * quantizer back from the manifest. */
+    * [[SimilarityOps.ivfTopK]]), commit the manifest. Training happens
+    * ONLY here and in [[rebalance]] (both corpus-maintenance commits,
+    * by design) — [[topK]]/[[applyDelta]] read the quantizer back from
+    * the manifest. */
   def build(corpus: DataFrame, dir: String,
             k: Int = SimilarityOps.NumCentroids,
             index: Option[DataFrame] = None,
@@ -426,5 +427,50 @@ object AnnIndexStore {
     commitManifest(dir, next)
     gc(dir, newEpoch, retain)
     DeltaCommit(next, affected, readPaths)
+  }
+
+  /** Retrain-and-re-encode maintenance — the rebuild an IVF index
+    * needs after enough [[applyDelta]] batches drift the corpus away
+    * from the quantizer it was trained on (skewed cells, decaying
+    * recall: the quantizer is frozen at its training distribution
+    * while the postings keep moving). The pass refits the coarse
+    * quantizer (and the PQ codebooks, when the index carries them) on
+    * the CURRENT corpus, re-encodes every posting under the new
+    * quantizer, and publishes the result as ONE new epoch behind the
+    * usual atomic manifest flip — so serving never sees a
+    * half-retrained index, and because every versioned manifest
+    * carries ITS OWN centroids/codebooks, time travel works ACROSS
+    * the quantizer change: `openAt(preRebalanceEpoch)` still serves
+    * bit-identically under the old quantizer until retention drops
+    * it.
+    *
+    * The training corpus is the live postings de-duplicated from
+    * their [[SimilarityOps.CandAssign]]-way replication and read in
+    * vec_id order — the fit's k-means|| init is order-sensitive
+    * (single-partition input), so a deterministic order makes
+    * rebalance reproducible: rebalancing twice from the same corpus
+    * yields the same quantizer, and a spec can compare against a
+    * fresh [[build]] over the same rows. At 100 TB the fit input
+    * becomes a capped sample of the postings (as at [[build]]) while
+    * the re-encode stays the full one-pass narrow assignment. */
+  def rebalance(s: SparkSession, dir: String,
+                k: Int = SimilarityOps.NumCentroids,
+                retain: Int = RetainEpochs): AnnManifest = {
+    val m = open(dir)
+    val corpus = postings(s, dir, m)
+      .groupBy(col("vec_id")).agg(first(col("embedding")).as("embedding"))
+      .orderBy(col("vec_id"))
+    val cents = SimilarityOps.kmeansCentroids(corpus, k)
+    val books: Seq[Seq[Array[Double]]] =
+      if (m.codebooks.nonEmpty) SimilarityOps.pqCodebooks(corpus).map(_.map(_._2))
+      else Seq.empty
+    val rows = entries(corpus, cents, books)
+    val newEpoch = m.epoch + 1
+    val published = publishCells(rows, dir, newEpoch)
+    val next = AnnManifest(newEpoch, cents,
+      published.map(c => c -> s"c$c/e$newEpoch").toMap, books)
+    commitManifest(dir, next)
+    gc(dir, newEpoch, retain)
+    next
   }
 }

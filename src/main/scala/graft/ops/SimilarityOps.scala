@@ -727,6 +727,47 @@ object SimilarityOps {
       p
     })
 
+  /** Write-once DRIFTED-then-REBALANCED index per (session, fixture
+    * dir) for [[s_ann_rebalance]]: epoch 0 trains and indexes WITHOUT
+    * a third of the candidates, [[AnnIndexStore.applyDelta]] then
+    * inserts them (vectors the epoch-0 quantizer never saw — real
+    * corpus drift, not a synthetic no-op), and
+    * [[AnnIndexStore.rebalance]] refits on the current corpus and
+    * re-encodes behind one manifest flip. */
+  private[graft] def rebalancedIndexDir(s: SparkSession, d: String): String =
+    annIndexDirs.getOrElseUpdate((s, d + "#rebalance"), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_annreb_" +
+        Tables.layoutTag(d)
+      val e = Tables.embeddings(s, d)
+      val seeded = e.filter(col("vec_id") >= 8 && col("vec_id") % 3 =!= 0)
+      AnnIndexStore.build(e.filter(col("vec_id") % 3 =!= 0), p,
+        index = Some(seeded))
+      val late = e.filter(col("vec_id") >= 8 && col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding"), lit("insert").as("op"),
+          lit(null).cast(e.schema("embedding").dataType).as("old_embedding"))
+      AnnIndexStore.applyDelta(s, p, late)
+      AnnIndexStore.rebalance(s, p)
+      annExitDirs.add(p)
+      p
+    })
+
+  /** BOUND-WITNESS for the REBALANCED index, same recall contract as
+    * every `s_ann_*` twin: after drift (a delta inserting vectors the
+    * original quantizer never trained on) and a [[AnnIndexStore
+    * .rebalance]] retrain-re-encode commit, the served top-5 must
+    * still recover ≥ 90 % of the independently-rebuilt exact
+    * neighbors. [[AnnIndexStoreSpec]] holds the structural proofs
+    * (quantizer actually changed, equality with a fresh build over
+    * the same corpus, pre-rebalance epoch still time-travelable). */
+  val s_ann_rebalance: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val dir = rebalancedIndexDir(s, d)
+    recallWitness(
+      bruteForceTopK(querySide(e), candSide(e), k = 5),
+      AnnIndexStore.topK(s, dir, AnnIndexStore.open(dir), querySide(e),
+        k = 5, nprobe = 5))
+  }
+
   /** BOUND-WITNESS for the PERSISTED index — the served face of
     * [[AnnIndexStore]] under the same recall contract as [[s_ann_ivf]]:
     * the index is built ONCE on disk (manifest + cell dirs), and the
@@ -766,6 +807,7 @@ object SimilarityOps {
     "s_ann_pq" -> s_ann_pq,
     "s_ann_persisted" -> s_ann_persisted,
     "s_ann_pq_persisted" -> s_ann_pq_persisted,
+    "s_ann_rebalance" -> s_ann_rebalance,
     "s_ivf_delta" -> s_ivf_delta,
     "s_gram_matrix" -> s_gram_matrix,
   )
@@ -843,6 +885,10 @@ object SimilarityOps {
       // ADC-from-disk serve path: same independently-rebuilt exact
       // side, same recall floor
       "s_ann_pq_persisted" ->
+        recallWitnessSql,
+      // drift → rebalance → serve: the retrained index must meet the
+      // identical recall contract against the same exact baseline
+      "s_ann_rebalance" ->
         recallWitnessSql,
       // explode + self-join replay of the in-row pair expansion; the
       // floor(x*64) quantization makes both engines integer-exact

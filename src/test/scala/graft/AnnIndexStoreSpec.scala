@@ -200,6 +200,52 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     } finally deleteDir(dir)
   }
 
+  test("rebalance: retrains on the drifted corpus, equals a fresh build, time-travels across the quantizer change") {
+    // rebalancedIndexDir = build (without a third of the candidates)
+    // → applyDelta (inserting them: real drift) → rebalance. Epochs:
+    // 0 = seeded build, 1 = post-delta, 2 = rebalanced.
+    val dir = SimilarityOps.rebalancedIndexDir(spark, sf)
+    val m2 = AnnIndexStore.open(dir)
+    val m1 = AnnIndexStore.openAt(dir, 1L)
+    assert(m2.epoch == 2L && m1.epoch == 1L)
+    // the quantizer actually changed — rebalance is a retrain, not a
+    // re-encode under the old centroids
+    assert(m2.centroids.map(_._2.toSeq) != m1.centroids.map(_._2.toSeq),
+      "rebalance must refit the quantizer on the current corpus")
+    // no vector lost or invented by the re-encode: same id set, and
+    // every id appears exactly CandAssign times (distinct cells)
+    val ids1 = AnnIndexStore.postings(spark, dir, m1)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val p2 = AnnIndexStore.postings(spark, dir, m2)
+    val ids2 = p2.select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids1, "rebalance must preserve the indexed id set")
+    assert(p2.count() == ids2.size.toLong * SimilarityOps.CandAssign)
+    // content equality with a FRESH build over the same corpus rows:
+    // rebalance ≡ build-from-scratch on the current postings (the
+    // deterministic-order training input makes this well-defined)
+    val corpus = AnnIndexStore.postings(spark, dir, m1)
+      .groupBy(col("vec_id")).agg(first(col("embedding")).as("embedding"))
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_reb_fresh_").toString
+    try {
+      val mf = AnnIndexStore.build(corpus, dir2)
+      assert(mf.centroids.map(_._2.toSeq) == m2.centroids.map(_._2.toSeq),
+        "rebalanced quantizer must equal a fresh fit on the same corpus")
+      assert(postingKey(AnnIndexStore.postings(spark, dir2, mf)) == postingKey(p2),
+        "rebalanced postings must equal a fresh build's")
+      // time travel ACROSS the quantizer change: the pre-rebalance
+      // epoch serves complete top-k under ITS OWN manifest centroids
+      val served = AnnIndexStore.topK(spark, dir, m1,
+        e0.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+        k = 5, nprobe = 5)
+      val perQ = served.groupBy("qid").count().collect().map(_.getLong(1))
+      assert(perQ.nonEmpty && perQ.forall(_ == 5L),
+        "pre-rebalance snapshot must serve full top-5 under the old quantizer")
+    } finally deleteDir(dir2)
+  }
+
   test("served recall meets the same witness floor as the in-session IVF path") {
     val r = SimilarityOps.s_ann_persisted(spark, sf).head
     assert(r.getLong(0) > 0)
