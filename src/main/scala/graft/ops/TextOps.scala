@@ -489,9 +489,122 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------- BPE training
+
+  /** Rounds of distributed BPE merge learning in [[t_bpe_train]] —
+    * well below the fixture vocabulary's ~89-merge saturation. */
+  val BpeTrainRounds = 8
+
+  /** DISTRIBUTED BPE merge training — the learning half of the
+    * committed tokenizer ([[graft.functions.BpeTokenizer]] encodes
+    * with a fixed table; this op LEARNS such a table from the corpus).
+    * The scale shape is the one production BPE trainers
+    * (GPT-2-family) actually use: one corpus-sized shuffle reduces
+    * text to WORD COUNTS, and every training round after that runs on
+    * the vocabulary table — pair counting is a groupBy over distinct
+    * words weighted by their counts (~10⁷ rows at 100 TB, not the
+    * corpus), the argmax is a 1-row collect, and the merge applies as
+    * a narrow per-word string rewrite. Rounds are inherently
+    * sequential (each merge changes the next round's pair counts);
+    * `localCheckpoint` per round caps the growing lineage exactly as
+    * [[PipelineOps.p_host_rank]] documents.
+    *
+    * Merge APPLICATION uses the pipe-delimited string form with two
+    * literal `replace` passes — identical leftmost-non-overlapping
+    * semantics in Spark and DuckDB, so the oracle hash cannot drift
+    * (the second pass catches an occurrence whose shared delimiter
+    * the first consumed: `|a|b|a|b|`). This equals the reference
+    * trainer's token walk ([[graft.functions.BpeTrainer.train]]) on
+    * any corpus without ≥6-token same-token runs inside one word —
+    * true of text vocabularies generally and of this fixture
+    * (spec-asserted: the 8 learned merges equal the sequential
+    * trainer's, proving the distributed loop ≡ the reference). Ties
+    * break lexicographically on (left, right), same as the trainer.
+    * The [[graft.functions.BpeTrainer.MaxTokenLen]] cap gates pair
+    * CANDIDATES, as in the trainer. */
+  val t_bpe_train: Q = (s, d) => {
+    val cap = graft.functions.BpeTrainer.MaxTokenLen
+    var words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("seq"),
+        col("c"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 0 until BpeTrainRounds) {
+      val toks = words.select(col("c"),
+        split(trim(col("seq"), "|"), "\\|").as("t"))
+      val best = toks
+        .select(col("c"), explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+            "(x, y) -> named_struct('a', x, 'b', y))")).as("bg"))
+        .select(col("c"), col("bg.a").as("a"), col("bg.b").as("b"))
+        .filter(length(col("a")) + length(col("b")) <= cap)
+        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("n"))
+        .orderBy(desc("n"), col("a"), col("b")).limit(1)
+        .head()
+      val (l, r, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((rank, l, r, n))
+      val pat = s"|$l|$r|"
+      val rep = s"|$l$r|"
+      words = words
+        .withColumn("seq",
+          replace(replace(col("seq"), lit(pat), lit(rep)), lit(pat), lit(rep)))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    learned.result().toDF("mrank", "mleft", "mright", "n")
+      .select(col("mrank").cast("int").as("mrank"), col("mleft"),
+        col("mright"), col("n"))
+      .orderBy(col("mrank"))
+  }
+
+  /** The DuckDB replay of [[t_bpe_train]]: [[BpeTrainRounds]] unrolled
+    * rounds, each a pair-count CTE (argmax via ORDER BY n DESC, a, b
+    * LIMIT 1 — the trainer's lexicographic tie-break) and a rewrite
+    * CTE applying the same two literal replace passes. Every CTE is
+    * `AS MATERIALIZED`: DuckDB inlines plain CTEs per REFERENCE, and
+    * each round references its predecessor ~5× (FROM + four scalar
+    * subqueries) — un-materialized, the 8-round chain expands to ~5⁸
+    * re-evaluations of the base scan (observed as an fd-exhaustion
+    * blowup, not just slowness). */
+  private def bpeTrainOracle: String = {
+    val cap = graft.functions.BpeTrainer.MaxTokenLen
+    val rounds = (0 until BpeTrainRounds).map { r =>
+      val prev = s"w$r"
+      s"""p$r AS MATERIALIZED (SELECT a, b, n FROM (
+         |  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(c) AS BIGINT) AS n
+         |  FROM (SELECT t, c, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM (SELECT string_split(trim(seq, '|'), '|') AS t, c FROM $prev))
+         |  WHERE length(t[i]) + length(t[i + 1]) <= $cap
+         |  GROUP BY a, b) g
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (SELECT replace(replace(seq,
+         |    '|' || (SELECT a FROM p$r) || '|' || (SELECT b FROM p$r) || '|',
+         |    '|' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || '|'),
+         |    '|' || (SELECT a FROM p$r) || '|' || (SELECT b FROM p$r) || '|',
+         |    '|' || (SELECT a FROM p$r) || (SELECT b FROM p$r) || '|') AS seq, c
+         |  FROM $prev)""".stripMargin
+    }
+    val out = (0 until BpeTrainRounds)
+      .map(r => s"SELECT $r AS mrank, a AS mleft, b AS mright, n FROM p$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS seq, c
+       |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |        WHERE length(w) > 0 GROUP BY w)),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(mrank AS INTEGER) AS mrank, mleft, mright, n FROM (
+       |  $out) u
+       |ORDER BY mrank""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "t_bpe_train" -> t_bpe_train,
     "t_ngram_lm" -> t_ngram_lm,
     "t_jaro_winkler" -> t_jaro_winkler,
     "t_text_stats" -> t_text_stats,
@@ -513,6 +626,7 @@ object TextOps {
   private val stopList = Stopwords.map("'" + _ + "'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "t_bpe_train" -> bpeTrainOracle,
     // the bigram extraction replayed via 1-based array indexing; the
     // model CTEs and scoring joins mirror the Spark plan exactly
     "t_ngram_lm" ->

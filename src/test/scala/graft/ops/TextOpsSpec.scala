@@ -156,4 +156,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top.exists(_._2 > TextOps.InvPostingK),
       "fixture must have a token hotter than the head size")
   }
+
+  test("distributed BPE training equals the sequential reference trainer") {
+    // The DuckDB oracle proves Spark ≡ SQL replay; this proves the
+    // distributed loop ≡ graft.functions.BpeTrainer.train — the exact
+    // token-walk reference — on the same word counts. Together they
+    // pin all three implementations to one merge sequence (and confirm
+    // the documented replace-vs-walk equivalence holds on this
+    // corpus).
+    val wc = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reference = graft.functions.BpeTrainer
+      .train(wc, maxMerges = TextOps.BpeTrainRounds)
+    val got = TextOps.t_bpe_train(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got == reference,
+      s"distributed merges $got != reference $reference")
+    // and the learned pair counts are strictly sensible: positive,
+    // non-increasing is NOT required (BPE counts may rise as tokens
+    // fuse), but every count must be > 0
+    assert(TextOps.t_bpe_train(spark, sf).collect().forall(_.getLong(3) > 0))
+  }
 }
