@@ -181,9 +181,9 @@ object SimilarityOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def querySide(e: DataFrame): DataFrame =
+  private[graft] def querySide(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qe"))
-  private def candSide(e: DataFrame): DataFrame =
+  private[graft] def candSide(e: DataFrame): DataFrame =
     e.filter(col("vec_id") >= 8).select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
   val s_cosine_topk: Q = (s, d) => {
@@ -202,7 +202,7 @@ object SimilarityOps {
     * (n_exact, recall ≥ floor). ONE definition for every `s_ann_*`
     * witness, so the floor, join shape, and output contract can never
     * silently diverge between index variants. */
-  private def recallWitness(exact: DataFrame, approx: DataFrame): DataFrame =
+  private[graft] def recallWitness(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("qid"), col("cid"), lit(1).as("ex"))
       .join(approx.select(col("qid"), col("cid"), lit(1).as("ap")),
         Seq("qid", "cid"), "full_outer")
@@ -812,24 +812,29 @@ object SimilarityOps {
     "s_gram_matrix" -> s_gram_matrix,
   )
 
+  // ONE witness SQL for every recall-bound ANN variant (ivf, salted,
+  // lsh, int8, pq, persisted, rebalanced, stream-ingested): DuckDB
+  // independently rebuilds the brute-force top-5 and asserts the
+  // recall flag — the Scala-side twin is the shared recallWitness
+  // helper above, so the contract has exactly one definition per
+  // engine. private[graft]: the streaming ANN-ingest witness
+  // ([[graft.streaming.StreamingOps]]) shares it.
+  private[graft] lazy val recallWitnessSql: String = {
+    val cos = oracleCosineSql("qe", "ce", Dim)
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+       |     s AS (SELECT qid, cid,
+       |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+       |           FROM c CROSS JOIN q),
+       |     t AS (SELECT qid, cid FROM (
+       |       SELECT qid, cid,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
+       |       FROM s) x WHERE rk <= 5)
+       |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin
+  }
+
   val oracles: Map[String, String] = {
     val cos = oracleCosineSql("qe", "ce", Dim)
-    // ONE witness SQL for every recall-bound ANN variant (ivf, salted,
-    // lsh, int8, pq): DuckDB independently rebuilds the brute-force
-    // top-5 and asserts the recall flag — the Scala-side twin is the
-    // shared recallWitness helper above, so the contract has exactly
-    // one definition per engine.
-    val recallWitnessSql =
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-         |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
-         |     s AS (SELECT qid, cid,
-         |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-         |           FROM c CROSS JOIN q),
-         |     t AS (SELECT qid, cid FROM (
-         |       SELECT qid, cid,
-         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
-         |       FROM s) x WHERE rk <= 5)
-         |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin
     Map(
       "s_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -1130,9 +1130,130 @@ object StreamingOps {
     }
   }
 
+  // --------------------------------------------- streaming ANN ingest
+
+  private val annIngestDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** Micro-batches of embedding inserts for [[st_ann_ingest]]: three
+    * mtime-ordered single files, each one third of the LATE candidates
+    * (`vec_id % 4 ∈ {1,2,3}`), already shaped as the
+    * [[graft.ops.AnnIndexStore.applyDelta]] CDC contract. */
+  private def annIngestLayout(s: SparkSession, d: String): String =
+    perSession(annIngestDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_anning_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val e = graft.ops.Tables.embeddings(s, d)
+      val now = System.currentTimeMillis()
+      (1 to AnnIngestBatches).foreach { b =>
+        val slice = e.filter(col("vec_id") >= 8 && col("vec_id") % 4 === b)
+          .select(col("vec_id"), col("embedding"), lit("insert").as("op"),
+            lit(null).cast(e.schema("embedding").dataType).as("old_embedding"))
+        writeSingleFile(slice,
+          java.nio.file.Paths.get(p, s"batch$b.parquet"),
+          now - (AnnIngestBatches - b).toLong * 60000)
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  private[graft] val AnnIngestBatches = 3
+
+  /** STREAMING INGEST INTO THE DURABLE ANN INDEX — the composition
+    * that turns [[graft.ops.AnnIndexStore]] into a live system: an
+    * embedding CDC feed drains through `foreachBatch`, and each
+    * micro-batch commits one index epoch via
+    * [[graft.ops.AnnIndexStore.applyDeltaIdempotent]]. The batch id
+    * pins the epoch, which is what makes the sink EXACTLY-ONCE on an
+    * at-least-once delivery: a crash-replayed batch finds its epoch
+    * already flipped and no-ops ([[graft.AnnIndexStoreSpec]] proves
+    * the replay and the gap-detection paths; the spec also restarts
+    * the drained stream against its checkpoint and asserts zero new
+    * epochs).
+    *
+    * Setup: epoch 0 is built from the EARLY candidates (`vec_id % 4
+    * == 0`) with the quantizer trained on the full corpus (the
+    * production pattern — quantizers are fit on a representative
+    * sample, then the index fills by streaming); three micro-batches
+    * insert the remaining thirds. The registered witness serves top-5
+    * from the final index under the same recall oracle as every
+    * `s_ann_*` twin — so the driver hash-checks that an index
+    * assembled INCREMENTALLY BY A STREAM searches as well as one
+    * built in a batch.
+    *
+    * 100 TB notes: per-batch work is the applyDelta contract (narrow
+    * assignment of the batch, affected-cells-only merge, one manifest
+    * flip); nothing in the loop scans the index or the corpus. State
+    * stores: none — the index IS the state, versioned on disk. */
+  val st_ann_ingest: Q = (s, d) => {
+    val e = graft.ops.Tables.embeddings(s, d)
+    val dir = runAnnIngest(s, d)
+    graft.ops.SimilarityOps.recallWitness(
+      graft.ops.SimilarityOps.bruteForceTopK(
+        graft.ops.SimilarityOps.querySide(e),
+        graft.ops.SimilarityOps.candSide(e), k = 5),
+      graft.ops.AnnIndexStore.topK(s, dir, graft.ops.AnnIndexStore.open(dir),
+        graft.ops.SimilarityOps.querySide(e), k = 5, nprobe = 5))
+  }
+
+  private val annIngestIndexDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** Build epoch 0 and drain the insert stream into the index once
+    * per (session, fixture); returns the index dir. `ckptOverride` /
+    * `indexOverride` let the spec run an un-memoized copy and restart
+    * it against the same checkpoint. */
+  private[graft] def runAnnIngest(s: SparkSession, d: String,
+                                  indexOverride: Option[String] = None,
+                                  ckptOverride: Option[String] = None,
+                                  onBatch: Long => Unit = _ => ()): String = {
+    def run(indexDir: String, ckptDir: String): String = {
+      val ss = streamSession(s)
+      val src = annIngestLayout(ss, d)
+      val e = graft.ops.Tables.embeddings(ss, d)
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(indexDir, "_manifest.json"))) {
+        graft.ops.AnnIndexStore.build(e, indexDir,
+          index = Some(e.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0)))
+        ()
+      }
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          onBatch(id)
+          graft.ops.AnnIndexStore.applyDeltaIdempotent(
+            batch.sparkSession, indexDir, batch, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      indexDir
+    }
+    (indexOverride, ckptOverride) match {
+      case (Some(idx), Some(ck)) => run(idx, ck)
+      case _ =>
+        perSession(annIngestIndexDirs, s).getOrElseUpdate(d, {
+          val idx = s"${System.getProperty("java.io.tmpdir")}/graft_anningidx_" +
+            graft.ops.Tables.layoutTag(d)
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_anningckpt_" +
+            graft.ops.Tables.layoutTag(d)
+          exitDeleteDirs.add(idx)
+          exitDeleteDirs.add(ck)
+          run(idx, ck)
+        })
+    }
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "st_ann_ingest" -> st_ann_ingest,
     "st_scd_join" -> st_scd_join,
     "st_tumbling" -> st_tumbling,
     "st_sliding" -> st_sliding,
@@ -1180,6 +1301,9 @@ object StreamingOps {
       |ORDER BY window_start, event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // a stream-assembled index must search as well as a batch-built
+    // one: same independently-rebuilt exact top-5, same recall floor
+    "st_ann_ingest" -> graft.ops.SimilarityOps.recallWitnessSql,
     // full replay of the changing-dim resolution: batch = event_id %
     // ScdBatches, version per (batch, user) = the CASE mirror of
     // scdDimVersion's coverage rules, tier = (user_id + version) % 4

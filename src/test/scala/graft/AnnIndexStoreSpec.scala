@@ -246,6 +246,62 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     } finally deleteDir(dir2)
   }
 
+  test("applyDeltaIdempotent: a replayed batch no-ops, a batch gap fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idem_").toString
+    try {
+      AnnIndexStore.build(e0, dir,
+        index = Some(e0.filter(col("vec_id") >= 8 && col("vec_id") % 2 === 0)))
+      val delta = e0.filter(col("vec_id") >= 8 && col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"), lit("insert").as("op"),
+          lit(null).cast(e0.schema("embedding").dataType).as("old_embedding"))
+      val m1 = AnnIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 0L)
+      assert(m1.epoch == 1L)
+      val before = postingKey(AnnIndexStore.postings(spark, dir, m1))
+      // the at-least-once REPLAY: same batch id again — must not
+      // double-apply (a blind applyDelta would duplicate every insert)
+      val m1b = AnnIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 0L)
+      assert(m1b.epoch == 1L, "replayed batch must not advance the epoch")
+      assert(postingKey(AnnIndexStore.postings(spark, dir,
+        AnnIndexStore.open(dir))) == before,
+        "replayed batch must leave the postings byte-identical")
+      // a GAP (skipped batch) must fail pointedly, never index around a hole
+      val err = intercept[RuntimeException](
+        AnnIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 5L))
+      assert(err.getMessage.contains("gap"), err.getMessage)
+    } finally deleteDir(dir)
+  }
+
+  test("streaming ingest: one epoch per micro-batch, restart fires zero batches") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_anning_idx_").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_anning_ck_").toString
+    try {
+      var batches = List.empty[Long]
+      streaming.StreamingOps.runAnnIngest(spark, sf,
+        indexOverride = Some(idx), ckptOverride = Some(ck),
+        onBatch = id => batches ::= id)
+      assert(batches.sorted == (0L until streaming.StreamingOps.AnnIngestBatches),
+        s"expected one micro-batch per delta file, got $batches")
+      val m = AnnIndexStore.open(idx)
+      assert(m.epoch == streaming.StreamingOps.AnnIngestBatches.toLong,
+        "each micro-batch must commit exactly one index epoch")
+      // the index holds EVERY candidate exactly CandAssign times
+      val ids = AnnIndexStore.postings(spark, idx, m)
+        .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      val want = e0.filter(col("vec_id") >= 8).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == want, "stream-assembled index must cover all candidates")
+      // RESTART against the drained checkpoint: the offset log says
+      // everything is processed — zero batches fire, epoch unchanged
+      var restart = 0
+      streaming.StreamingOps.runAnnIngest(spark, sf,
+        indexOverride = Some(idx), ckptOverride = Some(ck),
+        onBatch = _ => restart += 1)
+      assert(restart == 0, "restart of a drained stream must fire no batches")
+      assert(AnnIndexStore.open(idx).epoch ==
+        streaming.StreamingOps.AnnIngestBatches.toLong)
+    } finally { deleteDir(idx); deleteDir(ck) }
+  }
+
   test("served recall meets the same witness floor as the in-session IVF path") {
     val r = SimilarityOps.s_ann_persisted(spark, sf).head
     assert(r.getLong(0) > 0)

@@ -39,6 +39,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "s_ann_persisted",  // bound witness (same brute-force exact side)
     "s_ann_pq_persisted", // bound witness (same brute-force exact side)
     "s_ann_rebalance",  // bound witness (same brute-force exact side)
+    "st_ann_ingest",    // bound witness (same brute-force exact side)
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits
     "p_embed_decon")    // broadcast benchmark-probe cosine scan
 
