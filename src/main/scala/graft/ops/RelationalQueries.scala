@@ -1960,6 +1960,37 @@ object RelationalQueries {
 
   val q_sql_idle_customers: Q = sqlQ("customer", "orders")(tplIdleCustomers)
 
+  /** TPC-H Q17 (small-quantity-order revenue): revenue from lines
+    * whose quantity is below 20% of the per-part average — the one
+    * classic shape that correlates an aggregate subquery against the
+    * SAME fact table being scanned. The fixture has no p_container,
+    * so brand + size stand in for the brand + container filter. The
+    * 0.2·avg threshold is cross-multiplied into exact integers
+    * (qty < sum/(5n) ⇔ 5·qty·n < sum), so the boundary can never
+    * flip on float rounding; that needs both SUM and COUNT, hence
+    * two correlated scalar subqueries — Catalyst decorrelates each
+    * into an aggregate joined on the correlation key, so lineitem is
+    * scanned a bounded number of times (plan-asserted ≤3 in the
+    * spec), never once per outer row. Scale shape: the decorrelated
+    * per-part aggregate shuffles lineitem once on l_partkey; part is
+    * a broadcast dim; output is one row. Q17's classic
+    * `sum(price)/7.0` becomes integer division by 7 on exact cents. */
+  private def tplSmallQtyRevenue(v: String => String): String =
+    s"""SELECT COUNT(1) AS n, CAST(SUM(price_cents) AS BIGINT) AS rev_cents,
+       |  CAST(FLOOR(CAST(SUM(price_cents) AS BIGINT) / 7) AS BIGINT) AS avg_yearly_e2
+       |FROM (SELECT CAST(ROUND(l.l_extendedprice*100) AS BIGINT) AS price_cents
+       |      FROM ${v("lineitem")} l, ${v("part")}
+       |      WHERE p_partkey = l.l_partkey
+       |        AND p_brand IN ('Brand#1', 'Brand#2') AND p_size <= 25
+       |        AND 5 * CAST(ROUND(l.l_quantity*100) AS BIGINT) *
+       |            (SELECT COUNT(*) FROM ${v("lineitem")} l2
+       |             WHERE l2.l_partkey = p_partkey)
+       |          < (SELECT CAST(SUM(CAST(ROUND(l2.l_quantity*100) AS BIGINT)) AS BIGINT)
+       |             FROM ${v("lineitem")} l2
+       |             WHERE l2.l_partkey = p_partkey)) t""".stripMargin
+
+  val q_sql_small_qty_revenue: Q = sqlQ("lineitem", "part")(tplSmallQtyRevenue)
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2036,6 +2067,7 @@ object RelationalQueries {
     "q_sql_disjunctive_scan" -> q_sql_disjunctive_scan,
     "q_sql_excess_suppliers" -> q_sql_excess_suppliers,
     "q_sql_idle_customers" -> q_sql_idle_customers,
+    "q_sql_small_qty_revenue" -> q_sql_small_qty_revenue,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2052,6 +2084,7 @@ object RelationalQueries {
     "q_sql_disjunctive_scan" -> tplDisjunctiveScan(asIs),
     "q_sql_excess_suppliers" -> tplExcessSuppliers(asIs),
     "q_sql_idle_customers" -> tplIdleCustomers(asIs),
+    "q_sql_small_qty_revenue" -> tplSmallQtyRevenue(asIs),
     // Q15 arg-max over the revenue view, exact-integer revenue
     // (cents × (100 − disc%)) so the MAX equality never float-drifts
     "q_sql_revenue_view" ->

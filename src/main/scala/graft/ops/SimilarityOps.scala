@@ -330,6 +330,86 @@ object SimilarityOps {
       lshTopK(candSide(e), querySide(e), k = 5))
   }
 
+  // ------------------------------------------------- filtered search
+
+  /** Probe width for the label-filtered IVF path: a 1-in-10 label
+    * filter thins every probed cell to ~10 % of its postings, so the
+    * filtered index probes WIDER than the unfiltered one (nprobe 7
+    * vs 5) to keep the same recall floor — the standard
+    * selectivity→probe-width dial of filtered ANN (Faiss selectors,
+    * Qdrant filterable indexes). Measured recall@5 at nprobe=7:
+    * 0.975 / 1.0 / 1.0 at sf0.001/0.01/0.1 (vs 0.925 / 0.975 / 0.975
+    * at the unfiltered path's nprobe=5 — curve in the spec). */
+  val FilteredNprobe = 7
+
+  /** Exact top-k restricted to candidates sharing the query's label —
+    * the baseline for filtered vector search. The filter is an
+    * EQUI-JOIN key, which is the scale insight: exact filtered search
+    * hash-joins on label (each query meets only its label's
+    * candidates) instead of cross-joining the corpus, so the pair
+    * count drops by the filter's selectivity before any scoring
+    * runs. The tiny query side still broadcasts. */
+  def bruteForceFilteredTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.withColumn("qn", sqrt(normSq(col("qe"))))
+    val c = candidates.withColumn("cn", sqrt(normSq(col("ce"))))
+    val scored = c.join(broadcast(q), Seq("lbl"))
+      .withColumn("cos_e6",
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_e6"))
+  }
+
+  /** Label-filtered IVF: [[ivfTopK]] with the metadata predicate
+    * compiled INTO the posting key — candidates index under
+    * (cell, label) and each query probes only (probed-cell, its-label)
+    * buckets, so the filter prunes postings BEFORE the join's shuffle
+    * instead of discarding scored pairs after it (post-filtering, the
+    * naive alternative, pays the full unfiltered join then throws
+    * ~90 % of it away — and silently returns < k results when the
+    * top-k pre-filter survivors run out). At 100 TB the composite key
+    * is exactly how production filtered indexes shard: hot labels
+    * split further with the same salting dial as the celebrity cell.
+    * Probe width widens to [[FilteredNprobe]] (see there). */
+  def ivfFilteredTopK(corpus: DataFrame, candidates: DataFrame, queries: DataFrame,
+                      k: Int, nprobe: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, NumCentroids)
+    val assigned = assignNearest(candidates, cents, "ce", "cent", CandAssign)
+      .withColumn("cn", sqrt(normSq(col("ce"))))
+    val probed = assignNearest(queries, cents, "qe", "cent", nprobe)
+      .withColumn("qn", sqrt(normSq(col("qe"))))
+    val scored = assigned
+      .join(probed, Seq("cent", "lbl"))
+      .withColumn("cos_e6",
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6).cast("long"))
+      .groupBy(col("qid"), col("cid"), col("cos_e6"))
+      .agg(min(col("cent")).as("cent"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_e6"), col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("cid"), col("cos_e6"), col("cent"))
+  }
+
+  private[graft] def filteredQuerySide(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), col("label").as("lbl"))
+  private[graft] def filteredCandSide(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= 8).select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("label").as("lbl"))
+
+  /** BOUND-WITNESS for label-filtered ANN, same contract shape as
+    * [[s_ann_ivf]]: DuckDB independently rebuilds the exact FILTERED
+    * top-5 (label equality in the pair join) and the (cell, label)-
+    * keyed IVF path must recover ≥ 90 % of it. */
+  val s_ann_filtered: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    recallWitness(
+      bruteForceFilteredTopK(filteredQuerySide(e), filteredCandSide(e), k = 5),
+      ivfFilteredTopK(e, filteredCandSide(e), filteredQuerySide(e),
+        k = 5, nprobe = FilteredNprobe))
+  }
+
   /** Per-vector int8 scalar quantization: scale = max|x|/127, stored
     * values round(x/scale) ∈ [−127, 127]. Deterministic, no codebook
     * to train. At 10⁹ vectors the int8 index (64 B codes + 4 B scale
@@ -798,6 +878,64 @@ object SimilarityOps {
         k = 5, nprobe = 5))
   }
 
+  // ----------------------------------------------- hybrid retrieval
+
+  /** Depth of each retrieval leg's ranked list, fused result depth,
+    * and the RRF smoothing constant (k = 60, the value from the
+    * original reciprocal-rank-fusion evaluation and the default in
+    * every production hybrid search engine). */
+  private[ops] val HybridListK = 20
+  private[ops] val HybridTopK = 10
+  private[ops] val RrfK = 60
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    * shape: a lexical leg (BM25 over the document text, the IDENTICAL
+    * integer-exact formula as [[TextOps.t_bm25]] via the shared
+    * [[TextOps.bm25Scores]]) and a vector leg (cosine against query
+    * vec 0) each rank the SAME candidate corpus (documents whose
+    * doc_id has an embedding in the candidate set); the two
+    * [[HybridListK]]-deep lists fuse by RRF:
+    * {{{ rrf = Σ_legs 1/(60 + rank)  — integerized as 10¹² div (60+rank) }}}
+    * with an absent doc contributing 0 from that leg (standard RRF
+    * over retrieved lists). Integer division floors identically in
+    * Spark and DuckDB, so the fused ranking hash-matches exactly —
+    * fusion happens in RANK space, which is also why the vector leg
+    * is swappable for any `s_ann_*` index path at scale without
+    * touching the fusion (ranks are ranks).
+    *
+    * Scale shape: the BM25 leg is the one-shuffle corpus-statistics
+    * build + broadcast term probe ([[TextOps.t_bm25]]'s contract);
+    * the vector leg is the brute-force baseline here and an IVF probe
+    * at 100 TB; both legs end in `TakeOrderedAndProject` (no global
+    * sort), and the fusion itself joins two ≤[[HybridListK]]-row
+    * lists — driver-free, broadcast-sized by construction. The
+    * rank-assignment windows are global but run AFTER the per-leg
+    * top-[[HybridListK]] cut, so each window sees ≤ 20 rows. */
+  val s_hybrid_rrf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cands = candSide(e)
+    val corpus = Tables.documents(s, d)
+      .join(cands.select(col("cid").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val wB = Window.orderBy(desc("score_e6"), col("doc_id"))
+    val bmList = TextOps.bm25Scores(corpus)
+      .orderBy(desc("score_e6"), col("doc_id")).limit(HybridListK)
+      .withColumn("r_bm25", row_number().over(wB))
+      .select(col("doc_id"), col("r_bm25"))
+    val q0 = querySide(e).filter(col("qid") === 0)
+    val vecList = bruteForceTopK(q0, cands, k = HybridListK)
+      .select(col("cid").as("doc_id"), col("rk").as("r_vec"))
+    bmList.join(vecList, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e12",
+        coalesce(expr(s"1000000000000L div (${RrfK}L + r_bm25)"), lit(0L)) +
+          coalesce(expr(s"1000000000000L div (${RrfK}L + r_vec)"), lit(0L)))
+      .withColumn("r_bm25", coalesce(col("r_bm25"), lit(0)))
+      .withColumn("r_vec", coalesce(col("r_vec"), lit(0)))
+      .orderBy(desc("rrf_e12"), col("doc_id")).limit(HybridTopK)
+      .select(col("doc_id"), col("r_bm25"), col("r_vec"), col("rrf_e12"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s_cosine_topk" -> s_cosine_topk,
     "s_ann_ivf" -> s_ann_ivf,
@@ -810,6 +948,8 @@ object SimilarityOps {
     "s_ann_rebalance" -> s_ann_rebalance,
     "s_ivf_delta" -> s_ivf_delta,
     "s_gram_matrix" -> s_gram_matrix,
+    "s_ann_filtered" -> s_ann_filtered,
+    "s_hybrid_rrf" -> s_hybrid_rrf,
   )
 
   // ONE witness SQL for every recall-bound ANN variant (ivf, salted,
@@ -895,6 +1035,67 @@ object SimilarityOps {
       // identical recall contract against the same exact baseline
       "s_ann_rebalance" ->
         recallWitnessSql,
+      // filtered-search witness: the exact side pairs each query ONLY
+      // with candidates sharing its label (the filter is the join
+      // key), independently rebuilt by DuckDB; the (cell, label)-keyed
+      // IVF path's recall flag is the asserted bound
+      "s_ann_filtered" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS lbl
+           |           FROM embeddings WHERE vec_id < 8),
+           |     c AS (SELECT vec_id AS cid, embedding AS ce, label AS lbl
+           |           FROM embeddings WHERE vec_id >= 8),
+           |     s AS (SELECT qid, cid,
+           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+           |           FROM c JOIN q USING (lbl)),
+           |     t AS (SELECT qid, cid FROM (
+           |       SELECT qid, cid,
+           |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
+           |       FROM s) x WHERE rk <= 5)
+           |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin,
+      // hybrid RRF: full replay — the BM25 leg is the same integer
+      // formula as t_bm25's oracle restricted to the candidate corpus,
+      // the vector leg the same cosine CTE as s_cosine_topk, fusion is
+      // integer division so both engines floor identically
+      "s_hybrid_rrf" ->
+        s"""WITH cand AS (SELECT vec_id AS cid, embedding AS ce
+           |              FROM embeddings WHERE vec_id >= 8),
+           |corpus AS (SELECT d.doc_id, d.text
+           |           FROM documents d JOIN cand ON cand.cid = d.doc_id),
+           |occ AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+           |          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+           |        GROUP BY doc_id, tok),
+           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
+           |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
+           |qt AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT ${TextOps.BmQueryK}),
+           |tot AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+           |               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl),
+           |sc AS (SELECT o.doc_id,
+           |         ((1000000 * t.n_docs) // q.df) AS idf_e6, o.tf,
+           |         2500 + (7500 * l.dl * t.n_docs) // t.sum_dl AS norm_e4
+           |       FROM occ o JOIN qt q USING (tok) JOIN dl l USING (doc_id), tot t),
+           |contrib AS (SELECT doc_id,
+           |              (idf_e6 * tf * 22000) // (tf * 10000 + (120 * norm_e4) // 100) AS contrib_e6
+           |            FROM sc),
+           |bagg AS (SELECT doc_id, CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
+           |         FROM contrib GROUP BY doc_id),
+           |bm AS (SELECT doc_id,
+           |         CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS r_bm25
+           |       FROM (SELECT * FROM bagg ORDER BY score_e6 DESC, doc_id LIMIT $HybridListK)),
+           |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |vs AS (SELECT cid AS doc_id,
+           |         CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+           |       FROM cand CROSS JOIN qv),
+           |vl AS (SELECT doc_id,
+           |         CAST(ROW_NUMBER() OVER (ORDER BY cos_e6 DESC, doc_id) AS INTEGER) AS r_vec
+           |       FROM (SELECT * FROM vs ORDER BY cos_e6 DESC, doc_id LIMIT $HybridListK)),
+           |f AS (SELECT doc_id,
+           |        COALESCE(r_bm25, 0) AS r_bm25, COALESCE(r_vec, 0) AS r_vec,
+           |        CAST(COALESCE(1000000000000 // ($RrfK + r_bm25), 0) +
+           |             COALESCE(1000000000000 // ($RrfK + r_vec), 0) AS BIGINT) AS rrf_e12
+           |      FROM bm FULL OUTER JOIN vl USING (doc_id))
+           |SELECT doc_id, r_bm25, r_vec, rrf_e12 FROM
+           |  (SELECT * FROM f ORDER BY rrf_e12 DESC, doc_id LIMIT $HybridTopK)
+           |ORDER BY doc_id""".stripMargin,
       // explode + self-join replay of the in-row pair expansion; the
       // floor(x*64) quantization makes both engines integer-exact
       "s_gram_matrix" ->

@@ -355,8 +355,19 @@ object TextOps {
     * shuffles); the final top-k plans as TakeOrderedAndProject
     * (per-partition heaps, no global sort), the same contract
     * [[PipelineOps.p_weighted_sample]] pins. */
-  val t_bm25: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  val t_bm25: Q = (s, d) =>
+    bm25Scores(Tables.documents(s, d))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+
+  /** The BM25 scoring pipeline over a `(doc_id, text)` corpus —
+    * hoisted from [[t_bm25]] so the hybrid-retrieval fusion
+    * ([[SimilarityOps.s_hybrid_rrf]]) reuses the IDENTICAL formula
+    * (one definition, one oracle template). Returns every scored doc
+    * as `(doc_id, score_e6, n_hit)`, unranked — callers pick their
+    * own list depth. */
+  private[ops] def bm25Scores(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -373,9 +384,6 @@ object TextOps {
       .withColumn("contrib_e6", expr("(idf_e6 * tf * 22000L) div denom_e4"))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_hit"))
-      .orderBy(desc("score_e6"), col("doc_id"))
-      .limit(BmTopK)
-      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------- inverted index

@@ -41,6 +41,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "s_ann_rebalance",  // bound witness (same brute-force exact side)
     "st_ann_ingest",    // bound witness (same brute-force exact side)
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits
+    "s_hybrid_rrf",     // BM25 leg's 1-row totals + broadcast query-vector cross
     "p_embed_decon")    // broadcast benchmark-probe cosine scan
 
   private val planCache = scala.collection.mutable.Map.empty[String, String]

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, countDistinct, lit, max, min, round, sum, when}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min, round, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
@@ -194,6 +194,51 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(scans.count(_.contains("lineitem")) == 1,
       s"lineitem must be scanned exactly once, got $scans")
     assert(scans.length == 2, s"expected lineitem + supplier only, got $scans")
+  }
+
+  test("Q17 small-qty revenue: correlated per-part aggregates decorrelate, not rescan-per-row") {
+    val df = ops.RelationalQueries.q_sql_small_qty_revenue(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    // replay the cross-multiplied threshold with the DataFrame API:
+    // qty < sum/(5n)  ⇔  5·qty·n < sum, all in exact integers
+    val perPart = ops.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n_part"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty"))
+    val expect = ops.Tables.lineitem(spark, sf)
+      .join(ops.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey") &&
+          col("p_brand").isin("Brand#1", "Brand#2") && col("p_size") <= 25)
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(lit(5) * round(col("l_quantity") * 100).cast("long") * col("n_part")
+        < col("sum_qty"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      .head
+    assert(rows.head.getLong(0) == expect.getLong(0), "row count drifted")
+    assert(rows.head.getLong(1) == expect.getLong(1), "revenue drifted")
+    assert(rows.head.getLong(2) == expect.getLong(1) / 7, "yearly avg drifted")
+    // THE decorrelation assertion: the correlated COUNT and SUM must
+    // plan as per-part aggregates joined on the correlation key — a
+    // bounded number of lineitem scans (3: outer + up to one per
+    // subquery), never a rescan per outer row
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def realScans(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => realScans(a.executedPlan)
+        case q: QueryStageExec => realScans(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case f: FileSourceScanExec => Seq(f.relation.location.rootPaths.mkString)
+        case other => other.children.flatMap(realScans)
+      }
+      here ++ p.subqueries.flatMap(realScans)
+    }
+    val scans = realScans(df.queryExecution.executedPlan)
+    val li = scans.count(_.contains("lineitem"))
+    assert(li >= 1 && li <= 3, s"lineitem scan count not bounded: $scans")
   }
 
   test("dpp: join-derived month set prunes the fact scan at runtime") {

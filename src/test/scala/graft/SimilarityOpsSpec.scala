@@ -326,4 +326,72 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_exact") > 0)
     assert(r.getAs[Boolean]("recall_ge_90"))
   }
+
+  test("filtered ANN: every result honors the label filter; wider probes close the recall gap") {
+    val e = Tables.embeddings(spark, sf)
+    val q = SimilarityOps.filteredQuerySide(e)
+    val c = SimilarityOps.filteredCandSide(e)
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = SimilarityOps.bruteForceFilteredTopK(q, c, 5)
+    // the filter holds on every exact pair…
+    exact.collect().foreach { r =>
+      assert(labels(r.getAs[Long]("qid")) == labels(r.getAs[Long]("cid")),
+        s"exact pair crosses labels: $r")
+    }
+    // …and on every IVF pair
+    val approxWide = SimilarityOps.ivfFilteredTopK(e, c, q, 5, SimilarityOps.FilteredNprobe)
+    approxWide.collect().foreach { r =>
+      assert(labels(r.getAs[Long]("qid")) == labels(r.getAs[Long]("cid")),
+        s"IVF pair crosses labels: $r")
+    }
+    // the filter is non-vacuous: filtered exact differs from unfiltered
+    val unfiltered = SimilarityOps.s_cosine_topk(spark, sf).select(col("qid"), col("cid"))
+    val exactPairs = exact.select(col("qid"), col("cid"))
+    assert(exactPairs.exceptAll(unfiltered).count() > 0,
+      "label filter changed nothing — the witness would be vacuous")
+    // recall monotone in probe width, and >= 0.9 at FilteredNprobe —
+    // the selectivity→probe-width dial the doc comment sells
+    val nExact = exactPairs.count()
+    val recalls = Seq(5, SimilarityOps.FilteredNprobe).map { np =>
+      val hit = SimilarityOps.ivfFilteredTopK(e, c, q, 5, np)
+        .select(col("qid"), col("cid"))
+        .join(exactPairs, Seq("qid", "cid"), "left_semi").count()
+      np -> hit.toDouble / nExact
+    }
+    info(s"filtered recall@5 by nprobe: ${recalls.mkString(", ")}")
+    assert(recalls.last._2 >= recalls.head._2, s"recall not monotone: $recalls")
+    assert(recalls.last._2 >= 0.9, s"filtered recall floor broken: $recalls")
+  }
+
+  test("filtered ANN witness: exact count present and recall flag true") {
+    val r = SimilarityOps.s_ann_filtered(spark, sf).head()
+    assert(r.getAs[Long]("n_exact") > 0)
+    assert(r.getAs[Boolean]("recall_ge_90"))
+  }
+
+  test("hybrid RRF: fused scores recompute from the emitted ranks; both legs contribute") {
+    val rows = SimilarityOps.s_hybrid_rrf(spark, sf).collect()
+    assert(rows.length == 10, s"expected HybridTopK rows, got ${rows.length}")
+    rows.foreach { r =>
+      val (rb, rv) = (r.getAs[Int]("r_bm25"), r.getAs[Int]("r_vec"))
+      assert(rb >= 0 && rb <= 20 && rv >= 0 && rv <= 20, s"rank out of list depth: $r")
+      assert(rb > 0 || rv > 0, s"doc retrieved by neither leg: $r")
+      // rrf_e12 is a pure function of the two ranks (0 = absent leg)
+      val expect = (if (rb > 0) 1000000000000L / (60L + rb) else 0L) +
+        (if (rv > 0) 1000000000000L / (60L + rv) else 0L)
+      assert(r.getAs[Long]("rrf_e12") == expect, s"fused score drifted: $r")
+    }
+    // the fusion is genuinely hybrid: at least one doc from each leg
+    assert(rows.exists(_.getAs[Int]("r_bm25") > 0), "no BM25-leg doc survived fusion")
+    assert(rows.exists(_.getAs[Int]("r_vec") > 0), "no vector-leg doc survived fusion")
+    // RRF's defining property: a doc retrieved by BOTH legs clears the
+    // two-leg floor 2·⌊10¹²/80⌋ (both at worst rank 20), which already
+    // beats the best possible single-leg score ⌊10¹²/61⌋
+    rows.filter(r => r.getAs[Int]("r_bm25") > 0 && r.getAs[Int]("r_vec") > 0)
+      .foreach { r =>
+        assert(r.getAs[Long]("rrf_e12") >= 2L * (1000000000000L / 80L),
+          s"both-legs doc scored below the two-leg floor: $r")
+      }
+  }
 }
