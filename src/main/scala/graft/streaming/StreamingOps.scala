@@ -209,6 +209,34 @@ object StreamingOps {
     drain(dedup, "append").orderBy(col("day"), col("user_id"), col("event_type"))
   }
 
+  /** Streaming trending-items (windowed top-k): tumbling 1-day counts
+    * per event_type under the standard 1 h watermark carry the SCALE
+    * (append mode, state bounded to open windows × types), and the
+    * top-3 per closed window is ranked over the drained sink by a
+    * batch window function. The split is deliberate, not a
+    * workaround: Spark (correctly) rejects a second stateful
+    * aggregation after a windowed one in append mode, and the rank
+    * BELONGS on the read path — the sink table is already
+    * windows × types small (orders of magnitude below the event
+    * volume), so re-ranking it per query costs nothing while keeping
+    * the streaming state machine single-purpose. This is the
+    * pre-aggregate/serve split every production trending pipeline
+    * uses. Ties break on event_type for cross-engine determinism. */
+  val st_window_topk: Q = (s, d) => {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val sink = drain(agg, "append")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start")).orderBy(desc("n"), col("event_type"))
+    sink.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("window_start"), col("rk"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("rk"))
+  }
+
   // --------------------------------------------- late-data accounting
 
   /** Planted-straggler geometry for [[st_late_data]] (mod rules are
@@ -1268,6 +1296,7 @@ object StreamingOps {
     "st_parquet_sink" -> st_parquet_sink,
     "st_compact" -> st_compact,
     "st_late_data" -> st_late_data,
+    "st_window_topk" -> st_window_topk,
   )
 
   private val typeWeightValues =
@@ -1325,6 +1354,23 @@ object StreamingOps {
     "st_parquet_sink" -> tumblingOracle,
     "st_compact" -> tumblingOracle,
     "st_tumbling" -> tumblingOracle,
+    // the same closed-window counts as tumblingOracle, ranked top-3
+    // per window (ties by event_type) — the serving-side rank replayed
+    "st_window_topk" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |agg AS (
+        |  SELECT date_trunc('day', ts) AS window_start,
+        |    date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+        |    event_type, COUNT(1) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |closed AS (
+        |  SELECT window_start, event_type, n
+        |  FROM agg, m WHERE window_end <= mx - INTERVAL 1 HOUR)
+        |SELECT window_start, CAST(rk AS INTEGER) AS rk, event_type, n FROM (
+        |  SELECT window_start, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY n DESC, event_type) AS rk
+        |  FROM closed) t
+        |WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin,
     "st_sliding" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |w AS (

@@ -9,6 +9,38 @@ class StreamingOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("windowed top-k ranks the closed-window counts: contiguous ranks, batch-exact counts") {
+    val rows = StreamingOps.st_window_topk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per window: ranks are 1..min(3, types), no gaps, counts non-increasing
+    rows.groupBy(_.getTimestamp(0)).foreach { case (ws, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length),
+        s"ranks not contiguous in window $ws")
+      assert(byRank.length <= 3, s"more than top-3 emitted in window $ws")
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) >= b.getLong(3), s"counts not ranked in window $ws")
+        case _ =>
+      }
+    }
+    // every emitted count equals the batch windowed count under the
+    // same watermark cutoff (the streaming agg invented nothing)
+    val events = Tables.events(spark, sf)
+    val mx = events.agg(max("ts")).head.getTimestamp(0)
+    val batch = events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"))
+      .filter(col("window_end") <= lit(new java.sql.Timestamp(mx.getTime - 3600 * 1000)))
+      .collect().map(r => (r.getTimestamp(0), r.getString(2)) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      assert(batch((r.getTimestamp(0), r.getString(2))) == r.getLong(3),
+        s"count drifted from batch replay: $r")
+    }
+  }
+
   test("tumbling append emits exactly the watermark-closed windows of the batch answer") {
     val streamed = StreamingOps.st_tumbling(spark, sf)
     val events = Tables.events(spark, sf)
