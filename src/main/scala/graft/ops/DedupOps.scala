@@ -647,8 +647,14 @@ object DedupOps {
     * replays the identical polynomial, cuts, chunking, md5
     * fingerprints, and keeper rule over the same planted corpus, so
     * the hash match certifies the whole pipeline exactly. */
-  val d_dedup_substring: Q = (s, d) => {
-    val chunks = contentChunks(substringCorpus(Tables.documents(s, d)))
+  val d_dedup_substring: Q = (s, d) =>
+    removalSpans(contentChunks(substringCorpus(Tables.documents(s, d))))
+      .orderBy(col("doc_id"), col("span_start"), col("fp16"))
+
+  /** The removal decision of [[d_dedup_substring]], unordered —
+    * hoisted so the scrub operator below applies the IDENTICAL
+    * keeper/df rule (one definition for detect and apply). */
+  private[ops] def removalSpans(chunks: DataFrame): DataFrame = {
     val grp = chunks.groupBy("fp16")
       .agg(min(col("doc_id")).as("keeper"), countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= SubDfCap)
@@ -656,7 +662,53 @@ object DedupOps {
     chunks.join(grp, "fp16")
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("span_start"), col("span_len"), col("fp16"))
-      .orderBy(col("doc_id"), col("span_start"), col("fp16"))
+  }
+
+  /** Span-granular corpus REWRITE — the apply step of substring
+    * dedup, and the shape a production curation pipeline actually
+    * ships (RefinedWeb/FineWeb-style passage dedup): duplicated spans
+    * are EXCISED from each non-keeper document while the document
+    * itself survives, vs [[d_dedup_apply]]'s whole-doc drop. Because
+    * [[contentChunks]] tiles each document, removal spans are
+    * pairwise disjoint by construction, so the rewrite is a single
+    * ordered fold: sort each doc's spans, walk the text once
+    * appending the kept gap before each span, then the tail.
+    *
+    * Scale shape: the span set is the SMALL side (docs with repeated
+    * content × spans each — a fraction of the corpus); it groups to
+    * one array per affected doc and left-joins back, so untouched
+    * documents stream through with a null probe and zero text
+    * movement, and the fold itself is one NARROW codegen'd
+    * `aggregate` HOF per row — no per-segment text replication, no
+    * window over the corpus, no shuffle of the text column beyond
+    * the one equi-join. Output is (lengths, span count, md5₁₆ of the
+    * scrubbed text) — both engines md5 the same UTF-8 bytes, so the
+    * rewrite is certified byte-exact without dumping the corpus. */
+  val d_substring_scrub: Q = (s, d) => {
+    val corpus = substringCorpus(Tables.documents(s, d))
+    val rem = removalSpans(contentChunks(corpus))
+    val spansPerDoc = rem.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_len")))).as("spans"),
+        count(lit(1)).as("n_spans"))
+    val folded = corpus.join(spansPerDoc, Seq("doc_id"), "left")
+      .withColumn("scrubbed",
+        when(col("spans").isNull, col("text")).otherwise(
+          aggregate(
+            col("spans"),
+            struct(lit(1L).as("pos"), lit("").as("acc")),
+            (st, sp) => struct(
+              (sp.getField("span_start") + sp.getField("span_len")).as("pos"),
+              concat(st.getField("acc"),
+                col("text").substr(st.getField("pos").cast("int"),
+                  (sp.getField("span_start") - st.getField("pos")).cast("int"))).as("acc")),
+            st => concat(st.getField("acc"),
+              col("text").substr(st.getField("pos").cast("int"), length(col("text")))))))
+    folded.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_before"),
+      length(col("scrubbed")).cast("long").as("n_after"),
+      coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+      substring(md5(col("scrubbed")), 1, 16).as("scrub16"))
+      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------- embedding near-dup
@@ -819,8 +871,54 @@ object DedupOps {
     "d_dedup_clusters" -> d_dedup_clusters,
     "d_dedup_apply" -> d_dedup_apply,
     "d_dedup_substring" -> d_dedup_substring,
+    "d_substring_scrub" -> d_substring_scrub,
     "d_fuzzy_join" -> d_fuzzy_join,
   )
+
+  /** Shared CTE prefix of the two substring-dedup oracles: exact
+    * replay of the content-defined-chunking pipeline — identical
+    * Karp-Rabin polynomial (proven replay from t_fingerprint), cut
+    * rule, tiling, md5 chunk fingerprints — ending at the `spans` and
+    * `grp` CTEs both consumers select from. ONE definition, so the
+    * detect and apply oracles can never drift apart. */
+  private lazy val substringSpansCte: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $SubPlantOffset, '$SubBoiler' || ' ' || text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |hs AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    list_transform(generate_series(1, length(text) - ${SubK - 1}),
+       |      i -> list_reduce(
+       |             list_prepend(0, list_transform(generate_series(0, ${SubK - 1}),
+       |               j -> ascii(substr(text, i + j, 1)))),
+       |             (acc, x) -> (acc * $SubBase + x) % $SubMod)) AS h
+       |  FROM corpus WHERE length(text) >= $SubK),
+       |cuts AS (
+       |  SELECT doc_id, text, n,
+       |    list_prepend(1, list_filter(
+       |      list_transform(h, (x, i) ->
+       |        CASE WHEN x % $SubChunkDiv = 0 AND i > 1 THEN i ELSE NULL END),
+       |      x -> x IS NOT NULL)) AS cuts
+       |  FROM hs),
+       |chunks AS (
+       |  SELECT doc_id, text, n, cuts, unnest(generate_series(1, len(cuts))) AS i
+       |  FROM cuts),
+       |spans AS (
+       |  SELECT doc_id,
+       |    CAST(cuts[i] AS BIGINT) AS span_start,
+       |    CAST((CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i]
+       |      AS BIGINT) AS span_len,
+       |    substr(md5(substr(text, cuts[i],
+       |      (CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i])),
+       |      1, 16) AS fp16
+       |  FROM chunks
+       |  WHERE (CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i]
+       |        >= $SubMinSpan),
+       |grp AS (
+       |  SELECT fp16, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df
+       |  FROM spans GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d_dedup_exact" ->
@@ -905,47 +1003,47 @@ object DedupOps {
     // Karp-Rabin polynomial (proven replay from t_fingerprint), cut
     // rule, tiling, md5 chunk fingerprints, keeper rule, df cap.
     "d_dedup_substring" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + $SubPlantOffset, '$SubBoiler' || ' ' || text
-         |  FROM documents WHERE doc_id % 7 = 0),
-         |hs AS (
-         |  SELECT doc_id, text, length(text) AS n,
-         |    list_transform(generate_series(1, length(text) - ${SubK - 1}),
-         |      i -> list_reduce(
-         |             list_prepend(0, list_transform(generate_series(0, ${SubK - 1}),
-         |               j -> ascii(substr(text, i + j, 1)))),
-         |             (acc, x) -> (acc * $SubBase + x) % $SubMod)) AS h
-         |  FROM corpus WHERE length(text) >= $SubK),
-         |cuts AS (
-         |  SELECT doc_id, text, n,
-         |    list_prepend(1, list_filter(
-         |      list_transform(h, (x, i) ->
-         |        CASE WHEN x % $SubChunkDiv = 0 AND i > 1 THEN i ELSE NULL END),
-         |      x -> x IS NOT NULL)) AS cuts
-         |  FROM hs),
-         |chunks AS (
-         |  SELECT doc_id, text, n, cuts, unnest(generate_series(1, len(cuts))) AS i
-         |  FROM cuts),
-         |spans AS (
-         |  SELECT doc_id,
-         |    CAST(cuts[i] AS BIGINT) AS span_start,
-         |    CAST((CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i]
-         |      AS BIGINT) AS span_len,
-         |    substr(md5(substr(text, cuts[i],
-         |      (CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i])),
-         |      1, 16) AS fp16
-         |  FROM chunks
-         |  WHERE (CASE WHEN i = len(cuts) THEN n + 1 ELSE cuts[i + 1] END) - cuts[i]
-         |        >= $SubMinSpan),
-         |grp AS (
-         |  SELECT fp16, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df
-         |  FROM spans GROUP BY 1)
+      s"""$substringSpansCte
          |SELECT s.doc_id, s.span_start, s.span_len, s.fp16
          |FROM spans s JOIN grp g ON s.fp16 = g.fp16
          |WHERE s.doc_id <> g.keeper AND g.df BETWEEN 2 AND $SubDfCap
          |ORDER BY s.doc_id, s.span_start, s.fp16""".stripMargin,
+    // the scrub replays the SAME span decision (shared CTE prefix),
+    // then rebuilds each doc: LAG over its sorted spans yields the
+    // kept gap before each span, a grouped MAX the tail, and an
+    // ordered string_agg reassembles the text — md5 certifies the
+    // rewrite byte-exactly against the Spark-side fold
+    "d_substring_scrub" ->
+      s"""$substringSpansCte,
+         |rem AS (
+         |  SELECT s.doc_id, s.span_start, s.span_len
+         |  FROM spans s JOIN grp g ON s.fp16 = g.fp16
+         |  WHERE s.doc_id <> g.keeper AND g.df BETWEEN 2 AND $SubDfCap),
+         |seg0 AS (
+         |  SELECT doc_id, span_start,
+         |    COALESCE(LAG(span_start + span_len)
+         |      OVER (PARTITION BY doc_id ORDER BY span_start), 1) AS seg_start
+         |  FROM rem),
+         |mids AS (SELECT doc_id, seg_start, span_start - seg_start AS seg_len FROM seg0),
+         |tails AS (SELECT doc_id, MAX(span_start + span_len) AS seg_start,
+         |            CAST(NULL AS BIGINT) AS seg_len
+         |          FROM rem GROUP BY doc_id),
+         |segs AS (SELECT * FROM mids UNION ALL SELECT * FROM tails),
+         |scr AS (
+         |  SELECT s.doc_id,
+         |    string_agg(substr(c.text, CAST(s.seg_start AS INT),
+         |      CAST(COALESCE(s.seg_len, length(c.text)) AS INT)), '' ORDER BY s.seg_start)
+         |      AS scrubbed
+         |  FROM segs s JOIN corpus c USING (doc_id) GROUP BY s.doc_id),
+         |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM rem GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_before,
+         |  CAST(length(COALESCE(scr.scrubbed, c.text)) AS BIGINT) AS n_after,
+         |  COALESCE(ns.n_spans, 0) AS n_spans,
+         |  substr(md5(COALESCE(scr.scrubbed, c.text)), 1, 16) AS scrub16
+         |FROM corpus c
+         |LEFT JOIN scr ON c.doc_id = scr.doc_id
+         |LEFT JOIN ns ON c.doc_id = ns.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "d_dedup_embedding" -> {
       val cos = oracleCosineSql("a.embedding", "b.embedding", SimilarityOps.Dim)
       s"""WITH corpus AS (

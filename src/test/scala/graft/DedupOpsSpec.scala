@@ -259,6 +259,36 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!withBoilerRemoval.contains(plantedIds.min))
   }
 
+  test("substring scrub: char accounting exact, untouched docs byte-identical, keepers keep") {
+    val corpus = DedupOps.substringCorpus(Tables.documents(spark, sf))
+    val rows = DedupOps.d_substring_scrub(spark, sf).collect()
+    assert(rows.length == corpus.count())
+    // per-doc char accounting: n_after = n_before − Σ removed span_len
+    val removedChars = DedupOps.d_dedup_substring(spark, sf)
+      .groupBy("doc_id").agg(sum("span_len").as("rm"), count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (rm, k) = removedChars.getOrElse(r.getLong(0), (0L, 0L))
+      assert(r.getLong(2) == r.getLong(1) - rm,
+        s"char accounting broken for doc ${r.getLong(0)}: $r (removed $rm)")
+      assert(r.getLong(3) == k, s"span count drifted for doc ${r.getLong(0)}")
+    }
+    // docs with no removals pass through byte-identically (md5 match
+    // against the original text) — the left-join fast path is a no-op
+    val origMd5 = corpus
+      .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = rows.filter(_.getLong(3) == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      assert(r.getString(4) == origMd5(r.getLong(0)),
+        s"untouched doc ${r.getLong(0)} was rewritten")
+    }
+    // a planted non-keeper doc genuinely shrank
+    assert(rows.exists(r => r.getLong(3) > 0 && r.getLong(2) < r.getLong(1)),
+      "no doc was actually scrubbed — the witness is vacuous")
+  }
+
   test("substring dedup volume witness: chunk and removal counts stay linear in the corpus") {
     val corpus = DedupOps.substringCorpus(Tables.documents(spark, sf))
     val nDocs = corpus.count()
