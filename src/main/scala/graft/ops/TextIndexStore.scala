@@ -1,0 +1,346 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable, versioned INVERTED text index — the lexical twin of
+  * [[AnnIndexStore]], completing the hybrid-retrieval production story
+  * ([[SimilarityOps.s_hybrid_rrf]]): with both stores on disk, BOTH
+  * legs of a hybrid search serve from persisted artifacts with zero
+  * corpus jobs at query time.
+  *
+  * A BM25 index is three corpus artifacts: posting lists (term →
+  * (doc, tf)), vocabulary statistics (term → df), and the global
+  * scalars (N, Σdl). Recomputing any of them per session is a
+  * corpus-sized job at 100 TB; this store computes them once and
+  * serves every later session from the persisted bytes, under the same
+  * atomic-manifest-flip commit discipline as the ANN index and the
+  * streaming upsert table:
+  *
+  * {{{
+  *   dir/
+  *     _manifest.json       current-epoch pointer (atomic replace)
+  *     _manifest-eN.json    immutable snapshot: {epoch, nDocs, sumDl,
+  *                          buckets: {K -> "bK/eM"}, stats: "stats/eM",
+  *                          docs: ["docs/e0", ...]}   (time travel)
+  *     bK/eM/  (parquet)    token-bucket K's postings as of epoch M:
+  *                          (tok, doc_id, tf, dl)
+  *     stats/eM/ (parquet)  vocabulary stats as of epoch M: (tok, df)
+  *     docs/eM/  (parquet)  the doc registry SEGMENT appended by epoch
+  *                          M: (doc_id, dl) — append-only, read only by
+  *                          maintenance (delta disjointness check)
+  * }}}
+  *
+  *   - Postings are DENORMALIZED with the document length (`dl`) —
+  *     the Lucene norm-in-posting design — so serving never joins a
+  *     corpus-sized doc-length table: a query reads the vocab-sized
+  *     stats table plus ONLY the [[NumBuckets]]-hashed posting buckets
+  *     its terms live in (explicit manifest paths, never listing).
+  *   - The global scalars (nDocs, sumDl) ride in the manifest and
+  *     enter the scoring plan as literals — the idf/norm denominators
+  *     cost zero jobs.
+  *   - [[applyDelta]] is APPEND-ONLY maintenance (the standard search
+  *     segment model; document updates need tombstones — out of
+  *     scope, and stated rather than half-supported): new docs' tf/df
+  *     merge into only the affected buckets, stats rewrite (vocab-
+  *     sized), the registry gains one segment, scalars bump, one flip.
+  *     Serving after a delta is provably identical to a fresh build
+  *     over the unioned corpus — [[TextOps.t_bm25_delta]] hash-checks
+  *     exactly that against DuckDB's from-scratch replay.
+  *   - Retention GC + [[withSnapshot]] leases mirror the other two
+  *     stores via [[graft.EpochGuard]]; [[openAt]] time-travels (an
+  *     old epoch serves its old scores bit-identically, because its
+  *     manifest pins its own stats, buckets, and scalars).
+  */
+object TextIndexStore {
+  import graft.Fs.deleteRecursively
+
+  /** Token-hash posting buckets. 16 at fixture scale; the production
+    * dial is thousands (a bucket is the unit of posting-merge work
+    * and of serve-time read amplification). */
+  val NumBuckets = 16
+
+  /** Committed epochs kept readable as snapshots. */
+  val RetainEpochs = 3
+
+  /** Bumps ONLY when [[build]] runs a corpus job — the spec's
+    * zero-recompute proof reads it around a second-session serve. */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong
+
+  case class TextManifest(epoch: Long, nDocs: Long, sumDl: Long,
+                          buckets: Map[Int, String], stats: String,
+                          docs: Seq[String])
+
+  // ------------------------------------------------------ manifest io
+
+  private def manifestPath(dir: String) = java.nio.file.Paths.get(dir, "_manifest.json")
+  private def versionedPath(dir: String, e: Long) =
+    java.nio.file.Paths.get(dir, s"_manifest-e$e.json")
+
+  private def renderManifest(m: TextManifest): String = {
+    val buckets = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
+    val docs = m.docs.map(d => s""""$d"""").mkString("[", ",", "]")
+    s"""{"epoch":${m.epoch},"nDocs":${m.nDocs},"sumDl":${m.sumDl},""" +
+      s""""buckets":$buckets,"stats":"${m.stats}","docs":$docs}"""
+  }
+
+  private def parseManifest(p: java.nio.file.Path): TextManifest = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+    def num(f: String): Long = (j \ f) match {
+      case JInt(n) => n.toLong; case o => sys.error(s"bad $f $o") }
+    val buckets = (j \ "buckets") match {
+      case JObject(fs) => fs.map { case (k, JString(v)) => k.toInt -> v
+                                   case o => sys.error(s"bad bucket entry $o") }.toMap
+      case o => sys.error(s"bad buckets $o")
+    }
+    val stats = (j \ "stats") match {
+      case JString(v) => v; case o => sys.error(s"bad stats $o") }
+    val docs = (j \ "docs") match {
+      case JArray(ds) => ds.map { case JString(v) => v
+                                  case o => sys.error(s"bad docs entry $o") }
+      case o => sys.error(s"bad docs $o")
+    }
+    TextManifest(num("epoch"), num("nDocs"), num("sumDl"), buckets, stats, docs)
+  }
+
+  private def commitManifest(dir: String, m: TextManifest): Unit = {
+    val json = renderManifest(m)
+    def atomicWrite(dest: java.nio.file.Path): Unit = {
+      val tmp = dest.resolveSibling("." + dest.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, json)
+      java.nio.file.Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    atomicWrite(versionedPath(dir, m.epoch))
+    atomicWrite(manifestPath(dir))
+  }
+
+  def open(dir: String): TextManifest = {
+    val p = manifestPath(dir)
+    require(java.nio.file.Files.exists(p), s"no text index at $dir")
+    parseManifest(p)
+  }
+
+  /** Snapshot manifest — the index AS OF a retained epoch (same
+    * resolve/read caveat as [[AnnIndexStore.openAt]]; pin with
+    * [[withSnapshot]] under concurrent maintenance). */
+  def openAt(dir: String, epoch: Long): TextManifest = {
+    val p = versionedPath(dir, epoch)
+    require(java.nio.file.Files.exists(p),
+      s"epoch $epoch is not retained (have: ${listEpochs(dir).mkString(",")})")
+    parseManifest(p)
+  }
+
+  def withSnapshot[A](dir: String, epoch: Long)(body: TextManifest => A): A =
+    graft.EpochGuard.withLease(java.nio.file.Paths.get(dir), epoch,
+      java.nio.file.Files.exists(versionedPath(dir, epoch)), dir) {
+      body(parseManifest(versionedPath(dir, epoch)))
+    }
+
+  def listEpochs(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
+      .collect { case n if n.startsWith("_manifest-e") && n.endsWith(".json") =>
+        n.stripPrefix("_manifest-e").stripSuffix(".json").toLong }
+      .sorted
+
+  // ----------------------------------------------------------- build
+
+  /** (doc_id, tok, tf, dl, bucket) postings of a corpus slice — tf/dl
+    * from one occurrence shuffle, bucket as a narrow hash. */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    occ.join(dl, "doc_id")
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NumBuckets.toLong)).cast("int"))
+  }
+
+  /** Stage posting rows partitioned by bucket, publish each staged
+    * bucket via rename into `bK/e<epoch>` — the [[AnnIndexStore]]
+    * publish pattern (bucket list from the stage listing: the write is
+    * the only corpus job). */
+  private def publishBuckets(rows: DataFrame, dir: String, epoch: Long): Seq[Int] = {
+    val stage = java.nio.file.Paths.get(dir, s".stage-e$epoch")
+    deleteRecursively(stage.toFile)
+    rows.withColumn("pbucket", col("bucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(stage.toString)
+    val staged = Option(stage.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("pbucket="))
+      .map(_.getName.stripPrefix("pbucket=").toInt).sorted
+    staged.foreach { b =>
+      val src = stage.resolve(s"pbucket=$b")
+      val dst = java.nio.file.Paths.get(dir, s"b$b", s"e$epoch")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      deleteRecursively(dst.toFile)
+      java.nio.file.Files.move(src, dst)
+    }
+    deleteRecursively(stage.toFile)
+    staged
+  }
+
+  private def writeComponent(df: DataFrame, dir: String, rel: String): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$rel")
+
+  /** Build epoch 0 from `docs` (doc_id, text): postings + stats + doc
+    * registry + scalars, one manifest flip. The only corpus-scanning
+    * jobs of the index's life happen here and in [[applyDelta]]'s
+    * batch-proportional merges. */
+  def build(docs: DataFrame, dir: String): TextManifest = {
+    buildCount.incrementAndGet()
+    val rows = postingsOf(docs).cache()
+    try {
+      val published = publishBuckets(
+        rows.select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("bucket")),
+        dir, 0L)
+      val stats = rows.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+      writeComponent(stats, dir, "stats/e0")
+      val reg = rows.select(col("doc_id"), col("dl")).groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"))
+      writeComponent(reg, dir, "docs/e0")
+      val scalars = rows.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head
+      val m = TextManifest(0L, scalars.getLong(0), scalars.getLong(1),
+        published.map(b => b -> s"b$b/e0").toMap, "stats/e0", Seq("docs/e0"))
+      commitManifest(dir, m)
+      m
+    } finally { rows.unpersist(); () }
+  }
+
+  // ----------------------------------------------------------- serve
+
+  /** The [[TextOps.BmQueryK]] highest-df query terms under a manifest
+    * (df desc, tok — the same derivation [[TextOps.t_bm25]] uses),
+    * read from the persisted vocab stats: (tok, df, bucket). */
+  private def queryTerms(s: SparkSession, dir: String, m: TextManifest): Seq[(String, Long, Int)] =
+    s.read.parquet(s"$dir/${m.stats}")
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NumBuckets.toLong)).cast("int"))
+      .orderBy(desc("df"), col("tok")).limit(TextOps.BmQueryK)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+
+  /** Serve BM25 from the persisted index: vocab stats pick the query
+    * terms, ONLY their posting buckets are read (manifest paths; the
+    * in-bucket `tok IN (...)` filter pushes into the parquet scan),
+    * df/N/Σdl come from stats + manifest literals, and the scoring is
+    * the IDENTICAL integer-exact formula as [[TextOps.bm25Scores]] —
+    * so the served result hash-matches [[TextOps.t_bm25]]'s oracle
+    * with ZERO corpus jobs ([[TextOps.t_bm25_served]]). Returns every
+    * scored doc as (doc_id, score_e6, n_hit), unranked — the same
+    * contract as [[TextOps.bm25Scores]]. */
+  def bm25Scores(s: SparkSession, dir: String, m: TextManifest): DataFrame = {
+    val terms = queryTerms(s, dir, m)
+    val termRows = terms.map { case (t, df, _) => (t, df) }
+    val termDf = s.createDataFrame(termRows).toDF("tok", "df")
+    val bucketPaths = terms.map(_._3).distinct.sorted
+      .flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+    val hits = s.read.parquet(bucketPaths: _*)
+      .filter(col("tok").isin(terms.map(_._1): _*))
+      .join(broadcast(termDf), "tok")
+    hits
+      .withColumn("idf_e6", expr(s"(1000000L * ${m.nDocs}L) div df"))
+      .withColumn("norm_e4", expr(s"2500L + (7500L * dl * ${m.nDocs}L) div ${m.sumDl}L"))
+      .withColumn("denom_e4", expr("tf * 10000L + (120L * norm_e4) div 100"))
+      .withColumn("contrib_e6", expr("(idf_e6 * tf * 22000L) div denom_e4"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_hit"))
+  }
+
+  // ----------------------------------------------- incremental delta
+
+  /** Outcome of one append commit, with the diagnostics the spec
+    * asserts on (affected buckets; paths the merge read). */
+  case class DeltaCommit(manifest: TextManifest, affected: Seq[Int],
+                         readPaths: Seq[String])
+
+  /** Append `newDocs` (doc_id, text) to the live index. APPEND-ONLY by
+    * contract: a doc_id already in the registry fails loudly (document
+    * updates need tombstoned segments — stated, not half-supported).
+    * Work is batch-proportional for the postings (only the buckets the
+    * batch's tokens hash into are read and merged) plus a vocab-sized
+    * stats rewrite; the doc registry gains one APPENDED segment, the
+    * scalars bump, one atomic flip commits, retention GC runs. */
+  def applyDelta(s: SparkSession, dir: String, newDocs: DataFrame,
+                 retain: Int = RetainEpochs): DeltaCommit = {
+    val m = open(dir)
+    val next = m.epoch + 1
+    val rows = postingsOf(newDocs).cache()
+    try {
+      // insert-only contract, checked against the persisted registry
+      val reg = s.read.parquet(m.docs.map(rel => s"$dir/$rel"): _*)
+      val clash = rows.select(col("doc_id")).distinct()
+        .join(reg, "doc_id").limit(1).count()
+      require(clash == 0L,
+        s"applyDelta is append-only: batch contains doc_ids already indexed at $dir")
+
+      val affected = rows.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val readPaths = affected.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+      // bucket is a stored posting column (kept through the partition
+      // rename), so the merge needs no re-hash
+      val oldAffected =
+        if (readPaths.nonEmpty) s.read.parquet(readPaths: _*)
+        else s.emptyDataFrame.select(lit("").as("tok"), lit(0L).as("doc_id"),
+          lit(0L).as("tf"), lit(0L).as("dl"), lit(0).as("bucket")).limit(0)
+      val merged = oldAffected
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+        .unionByName(rows
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
+      val published = publishBuckets(merged, dir, next)
+
+      // stats merge: disjoint docs ⇒ df adds exactly
+      val statsNew = s.read.parquet(s"$dir/${m.stats}")
+        .unionByName(rows.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df")))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      writeComponent(statsNew, dir, s"stats/e$next")
+      val regSeg = rows.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      writeComponent(regSeg, dir, s"docs/e$next")
+      val delta = regSeg.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head
+
+      val buckets = m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap
+      val m2 = TextManifest(next, m.nDocs + delta.getLong(0),
+        m.sumDl + delta.getLong(1), buckets, s"stats/e$next",
+        m.docs :+ s"docs/e$next")
+      commitManifest(dir, m2)
+      gc(dir, next, retain)
+      DeltaCommit(m2, affected, readPaths)
+    } finally { rows.unpersist(); () }
+  }
+
+  // -------------------------------------------------------------- gc
+
+  /** Retention GC: versioned manifests below the horizon go through
+    * [[graft.EpochGuard.guardedDelete]] (lease handshake — same
+    * contract as the ANN and upsert stores), then any bucket-epoch or
+    * stats-epoch dir no retained manifest references is swept. Doc
+    * registry segments are append-only and referenced by every later
+    * manifest's prefix, so a segment is deletable only when NO
+    * retained manifest lists it. */
+  private[graft] def gc(dir: String, current: Long, retain: Int,
+                        afterIntent: Long => Unit = _ => ()): Unit = {
+    val horizon = math.max(0L, current - retain + 1)
+    for (e <- listEpochs(dir) if e < horizon)
+      graft.EpochGuard.guardedDelete(java.nio.file.Paths.get(dir), e,
+        () => afterIntent(e)) {
+        java.nio.file.Files.deleteIfExists(versionedPath(dir, e)): Unit
+      }
+    val retained = listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
+    val referenced: Set[String] =
+      retained.flatMap(mm => mm.buckets.values ++ Seq(mm.stats) ++ mm.docs).toSet
+    def sweep(prefix: String): Unit = {
+      val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches(prefix))
+      for (cd <- dirs; ed <- Option(cd.listFiles()).toSeq.flatten
+             if ed.getName.matches("e\\d+")) {
+        val rel = s"${cd.getName}/${ed.getName}"
+        val epoch = ed.getName.stripPrefix("e").toLong
+        if (!referenced.contains(rel) && epoch < current) deleteRecursively(ed)
+      }
+    }
+    sweep("b\\d+")
+    sweep("stats")
+    sweep("docs")
+  }
+}
