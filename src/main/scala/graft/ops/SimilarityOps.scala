@@ -911,20 +911,9 @@ object SimilarityOps {
     * lists — driver-free, broadcast-sized by construction. The
     * rank-assignment windows are global but run AFTER the per-leg
     * top-[[HybridListK]] cut, so each window sees ≤ 20 rows. */
-  val s_hybrid_rrf: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val cands = candSide(e)
-    val corpus = Tables.documents(s, d)
-      .join(cands.select(col("cid").as("doc_id")), Seq("doc_id"))
-      .select(col("doc_id"), col("text"))
-    val wB = Window.orderBy(desc("score_e6"), col("doc_id"))
-    val bmList = TextOps.bm25Scores(corpus)
-      .orderBy(desc("score_e6"), col("doc_id")).limit(HybridListK)
-      .withColumn("r_bm25", row_number().over(wB))
-      .select(col("doc_id"), col("r_bm25"))
-    val q0 = querySide(e).filter(col("qid") === 0)
-    val vecList = bruteForceTopK(q0, cands, k = HybridListK)
-      .select(col("cid").as("doc_id"), col("rk").as("r_vec"))
+  /** RRF fusion of two (doc_id, rank) lists — ONE definition for the
+    * in-session and the served-from-index hybrid paths. */
+  private def rrfFuse(bmList: DataFrame, vecList: DataFrame): DataFrame =
     bmList.join(vecList, Seq("doc_id"), "full_outer")
       .withColumn("rrf_e12",
         coalesce(expr(s"1000000000000L div (${RrfK}L + r_bm25)"), lit(0L)) +
@@ -933,7 +922,78 @@ object SimilarityOps {
       .withColumn("r_vec", coalesce(col("r_vec"), lit(0)))
       .orderBy(desc("rrf_e12"), col("doc_id")).limit(HybridTopK)
       .select(col("doc_id"), col("r_bm25"), col("r_vec"), col("rrf_e12"))
-      .orderBy(col("doc_id"))
+
+  /** Rank a scored BM25 list to [[HybridListK]] — window AFTER the
+    * top-k cut, so the global window sees ≤ 20 rows. */
+  private def bm25Ranked(scores: DataFrame): DataFrame =
+    scores.orderBy(desc("score_e6"), col("doc_id")).limit(HybridListK)
+      .withColumn("r_bm25",
+        row_number().over(Window.orderBy(desc("score_e6"), col("doc_id"))))
+      .select(col("doc_id"), col("r_bm25"))
+
+  val s_hybrid_rrf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cands = candSide(e)
+    val corpus = Tables.documents(s, d)
+      .join(cands.select(col("cid").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val bmList = bm25Ranked(TextOps.bm25Scores(corpus))
+    val q0 = querySide(e).filter(col("qid") === 0)
+    val vecList = bruteForceTopK(q0, cands, k = HybridListK)
+      .select(col("cid").as("doc_id"), col("rk").as("r_vec"))
+    rrfFuse(bmList, vecList).orderBy(col("doc_id"))
+  }
+
+  /** Write-once durable TEXT index over the CANDIDATE corpus (docs
+    * whose doc_id has a candidate embedding — the same corpus the
+    * in-session hybrid's BM25 leg scores), for [[s_hybrid_served]]. */
+  private val candTextDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private[graft] def candTextIndexDir(s: SparkSession, d: String): String =
+    candTextDirs.getOrElseUpdate((s, d), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_candtextidx_" +
+        Tables.layoutTag(d)
+      val corpus = Tables.documents(s, d)
+        .join(candSide(Tables.embeddings(s, d)).select(col("cid").as("doc_id")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+      TextIndexStore.build(corpus, p)
+      annExitDirs.add(p)
+      p
+    })
+
+  /** BOUND-WITNESS for the FULLY-SERVED hybrid — the production
+    * deployment shape where BOTH retrieval legs run from persisted
+    * artifacts: the BM25 leg serves from the [[TextIndexStore]] over
+    * the candidate corpus (bucket-pruned postings, manifest scalars —
+    * exact by construction) and the vector leg serves from the
+    * [[AnnIndexStore]] probed IVF path (approximate), fused by the
+    * same [[rrfFuse]]. The witness asserts the served fusion's top-10
+    * overlaps ≥ 90 % with the exact in-session fusion
+    * ([[s_hybrid_rrf]]); DuckDB independently rebuilds the exact
+    * fused list and the count. Only the ANN leg is approximate — the
+    * BM25 leg served from the text index is EXACT by construction
+    * (spec-pinned equal to the in-session leg) — and the witness flag
+    * holds at all three SFs. */
+  val s_hybrid_served: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val exact = s_hybrid_rrf(s, d).select(col("doc_id"))
+    val tDir = candTextIndexDir(s, d)
+    val bmServed = bm25Ranked(
+      TextIndexStore.bm25Scores(s, tDir, TextIndexStore.open(tDir)))
+    val aDir = persistedIndexDir(s, d)
+    val q0 = querySide(e).filter(col("qid") === 0)
+    val vecServed = AnnIndexStore
+      .topK(s, aDir, AnnIndexStore.open(aDir), q0, k = HybridListK, nprobe = 5)
+      .select(col("cid").as("doc_id"), col("rk").as("r_vec"))
+    val served = rrfFuse(bmServed, vecServed).select(col("doc_id"))
+    exact.withColumn("ex", lit(1))
+      .join(served.withColumn("ap", lit(1)), Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("n_exact"),
+        (col("hits") * lit(100L) >= col("n_exact") * lit(90L)).as("overlap_ge_90"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -950,6 +1010,7 @@ object SimilarityOps {
     "s_gram_matrix" -> s_gram_matrix,
     "s_ann_filtered" -> s_ann_filtered,
     "s_hybrid_rrf" -> s_hybrid_rrf,
+    "s_hybrid_served" -> s_hybrid_served,
   )
 
   // ONE witness SQL for every recall-bound ANN variant (ivf, salted,
@@ -975,6 +1036,49 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = {
     val cos = oracleCosineSql("qe", "ce", Dim)
+    // the exact fused top-10 list, shared by the s_hybrid_rrf full
+    // replay and the s_hybrid_served bound witness
+    val hybridFusedSql: String =
+      s"""WITH cand AS (SELECT vec_id AS cid, embedding AS ce
+           |              FROM embeddings WHERE vec_id >= 8),
+           |corpus AS (SELECT d.doc_id, d.text
+           |           FROM documents d JOIN cand ON cand.cid = d.doc_id),
+           |occ AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+           |          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+           |        GROUP BY doc_id, tok),
+           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
+           |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
+           |qt AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT ${TextOps.BmQueryK}),
+           |tot AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+           |               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl),
+           |sc AS (SELECT o.doc_id,
+           |         ((1000000 * t.n_docs) // q.df) AS idf_e6, o.tf,
+           |         2500 + (7500 * l.dl * t.n_docs) // t.sum_dl AS norm_e4
+           |       FROM occ o JOIN qt q USING (tok) JOIN dl l USING (doc_id), tot t),
+           |contrib AS (SELECT doc_id,
+           |              (idf_e6 * tf * 22000) // (tf * 10000 + (120 * norm_e4) // 100) AS contrib_e6
+           |            FROM sc),
+           |bagg AS (SELECT doc_id, CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
+           |         FROM contrib GROUP BY doc_id),
+           |bm AS (SELECT doc_id,
+           |         CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS r_bm25
+           |       FROM (SELECT * FROM bagg ORDER BY score_e6 DESC, doc_id LIMIT $HybridListK)),
+           |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |vs AS (SELECT cid AS doc_id,
+           |         CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+           |       FROM cand CROSS JOIN qv),
+           |vl AS (SELECT doc_id,
+           |         CAST(ROW_NUMBER() OVER (ORDER BY cos_e6 DESC, doc_id) AS INTEGER) AS r_vec
+           |       FROM (SELECT * FROM vs ORDER BY cos_e6 DESC, doc_id LIMIT $HybridListK)),
+           |f AS (SELECT doc_id,
+           |        COALESCE(r_bm25, 0) AS r_bm25, COALESCE(r_vec, 0) AS r_vec,
+           |        CAST(COALESCE(1000000000000 // ($RrfK + r_bm25), 0) +
+           |             COALESCE(1000000000000 // ($RrfK + r_vec), 0) AS BIGINT) AS rrf_e12
+           |      FROM bm FULL OUTER JOIN vl USING (doc_id))
+           |SELECT doc_id, r_bm25, r_vec, rrf_e12 FROM
+           |  (SELECT * FROM f ORDER BY rrf_e12 DESC, doc_id LIMIT $HybridTopK)
+           |ORDER BY doc_id""".stripMargin
+
     Map(
       "s_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -1056,46 +1160,13 @@ object SimilarityOps {
       // formula as t_bm25's oracle restricted to the candidate corpus,
       // the vector leg the same cosine CTE as s_cosine_topk, fusion is
       // integer division so both engines floor identically
-      "s_hybrid_rrf" ->
-        s"""WITH cand AS (SELECT vec_id AS cid, embedding AS ce
-           |              FROM embeddings WHERE vec_id >= 8),
-           |corpus AS (SELECT d.doc_id, d.text
-           |           FROM documents d JOIN cand ON cand.cid = d.doc_id),
-           |occ AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
-           |          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
-           |        GROUP BY doc_id, tok),
-           |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
-           |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
-           |qt AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT ${TextOps.BmQueryK}),
-           |tot AS (SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
-           |               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl),
-           |sc AS (SELECT o.doc_id,
-           |         ((1000000 * t.n_docs) // q.df) AS idf_e6, o.tf,
-           |         2500 + (7500 * l.dl * t.n_docs) // t.sum_dl AS norm_e4
-           |       FROM occ o JOIN qt q USING (tok) JOIN dl l USING (doc_id), tot t),
-           |contrib AS (SELECT doc_id,
-           |              (idf_e6 * tf * 22000) // (tf * 10000 + (120 * norm_e4) // 100) AS contrib_e6
-           |            FROM sc),
-           |bagg AS (SELECT doc_id, CAST(SUM(contrib_e6) AS BIGINT) AS score_e6
-           |         FROM contrib GROUP BY doc_id),
-           |bm AS (SELECT doc_id,
-           |         CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER) AS r_bm25
-           |       FROM (SELECT * FROM bagg ORDER BY score_e6 DESC, doc_id LIMIT $HybridListK)),
-           |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |vs AS (SELECT cid AS doc_id,
-           |         CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-           |       FROM cand CROSS JOIN qv),
-           |vl AS (SELECT doc_id,
-           |         CAST(ROW_NUMBER() OVER (ORDER BY cos_e6 DESC, doc_id) AS INTEGER) AS r_vec
-           |       FROM (SELECT * FROM vs ORDER BY cos_e6 DESC, doc_id LIMIT $HybridListK)),
-           |f AS (SELECT doc_id,
-           |        COALESCE(r_bm25, 0) AS r_bm25, COALESCE(r_vec, 0) AS r_vec,
-           |        CAST(COALESCE(1000000000000 // ($RrfK + r_bm25), 0) +
-           |             COALESCE(1000000000000 // ($RrfK + r_vec), 0) AS BIGINT) AS rrf_e12
-           |      FROM bm FULL OUTER JOIN vl USING (doc_id))
-           |SELECT doc_id, r_bm25, r_vec, rrf_e12 FROM
-           |  (SELECT * FROM f ORDER BY rrf_e12 DESC, doc_id LIMIT $HybridTopK)
-           |ORDER BY doc_id""".stripMargin,
+      "s_hybrid_rrf" -> hybridFusedSql,
+      // the fully-served hybrid is a bound witness: DuckDB rebuilds
+      // the exact fused top-10 (same CTEs) and asserts the overlap
+      // flag of the from-persisted-indexes fusion
+      "s_hybrid_served" ->
+        s"""SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS overlap_ge_90
+           |FROM ($hybridFusedSql)""".stripMargin,
       // explode + self-join replay of the in-row pair expansion; the
       // floor(x*64) quantization makes both engines integer-exact
       "s_gram_matrix" ->

@@ -394,4 +394,25 @@ class SimilarityOpsSpec extends AnyFunSuite {
           s"both-legs doc scored below the two-leg floor: $r")
       }
   }
+
+  test("served hybrid: BM25 leg from the text index is EXACTLY the in-session leg; witness green") {
+    import graft.ops.{Tables, TextIndexStore}
+    // the text-index BM25 scores over the candidate corpus must equal
+    // the from-scratch pipeline's — the served fusion's only
+    // approximation is the ANN leg
+    val tDir = SimilarityOps.candTextIndexDir(spark, sf)
+    val served = TextIndexStore.bm25Scores(spark, tDir, TextIndexStore.open(tDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = Tables.embeddings(spark, sf)
+    val corpus = Tables.documents(spark, sf)
+      .join(e.filter(col("vec_id") >= 8).select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val direct = graft.ops.TextOps.bm25Scores(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == direct, "served BM25 leg drifted from the corpus pipeline")
+    // and the registered witness holds
+    val w = SimilarityOps.s_hybrid_served(spark, sf).head()
+    assert(w.getAs[Long]("n_exact") == 10L)
+    assert(w.getAs[Boolean]("overlap_ge_90"))
+  }
 }
