@@ -8,4 +8,17 @@ private[graft] object Fs {
     val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
     f.delete(); ()
   }
+
+  /** JVM-exit temp-dir sweeper shared by every durable-artifact memo
+    * (ANN index dirs, text index dirs, …): ONE registry and ONE
+    * shutdown hook instead of a per-file copy that can half-apply
+    * future cleanup changes. */
+  private val exitDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach(p => deleteRecursively(new java.io.File(p)))))
+  }
+
+  /** Register `p` for recursive deletion at JVM exit; returns `p`. */
+  def deleteOnExit(p: String): String = { exitDirs.add(p); p }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** Epoch-versioned manifest plumbing shared by the three durable
+  * stores (streaming upsert table, ANN index, inverted text index):
+  * path layout, torn-write-proof commit, epoch listing, and the
+  * [[EpochGuard]]-wired manifest retention sweep. Store-specific JSON
+  * render/parse stays with each store; everything about HOW a
+  * manifest reaches and leaves disk lives here, ONCE — a durability
+  * fix (fsync, crash recovery of a stale `.tmp`) now propagates to
+  * all three instead of needing three synchronized edits.
+  */
+private[graft] object ManifestIo {
+
+  /** The live current-pointer manifest. */
+  def manifestPath(dir: Path): Path = dir.resolve("_manifest.json")
+
+  /** The immutable per-epoch snapshot manifest. */
+  def versionedPath(dir: Path, e: Long): Path = dir.resolve(s"_manifest-e$e.json")
+
+  /** temp + ATOMIC_MOVE: readers never observe a torn manifest. */
+  def atomicWrite(dest: Path, content: String): Unit = {
+    val tmp = dest.resolveSibling("." + dest.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The atomic flip: write the immutable per-epoch manifest FIRST
+    * (the snapshot the epoch stays readable through), then replace
+    * the current pointer. A crash between the two moves leaves a
+    * complete-but-unreferenced versioned manifest — harmless under
+    * every store's recovery story (idempotent replay or rebuild). */
+  def commit(dir: Path, epoch: Long, json: String): Unit = {
+    atomicWrite(versionedPath(dir, epoch), json)
+    atomicWrite(manifestPath(dir), json)
+  }
+
+  /** Epochs with a readable versioned manifest, ascending. */
+  def listEpochs(dir: Path): Seq[Long] =
+    Option(dir.toFile.listFiles()).toSeq.flatten.map(_.getName)
+      .collect { case n if n.startsWith("_manifest-e") && n.endsWith(".json") =>
+        n.stripPrefix("_manifest-e").stripSuffix(".json").toLong }
+      .sorted
+
+  /** Delete versioned manifests below `horizon` through
+    * [[EpochGuard.guardedDelete]]'s two-phase intent handshake
+    * (reader leases win; see EpochGuard's scaladoc for the race
+    * argument). `afterIntent` is the test seam specs use to plant a
+    * racing lease at the historically-missed point. */
+  def gcManifests(dir: Path, horizon: Long, afterIntent: Long => Unit = _ => ()): Unit =
+    for (e <- listEpochs(dir) if e < horizon)
+      EpochGuard.guardedDelete(dir, e, () => afterIntent(e)) {
+        Files.deleteIfExists(versionedPath(dir, e)): Unit
+      }
+}

@@ -70,9 +70,12 @@ object AnnIndexStore {
 
   // ------------------------------------------------------ manifest io
 
-  private def manifestPath(dir: String) = java.nio.file.Paths.get(dir, "_manifest.json")
+  // path layout / atomic commit / epoch listing shared with the text
+  // index and the upsert state table via graft.ManifestIo
+  private def manifestPath(dir: String) =
+    graft.ManifestIo.manifestPath(java.nio.file.Paths.get(dir))
   private def versionedPath(dir: String, e: Long) =
-    java.nio.file.Paths.get(dir, s"_manifest-e$e.json")
+    graft.ManifestIo.versionedPath(java.nio.file.Paths.get(dir), e)
 
   private def renderManifest(m: AnnManifest): String = {
     val cents = m.centroids.sortBy(_._1).map(_._2.mkString("[", ",", "]"))
@@ -121,20 +124,9 @@ object AnnIndexStore {
   }
 
   /** Write the immutable per-epoch manifest, then atomically replace
-    * the current pointer — both via temp + ATOMIC_MOVE. */
-  private def commitManifest(dir: String, m: AnnManifest): Unit = {
-    val json = renderManifest(m)
-    def atomicWrite(dest: java.nio.file.Path): Unit = {
-      val tmp = dest.resolveSibling("." + dest.getFileName.toString + ".tmp")
-      java.nio.file.Files.writeString(tmp, json)
-      java.nio.file.Files.move(tmp, dest,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
-    atomicWrite(versionedPath(dir, m.epoch))
-    atomicWrite(manifestPath(dir))
-  }
+    * the current pointer ([[graft.ManifestIo.commit]]). */
+  private def commitManifest(dir: String, m: AnnManifest): Unit =
+    graft.ManifestIo.commit(java.nio.file.Paths.get(dir), m.epoch, renderManifest(m))
 
   /** Current manifest — the live view of the index. */
   def open(dir: String): AnnManifest = {
@@ -172,10 +164,7 @@ object AnnIndexStore {
 
   /** Epochs currently readable via [[openAt]], ascending. */
   def listEpochs(dir: String): Seq[Long] =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
-      .collect { case n if n.startsWith("_manifest-e") && n.endsWith(".json") =>
-        n.stripPrefix("_manifest-e").stripSuffix(".json").toLong }
-      .sorted
+    graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
 
   // ----------------------------------------------------- build / read
 
@@ -238,11 +227,7 @@ object AnnIndexStore {
   private[graft] def gc(dir: String, current: Long, retain: Int,
                         afterIntent: Long => Unit = _ => ()): Unit = {
     val horizon = math.max(0L, current - retain + 1)
-    for (e <- listEpochs(dir) if e < horizon)
-      graft.EpochGuard.guardedDelete(java.nio.file.Paths.get(dir), e,
-        () => afterIntent(e)) {
-        java.nio.file.Files.deleteIfExists(versionedPath(dir, e)): Unit
-      }
+    graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
     val referenced: Set[String] =
       listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
         .flatMap(_.cells.values).toSet

@@ -788,11 +788,6 @@ object SimilarityOps {
     * tmpdir for the session, deleted on JVM exit. */
   private val annIndexDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private val annExitDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      annExitDirs.forEach(p => deleteRecursively(new java.io.File(p)))))
-  }
 
   private[graft] def persistedIndexDir(s: SparkSession, d: String): String =
     annIndexDirs.getOrElseUpdate((s, d), {
@@ -803,7 +798,7 @@ object SimilarityOps {
       // 8 codes per posting + codebooks in the manifest, and the
       // float path simply ignores them
       AnnIndexStore.build(e, p, index = Some(e.filter(col("vec_id") >= 8)), pq = true)
-      annExitDirs.add(p)
+      graft.Fs.deleteOnExit(p): Unit
       p
     })
 
@@ -827,7 +822,7 @@ object SimilarityOps {
           lit(null).cast(e.schema("embedding").dataType).as("old_embedding"))
       AnnIndexStore.applyDelta(s, p, late)
       AnnIndexStore.rebalance(s, p)
-      annExitDirs.add(p)
+      graft.Fs.deleteOnExit(p): Unit
       p
     })
 
@@ -888,6 +883,26 @@ object SimilarityOps {
   private[ops] val HybridTopK = 10
   private[ops] val RrfK = 60
 
+  /** RRF fusion of two (doc_id, rank) lists — ONE definition for the
+    * in-session and the served-from-index hybrid paths. */
+  private def rrfFuse(bmList: DataFrame, vecList: DataFrame): DataFrame =
+    bmList.join(vecList, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e12",
+        coalesce(expr(s"1000000000000L div (${RrfK}L + r_bm25)"), lit(0L)) +
+          coalesce(expr(s"1000000000000L div (${RrfK}L + r_vec)"), lit(0L)))
+      .withColumn("r_bm25", coalesce(col("r_bm25"), lit(0)))
+      .withColumn("r_vec", coalesce(col("r_vec"), lit(0)))
+      .orderBy(desc("rrf_e12"), col("doc_id")).limit(HybridTopK)
+      .select(col("doc_id"), col("r_bm25"), col("r_vec"), col("rrf_e12"))
+
+  /** Rank a scored BM25 list to [[HybridListK]] — window AFTER the
+    * top-k cut, so the global window sees ≤ 20 rows. */
+  private def bm25Ranked(scores: DataFrame): DataFrame =
+    scores.orderBy(desc("score_e6"), col("doc_id")).limit(HybridListK)
+      .withColumn("r_bm25",
+        row_number().over(Window.orderBy(desc("score_e6"), col("doc_id"))))
+      .select(col("doc_id"), col("r_bm25"))
+
   /** Hybrid retrieval with reciprocal-rank fusion — the standard RAG
     * shape: a lexical leg (BM25 over the document text, the IDENTICAL
     * integer-exact formula as [[TextOps.t_bm25]] via the shared
@@ -911,26 +926,6 @@ object SimilarityOps {
     * lists — driver-free, broadcast-sized by construction. The
     * rank-assignment windows are global but run AFTER the per-leg
     * top-[[HybridListK]] cut, so each window sees ≤ 20 rows. */
-  /** RRF fusion of two (doc_id, rank) lists — ONE definition for the
-    * in-session and the served-from-index hybrid paths. */
-  private def rrfFuse(bmList: DataFrame, vecList: DataFrame): DataFrame =
-    bmList.join(vecList, Seq("doc_id"), "full_outer")
-      .withColumn("rrf_e12",
-        coalesce(expr(s"1000000000000L div (${RrfK}L + r_bm25)"), lit(0L)) +
-          coalesce(expr(s"1000000000000L div (${RrfK}L + r_vec)"), lit(0L)))
-      .withColumn("r_bm25", coalesce(col("r_bm25"), lit(0)))
-      .withColumn("r_vec", coalesce(col("r_vec"), lit(0)))
-      .orderBy(desc("rrf_e12"), col("doc_id")).limit(HybridTopK)
-      .select(col("doc_id"), col("r_bm25"), col("r_vec"), col("rrf_e12"))
-
-  /** Rank a scored BM25 list to [[HybridListK]] — window AFTER the
-    * top-k cut, so the global window sees ≤ 20 rows. */
-  private def bm25Ranked(scores: DataFrame): DataFrame =
-    scores.orderBy(desc("score_e6"), col("doc_id")).limit(HybridListK)
-      .withColumn("r_bm25",
-        row_number().over(Window.orderBy(desc("score_e6"), col("doc_id"))))
-      .select(col("doc_id"), col("r_bm25"))
-
   val s_hybrid_rrf: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val cands = candSide(e)
@@ -958,7 +953,7 @@ object SimilarityOps {
           Seq("doc_id"))
         .select(col("doc_id"), col("text"))
       TextIndexStore.build(corpus, p)
-      annExitDirs.add(p)
+      graft.Fs.deleteOnExit(p): Unit
       p
     })
 

@@ -73,9 +73,12 @@ object TextIndexStore {
 
   // ------------------------------------------------------ manifest io
 
-  private def manifestPath(dir: String) = java.nio.file.Paths.get(dir, "_manifest.json")
+  // path layout / atomic commit / epoch listing shared with the ANN
+  // index and the upsert state table via graft.ManifestIo
+  private def manifestPath(dir: String) =
+    graft.ManifestIo.manifestPath(java.nio.file.Paths.get(dir))
   private def versionedPath(dir: String, e: Long) =
-    java.nio.file.Paths.get(dir, s"_manifest-e$e.json")
+    graft.ManifestIo.versionedPath(java.nio.file.Paths.get(dir), e)
 
   private def renderManifest(m: TextManifest): String = {
     val buckets = m.buckets.toSeq.sortBy(_._1)
@@ -105,19 +108,8 @@ object TextIndexStore {
     TextManifest(num("epoch"), num("nDocs"), num("sumDl"), buckets, stats, docs)
   }
 
-  private def commitManifest(dir: String, m: TextManifest): Unit = {
-    val json = renderManifest(m)
-    def atomicWrite(dest: java.nio.file.Path): Unit = {
-      val tmp = dest.resolveSibling("." + dest.getFileName.toString + ".tmp")
-      java.nio.file.Files.writeString(tmp, json)
-      java.nio.file.Files.move(tmp, dest,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
-    atomicWrite(versionedPath(dir, m.epoch))
-    atomicWrite(manifestPath(dir))
-  }
+  private def commitManifest(dir: String, m: TextManifest): Unit =
+    graft.ManifestIo.commit(java.nio.file.Paths.get(dir), m.epoch, renderManifest(m))
 
   def open(dir: String): TextManifest = {
     val p = manifestPath(dir)
@@ -142,10 +134,7 @@ object TextIndexStore {
     }
 
   def listEpochs(dir: String): Seq[Long] =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
-      .collect { case n if n.startsWith("_manifest-e") && n.endsWith(".json") =>
-        n.stripPrefix("_manifest-e").stripSuffix(".json").toLong }
-      .sorted
+    graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
 
   // ----------------------------------------------------------- build
 
@@ -201,7 +190,9 @@ object TextIndexStore {
       val reg = rows.select(col("doc_id"), col("dl")).groupBy(col("doc_id"))
         .agg(first(col("dl")).as("dl"))
       writeComponent(reg, dir, "docs/e0")
-      val scalars = rows.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      // scalars fold the just-written registry parquet (n_docs rows,
+      // a metadata-sized read) — not a second groupBy over postings
+      val scalars = docs.sparkSession.read.parquet(s"$dir/docs/e0")
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head
       val m = TextManifest(0L, scalars.getLong(0), scalars.getLong(1),
         published.map(b => b -> s"b$b/e0").toMap, "stats/e0", Seq("docs/e0"))
@@ -239,13 +230,12 @@ object TextIndexStore {
     val hits = s.read.parquet(bucketPaths: _*)
       .filter(col("tok").isin(terms.map(_._1): _*))
       .join(broadcast(termDf), "tok")
-    hits
-      .withColumn("idf_e6", expr(s"(1000000L * ${m.nDocs}L) div df"))
-      .withColumn("norm_e4", expr(s"2500L + (7500L * dl * ${m.nDocs}L) div ${m.sumDl}L"))
-      .withColumn("denom_e4", expr("tf * 10000L + (120L * norm_e4) div 100"))
-      .withColumn("contrib_e6", expr("(idf_e6 * tf * 22000L) div denom_e4"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_hit"))
+    // manifest scalars enter as constant-folded literal columns; the
+    // arithmetic itself is TextOps.bm25ContribAgg — the SAME formula
+    // definition the in-session path runs, not a second copy
+    TextOps.bm25ContribAgg(hits
+      .withColumn("n_docs", lit(m.nDocs))
+      .withColumn("sum_dl", lit(m.sumDl)))
   }
 
   // ----------------------------------------------- incremental delta
@@ -321,11 +311,7 @@ object TextIndexStore {
   private[graft] def gc(dir: String, current: Long, retain: Int,
                         afterIntent: Long => Unit = _ => ()): Unit = {
     val horizon = math.max(0L, current - retain + 1)
-    for (e <- listEpochs(dir) if e < horizon)
-      graft.EpochGuard.guardedDelete(java.nio.file.Paths.get(dir), e,
-        () => afterIntent(e)) {
-        java.nio.file.Files.deleteIfExists(versionedPath(dir, e)): Unit
-      }
+    graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
     val retained = listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
     val referenced: Set[String] =
       retained.flatMap(mm => mm.buckets.values ++ Seq(mm.stats) ++ mm.docs).toSet

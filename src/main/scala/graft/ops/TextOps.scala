@@ -375,16 +375,27 @@ object TextOps {
     val qterms = dfreq.orderBy(desc("df"), col("tok")).limit(BmQueryK)
     val totals = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
-    occ.join(broadcast(qterms), "tok")
+    bm25ContribAgg(occ.join(broadcast(qterms), "tok")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(totals)))
+  }
+
+  /** THE one definition of the integer-exact BM25 arithmetic (k1=1.2,
+    * b=0.75 as the scaled constants documented on [[t_bm25]]). `hits`
+    * carries one row per (doc, query-term) with `tf`, `dl`, `df`,
+    * `n_docs`, `sum_dl` — corpus-aggregate columns in the in-session
+    * path, manifest-literal columns in [[TextIndexStore.bm25Scores]]'s
+    * served path — so tuning a constant here retunes BOTH paths (and
+    * the oracle templates are the only other place the formula
+    * exists). Returns (doc_id, score_e6, n_hit), unranked. */
+  private[graft] def bm25ContribAgg(hits: DataFrame): DataFrame =
+    hits
       .withColumn("idf_e6", expr("(1000000L * n_docs) div df"))
       .withColumn("norm_e4", expr("2500L + (7500L * dl * n_docs) div sum_dl"))
       .withColumn("denom_e4", expr("tf * 10000L + (120L * norm_e4) div 100"))
       .withColumn("contrib_e6", expr("(idf_e6 * tf * 22000L) div denom_e4"))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_hit"))
-  }
 
   // ------------------------------------------------- inverted index
 
@@ -638,11 +649,6 @@ object TextOps {
     * under tmpdir for the session, deleted on JVM exit. */
   private val textIndexDirs =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
-  private val textExitDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      textExitDirs.forEach(p => graft.Fs.deleteRecursively(new java.io.File(p)))))
-  }
 
   private[graft] def persistedTextIndexDir(s: org.apache.spark.sql.SparkSession,
                                            d: String): String =
@@ -651,7 +657,7 @@ object TextOps {
         Tables.layoutTag(d)
       TextIndexStore.build(
         Tables.documents(s, d).select(col("doc_id"), col("text")), p)
-      textExitDirs.add(p)
+      graft.Fs.deleteOnExit(p): Unit
       p
     })
 
@@ -668,7 +674,7 @@ object TextOps {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       TextIndexStore.build(docs.filter(col("doc_id") % 13 =!= 0), p)
       TextIndexStore.applyDelta(s, p, docs.filter(col("doc_id") % 13 === 0)): Unit
-      textExitDirs.add(p)
+      graft.Fs.deleteOnExit(p): Unit
       p
     })
 

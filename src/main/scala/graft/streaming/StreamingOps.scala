@@ -581,8 +581,10 @@ object StreamingOps {
     * data versions + one atomic pointer flip. */
   private case class UpsertManifest(epoch: Long, buckets: Map[Int, String])
 
+  // path layout / atomic commit / epoch listing shared with the ANN
+  // and text index stores via graft.ManifestIo
   private def upsertManifestPath(stateDir: java.nio.file.Path): java.nio.file.Path =
-    stateDir.resolve("_manifest.json")
+    graft.ManifestIo.manifestPath(stateDir)
 
   private def readUpsertManifest(stateDir: java.nio.file.Path): Option[UpsertManifest] = {
     val p = upsertManifestPath(stateDir)
@@ -597,16 +599,11 @@ object StreamingOps {
 
   private def versionedManifestPath(stateDir: java.nio.file.Path,
                                     epoch: Long): java.nio.file.Path =
-    stateDir.resolve(s"_manifest-e$epoch.json")
+    graft.ManifestIo.versionedPath(stateDir, epoch)
 
   /** Epochs currently readable via [[readUpsertStateAt]], ascending. */
-  private[graft] def listUpsertEpochs(stateDirPath: String): Seq[Long] = {
-    val dir = java.nio.file.Paths.get(stateDirPath).toFile
-    Option(dir.listFiles()).toSeq.flatten.map(_.getName)
-      .collect { case n if n.startsWith("_manifest-e") && n.endsWith(".json") =>
-        n.stripPrefix("_manifest-e").stripSuffix(".json").toLong }
-      .sorted
-  }
+  private[graft] def listUpsertEpochs(stateDirPath: String): Seq[Long] =
+    graft.ManifestIo.listEpochs(java.nio.file.Paths.get(stateDirPath))
 
   private def readManifestFile(p: java.nio.file.Path): UpsertManifest = {
     import org.json4s._
@@ -678,16 +675,8 @@ object StreamingOps {
   private def writeUpsertManifest(stateDir: java.nio.file.Path, m: UpsertManifest): Unit = {
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
-    val json = s"""{"epoch":${m.epoch},"buckets":$body}"""
-    def atomicWrite(dest: java.nio.file.Path): Unit = {
-      val tmp = dest.resolveSibling("." + dest.getFileName.toString + ".tmp")
-      java.nio.file.Files.writeString(tmp, json)
-      java.nio.file.Files.move(tmp, dest,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    atomicWrite(versionedManifestPath(stateDir, m.epoch))
-    atomicWrite(upsertManifestPath(stateDir))
+    graft.ManifestIo.commit(stateDir, m.epoch,
+      s"""{"epoch":${m.epoch},"buckets":$body}""")
   }
 
   /** Retention GC, run after each flip: keep every epoch dir referenced
@@ -713,10 +702,7 @@ object StreamingOps {
     // round-10 documented residual — a lease written between this
     // pass's lease listing and its delete is now guaranteed visible
     // to one side or the other (argument in EpochGuard's scaladoc).
-    for (e <- listUpsertEpochs(stateDir.toString) if e < horizon)
-      graft.EpochGuard.guardedDelete(stateDir, e, () => afterIntent(e)) {
-        java.nio.file.Files.deleteIfExists(versionedManifestPath(stateDir, e)): Unit
-      }
+    graft.ManifestIo.gcManifests(stateDir, horizon, afterIntent)
     val referenced: Set[String] =
       listUpsertEpochs(stateDir.toString)
         .map(e => readManifestFile(versionedManifestPath(stateDir, e)))

@@ -42,6 +42,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "st_ann_ingest",    // bound witness (same brute-force exact side)
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits
     "s_hybrid_rrf",     // BM25 leg's 1-row totals + broadcast query-vector cross
+    "s_hybrid_served",  // exact leg embeds s_hybrid_rrf (same 1-row crosses)
     "p_embed_decon")    // broadcast benchmark-probe cosine scan
 
   private val planCache = scala.collection.mutable.Map.empty[String, String]
