@@ -16,6 +16,43 @@ private[graft] object ManifestIo {
   /** The live current-pointer manifest. */
   def manifestPath(dir: Path): Path = dir.resolve("_manifest.json")
 
+  /** Stage-then-rename publish of per-partition parquet dirs — the
+    * shared write path of every bucketed store artifact (ANN cells,
+    * text-index posting buckets, dedup-index band buckets): stage
+    * `rows` under `.stage-e<epoch>` partitioned by a COPY of
+    * `partColumn` (so the data files keep the original as a real
+    * column after the rename strips the `p<col>=K` dir name), then
+    * publish each staged partition via rename into its immutable
+    * `<dirPrefix><K>/e<epoch>` location. Published ids come from the
+    * STAGE DIRECTORY LISTING — the write is the only job over `rows`,
+    * so callers never pay a second corpus-sized pass just to learn
+    * which partitions materialized. A crashed attempt's leftover
+    * destination dirs are overwritten on replay (idempotent: nothing
+    * references `e<epoch>` until the manifest flips). Returns the
+    * published partition ids, sorted. */
+  def publishPartitions(rows: org.apache.spark.sql.DataFrame, dir: Path,
+                        epoch: Long, partColumn: String,
+                        dirPrefix: String): Seq[Int] = {
+    import org.apache.spark.sql.functions.col
+    val stage = dir.resolve(s".stage-e$epoch")
+    Fs.deleteRecursively(stage.toFile)
+    rows.withColumn("p" + partColumn, col(partColumn))
+      .write.mode("overwrite").partitionBy("p" + partColumn).parquet(stage.toString)
+    val staged = Option(stage.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(s"p$partColumn="))
+      .map(_.getName.stripPrefix(s"p$partColumn=").toInt).sorted
+    staged.foreach { k =>
+      val src = stage.resolve(s"p$partColumn=$k")
+      val dst = dir.resolve(s"$dirPrefix$k").resolve(s"e$epoch")
+      Files.createDirectories(dst.getParent)
+      Fs.deleteRecursively(dst.toFile)
+      Files.move(src, dst)
+      ()
+    }
+    Fs.deleteRecursively(stage.toFile)
+    staged
+  }
+
   /** The immutable per-epoch snapshot manifest. */
   def versionedPath(dir: Path, e: Long): Path = dir.resolve(s"_manifest-e$e.json")
 

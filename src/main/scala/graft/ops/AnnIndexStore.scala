@@ -188,33 +188,14 @@ object AnnIndexStore {
   }
 
   /** Stage `rows` (must carry a `cent` column) partitioned by cell,
-    * then publish each staged cell via a per-cell rename into its
-    * immutable `cK/e<epoch>` location. The cell id is duplicated into
-    * a `pcent` PARTITION column so the data files keep `cent` as a
-    * real column after the rename strips the `pcent=K` dir name.
-    * Published cells come from the STAGE DIRECTORY LISTING — the write
-    * is the only job, so the caller never needs a second pass over
-    * `rows` (a corpus-sized assignment + PQ encode at build time) just
-    * to learn which cells materialized. Returns the published cells,
-    * sorted. */
-  private def publishCells(rows: DataFrame, dir: String, epoch: Long): Seq[Int] = {
-    val stage = java.nio.file.Paths.get(dir, s".stage-e$epoch")
-    deleteRecursively(stage.toFile)
-    rows.withColumn("pcent", col("cent"))
-      .write.mode("overwrite").partitionBy("pcent").parquet(stage.toString)
-    val staged = Option(stage.toFile.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("pcent="))
-      .map(_.getName.stripPrefix("pcent=").toInt).sorted
-    staged.foreach { c =>
-      val src = stage.resolve(s"pcent=$c")
-      val dst = java.nio.file.Paths.get(dir, s"c$c", s"e$epoch")
-      java.nio.file.Files.createDirectories(dst.getParent)
-      deleteRecursively(dst.toFile) // crashed attempt's leftovers
-      java.nio.file.Files.move(src, dst)
-    }
-    deleteRecursively(stage.toFile)
-    staged
-  }
+    * publish each staged cell via rename into its immutable
+    * `cK/e<epoch>` location — the stage/rename publish shared with the
+    * text and dedup index stores ([[graft.ManifestIo
+    * .publishPartitions]]); the write is the only job over `rows` (a
+    * corpus-sized assignment + PQ encode at build time). */
+  private def publishCells(rows: DataFrame, dir: String, epoch: Long): Seq[Int] =
+    graft.ManifestIo.publishPartitions(rows, java.nio.file.Paths.get(dir),
+      epoch, "cent", "c")
 
   /** Retention GC after each flip: drop versioned manifests below the
     * horizon, then any cell-epoch dir no retained manifest references

@@ -1,0 +1,364 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Durable, versioned NEAR-DUP (MinHash-LSH) index — the third member
+  * of the durable-index family ([[AnnIndexStore]] for vectors,
+  * [[TextIndexStore]] for BM25): with all three on disk, every
+  * retrieval/curation primitive that probes the corpus — semantic
+  * search, lexical search, and daily near-dup screening — serves from
+  * persisted artifacts with batch-proportional work at query time.
+  *
+  * The production shape this closes: [[DedupOps.d_dedup_incremental]]
+  * proves daily dedup is O(batch) when the corpus side is an INDEX —
+  * but an in-session index is rebuilt every day, a corpus-sized job at
+  * 100 TB. This store persists the two artifacts that computation
+  * needs, under the same atomic-manifest-flip commit discipline as its
+  * two siblings:
+  *
+  * {{{
+  *   dir/
+  *     _manifest.json       current-epoch pointer (atomic replace)
+  *     _manifest-eN.json    immutable snapshot: {epoch, nDocs,
+  *                          buckets: {K -> "bK/eM"}, docs: ["docs/e0", ...]}
+  *     bK/eM/  (parquet)    band-key bucket K's LSH postings as of
+  *                          epoch M: (band, key, doc_id, sfull, bucket)
+  *     docs/eM/ (parquet)   the shingle-registry SEGMENT appended by
+  *                          epoch M, partitioned by dbucket=K:
+  *                          (doc_id, sh) — the exact-verify corpus
+  * }}}
+  *
+  *   - POSTINGS are the corpus's banded MinHash keys (the same
+  *     [[DedupOps.bandedKeys]] derivation as the in-session
+  *     [[DedupOps.lshCandidates]]): a batch probes by computing ITS
+  *     OWN band keys (a batch-sized job) and equi-joining ONLY the
+  *     [[NumBuckets]]-hashed posting buckets those keys live in
+  *     (explicit manifest paths, never listing). The over-cap skew
+  *     guard carries over: a (band, key) wider than
+  *     [[DedupOps.LshBucketCap]] in the index pairs on full-signature
+  *     equality (`sfull`) only — the exact-dup route, linear in true
+  *     duplicates; a hot key's NEAR-dups (unequal signatures) still
+  *     get their 15 other bands, the same no-signal argument as the
+  *     in-session cap. Inert at fixture scale (no over-cap buckets),
+  *     exercised directly by the spec's planted 150-copy corpus.
+  *   - The REGISTRY holds each indexed doc's shingle set — candidate
+  *     verification needs exact Jaccard, and re-shingling the corpus
+  *     per batch would be the corpus-sized job this store exists to
+  *     avoid. It is hash-partitioned by `dbucket`; serve materializes
+  *     the (batch-proportional, two-longs-per-row) candidate set once
+  *     via `localCheckpoint`, collects its ≤ [[DocBuckets]] distinct
+  *     `dbucket` ids (a bounded driver list, same shape as the IVF
+  *     cell probe), and reads ONLY those leaf partition dirs —
+  *     path-level pruning that holds by construction rather than by
+  *     an optimizer rule firing.
+  *   - [[applyDelta]] is APPEND-ONLY maintenance (same contract and
+  *     same loud insert-only check as the text index): the batch's
+  *     postings merge into only the affected buckets, the registry
+  *     gains one appended segment, one atomic flip, retention GC.
+  *     Serving after a delta is provably identical to a fresh build
+  *     over the unioned corpus ([[DedupOps.d_dedup_index_delta]]
+  *     hash-checks exactly that against DuckDB's from-scratch replay).
+  *   - Retention GC + [[withSnapshot]] leases mirror the other two
+  *     stores via [[graft.EpochGuard]]; [[openAt]] time-travels.
+  */
+object DedupIndexStore {
+  import graft.Fs.deleteRecursively
+
+  /** Band-key-hash posting buckets (16 at fixture scale; thousands in
+    * production — the unit of delta-merge work and of probe-time read
+    * amplification, same dial as the text index). */
+  val NumBuckets = 16
+
+  /** Registry hash partitions — the unit of verify-time partition
+    * pruning. */
+  val DocBuckets = 16
+
+  /** Committed epochs kept readable as snapshots. */
+  val RetainEpochs = 3
+
+  /** Bumps ONLY when [[build]] runs a corpus job — the spec's
+    * zero-recompute proof reads it around a second-session serve. */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong
+
+  case class DedupManifest(epoch: Long, nDocs: Long,
+                           buckets: Map[Int, String], docs: Seq[String])
+
+  // ------------------------------------------------------ manifest io
+
+  private def manifestPath(dir: String) =
+    graft.ManifestIo.manifestPath(java.nio.file.Paths.get(dir))
+  private def versionedPath(dir: String, e: Long) =
+    graft.ManifestIo.versionedPath(java.nio.file.Paths.get(dir), e)
+
+  private def renderManifest(m: DedupManifest): String = {
+    val buckets = m.buckets.toSeq.sortBy(_._1)
+      .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
+    val docs = m.docs.map(d => s""""$d"""").mkString("[", ",", "]")
+    s"""{"epoch":${m.epoch},"nDocs":${m.nDocs},"buckets":$buckets,"docs":$docs}"""
+  }
+
+  private def parseManifest(p: java.nio.file.Path): DedupManifest = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+    def num(f: String): Long = (j \ f) match {
+      case JInt(n) => n.toLong; case o => sys.error(s"bad $f $o") }
+    val buckets = (j \ "buckets") match {
+      case JObject(fs) => fs.map { case (k, JString(v)) => k.toInt -> v
+                                   case o => sys.error(s"bad bucket entry $o") }.toMap
+      case o => sys.error(s"bad buckets $o")
+    }
+    val docs = (j \ "docs") match {
+      case JArray(ds) => ds.map { case JString(v) => v
+                                  case o => sys.error(s"bad docs entry $o") }
+      case o => sys.error(s"bad docs $o")
+    }
+    DedupManifest(num("epoch"), num("nDocs"), buckets, docs)
+  }
+
+  private def commitManifest(dir: String, m: DedupManifest): Unit =
+    graft.ManifestIo.commit(java.nio.file.Paths.get(dir), m.epoch, renderManifest(m))
+
+  def open(dir: String): DedupManifest = {
+    val p = manifestPath(dir)
+    require(java.nio.file.Files.exists(p), s"no dedup index at $dir")
+    parseManifest(p)
+  }
+
+  /** Snapshot manifest — the index AS OF a retained epoch (pin with
+    * [[withSnapshot]] under concurrent maintenance, same caveat as the
+    * sibling stores). */
+  def openAt(dir: String, epoch: Long): DedupManifest = {
+    val p = versionedPath(dir, epoch)
+    require(java.nio.file.Files.exists(p),
+      s"epoch $epoch is not retained (have: ${listEpochs(dir).mkString(",")})")
+    parseManifest(p)
+  }
+
+  def withSnapshot[A](dir: String, epoch: Long)(body: DedupManifest => A): A =
+    graft.EpochGuard.withLease(java.nio.file.Paths.get(dir), epoch,
+      java.nio.file.Files.exists(versionedPath(dir, epoch)), dir) {
+      body(parseManifest(versionedPath(dir, epoch)))
+    }
+
+  def listEpochs(dir: String): Seq[Long] =
+    graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
+
+  // ----------------------------------------------------------- build
+
+  private def bandBucket(band: org.apache.spark.sql.Column,
+                         key: org.apache.spark.sql.Column) =
+    pmod(xxhash64(band, key), lit(NumBuckets.toLong)).cast("int")
+
+  private def docBucket(docId: org.apache.spark.sql.Column) =
+    pmod(xxhash64(docId), lit(DocBuckets.toLong)).cast("int")
+
+  /** (band, key, doc_id, sfull, bucket) LSH postings of pre-shingled
+    * (doc_id, sh) rows — signatures via the codegen'd MinHash
+    * expression, band keys via [[DedupOps.bandedKeys]], bucket as a
+    * narrow hash. */
+  private def postingsOf(sh: DataFrame): DataFrame =
+    DedupOps.bandedKeys(DedupOps.signatureRows(sh))
+      .withColumn("bucket", bandBucket(col("band"), col("key")))
+      .select(col("band"), col("key"), col("doc_id"), col("sfull"), col("bucket"))
+
+  /** Shingle-registry rows: docs with ≥1 shingle (an empty-shingle doc
+    * has no signature and can never verify at Jaccard ≥ 0.5 — the same
+    * filter the signature path applies). */
+  private def registryRows(sh: DataFrame): DataFrame =
+    sh.filter(size(col("sh")) > 0)
+      .withColumn("dbucket", docBucket(col("doc_id")))
+
+  private def writeRegistrySegment(sh: DataFrame, dir: String, rel: String): Long = {
+    registryRows(sh).write.mode("overwrite")
+      .partitionBy("dbucket").parquet(s"$dir/$rel")
+    // count folds the just-written parquet (metadata-sized read), not
+    // a second pass over the shingling job
+    sh.sparkSession.read.parquet(s"$dir/$rel").count()
+  }
+
+  /** Existing registry leaf dirs (`docs/eM/dbucket=K`) for the given
+    * bucket ids across every segment — sibling partitioned roots can't
+    * go through one multi-root read (Spark rejects the conflicting
+    * structure), and explicit leaves double as the serve-time pruning
+    * mechanism. */
+  private def registryLeafPaths(dir: String, m: DedupManifest,
+                                buckets: Seq[Int]): Seq[String] =
+    for {
+      rel <- m.docs
+      b <- buckets
+      p = s"$dir/$rel/dbucket=$b"
+      if new java.io.File(p).exists()
+    } yield p
+
+  /** Build epoch 0 from `docs` (doc_id, text). The only corpus-scanning
+    * jobs of the index's life happen here and in [[applyDelta]]'s
+    * batch-proportional merges. */
+  def build(docs: DataFrame, dir: String): DedupManifest = {
+    buildCount.incrementAndGet()
+    val sh = DedupOps.shingled(docs).cache()
+    try {
+      val published = graft.ManifestIo.publishPartitions(
+        postingsOf(sh), java.nio.file.Paths.get(dir), 0L, "bucket", "b")
+      val nDocs = writeRegistrySegment(sh, dir, "docs/e0")
+      val m = DedupManifest(0L, nDocs,
+        published.map(b => b -> s"b$b/e0").toMap, Seq("docs/e0"))
+      commitManifest(dir, m)
+      m
+    } finally { sh.unpersist(); () }
+  }
+
+  // ----------------------------------------------------------- serve
+
+  /** Serve-side diagnostics the spec asserts on. */
+  case class ServeDiag(probedBuckets: Seq[Int], postingPaths: Seq[String],
+                       registryPaths: Seq[String] = Nil)
+
+  /** Near-dup pairs of `batch` (doc_id, text) against the indexed
+    * corpus, served from the persisted artifacts: the batch's own band
+    * keys (batch-sized job) probe ONLY their posting buckets; exact
+    * Jaccard ≥ 0.5 over the registry's shingle sets verifies every
+    * candidate, with dynamic partition pruning bounding the registry
+    * read by the candidates' `dbucket`s. Output (doc_new, doc_old,
+    * jac_e6) — identical semantics to the from-scratch OLD × NEW
+    * computation ([[DedupOps.d_dedup_served]] hash-checks that against
+    * DuckDB), with zero corpus jobs at serve time. */
+  def nearDups(s: SparkSession, dir: String, m: DedupManifest,
+               batch: DataFrame): DataFrame = nearDupsDiag(s, dir, m, batch)._1
+
+  private[graft] def nearDupsDiag(s: SparkSession, dir: String, m: DedupManifest,
+                                  batch: DataFrame): (DataFrame, ServeDiag) = {
+    val batchSh = DedupOps.shingled(batch)
+    val bands = DedupOps.bandedKeys(DedupOps.signatureRows(batchSh))
+      .withColumn("bucket", bandBucket(col("band"), col("key")))
+    // bounded collect: distinct bucket ids, ≤ NumBuckets ints — the
+    // same driver-side probe-list shape as the IVF cell probe
+    val probed = bands.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val paths = probed.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+    val empty = s.emptyDataFrame
+      .select(lit(0L).as("doc_new"), lit(0L).as("doc_old"), lit(0L).as("jac_e6"))
+      .limit(0)
+    if (paths.isEmpty) return (empty, ServeDiag(probed, paths))
+
+    // bucket width over the read postings (a probed bucket holds ALL
+    // postings for its keys, so the window df is the index-wide width)
+    val idx = s.read.parquet(paths: _*)
+      .withColumn("bdf", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+    val q = broadcast(bands
+      .select(col("doc_id").as("doc_new"), col("sfull").as("qfull"),
+        col("band"), col("key")))
+    val under = idx.filter(col("bdf") <= DedupOps.LshBucketCap)
+      .join(q, Seq("band", "key"))
+    val over = idx.filter(col("bdf") > DedupOps.LshBucketCap)
+      .join(q, Seq("band", "key")).filter(col("sfull") === col("qfull"))
+    // the candidate set is batch-proportional and two longs wide:
+    // materialize it ONCE (localCheckpoint truncates lineage, so the
+    // bounded dbucket collect below doesn't re-run the probe join)
+    val pairs = under.unionByName(over)
+      .select(col("doc_new"), col("doc_id").as("doc_old")).distinct()
+      .withColumn("dbucket", docBucket(col("doc_old")))
+      .localCheckpoint()
+
+    // exact-Jaccard verify: candidate old docs' shingles from ONLY the
+    // registry leaf dirs holding a candidate (bounded driver list,
+    // path-level pruning), batch docs' shingles recomputed in-batch
+    val candBuckets = pairs.select(col("dbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val regPaths = registryLeafPaths(dir, m, candBuckets)
+    if (regPaths.isEmpty) return (empty, ServeDiag(probed, paths, regPaths))
+    val reg = s.read.parquet(regPaths: _*)
+    val verified = reg.join(broadcast(pairs), reg("doc_id") === pairs("doc_old"))
+      .select(col("doc_new"), col("doc_old"), reg("sh").as("sha"))
+      .join(broadcast(batchSh.select(col("doc_id").as("doc_new"), col("sh").as("shb"))),
+        "doc_new")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("u", size(col("sha")) + size(col("shb")) - col("c"))
+      .filter(col("c") * lit(2) >= col("u")) // c/u >= 0.5, integer-exact
+      .select(col("doc_new"), col("doc_old"),
+        round(lit(1000000.0) * col("c") / col("u")).cast("long").as("jac_e6"))
+    (verified, ServeDiag(probed, paths, regPaths))
+  }
+
+  // ----------------------------------------------- incremental delta
+
+  /** Outcome of one append commit, with the diagnostics the spec
+    * asserts on (affected buckets; posting paths the merge read). */
+  case class DeltaCommit(manifest: DedupManifest, affected: Seq[Int],
+                         readPaths: Seq[String])
+
+  /** Append `newDocs` (doc_id, text) to the live index. APPEND-ONLY by
+    * contract: a doc_id already in the registry fails loudly (document
+    * updates need tombstoned segments — stated, not half-supported).
+    * Work is batch-proportional: only the buckets the batch's band
+    * keys hash into are read and merged, the registry gains one
+    * APPENDED segment, one atomic flip commits, retention GC runs. */
+  def applyDelta(s: SparkSession, dir: String, newDocs: DataFrame,
+                 retain: Int = RetainEpochs): DeltaCommit = {
+    val m = open(dir)
+    val next = m.epoch + 1
+    val sh = DedupOps.shingled(newDocs).cache()
+    try {
+      val regPaths = registryLeafPaths(dir, m, 0 until DocBuckets)
+      val clash =
+        if (regPaths.isEmpty) 0L
+        else sh.select(col("doc_id")).distinct()
+          .join(s.read.parquet(regPaths: _*).select(col("doc_id")), "doc_id")
+          .limit(1).count()
+      require(clash == 0L,
+        s"applyDelta is append-only: batch contains doc_ids already indexed at $dir")
+
+      val rows = postingsOf(sh)
+      val affected = rows.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val readPaths = affected.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+      val oldAffected =
+        if (readPaths.nonEmpty) s.read.parquet(readPaths: _*)
+        else s.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("key"),
+          lit(0L).as("doc_id"), lit(0L).as("sfull"), lit(0).as("bucket")).limit(0)
+      val merged = oldAffected
+        .select(col("band"), col("key"), col("doc_id"), col("sfull"), col("bucket"))
+        .unionByName(rows)
+      val published = graft.ManifestIo.publishPartitions(
+        merged, java.nio.file.Paths.get(dir), next, "bucket", "b")
+
+      val added = writeRegistrySegment(sh, dir, s"docs/e$next")
+      val buckets = m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap
+      val m2 = DedupManifest(next, m.nDocs + added, buckets,
+        m.docs :+ s"docs/e$next")
+      commitManifest(dir, m2)
+      gc(dir, next, retain)
+      DeltaCommit(m2, affected, readPaths)
+    } finally { sh.unpersist(); () }
+  }
+
+  // -------------------------------------------------------------- gc
+
+  /** Retention GC: versioned manifests below the horizon go through
+    * [[graft.EpochGuard.guardedDelete]] (lease handshake — same
+    * contract as every durable store), then any bucket-epoch dir no
+    * retained manifest references is swept. Registry segments are
+    * append-only and referenced by every later manifest's prefix, so a
+    * segment is deletable only when NO retained manifest lists it. */
+  private[graft] def gc(dir: String, current: Long, retain: Int,
+                        afterIntent: Long => Unit = _ => ()): Unit = {
+    val horizon = math.max(0L, current - retain + 1)
+    graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
+    val retained = listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
+    val referenced: Set[String] =
+      retained.flatMap(mm => mm.buckets.values ++ mm.docs).toSet
+    def sweep(prefix: String): Unit = {
+      val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.matches(prefix))
+      for (cd <- dirs; ed <- Option(cd.listFiles()).toSeq.flatten
+             if ed.getName.matches("e\\d+")) {
+        val rel = s"${cd.getName}/${ed.getName}"
+        val epoch = ed.getName.stripPrefix("e").toLong
+        if (!referenced.contains(rel) && epoch < current) deleteRecursively(ed)
+      }
+    }
+    sweep("b\\d+")
+    sweep("docs")
+  }
+}

@@ -231,8 +231,13 @@ object DedupOps {
     * no signature, not a degenerate all-MaxValue one that would bucket
     * every short doc together. */
   private[ops] def minhashSignatures(docs: DataFrame): DataFrame =
-    shingled(docs)
-      .filter(size(col("sh")) > 0)
+    signatureRows(shingled(docs))
+
+  /** Signatures from pre-shingled (doc_id, sh) rows — the seam
+    * [[DedupIndexStore]] uses to compute signatures and the shingle
+    * registry from ONE shingling pass. */
+  private[ops] def signatureRows(sh: DataFrame): DataFrame =
+    sh.filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         graft.functions.MinHashSignature.minhashSignature(col("sh"), hashA, hashB, HashP)
           .as("sig"))
@@ -261,9 +266,13 @@ object DedupOps {
     * `sfull` is a 64-bit hash of the whole signature; a collision can
     * only add a spurious candidate, which the exact-Jaccard
     * verification downstream discards. */
-  private[ops] def lshCandidates(sigs: DataFrame,
-                                 cap: Long = LshBucketCap): DataFrame = {
-    val banded = sigs.select(col("doc_id"),
+  /** (doc_id, sfull, band, key) band keys of MinHash signatures —
+    * `sfull` is a 64-bit hash of the whole signature (the over-cap
+    * exact-dup route's grouping key); shared by the in-session
+    * [[lshCandidates]] self-join and [[DedupIndexStore]]'s
+    * batch-probes-index join. */
+  private[ops] def bandedKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       xxhash64(col("sig")).as("sfull"),
       posexplode(
         transform(sequence(lit(0), lit(NumBands - 1)),
@@ -274,6 +283,10 @@ object DedupOps {
             // (ANSI-safe); collisions only cost extra verified candidates
             (acc, x) => pmod(acc * lit(1000003L) + x, lit(2147483647L)))))
         .as(Seq("band", "key")))
+
+  private[ops] def lshCandidates(sigs: DataFrame,
+                                 cap: Long = LshBucketCap): DataFrame = {
+    val banded = bandedKeys(sigs)
     // bucket width via a count window, NOT groupBy+join-back: every
     // branch below then hangs off the SAME (band, key) exchange, which
     // ReuseExchange/AQE computes once — the codegen'd signature pass
@@ -861,10 +874,101 @@ object DedupOps {
 
   // ------------------------------------------------------------ registry
 
+  // --------------------------------------- persisted-index serving
+
+  /** Write-once durable dedup index per (session, fixture dir) over
+    * the OLD corpus slice (doc_id % 5 ≠ 4 — the same old/new split as
+    * [[d_dedup_incremental]]). Lives under tmpdir for the session,
+    * deleted on JVM exit. */
+  private val dedupIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private[graft] def persistedDedupIndexDir(s: org.apache.spark.sql.SparkSession,
+                                            d: String): String =
+    dedupIndexDirs.getOrElseUpdate((s, d), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
+        Tables.layoutTag(d)
+      DedupIndexStore.build(
+        Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+          .select(col("doc_id"), col("text")), p)
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
+  /** Write-once INCREMENTALLY-ASSEMBLED dedup index per (session,
+    * fixture dir): epoch 0 indexes doc_id % 5 ∈ {0, 1}, then
+    * [[DedupIndexStore.applyDelta]] appends % 5 ∈ {2, 3} — real
+    * maintenance over real ids, after which the index covers exactly
+    * the same OLD corpus as [[persistedDedupIndexDir]]. */
+  private[graft] def deltaDedupIndexDir(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String =
+    dedupIndexDirs.getOrElseUpdate((s, "delta:" + d), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidxd_" +
+        Tables.layoutTag(d)
+      val old = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), col("text"))
+      DedupIndexStore.build(old.filter(col("doc_id") % 5 < 2), p)
+      DedupIndexStore.applyDelta(s, p, old.filter(col("doc_id") % 5 >= 2)): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
+  /** The daily near-dup screen served from the PERSISTED index
+    * ([[DedupIndexStore]]): the 20 % "new day" batch (doc_id % 5 = 4)
+    * probes the old corpus's banded LSH postings with its own band
+    * keys and exact-verifies against the persisted shingle registry —
+    * zero corpus jobs at serve time, and the result hash-matches the
+    * from-scratch OLD × NEW exact-Jaccard replay in DuckDB (the whole
+    * claim: the persisted artifacts reproduce the corpus computation
+    * exactly, uncapped like [[d_dedup_minhash]]). */
+  lazy val d_dedup_served: Q = (s, d) => {
+    val dir = persistedDedupIndexDir(s, d)
+    DedupIndexStore.nearDups(s, dir, DedupIndexStore.open(dir),
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
+  /** The same daily screen served from the INCREMENTALLY-assembled
+    * index (build on half the old corpus, delta-append the rest):
+    * hash-matching the identical from-scratch oracle proves the append
+    * commit — merged band buckets, appended registry segment, bumped
+    * nDocs — converges exactly to the full-build answer. */
+  lazy val d_dedup_index_delta: Q = (s, d) => {
+    val dir = deltaDedupIndexDir(s, d)
+    DedupIndexStore.nearDups(s, dir, DedupIndexStore.open(dir),
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
+  /** Uncapped OLD × NEW exact-Jaccard replay — the shared oracle of
+    * both served-dedup queries ([[d_dedup_incremental]]'s shape minus
+    * the df cap, which the LSH-candidate route does not apply — same
+    * uncapped semantics as [[d_dedup_minhash]]). */
+  private val servedDedupOracle: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (SELECT b.doc_id AS doc_new, a.doc_id AS doc_old, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s
+      |            AND a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+      |           GROUP BY 1, 2)
+      |SELECT doc_new, doc_old,
+      |  CAST(ROUND(1000000.0 * c / (nn.n + no.n - c)) AS BIGINT) AS jac_e6
+      |FROM common
+      |JOIN sizes nn ON doc_new = nn.doc_id
+      |JOIN sizes no ON doc_old = no.doc_id
+      |WHERE 2 * c >= (nn.n + no.n - c)
+      |ORDER BY doc_new, doc_old""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> d_dedup_exact,
     "d_ngram_jaccard" -> d_ngram_jaccard,
     "d_dedup_incremental" -> d_dedup_incremental,
+    "d_dedup_served" -> d_dedup_served,
+    "d_dedup_index_delta" -> d_dedup_index_delta,
     "d_dedup_minhash" -> d_dedup_minhash,
     "d_dedup_simhash" -> d_dedup_simhash,
     "d_dedup_embedding" -> d_dedup_embedding,
@@ -930,6 +1034,8 @@ object DedupOps {
         |  substr(sha256(text), 1, 16) AS hash16
         |FROM corpus GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> jaccardOracle(Some(ShingleDfCap)),
+    "d_dedup_served" -> servedDedupOracle,
+    "d_dedup_index_delta" -> servedDedupOracle,
     "d_dedup_incremental" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),

@@ -149,27 +149,13 @@ object TextIndexStore {
   }
 
   /** Stage posting rows partitioned by bucket, publish each staged
-    * bucket via rename into `bK/e<epoch>` — the [[AnnIndexStore]]
-    * publish pattern (bucket list from the stage listing: the write is
-    * the only corpus job). */
-  private def publishBuckets(rows: DataFrame, dir: String, epoch: Long): Seq[Int] = {
-    val stage = java.nio.file.Paths.get(dir, s".stage-e$epoch")
-    deleteRecursively(stage.toFile)
-    rows.withColumn("pbucket", col("bucket"))
-      .write.mode("overwrite").partitionBy("pbucket").parquet(stage.toString)
-    val staged = Option(stage.toFile.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("pbucket="))
-      .map(_.getName.stripPrefix("pbucket=").toInt).sorted
-    staged.foreach { b =>
-      val src = stage.resolve(s"pbucket=$b")
-      val dst = java.nio.file.Paths.get(dir, s"b$b", s"e$epoch")
-      java.nio.file.Files.createDirectories(dst.getParent)
-      deleteRecursively(dst.toFile)
-      java.nio.file.Files.move(src, dst)
-    }
-    deleteRecursively(stage.toFile)
-    staged
-  }
+    * bucket via rename into `bK/e<epoch>` — the stage/rename publish
+    * shared with the ANN and dedup stores ([[graft.ManifestIo
+    * .publishPartitions]]; bucket list from the stage listing: the
+    * write is the only corpus job). */
+  private def publishBuckets(rows: DataFrame, dir: String, epoch: Long): Seq[Int] =
+    graft.ManifestIo.publishPartitions(rows, java.nio.file.Paths.get(dir),
+      epoch, "bucket", "b")
 
   private def writeComponent(df: DataFrame, dir: String, rel: String): Unit =
     df.write.mode("overwrite").parquet(s"$dir/$rel")

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{DedupIndexStore, Tables}
+
+/** The durable-dedup-index contract — the third durable store next to
+  * [[AnnIndexStoreSpec]] and [[TextIndexStoreSpec]]: the LSH postings
+  * + shingle registry on disk are a complete, versioned artifact, a
+  * later session screens a batch against them with zero corpus jobs,
+  * probing reads only the batch's band-key buckets, append maintenance
+  * converges exactly to the full rebuild, the over-cap exact-dup route
+  * works, and the append-only contract fails loudly.
+  *
+  * The expected answer is recomputed here from FIRST PRINCIPLES (an
+  * all-pairs crossJoin + exact Jaccard over spec-local shingling) — a
+  * different derivation than both the store (banded LSH) and the
+  * driver's DuckDB oracle, so agreement is three-way.
+  */
+class DedupIndexStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+  private def oldDocs = docs.filter(col("doc_id") % 5 =!= 4)
+  private def batchDocs = docs.filter(col("doc_id") % 5 === 4)
+
+  /** Spec-local 3-word shingling (mirrors the DuckDB oracle's
+    * `w[i] || ' ' || w[i+1] || ' ' || w[i+2]`, distinct). */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), size(col("w")) - 3),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(3))))).as("sh"))
+
+  /** All-pairs OLD × NEW exact Jaccard ≥ 0.5 — the brute-force truth
+    * (spec scale only; the store exists so production never does this). */
+  private def expectedPairs(old: DataFrame, batch: DataFrame): Set[(Long, Long, Long)] =
+    shingles(old).select(col("doc_id").as("doc_old"), col("sh").as("sha"))
+      .crossJoin(broadcast(
+        shingles(batch).select(col("doc_id").as("doc_new"), col("sh").as("shb"))))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("u", size(col("sha")) + size(col("shb")) - col("c"))
+      .filter(col("c") * lit(2) >= col("u"))
+      .select(col("doc_new"), col("doc_old"),
+        round(lit(1000000.0) * col("c") / col("u")).cast("long").as("jac_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def pairKey(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select("doc_new", "doc_old", "jac_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def freshDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_dis_$tag")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("a fresh session screens the batch identically to brute force, zero corpus jobs") {
+    val dir = freshDir("serve")
+    DedupIndexStore.build(oldDocs, dir)
+    val expected = expectedPairs(oldDocs, batchDocs)
+    assert(expected.nonEmpty, "fixture has no OLD x NEW near-dups - test is vacuous")
+    val s2 = spark.newSession()
+    val batch2 = Tables.documents(s2, sf).filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+    val before = DedupIndexStore.buildCount.get()
+    val served = DedupIndexStore.nearDups(s2, dir, DedupIndexStore.open(dir), batch2)
+    assert(pairKey(served) == expected, "served pairs drifted from brute force")
+    assert(DedupIndexStore.buildCount.get() == before,
+      "serving must not rebuild anything - the artifacts are on disk")
+    // every file the serve plan reads is either an index artifact or
+    // the incoming batch itself - no path back to the INDEXED corpus
+    // beyond the persisted registry
+    val inputs = served.inputFiles
+    assert(inputs.nonEmpty)
+    val idxTag = dir.split('/').last
+    inputs.foreach(f => assert(f.contains(idxTag) || f.contains("documents"),
+      s"serve plan read outside the index and batch: $f"))
+  }
+
+  test("probing reads only the batch's band-key buckets (manifest-pruned scan)") {
+    val dir = freshDir("prune")
+    DedupIndexStore.build(oldDocs, dir)
+    val m = DedupIndexStore.open(dir)
+    // a 1-doc batch has 16 band keys - they cannot cover all 16
+    // buckets at this fixture's hash layout (empirically ~10)
+    val one = batchDocs.orderBy(col("doc_id")).limit(1)
+    val (served, diag) = DedupIndexStore.nearDupsDiag(spark, dir, m, one)
+    served.collect()
+    assert(diag.probedBuckets.nonEmpty && diag.probedBuckets.size < DedupIndexStore.NumBuckets,
+      s"1-doc batch probed every bucket: ${diag.probedBuckets}")
+    diag.postingPaths.foreach(p =>
+      assert(diag.probedBuckets.exists(b => p.contains(s"/b$b/")), s"stray probe read: $p"))
+    // the executed scan stayed inside the probed buckets
+    val bucketDirsRead = served.inputFiles
+      .flatMap(_.split('/').find(seg => seg.matches("b\\d+"))).distinct
+    bucketDirsRead.foreach(bd =>
+      assert(diag.probedBuckets.contains(bd.stripPrefix("b").toInt),
+        s"scan read unprobed bucket $bd"))
+  }
+
+  test("append delta converges exactly to the full rebuild; a small delta leaves buckets untouched") {
+    val dir = freshDir("delta")
+    val half = oldDocs.filter(col("doc_id") % 5 < 2)
+    val rest = oldDocs.filter(col("doc_id") % 5 >= 2)
+    val m0 = DedupIndexStore.build(half, dir)
+    val commit = DedupIndexStore.applyDelta(spark, dir, rest)
+    assert(pairKey(DedupIndexStore.nearDups(spark, dir, commit.manifest, batchDocs)) ==
+      expectedPairs(oldDocs, batchDocs),
+      "incremental index diverged from the full rebuild")
+    assert(commit.manifest.nDocs == m0.nDocs + shingles(rest).count())
+    // a 1-doc append touches a strict subset of buckets; untouched
+    // buckets keep their earlier dirs (no gratuitous rewrite)
+    val extraId = 1000000L
+    val extra = spark.range(1).select(lit(extraId).as("doc_id"),
+      lit("one extra appended document with enough words to shingle").as("text"))
+    val c2 = DedupIndexStore.applyDelta(spark, dir, extra)
+    assert(c2.affected.nonEmpty && c2.affected.size < DedupIndexStore.NumBuckets,
+      s"1-doc delta touched every bucket: ${c2.affected}")
+    val untouched = commit.manifest.buckets.keySet -- c2.affected.toSet
+    assert(untouched.nonEmpty)
+    untouched.foreach { b =>
+      assert(c2.manifest.buckets(b) == commit.manifest.buckets(b),
+        s"untouched bucket $b was rewritten")
+    }
+    c2.readPaths.foreach(p =>
+      assert(c2.affected.exists(b => p.contains(s"/b$b/")), s"stray merge read: $p"))
+  }
+
+  test("over-cap band keys take the exact-dup route: a planted 150-copy corpus still screens") {
+    val dir = freshDir("hot")
+    val text = "exact duplicate passage repeated across the planted corpus many times over"
+    val planted = spark.range(150).select((col("id") + 1).as("doc_id"), lit(text).as("text"))
+    DedupIndexStore.build(planted, dir)
+    // every band bucket of this signature holds 150 docs - far over
+    // LshBucketCap (100), so candidate generation must route through
+    // full-signature equality instead of the pairwise band join
+    val probe = spark.range(1).select(lit(9999L).as("doc_id"), lit(text).as("text"))
+    val served = DedupIndexStore.nearDups(spark, dir, DedupIndexStore.open(dir), probe)
+    val got = pairKey(served)
+    assert(got == (1L to 150L).map(i => (9999L, i, 1000000L)).toSet,
+      s"over-cap route lost exact duplicates: got ${got.size} pairs")
+  }
+
+  test("time travel: the pre-delta epoch still screens against its old corpus only") {
+    val dir = freshDir("tt")
+    val half = oldDocs.filter(col("doc_id") % 5 < 2)
+    DedupIndexStore.build(half, dir)
+    val preDelta = pairKey(DedupIndexStore.nearDups(spark, dir, DedupIndexStore.open(dir), batchDocs))
+    DedupIndexStore.applyDelta(spark, dir, oldDocs.filter(col("doc_id") % 5 >= 2))
+    assert(DedupIndexStore.listEpochs(dir) == Seq(0L, 1L))
+    val atZero = DedupIndexStore.withSnapshot(dir, 0L) { m0 =>
+      pairKey(DedupIndexStore.nearDups(spark, dir, m0, batchDocs))
+    }
+    assert(atZero == preDelta, "epoch-0 snapshot no longer screens its committed corpus")
+    assert(atZero == expectedPairs(half, batchDocs))
+    val live = pairKey(DedupIndexStore.nearDups(spark, dir, DedupIndexStore.open(dir), batchDocs))
+    assert(live != preDelta, "delta was a no-op - the time-travel test is vacuous")
+  }
+
+  test("append-only contract: re-adding an indexed doc_id fails loudly") {
+    val dir = freshDir("dup")
+    DedupIndexStore.build(oldDocs, dir)
+    val err = intercept[IllegalArgumentException] {
+      DedupIndexStore.applyDelta(spark, dir, oldDocs.limit(3))
+    }
+    assert(err.getMessage.contains("append-only"))
+    assert(DedupIndexStore.open(dir).epoch == 0L)
+  }
+
+  test("retention GC drops old epochs' manifests and unreferenced bucket dirs") {
+    val dir = freshDir("gc")
+    DedupIndexStore.build(oldDocs.filter(col("doc_id") % 5 < 2), dir)
+    DedupIndexStore.applyDelta(spark, dir,
+      oldDocs.filter(col("doc_id") % 5 === 2), retain = 1)
+    DedupIndexStore.applyDelta(spark, dir,
+      oldDocs.filter(col("doc_id") % 5 === 3), retain = 1)
+    assert(DedupIndexStore.listEpochs(dir) == Seq(2L))
+    val m = DedupIndexStore.open(dir)
+    val onDisk = for {
+      bd <- Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        if bd.isDirectory && bd.getName.matches("b\\d+")
+      ed <- Option(bd.listFiles()).toSeq.flatten if ed.getName.matches("e\\d+")
+    } yield s"${bd.getName}/${ed.getName}"
+    assert(onDisk.toSet == m.buckets.values.toSet,
+      s"unreferenced bucket dirs survive GC: ${onDisk.toSet -- m.buckets.values.toSet}")
+    // registry segments are append-only: the live manifest references
+    // all three, so all three survive and resolve
+    assert(m.docs == Seq("docs/e0", "docs/e1", "docs/e2"))
+    m.docs.foreach(rel => assert(new java.io.File(dir, rel).exists()))
+    assert(pairKey(DedupIndexStore.nearDups(spark, dir, m, batchDocs)) ==
+      expectedPairs(oldDocs, batchDocs))
+  }
+
+  test("an empty batch serves an empty, well-typed result") {
+    val dir = freshDir("empty")
+    DedupIndexStore.build(oldDocs.limit(50), dir)
+    val served = DedupIndexStore.nearDups(spark, dir, DedupIndexStore.open(dir),
+      docs.limit(0))
+    assert(served.columns.toSeq == Seq("doc_new", "doc_old", "jac_e6"))
+    assert(served.count() == 0L)
+  }
+}
