@@ -333,6 +333,41 @@ object DedupIndexStore {
     } finally { sh.unpersist(); () }
   }
 
+  // ------------------------------------------------------- compaction
+
+  /** Squash the registry's delta segments into ONE segment under a new
+    * epoch — the Lucene segment-merge step of this store's lifecycle.
+    * Every [[applyDelta]] appends a `docs/eM` segment, and serve-time
+    * verify reads one leaf dir PER SEGMENT per candidate bucket, so a
+    * year of daily deltas multiplies the verify read 365×; compaction
+    * resets that to 1× with a corpus-sized rewrite the operator
+    * schedules off-peak (amortized: postings are NOT rewritten — delta
+    * merges already keep each bucket single-segment). Old epochs keep
+    * their own segment lists, so retained snapshots still time-travel;
+    * their segments are swept only when no retained manifest lists
+    * them (the standard GC rule). Serving after compaction is provably
+    * identical ([[DedupOps.d_dedup_compacted]] hash-checks it against
+    * the same from-scratch DuckDB replay as the other two witnesses). */
+  def compact(s: SparkSession, dir: String,
+              retain: Int = RetainEpochs): DedupManifest = {
+    val m = open(dir)
+    val next = m.epoch + 1
+    val regPaths = registryLeafPaths(dir, m, 0 until DocBuckets)
+    require(regPaths.nonEmpty, s"nothing to compact at $dir (empty registry)")
+    // leaf-dir reads drop the dbucket partition value, so it is
+    // recomputed from doc_id (the same deterministic hash that
+    // placed the row) — no shuffle: partitioned writes fan out from
+    // each task directly
+    val rel = s"docs/e$next"
+    s.read.parquet(regPaths: _*)
+      .withColumn("dbucket", docBucket(col("doc_id")))
+      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/$rel")
+    val m2 = DedupManifest(next, m.nDocs, m.buckets, Seq(rel))
+    commitManifest(dir, m2)
+    gc(dir, next, retain)
+    m2
+  }
+
   // -------------------------------------------------------------- gc
 
   /** Retention GC: versioned manifests below the horizon go through

@@ -942,6 +942,36 @@ object DedupOps {
       .orderBy(col("doc_new"), col("doc_old"))
   }
 
+  /** Write-once COMPACTED index per (session, fixture dir): the
+    * delta-assembled index (two registry segments) squashed to one
+    * segment by [[DedupIndexStore.compact]] — the segment-merge
+    * lifecycle step that bounds serve-time read amplification. */
+  private[graft] def compactedDedupIndexDir(s: org.apache.spark.sql.SparkSession,
+                                            d: String): String =
+    dedupIndexDirs.getOrElseUpdate((s, "compact:" + d), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidxc_" +
+        Tables.layoutTag(d)
+      val old = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), col("text"))
+      DedupIndexStore.build(old.filter(col("doc_id") % 5 < 2), p)
+      DedupIndexStore.applyDelta(s, p, old.filter(col("doc_id") % 5 >= 2)): Unit
+      DedupIndexStore.compact(s, p): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
+  /** The same daily screen after SEGMENT COMPACTION (build half,
+    * delta-append the rest, squash the registry to one segment):
+    * hash-matching the identical from-scratch oracle proves compaction
+    * is a pure re-layout — same pairs, fewer serve-time leaf reads. */
+  lazy val d_dedup_compacted: Q = (s, d) => {
+    val dir = compactedDedupIndexDir(s, d)
+    DedupIndexStore.nearDups(s, dir, DedupIndexStore.open(dir),
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   /** Uncapped OLD × NEW exact-Jaccard replay — the shared oracle of
     * both served-dedup queries ([[d_dedup_incremental]]'s shape minus
     * the df cap, which the LSH-candidate route does not apply — same
@@ -969,6 +999,7 @@ object DedupOps {
     "d_dedup_incremental" -> d_dedup_incremental,
     "d_dedup_served" -> d_dedup_served,
     "d_dedup_index_delta" -> d_dedup_index_delta,
+    "d_dedup_compacted" -> d_dedup_compacted,
     "d_dedup_minhash" -> d_dedup_minhash,
     "d_dedup_simhash" -> d_dedup_simhash,
     "d_dedup_embedding" -> d_dedup_embedding,
@@ -1036,6 +1067,7 @@ object DedupOps {
     "d_ngram_jaccard" -> jaccardOracle(Some(ShingleDfCap)),
     "d_dedup_served" -> servedDedupOracle,
     "d_dedup_index_delta" -> servedDedupOracle,
+    "d_dedup_compacted" -> servedDedupOracle,
     "d_dedup_incremental" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),

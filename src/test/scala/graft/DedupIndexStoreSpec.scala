@@ -195,6 +195,42 @@ class DedupIndexStoreSpec extends AnyFunSuite {
       expectedPairs(oldDocs, batchDocs))
   }
 
+  test("compaction squashes registry segments: same pairs, fewer leaf reads, snapshots intact") {
+    val dir = freshDir("compact")
+    DedupIndexStore.build(oldDocs.filter(col("doc_id") % 5 < 2), dir)
+    DedupIndexStore.applyDelta(spark, dir, oldDocs.filter(col("doc_id") % 5 === 2))
+    val pre = DedupIndexStore.applyDelta(spark, dir, oldDocs.filter(col("doc_id") % 5 === 3))
+    assert(pre.manifest.docs.size == 3)
+    val (_, preDiag) = DedupIndexStore.nearDupsDiag(spark, dir, pre.manifest, batchDocs)
+    val expected = expectedPairs(oldDocs, batchDocs)
+
+    val m2 = DedupIndexStore.compact(spark, dir)
+    assert(m2.docs.size == 1 && m2.nDocs == pre.manifest.nDocs)
+    assert(m2.buckets == pre.manifest.buckets, "compaction must not touch postings")
+    val (served, postDiag) = DedupIndexStore.nearDupsDiag(spark, dir, m2, batchDocs)
+    assert(pairKey(served) == expected, "compaction changed the served answer")
+    // the same candidate set now resolves through a third of the leaf
+    // dirs (3 segments -> 1)
+    assert(postDiag.registryPaths.nonEmpty &&
+      postDiag.registryPaths.size * 3 == preDiag.registryPaths.size,
+      s"expected 3x fewer registry leaf reads, got ${preDiag.registryPaths.size} -> " +
+        s"${postDiag.registryPaths.size}")
+    // the pre-compaction epoch still time-travels through its own segments
+    val atPre = DedupIndexStore.withSnapshot(dir, pre.manifest.epoch) { mPre =>
+      pairKey(DedupIndexStore.nearDups(spark, dir, mPre, batchDocs))
+    }
+    assert(atPre == expected)
+    // retain=1 GC after one more maintenance commit sweeps the old segments
+    DedupIndexStore.applyDelta(spark, dir,
+      spark.range(1).select(lit(2000000L).as("doc_id"),
+        lit("a single fresh appended document with plenty of words").as("text")),
+      retain = 1)
+    val segDirs = Option(new java.io.File(dir, "docs").listFiles()).toSeq.flatten
+      .map(_.getName).sorted
+    assert(segDirs == Seq("e3", "e4"),
+      s"pre-compaction segments survive a retain=1 GC: $segDirs")
+  }
+
   test("an empty batch serves an empty, well-typed result") {
     val dir = freshDir("empty")
     DedupIndexStore.build(oldDocs.limit(50), dir)
