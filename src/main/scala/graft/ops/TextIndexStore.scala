@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   *     docs/eM/  (parquet)  the doc registry SEGMENT appended by epoch
   *                          M: (doc_id, dl) — append-only, read only by
   *                          maintenance (delta disjointness check)
+  *     dels/eM/  (parquet)  TOMBSTONE segment appended by a delete
+  *                          epoch M: (doc_id) — anti-joined at serve
+  *                          time, purged by [[compact]]
   * }}}
   *
   *   - Postings are DENORMALIZED with the document length (`dl`) —
@@ -39,11 +42,16 @@ import org.apache.spark.sql.functions._
   *   - The global scalars (nDocs, sumDl) ride in the manifest and
   *     enter the scoring plan as literals — the idf/norm denominators
   *     cost zero jobs.
-  *   - [[applyDelta]] is APPEND-ONLY maintenance (the standard search
-  *     segment model; document updates need tombstones — out of
-  *     scope, and stated rather than half-supported): new docs' tf/df
-  *     merge into only the affected buckets, stats rewrite (vocab-
-  *     sized), the registry gains one segment, scalars bump, one flip.
+  *   - [[applyDelta]] is INSERT-ONLY maintenance (the standard search
+  *     segment model): new docs' tf/df merge into only the affected
+  *     buckets, stats rewrite (vocab-sized), the registry gains one
+  *     segment, scalars bump, one flip. Removal is [[applyDelete]]
+  *     (tombstones, batch-proportional) made physical by [[compact]]
+  *     (the purge merge). Tombstones here are GLOBAL (one anti-join
+  *     set), not Lucene's per-segment bitmaps, so a deleted doc_id
+  *     becomes re-insertable only after the purge: an UPDATE is
+  *     delete → compact → insert, with the compact amortized across
+  *     any number of pending updates.
   *     Serving after a delta is provably identical to a fresh build
   *     over the unioned corpus — [[TextOps.t_bm25_delta]] hash-checks
   *     exactly that against DuckDB's from-scratch replay.
@@ -69,7 +77,7 @@ object TextIndexStore {
 
   case class TextManifest(epoch: Long, nDocs: Long, sumDl: Long,
                           buckets: Map[Int, String], stats: String,
-                          docs: Seq[String])
+                          docs: Seq[String], dels: Seq[String] = Nil)
 
   // ------------------------------------------------------ manifest io
 
@@ -84,8 +92,9 @@ object TextIndexStore {
     val buckets = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
     val docs = m.docs.map(d => s""""$d"""").mkString("[", ",", "]")
+    val dels = m.dels.map(d => s""""$d"""").mkString("[", ",", "]")
     s"""{"epoch":${m.epoch},"nDocs":${m.nDocs},"sumDl":${m.sumDl},""" +
-      s""""buckets":$buckets,"stats":"${m.stats}","docs":$docs}"""
+      s""""buckets":$buckets,"stats":"${m.stats}","docs":$docs,"dels":$dels}"""
   }
 
   private def parseManifest(p: java.nio.file.Path): TextManifest = {
@@ -105,7 +114,13 @@ object TextIndexStore {
                                   case o => sys.error(s"bad docs entry $o") }
       case o => sys.error(s"bad docs $o")
     }
-    TextManifest(num("epoch"), num("nDocs"), num("sumDl"), buckets, stats, docs)
+    // absent in pre-tombstone manifests — an index with no deletes
+    val dels = (j \ "dels") match {
+      case JArray(ds) => ds.map { case JString(v) => v
+                                  case o => sys.error(s"bad dels entry $o") }
+      case _ => Nil
+    }
+    TextManifest(num("epoch"), num("nDocs"), num("sumDl"), buckets, stats, docs, dels)
   }
 
   private def commitManifest(dir: String, m: TextManifest): Unit =
@@ -213,9 +228,18 @@ object TextIndexStore {
     val termDf = s.createDataFrame(termRows).toDF("tok", "df")
     val bucketPaths = terms.map(_._3).distinct.sorted
       .flatMap(m.buckets.get).map(rel => s"$dir/$rel")
-    val hits = s.read.parquet(bucketPaths: _*)
+    val live = s.read.parquet(bucketPaths: _*)
       .filter(col("tok").isin(terms.map(_._1): _*))
-      .join(broadcast(termDf), "tok")
+    // tombstoned docs drop out via a broadcast anti-join (the delete
+    // set is batch-sized, never corpus-sized); df stays the stale
+    // pre-delete value until [[compact]] purges — the documented
+    // Lucene deleted-docs semantics ([[applyDelete]])
+    val surviving =
+      if (m.dels.isEmpty) live
+      else live.join(
+        broadcast(s.read.parquet(m.dels.map(rel => s"$dir/$rel"): _*)),
+        Seq("doc_id"), "left_anti")
+    val hits = surviving.join(broadcast(termDf), "tok")
     // manifest scalars enter as constant-folded literal columns; the
     // arithmetic itself is TextOps.bm25ContribAgg — the SAME formula
     // definition the in-session path runs, not a second copy
@@ -231,9 +255,11 @@ object TextIndexStore {
   case class DeltaCommit(manifest: TextManifest, affected: Seq[Int],
                          readPaths: Seq[String])
 
-  /** Append `newDocs` (doc_id, text) to the live index. APPEND-ONLY by
-    * contract: a doc_id already in the registry fails loudly (document
-    * updates need tombstoned segments — stated, not half-supported).
+  /** Append `newDocs` (doc_id, text) to the live index. INSERT-ONLY by
+    * contract: a doc_id already in the registry fails loudly — even a
+    * tombstoned one, because the tombstone anti-join is global and
+    * would swallow the re-insert (see the update lifecycle in the
+    * object doc: delete → [[compact]] → insert).
     * Work is batch-proportional for the postings (only the buckets the
     * batch's tokens hash into are read and merged) plus a vocab-sized
     * stats rewrite; the doc registry gains one APPENDED segment, the
@@ -276,13 +302,115 @@ object TextIndexStore {
       val delta = regSeg.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head
 
       val buckets = m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap
+      // m.dels carries forward: an insert epoch must not resurrect
+      // tombstoned docs
       val m2 = TextManifest(next, m.nDocs + delta.getLong(0),
         m.sumDl + delta.getLong(1), buckets, s"stats/e$next",
-        m.docs :+ s"docs/e$next")
+        m.docs :+ s"docs/e$next", m.dels)
       commitManifest(dir, m2)
       gc(dir, next, retain)
       DeltaCommit(m2, affected, readPaths)
     } finally { rows.unpersist(); () }
+  }
+
+  // ------------------------------------------------------- tombstones
+
+  /** Outcome of one delete commit: the flipped manifest and the exact
+    * (count, Σdl) the scalars dropped by. */
+  case class DeleteCommit(manifest: TextManifest, nDeleted: Long, dlDeleted: Long)
+
+  /** Delete documents by TOMBSTONE — the Lucene deleted-docs model,
+    * which is the only delete a posting-bucketed index can do in
+    * batch-proportional work: a doc's postings are scattered across
+    * every bucket its tokens hash into, so physically removing them
+    * is a corpus-sized rewrite (that job is [[compact]], scheduled
+    * off-peak). The commit here touches NO posting bytes: it appends
+    * one `dels/eN` segment (the batch's doc_ids), decrements the
+    * manifest scalars EXACTLY (N and Σdl from a registry join — so
+    * the serve-time norm/idf denominators are correct immediately),
+    * and flips. Serving anti-joins the tombstone set (broadcast —
+    * delete sets are batch-sized) before scoring; per-term `df`
+    * stays STALE until compaction, exactly as Lucene serves deletes
+    * before a segment merge — [[TextOps.t_bm25_deleted]]'s oracle
+    * replays precisely these semantics (stale df, exact N/Σdl,
+    * survivors only) and hash-matches. Unknown or already-deleted
+    * doc_ids fail loudly: a delete that silently no-ops would let a
+    * compliance pipeline believe data was removed when it never
+    * existed under that id. */
+  def applyDelete(s: SparkSession, dir: String, delDocs: DataFrame,
+                  retain: Int = RetainEpochs): DeleteCommit = {
+    val m = open(dir)
+    val next = m.epoch + 1
+    val ids = delDocs.select(col("doc_id")).distinct()
+    val reg = s.read.parquet(m.docs.map(rel => s"$dir/$rel"): _*)
+    val found = ids.join(reg, "doc_id").cache()
+    try {
+      val (nBatch, nFound) = (ids.count(), found.count())
+      require(nFound == nBatch,
+        s"delete batch names ${nBatch - nFound} doc_ids never indexed at $dir")
+      if (m.dels.nonEmpty) {
+        val already = ids.join(
+          s.read.parquet(m.dels.map(rel => s"$dir/$rel"): _*), "doc_id")
+          .limit(1).count()
+        require(already == 0L,
+          s"delete batch contains doc_ids already tombstoned at $dir")
+      }
+      val rel = s"dels/e$next"
+      found.select(col("doc_id")).write.mode("overwrite").parquet(s"$dir/$rel")
+      val dropped = found.agg(sum(col("dl")).as("s")).head.getLong(0)
+      val m2 = TextManifest(next, m.nDocs - nFound, m.sumDl - dropped,
+        m.buckets, m.stats, m.docs, m.dels :+ rel)
+      commitManifest(dir, m2)
+      gc(dir, next, retain)
+      DeleteCommit(m2, nFound, dropped)
+    } finally { found.unpersist(); () }
+  }
+
+  /** PURGE compaction — the segment merge that makes tombstones
+    * physical: every posting bucket is re-published minus tombstoned
+    * docs, vocab stats are recomputed EXACTLY from the surviving
+    * postings (the stale-df debt of [[applyDelete]] is repaid here),
+    * the doc registry squashes to one tombstone-free segment, and the
+    * `dels` list resets — one corpus-sized rewrite, one atomic flip.
+    * After it, serving is bit-identical to a fresh [[build]] over the
+    * surviving corpus ([[TextOps.t_bm25_purged]] hash-checks exactly
+    * that against the from-scratch DuckDB replay over survivors).
+    * Old epochs keep their own manifests, so retained snapshots still
+    * time-travel across the purge. */
+  def compact(s: SparkSession, dir: String,
+              retain: Int = RetainEpochs): TextManifest = {
+    val m = open(dir)
+    val next = m.epoch + 1
+    val dels =
+      if (m.dels.isEmpty)
+        s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      else s.read.parquet(m.dels.map(rel => s"$dir/$rel"): _*)
+    val surviving = s.read.parquet(m.buckets.values.map(rel => s"$dir/$rel").toSeq: _*)
+      .join(broadcast(dels), Seq("doc_id"), "left_anti")
+      .cache()
+    try {
+      val published = publishBuckets(
+        surviving.select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("bucket")),
+        dir, next)
+      val stats = surviving.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+      writeComponent(stats, dir, s"stats/e$next")
+      val reg = s.read.parquet(m.docs.map(rel => s"$dir/$rel"): _*)
+        .join(broadcast(dels), Seq("doc_id"), "left_anti")
+      writeComponent(reg, dir, s"docs/e$next")
+      val scalars = s.read.parquet(s"$dir/docs/e$next")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head
+      // the recomputed scalars must land exactly on the incrementally
+      // maintained ones — a mismatch means a delete commit drifted
+      require(scalars.getLong(0) == m.nDocs && scalars.getLong(1) == m.sumDl,
+        s"purge recomputed scalars (${scalars.getLong(0)}, ${scalars.getLong(1)}) != " +
+          s"manifest (${m.nDocs}, ${m.sumDl}) at $dir")
+      val m2 = TextManifest(next, m.nDocs, m.sumDl,
+        published.map(b => b -> s"b$b/e$next").toMap, s"stats/e$next",
+        Seq(s"docs/e$next"), Nil)
+      commitManifest(dir, m2)
+      gc(dir, next, retain)
+      m2
+    } finally { surviving.unpersist(); () }
   }
 
   // -------------------------------------------------------------- gc
@@ -300,7 +428,7 @@ object TextIndexStore {
     graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
     val retained = listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
     val referenced: Set[String] =
-      retained.flatMap(mm => mm.buckets.values ++ Seq(mm.stats) ++ mm.docs).toSet
+      retained.flatMap(mm => mm.buckets.values ++ Seq(mm.stats) ++ mm.docs ++ mm.dels).toSet
     def sweep(prefix: String): Unit = {
       val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.matches(prefix))
@@ -314,5 +442,6 @@ object TextIndexStore {
     sweep("b\\d+")
     sweep("stats")
     sweep("docs")
+    sweep("dels")
   }
 }

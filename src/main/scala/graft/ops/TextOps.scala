@@ -639,6 +639,8 @@ object TextOps {
     "t_bm25" -> t_bm25,
     "t_bm25_served" -> t_bm25_served,
     "t_bm25_delta" -> t_bm25_delta,
+    "t_bm25_deleted" -> t_bm25_deleted,
+    "t_bm25_purged" -> t_bm25_purged,
     "t_inverted_index" -> t_inverted_index,
   )
 
@@ -678,6 +680,41 @@ object TextOps {
       p
     })
 
+  /** Write-once TOMBSTONED index per (session, fixture dir) for
+    * [[t_bm25_deleted]]: the full corpus indexed at epoch 0, then
+    * `doc_id % 7 = 3` tombstoned by [[TextIndexStore.applyDelete]] —
+    * the index SERVES WITH DELETES (exact N/Σdl, stale df). */
+  private[graft] def deletedTextIndexDir(s: org.apache.spark.sql.SparkSession,
+                                         d: String): String =
+    textIndexDirs.getOrElseUpdate((s, "del:" + d), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidxdel_" +
+        Tables.layoutTag(d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextIndexStore.build(docs, p)
+      TextIndexStore.applyDelete(s, p,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
+  /** Write-once PURGED index per (session, fixture dir) for
+    * [[t_bm25_purged]]: the tombstoned index above compacted by
+    * [[TextIndexStore.compact]] — tombstones made physical, df
+    * recomputed exactly over the survivors. */
+  private[graft] def purgedTextIndexDir(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String =
+    textIndexDirs.getOrElseUpdate((s, "purge:" + d), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidxp_" +
+        Tables.layoutTag(d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextIndexStore.build(docs, p)
+      TextIndexStore.applyDelete(s, p,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))): Unit
+      TextIndexStore.compact(s, p): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
   /** BM25 served from the PERSISTED inverted index
     * ([[TextIndexStore]]): vocab stats pick the query terms, only
     * their posting buckets are read, N/Σdl ride in from the manifest
@@ -700,6 +737,32 @@ object TextOps {
     * full-build answer. */
   lazy val t_bm25_delta: Q = (s, d) => {
     val dir = deltaTextIndexDir(s, d)
+    TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 served WITH TOMBSTONES (1/7 of the corpus deleted, zero
+    * posting bytes touched): the Lucene serve-with-deletes semantics
+    * — survivors only, exact N/Σdl from the decremented manifest
+    * scalars, per-term df STALE until the purge — replayed exactly by
+    * the oracle, so even the documented df staleness is hash-pinned,
+    * not hand-waved. */
+  lazy val t_bm25_deleted: Q = (s, d) => {
+    val dir = deletedTextIndexDir(s, d)
+    TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 after PURGE COMPACTION of the tombstoned index: the
+    * corpus-sized merge physically drops deleted postings and repays
+    * the df debt, so serving hash-matches a from-scratch build over
+    * the surviving corpus — the completed delete lifecycle. */
+  lazy val t_bm25_purged: Q = (s, d) => {
+    val dir = purgedTextIndexDir(s, d)
     TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
       .orderBy(desc("score_e6"), col("doc_id"))
       .limit(BmTopK)
@@ -784,17 +847,38 @@ object TextOps {
     // and so must the incrementally-assembled one (build ∪ delta =
     // the full corpus, so the answer is the same from-scratch replay)
     "t_bm25_delta" -> bm25Oracle,
+    // serve-with-tombstones: survivors score under exact N/Σdl but
+    // STALE full-corpus df (the Lucene deleted-docs semantics — the
+    // oracle replays the staleness, zero allowance for drift)
+    "t_bm25_deleted" -> bm25OracleOver("TRUE", "doc_id % 7 <> 3"),
+    // after the purge merge the index IS a fresh build over the
+    // survivors — from-scratch replay on the surviving corpus
+    "t_bm25_purged" -> bm25OracleOver("doc_id % 7 <> 3", "TRUE"),
   ) ++ langOracles
 
-  private lazy val bm25Oracle: String =
-      s"""WITH occ AS (
+  private lazy val bm25Oracle: String = bm25OracleOver("TRUE", "TRUE")
+
+  /** THE BM25 replay template, parameterized over two corpus
+    * predicates so one SQL definition also covers the tombstone
+    * lifecycle: `indexed` bounds the corpus whose statistics the
+    * index carries (df, query-term choice), `live` bounds the docs
+    * that actually score (tombstoned docs are out; N/Σdl/dl come from
+    * the live set — exactly [[TextIndexStore.applyDelete]]'s
+    * decremented manifest scalars). (TRUE, TRUE) is the from-scratch
+    * replay; (TRUE, survivors) is Lucene's serve-with-deletes
+    * (STALE df); (survivors, TRUE) is the post-[[TextIndexStore
+    * .compact]] purge, a fresh build over survivors. */
+  private def bm25OracleOver(indexed: String, live: String): String =
+      s"""WITH occ_all AS (
          |  SELECT doc_id, tok, COUNT(*) AS tf FROM
-         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |     WHERE $indexed)
          |  GROUP BY doc_id, tok),
-         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
-         |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ GROUP BY tok),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ_all GROUP BY tok),
          |qt AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT $BmQueryK),
-         |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |occ AS (SELECT * FROM occ_all WHERE $live),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
+         |tot AS (SELECT (SELECT COUNT(*) FROM documents WHERE ($indexed) AND ($live)) AS n_docs,
          |               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl),
          |sc AS (
          |  SELECT o.doc_id,

@@ -117,6 +117,98 @@ class TextIndexStoreSpec extends AnyFunSuite {
     assert(TextIndexStore.open(dir).epoch == 0L)
   }
 
+  test("tombstone delete: survivors serve under exact scalars, zero posting bytes touched") {
+    val dir = freshDir("del")
+    val m0 = TextIndexStore.build(docs, dir)
+    val victims = docs.filter(col("doc_id") % 7 === 3)
+    val nVict = victims.count()
+    val commit = TextIndexStore.applyDelete(spark, dir, victims.select(col("doc_id")))
+    assert(commit.nDeleted == nVict && commit.dlDeleted > 0L)
+    // scalars decremented EXACTLY (Σdl recomputable as the victims'
+    // raw token count)
+    val expectDl = victims.select(explode(split(col("text"), " "))).count()
+    assert(commit.manifest.nDocs == m0.nDocs - nVict)
+    assert(commit.manifest.sumDl == m0.sumDl - expectDl)
+    // not a single posting or stats byte moved: same dirs, same epoch
+    assert(commit.manifest.buckets == m0.buckets, "delete rewrote posting buckets")
+    assert(commit.manifest.stats == m0.stats, "delete rewrote vocab stats")
+    assert(commit.manifest.docs == m0.docs, "delete rewrote the registry")
+    assert(commit.manifest.dels == Seq("dels/e1"))
+    // served docs are exactly the pre-delete result minus victims
+    val served = TextIndexStore.bm25Scores(spark, dir, commit.manifest)
+    val ids = served.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && !ids.exists(_ % 7 == 3), "a tombstoned doc scored")
+  }
+
+  test("delete contract: unknown and double-deleted doc_ids fail loudly; insert-after-delete blocked until purge") {
+    val dir = freshDir("delc")
+    TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    import spark.implicits._
+    val unknown = intercept[IllegalArgumentException] {
+      TextIndexStore.applyDelete(spark, dir, Seq(1L, 3L).toDF("doc_id"))
+    }
+    assert(unknown.getMessage.contains("never indexed"))
+    val someIds = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(3)
+    val some = docs.join(someIds, "doc_id")
+    TextIndexStore.applyDelete(spark, dir, someIds)
+    val twice = intercept[IllegalArgumentException] {
+      TextIndexStore.applyDelete(spark, dir, someIds)
+    }
+    assert(twice.getMessage.contains("already tombstoned"))
+    // a tombstoned id is still registry-resident: re-insert is blocked
+    // (the documented update lifecycle requires the purge first)
+    val reins = intercept[IllegalArgumentException] {
+      TextIndexStore.applyDelta(spark, dir, some)
+    }
+    assert(reins.getMessage.contains("append-only"))
+    // ...and after compact the id really is re-insertable
+    val mC = TextIndexStore.compact(spark, dir)
+    val back = TextIndexStore.applyDelta(spark, dir, some)
+    assert(back.manifest.nDocs == mC.nDocs + 3,
+      "re-insert after purge did not land as 3 new docs")
+  }
+
+  test("purge compaction: postings physically clean, df exact, equals a fresh build over survivors") {
+    val dir = freshDir("purge")
+    TextIndexStore.build(docs, dir)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 3)
+    TextIndexStore.applyDelete(spark, dir,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    val preDel = TextIndexStore.open(dir)
+    val m2 = TextIndexStore.compact(spark, dir)
+    assert(m2.dels.isEmpty && m2.docs.size == 1)
+    assert(m2.nDocs == preDel.nDocs && m2.sumDl == preDel.sumDl)
+    // no tombstoned doc survives in ANY posting bucket on disk
+    val onDisk = spark.read.parquet(m2.buckets.values.map(rel => s"$dir/$rel").toSeq: _*)
+    assert(onDisk.filter(col("doc_id") % 7 === 3).count() == 0L,
+      "purged postings still carry tombstoned docs")
+    // vocab stats now EXACTLY match a fresh build over the survivors
+    val fresh = freshDir("purgeref")
+    val mRef = TextIndexStore.build(survivors, fresh)
+    def statsKey(d: String, rel: String) =
+      spark.read.parquet(s"$d/$rel").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(statsKey(dir, m2.stats) == statsKey(fresh, mRef.stats),
+      "purged vocab stats drifted from the fresh-build stats")
+    // ...and serving is identical to the fresh build (df debt repaid)
+    assert(scoreKey(TextIndexStore.bm25Scores(spark, dir, m2)) ==
+      scoreKey(TextIndexStore.bm25Scores(spark, fresh, mRef)))
+  }
+
+  test("time travel across the delete: the pre-delete epoch still serves the deleted docs") {
+    val dir = freshDir("deltt")
+    TextIndexStore.build(docs, dir)
+    val pre = scoreKey(TextIndexStore.bm25Scores(spark, dir, TextIndexStore.open(dir)))
+    TextIndexStore.applyDelete(spark, dir,
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    val atZero = TextIndexStore.withSnapshot(dir, 0L) { m0 =>
+      scoreKey(TextIndexStore.bm25Scores(spark, dir, m0))
+    }
+    assert(atZero == pre, "epoch-0 snapshot no longer serves pre-delete scores")
+    assert(scoreKey(TextIndexStore.bm25Scores(spark, dir, TextIndexStore.open(dir))) != pre,
+      "delete was a no-op — the time-travel test is vacuous")
+  }
+
   test("retention GC drops old epochs' manifests and unreferenced component dirs") {
     val dir = freshDir("gc")
     // retain=1: after each delta only the newest epoch must survive
