@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   *     docs/eM/ (parquet)   the shingle-registry SEGMENT appended by
   *                          epoch M, partitioned by dbucket=K:
   *                          (doc_id, sh) — the exact-verify corpus
+  *     dels/eM/ (parquet)   doc_ids deleted at epoch M ([[applyDelete]]
+  *                          removes their postings EXACTLY; the marker
+  *                          guards double-deletes and drives the
+  *                          registry purge at [[compact]])
   * }}}
   *
   *   - POSTINGS are the corpus's banded MinHash keys (the same
@@ -53,13 +57,16 @@ import org.apache.spark.sql.functions._
   *     cell probe), and reads ONLY those leaf partition dirs —
   *     path-level pruning that holds by construction rather than by
   *     an optimizer rule firing.
-  *   - [[applyDelta]] is APPEND-ONLY maintenance (same contract and
-  *     same loud insert-only check as the text index): the batch's
-  *     postings merge into only the affected buckets, the registry
-  *     gains one appended segment, one atomic flip, retention GC.
-  *     Serving after a delta is provably identical to a fresh build
-  *     over the unioned corpus ([[DedupOps.d_dedup_index_delta]]
-  *     hash-checks exactly that against DuckDB's from-scratch replay).
+  *   - [[applyDelta]] is INSERT-ONLY maintenance (same contract and
+  *     same loud check as the text index): the batch's postings merge
+  *     into only the affected buckets, the registry gains one appended
+  *     segment, one atomic flip, retention GC. Serving after a delta
+  *     is provably identical to a fresh build over the unioned corpus
+  *     ([[DedupOps.d_dedup_index_delta]] hash-checks exactly that
+  *     against DuckDB's from-scratch replay). [[applyDelete]] removes
+  *     docs EXACTLY in batch-proportional work (the registry's shingle
+  *     sets re-derive the victims' postings — no tombstone filtering
+  *     at serve time), and [[compact]] purges the dead registry rows.
   *   - Retention GC + [[withSnapshot]] leases mirror the other two
   *     stores via [[graft.EpochGuard]]; [[openAt]] time-travels.
   */
@@ -83,7 +90,8 @@ object DedupIndexStore {
   private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong
 
   case class DedupManifest(epoch: Long, nDocs: Long,
-                           buckets: Map[Int, String], docs: Seq[String])
+                           buckets: Map[Int, String], docs: Seq[String],
+                           dels: Seq[String] = Nil)
 
   // ------------------------------------------------------ manifest io
 
@@ -96,7 +104,8 @@ object DedupIndexStore {
     val buckets = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
     val docs = m.docs.map(d => s""""$d"""").mkString("[", ",", "]")
-    s"""{"epoch":${m.epoch},"nDocs":${m.nDocs},"buckets":$buckets,"docs":$docs}"""
+    val dels = m.dels.map(d => s""""$d"""").mkString("[", ",", "]")
+    s"""{"epoch":${m.epoch},"nDocs":${m.nDocs},"buckets":$buckets,"docs":$docs,"dels":$dels}"""
   }
 
   private def parseManifest(p: java.nio.file.Path): DedupManifest = {
@@ -114,7 +123,13 @@ object DedupIndexStore {
                                   case o => sys.error(s"bad docs entry $o") }
       case o => sys.error(s"bad docs $o")
     }
-    DedupManifest(num("epoch"), num("nDocs"), buckets, docs)
+    // absent in pre-delete manifests — an index with no deletes
+    val dels = (j \ "dels") match {
+      case JArray(ds) => ds.map { case JString(v) => v
+                                  case o => sys.error(s"bad dels entry $o") }
+      case _ => Nil
+    }
+    DedupManifest(num("epoch"), num("nDocs"), buckets, docs, dels)
   }
 
   private def commitManifest(dir: String, m: DedupManifest): Unit =
@@ -288,12 +303,14 @@ object DedupIndexStore {
   case class DeltaCommit(manifest: DedupManifest, affected: Seq[Int],
                          readPaths: Seq[String])
 
-  /** Append `newDocs` (doc_id, text) to the live index. APPEND-ONLY by
-    * contract: a doc_id already in the registry fails loudly (document
-    * updates need tombstoned segments — stated, not half-supported).
-    * Work is batch-proportional: only the buckets the batch's band
-    * keys hash into are read and merged, the registry gains one
-    * APPENDED segment, one atomic flip commits, retention GC runs. */
+  /** Append `newDocs` (doc_id, text) to the live index. INSERT-ONLY by
+    * contract: a doc_id already in the registry fails loudly — even a
+    * deleted one, whose registry rows persist until [[compact]] purges
+    * them (the delete → compact → insert update lifecycle shared with
+    * the text index; removal itself is [[applyDelete]]). Work is
+    * batch-proportional: only the buckets the batch's band keys hash
+    * into are read and merged, the registry gains one APPENDED
+    * segment, one atomic flip commits, retention GC runs. */
   def applyDelta(s: SparkSession, dir: String, newDocs: DataFrame,
                  retain: Int = RetainEpochs): DeltaCommit = {
     val m = open(dir)
@@ -325,12 +342,88 @@ object DedupIndexStore {
 
       val added = writeRegistrySegment(sh, dir, s"docs/e$next")
       val buckets = m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap
+      // m.dels carries forward: an insert epoch keeps pending deletes
+      // pending (they resolve at compact)
       val m2 = DedupManifest(next, m.nDocs + added, buckets,
-        m.docs :+ s"docs/e$next")
+        m.docs :+ s"docs/e$next", m.dels)
       commitManifest(dir, m2)
       gc(dir, next, retain)
       DeltaCommit(m2, affected, readPaths)
     } finally { sh.unpersist(); () }
+  }
+
+  // --------------------------------------------------------- deletes
+
+  /** Outcome of one delete commit, with the diagnostics the spec
+    * asserts on (posting buckets the victims' keys hash into — the
+    * only buckets rewritten). */
+  case class DeleteCommit(manifest: DedupManifest, nDeleted: Long,
+                          affected: Seq[Int])
+
+  /** Delete documents EXACTLY, in batch-proportional work — this store
+    * can do better than the text index's tombstone-only serve because
+    * the registry holds each victim's shingle set: re-deriving the
+    * MinHash signature from those shingles (the same deterministic
+    * [[postingsOf]] pipeline that placed them) locates every posting
+    * the victim owns, so ONLY the buckets its band keys hash into are
+    * read, anti-joined, and republished — after the flip the victim
+    * cannot appear as a candidate, with zero serve-time filtering.
+    * The registry rows themselves are left in place (segments are
+    * immutable and shared with retained snapshots) and recorded in a
+    * `dels/eN` marker segment: they are unreachable at serve time — a
+    * candidate must first match a posting — and [[compact]] purges
+    * them physically, at which point the doc_id becomes re-insertable
+    * (the same delete → compact → insert update lifecycle as the text
+    * index). Unknown or already-deleted doc_ids fail loudly. */
+  def applyDelete(s: SparkSession, dir: String, delDocs: DataFrame,
+                  retain: Int = RetainEpochs): DeleteCommit = {
+    val m = open(dir)
+    val next = m.epoch + 1
+    val ids = delDocs.select(col("doc_id")).distinct()
+      .withColumn("dbucket", docBucket(col("doc_id")))
+    // victims' shingles from ONLY their registry leaf dirs (bounded
+    // driver list — the same path-pruning shape as the serve verify)
+    val vBuckets = ids.select(col("dbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val regPaths = registryLeafPaths(dir, m, vBuckets)
+    require(regPaths.nonEmpty, s"delete batch names doc_ids never indexed at $dir")
+    val victims = s.read.parquet(regPaths: _*)
+      .join(broadcast(ids.select(col("doc_id"))), "doc_id")
+      .select(col("doc_id"), col("sh")).cache()
+    try {
+      val (nBatch, nFound) =
+        (ids.count(), victims.select(col("doc_id")).distinct().count())
+      require(nFound == nBatch,
+        s"delete batch names ${nBatch - nFound} doc_ids never indexed at $dir")
+      if (m.dels.nonEmpty) {
+        val already = ids.join(
+          s.read.parquet(m.dels.map(rel => s"$dir/$rel"): _*), "doc_id")
+          .limit(1).count()
+        require(already == 0L,
+          s"delete batch contains doc_ids already deleted at $dir")
+      }
+      // the victims' postings, re-derived from their registered
+      // shingles — identical keys to the ones build/delta placed
+      val affected = postingsOf(victims).select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val readPaths = affected.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+      val cleaned = s.read.parquet(readPaths: _*)
+        .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .select(col("band"), col("key"), col("doc_id"), col("sfull"), col("bucket"))
+      val published = graft.ManifestIo.publishPartitions(
+        cleaned, java.nio.file.Paths.get(dir), next, "bucket", "b")
+      val rel = s"dels/e$next"
+      ids.select(col("doc_id")).write.mode("overwrite").parquet(s"$dir/$rel")
+      // a bucket emptied by the delete drops out of the manifest
+      // entirely (published ⊆ affected)
+      val buckets = (m.buckets -- affected) ++
+        published.map(b => b -> s"b$b/e$next").toMap
+      val m2 = DedupManifest(next, m.nDocs - nFound, buckets, m.docs,
+        m.dels :+ rel)
+      commitManifest(dir, m2)
+      gc(dir, next, retain)
+      DeleteCommit(m2, nFound, affected)
+    } finally { victims.unpersist(); () }
   }
 
   // ------------------------------------------------------- compaction
@@ -342,27 +435,41 @@ object DedupIndexStore {
     * year of daily deltas multiplies the verify read 365×; compaction
     * resets that to 1× with a corpus-sized rewrite the operator
     * schedules off-peak (amortized: postings are NOT rewritten — delta
-    * merges already keep each bucket single-segment). Old epochs keep
-    * their own segment lists, so retained snapshots still time-travel;
-    * their segments are swept only when no retained manifest lists
-    * them (the standard GC rule). Serving after compaction is provably
-    * identical ([[DedupOps.d_dedup_compacted]] hash-checks it against
-    * the same from-scratch DuckDB replay as the other two witnesses). */
+    * merges already keep each bucket single-segment). The rewrite also
+    * purges rows [[applyDelete]] marked (their postings are already
+    * gone; this drops the unreachable registry bytes and frees the
+    * doc_ids for re-insertion) and resets the `dels` list. Old epochs
+    * keep their own segment lists, so retained snapshots still
+    * time-travel; their segments are swept only when no retained
+    * manifest lists them (the standard GC rule). Serving after
+    * compaction is provably identical ([[DedupOps.d_dedup_compacted]]
+    * hash-checks it against the same from-scratch DuckDB replay as the
+    * other two witnesses). */
   def compact(s: SparkSession, dir: String,
               retain: Int = RetainEpochs): DedupManifest = {
     val m = open(dir)
     val next = m.epoch + 1
     val regPaths = registryLeafPaths(dir, m, 0 until DocBuckets)
     require(regPaths.nonEmpty, s"nothing to compact at $dir (empty registry)")
+    val dels =
+      if (m.dels.isEmpty)
+        s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      else s.read.parquet(m.dels.map(rel => s"$dir/$rel"): _*)
     // leaf-dir reads drop the dbucket partition value, so it is
     // recomputed from doc_id (the same deterministic hash that
     // placed the row) — no shuffle: partitioned writes fan out from
     // each task directly
     val rel = s"docs/e$next"
     s.read.parquet(regPaths: _*)
+      .join(broadcast(dels), Seq("doc_id"), "left_anti")
       .withColumn("dbucket", docBucket(col("doc_id")))
       .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/$rel")
-    val m2 = DedupManifest(next, m.nDocs, m.buckets, Seq(rel))
+    // the squashed registry must land exactly on the incrementally
+    // maintained doc count — a mismatch means a commit drifted
+    val n = s.read.parquet(s"$dir/$rel").count()
+    require(n == m.nDocs,
+      s"compaction recomputed nDocs $n != manifest ${m.nDocs} at $dir")
+    val m2 = DedupManifest(next, m.nDocs, m.buckets, Seq(rel), Nil)
     commitManifest(dir, m2)
     gc(dir, next, retain)
     m2
@@ -382,7 +489,7 @@ object DedupIndexStore {
     graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
     val retained = listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
     val referenced: Set[String] =
-      retained.flatMap(mm => mm.buckets.values ++ mm.docs).toSet
+      retained.flatMap(mm => mm.buckets.values ++ mm.docs ++ mm.dels).toSet
     def sweep(prefix: String): Unit = {
       val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.matches(prefix))
@@ -395,5 +502,6 @@ object DedupIndexStore {
     }
     sweep("b\\d+")
     sweep("docs")
+    sweep("dels")
   }
 }

@@ -960,6 +960,38 @@ object DedupOps {
       p
     })
 
+  /** Write-once DELETED-FROM index per (session, fixture dir): the
+    * full old corpus indexed, then `doc_id % 3 = 1` deleted by
+    * [[DedupIndexStore.applyDelete]] — victims' postings located via
+    * their registered shingles and removed EXACTLY, so serving needs
+    * no tombstone filtering. */
+  private[graft] def deletedDedupIndexDir(s: org.apache.spark.sql.SparkSession,
+                                          d: String): String =
+    dedupIndexDirs.getOrElseUpdate((s, "del:" + d), {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidxdel_" +
+        Tables.layoutTag(d)
+      val old = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), col("text"))
+      DedupIndexStore.build(old, p)
+      DedupIndexStore.applyDelete(s, p,
+        old.filter(col("doc_id") % 3 === 1).select(col("doc_id"))): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
+  /** The daily screen against an index a third of whose corpus was
+    * DELETED: hash-matching the from-scratch replay over the SURVIVING
+    * old docs proves the delete was exact — victims can no longer pair
+    * (their postings are physically gone, not filtered), survivors'
+    * pairs are untouched. */
+  lazy val d_dedup_deleted: Q = (s, d) => {
+    val dir = deletedDedupIndexDir(s, d)
+    DedupIndexStore.nearDups(s, dir, DedupIndexStore.open(dir),
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   /** The same daily screen after SEGMENT COMPACTION (build half,
     * delta-append the rest, squash the registry to one segment):
     * hash-matching the identical from-scratch oracle proves compaction
@@ -973,17 +1005,19 @@ object DedupOps {
   }
 
   /** Uncapped OLD × NEW exact-Jaccard replay — the shared oracle of
-    * both served-dedup queries ([[d_dedup_incremental]]'s shape minus
+    * the served-dedup queries ([[d_dedup_incremental]]'s shape minus
     * the df cap, which the LSH-candidate route does not apply — same
-    * uncapped semantics as [[d_dedup_minhash]]). */
-  private val servedDedupOracle: String =
-    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    * uncapped semantics as [[d_dedup_minhash]]). Parameterized over
+    * the OLD-side predicate so the delete witness replays against the
+    * surviving corpus with the same single SQL definition. */
+  private def servedDedupOracleOver(oldPred: String): String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |common AS (SELECT b.doc_id AS doc_new, a.doc_id AS doc_old, count(*) AS c
       |           FROM sh a JOIN sh b ON a.s = b.s
-      |            AND a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+      |            AND ($oldPred) AND b.doc_id % 5 = 4
       |           GROUP BY 1, 2)
       |SELECT doc_new, doc_old,
       |  CAST(ROUND(1000000.0 * c / (nn.n + no.n - c)) AS BIGINT) AS jac_e6
@@ -993,6 +1027,9 @@ object DedupOps {
       |WHERE 2 * c >= (nn.n + no.n - c)
       |ORDER BY doc_new, doc_old""".stripMargin
 
+  private val servedDedupOracle: String =
+    servedDedupOracleOver("a.doc_id % 5 <> 4")
+
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> d_dedup_exact,
     "d_ngram_jaccard" -> d_ngram_jaccard,
@@ -1000,6 +1037,7 @@ object DedupOps {
     "d_dedup_served" -> d_dedup_served,
     "d_dedup_index_delta" -> d_dedup_index_delta,
     "d_dedup_compacted" -> d_dedup_compacted,
+    "d_dedup_deleted" -> d_dedup_deleted,
     "d_dedup_minhash" -> d_dedup_minhash,
     "d_dedup_simhash" -> d_dedup_simhash,
     "d_dedup_embedding" -> d_dedup_embedding,
@@ -1068,6 +1106,10 @@ object DedupOps {
     "d_dedup_served" -> servedDedupOracle,
     "d_dedup_index_delta" -> servedDedupOracle,
     "d_dedup_compacted" -> servedDedupOracle,
+    // the delete witness replays against the SURVIVING old corpus —
+    // the index must behave as if the victims were never there
+    "d_dedup_deleted" ->
+      servedDedupOracleOver("a.doc_id % 5 <> 4 AND a.doc_id % 3 <> 1"),
     "d_dedup_incremental" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),

@@ -231,6 +231,80 @@ class DedupIndexStoreSpec extends AnyFunSuite {
       s"pre-compaction segments survive a retain=1 GC: $segDirs")
   }
 
+  test("exact delete: victims' postings physically gone, survivors' pairs untouched") {
+    val dir = freshDir("del")
+    val m0 = DedupIndexStore.build(oldDocs, dir)
+    val victims = oldDocs.filter(col("doc_id") % 3 === 1)
+    val survivors = oldDocs.filter(col("doc_id") % 3 =!= 1)
+    val full = expectedPairs(oldDocs, batchDocs)
+    val kept = expectedPairs(survivors, batchDocs)
+    assert(full != kept, "no victim participated in any pair - the delete test is vacuous")
+    val commit = DedupIndexStore.applyDelete(spark, dir, victims.select(col("doc_id")))
+    assert(commit.nDeleted == victims.count())
+    assert(commit.manifest.nDocs == m0.nDocs - commit.nDeleted)
+    assert(commit.manifest.dels == Seq("dels/e1"))
+    // registry segments untouched (immutable, shared with snapshots)
+    assert(commit.manifest.docs == m0.docs)
+    // not a single victim posting survives in ANY live bucket
+    val liveBuckets = commit.manifest.buckets.values.map(rel => s"$dir/$rel").toSeq
+    val stale = spark.read.parquet(liveBuckets: _*)
+      .join(victims.select(col("doc_id")), "doc_id").count()
+    assert(stale == 0L, s"$stale victim postings survive the delete")
+    // ...and serving needs no filtering: pairs == brute force over survivors
+    assert(pairKey(DedupIndexStore.nearDups(spark, dir, commit.manifest, batchDocs))
+      == kept, "served pairs after delete drifted from the surviving-corpus truth")
+  }
+
+  test("delete contract: unknown/double deletes loud; re-insert blocked until compact purges") {
+    val dir = freshDir("delc")
+    DedupIndexStore.build(oldDocs, dir)
+    import spark.implicits._
+    val unknown = intercept[IllegalArgumentException] {
+      // % 5 = 4 ids are the batch side - never indexed
+      DedupIndexStore.applyDelete(spark, dir,
+        batchDocs.select(col("doc_id")).orderBy(col("doc_id")).limit(2))
+    }
+    assert(unknown.getMessage.contains("never indexed"))
+    val someIds = oldDocs.select(col("doc_id")).orderBy(col("doc_id")).limit(3)
+    val some = oldDocs.join(someIds, "doc_id")
+    DedupIndexStore.applyDelete(spark, dir, someIds)
+    val twice = intercept[IllegalArgumentException] {
+      DedupIndexStore.applyDelete(spark, dir, someIds)
+    }
+    assert(twice.getMessage.contains("already deleted"))
+    // registry rows persist until compact, so re-insert stays blocked
+    val reins = intercept[IllegalArgumentException] {
+      DedupIndexStore.applyDelta(spark, dir, some)
+    }
+    assert(reins.getMessage.contains("append-only"))
+    // the purge frees the ids: postings were already gone, registry
+    // rows drop now, and the re-insert lands as 3 new docs
+    val mC = DedupIndexStore.compact(spark, dir)
+    assert(mC.dels.isEmpty)
+    val regPost = spark.read.parquet(
+      mC.docs.map(rel => s"$dir/$rel"): _*)
+    assert(regPost.join(someIds, "doc_id").count() == 0L,
+      "purged registry still carries deleted docs")
+    val back = DedupIndexStore.applyDelta(spark, dir, some)
+    assert(back.manifest.nDocs == mC.nDocs + 3,
+      "re-insert after purge did not land as 3 new docs")
+  }
+
+  test("time travel across the delete: the pre-delete epoch still pairs against victims") {
+    val dir = freshDir("deltt")
+    DedupIndexStore.build(oldDocs, dir)
+    val full = expectedPairs(oldDocs, batchDocs)
+    DedupIndexStore.applyDelete(spark, dir,
+      oldDocs.filter(col("doc_id") % 3 === 1).select(col("doc_id")))
+    val atZero = DedupIndexStore.withSnapshot(dir, 0L) { m0 =>
+      pairKey(DedupIndexStore.nearDups(spark, dir, m0, batchDocs))
+    }
+    assert(atZero == full, "epoch-0 snapshot no longer serves pre-delete pairs")
+    val live = pairKey(DedupIndexStore.nearDups(spark, dir,
+      DedupIndexStore.open(dir), batchDocs))
+    assert(live != full, "delete was a no-op - the time-travel test is vacuous")
+  }
+
   test("an empty batch serves an empty, well-typed result") {
     val dir = freshDir("empty")
     DedupIndexStore.build(oldDocs.limit(50), dir)
