@@ -353,25 +353,31 @@ object AnnIndexStore {
                          readPaths: Seq[String])
 
   /** Apply a CDC-style embedding delta to the live index. `delta`
-    * columns: `vec_id`, `embedding` (after-image), `op` ("update" |
-    * "insert"), `old_embedding` (before-image, updates only). Work is
-    * proportional to the batch: both old and new cells derive from the
-    * batch's own vectors by narrow assignment; only affected cells are
-    * read (by manifest path), merged, and republished under the next
-    * epoch; untouched cells keep their existing dirs and manifest
-    * entries. Cells that end empty leave the manifest. One atomic flip
-    * commits the epoch; retention GC runs after. */
+    * columns: `vec_id`, `embedding` (after-image; ignored for
+    * deletes), `op` ("update" | "insert" | "delete"), `old_embedding`
+    * (before-image, updates and deletes). Work is proportional to the
+    * batch: both old and new cells derive from the batch's own vectors
+    * by narrow assignment — a delete's before-image names the exact
+    * cell holding its stale posting, so removal never scans the index;
+    * only affected cells are read (by manifest path), merged, and
+    * republished under the next epoch; untouched cells keep their
+    * existing dirs and manifest entries. Cells that end empty leave
+    * the manifest. One atomic flip commits the epoch; retention GC
+    * runs after. */
   def applyDelta(s: SparkSession, dir: String, delta: DataFrame,
                  retain: Int = RetainEpochs): DeltaCommit = {
     val m = open(dir)
     val cents = m.centroids
-    val updKeys = delta.filter(col("op") === "update").select("vec_id")
+    // updates and deletes both evict their before-image's posting;
+    // only updates and inserts contribute an after-image
+    val remKeys = delta.filter(col("op").isin("update", "delete")).select("vec_id")
     val oldCells = entries(
-      delta.filter(col("op") === "update")
+      delta.filter(col("op").isin("update", "delete"))
         .select(col("vec_id"), col("old_embedding").as("embedding")), cents)
       .select("cent")
-    val newEntries = entries(delta.select(col("vec_id"), col("embedding")), cents,
-      m.codebooks)
+    val newEntries = entries(
+      delta.filter(col("op") =!= "delete").select(col("vec_id"), col("embedding")),
+      cents, m.codebooks)
     // the affected-cells collect re-evaluates newEntries once more in
     // the stage write below — acceptable because both passes are
     // BATCH-sized (the narrow assignment of |delta| rows), unlike the
@@ -383,7 +389,7 @@ object AnnIndexStore {
     val readPaths = affected.sorted.flatMap(m.cells.get).map(rel => s"$dir/$rel")
     val newEpoch = m.epoch + 1
     val rewritten = cur
-      .join(broadcast(updKeys), Seq("vec_id"), "left_anti")
+      .join(broadcast(remKeys), Seq("vec_id"), "left_anti")
       .unionByName(newEntries)
     // staged ⊆ affected: `rewritten` only carries affected cells' rows
     val published = publishCells(rewritten, dir, newEpoch)

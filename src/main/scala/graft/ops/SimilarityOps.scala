@@ -684,13 +684,19 @@ object SimilarityOps {
 
   /** Deterministic "day-2" embedding delta derived from the fixture:
     * every vec_id divisible by [[DeltaUpdateMod]] is RE-EMBEDDED
-    * (reversed vector — a model refresh changing existing rows) and
-    * every vec_id divisible by [[DeltaInsertMod]] spawns an INSERT at a
+    * (reversed vector — a model refresh changing existing rows), every
+    * vec_id divisible by [[DeltaInsertMod]] spawns an INSERT at a
     * fresh id past the current max (negated vector — new documents
-    * arriving). Both transforms are exactly reproducible by the DuckDB
-    * oracle's count arithmetic. */
+    * arriving), and every non-updated vec_id divisible by
+    * [[DeltaDeleteMod]] is DELETED (its before-image names the cell —
+    * documents leaving the corpus). All three transforms are exactly
+    * reproducible by the DuckDB oracle's count arithmetic. */
   private[graft] val DeltaUpdateMod = 11
   private[graft] val DeltaInsertMod = 13
+  /** Delete leg of the CDC batch: `% 17 = 0` vec_ids leave the index
+    * (before-image names their cell); ids also matching the update
+    * rule stay updates — one op per key, the CDC contract. */
+  private[graft] val DeltaDeleteMod = 17
 
   /** CDC shape: updates carry their BEFORE-image (`old_embedding`) —
     * what lets [[AnnIndexStore.applyDelta]] locate stale postings by
@@ -704,7 +710,11 @@ object SimilarityOps {
         transform(col("embedding"), x => -x).as("embedding"),
         lit("insert").as("op"),
         lit(null).cast(e.schema("embedding").dataType).as("old_embedding"))
-    upd.unionByName(ins)
+    val del = e.filter(col("vec_id") % DeltaDeleteMod === 0 &&
+        col("vec_id") % DeltaUpdateMod =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        lit("delete").as("op"), col("embedding").as("old_embedding"))
+    upd.unionByName(ins).unionByName(del)
   }
 
   /** One IVF index entry per (cell, vector): the posting a probed-cell
@@ -741,9 +751,10 @@ object SimilarityOps {
     *
     * The registered witness proves the MAINTENANCE CONTRACT: the
     * incrementally-maintained index is row-for-row identical to a full
-    * rebuild over (corpus − updated ids) ∪ batch with the same
-    * quantizer — checked as exact (cent, vec_id, nrm_e6) set equality —
-    * plus entry-count arithmetic DuckDB recomputes independently. */
+    * rebuild over (corpus − updated − deleted ids) ∪ after-images with
+    * the same quantizer — checked as exact (cent, vec_id, nrm_e6) set
+    * equality — plus entry-count arithmetic DuckDB recomputes
+    * independently. */
   private[graft] def ivfDeltaRun(s: SparkSession, d: String): IvfDeltaRun = {
     val e0 = Tables.embeddings(s, d)
     val e = e0.select(col("vec_id"), col("embedding"))
@@ -755,24 +766,27 @@ object SimilarityOps {
       val m0 = AnnIndexStore.build(e0, idxPath)
       val delta = ivfDeltaBatch(e, maxId)
       val updKeys = delta.filter(col("op") === "update").select("vec_id")
-      val nUpd = updKeys.count()
-      val nIns = delta.count() - nUpd
+      val delKeys = delta.filter(col("op") === "delete").select("vec_id")
+      val (nUpd, nDel) = (updKeys.count(), delKeys.count())
+      val nIns = delta.count() - nUpd - nDel
       val commit = AnnIndexStore.applyDelta(s, idxPath, delta)
       val incr = AnnIndexStore.postings(s, idxPath, commit.manifest)
         .select(col("cent"), col("vec_id"), col("nrm_e6"))
       // full-rebuild oracle with the SAME trained quantizer (shipped in
-      // the manifest — NOT refit here)
+      // the manifest — NOT refit here): corpus minus updated/deleted
+      // ids, plus the batch's after-images
       val rebuilt = ivfIndexEntries(
-        e.join(broadcast(updKeys), Seq("vec_id"), "left_anti")
-          .unionByName(delta.select(col("vec_id"), col("embedding"))), m0.centroids)
+        e.join(broadcast(updKeys.unionByName(delKeys)), Seq("vec_id"), "left_anti")
+          .unionByName(delta.filter(col("op") =!= "delete")
+            .select(col("vec_id"), col("embedding"))), m0.centroids)
       val nFinal = incr.count()
       val nRebuilt = rebuilt.count()
       val nBoth = incr.join(rebuilt, Seq("cent", "vec_id", "nrm_e6"), "inner").count()
       val matches = nFinal == nRebuilt && nBoth == nFinal
       import s.implicits._
-      val result = Seq((CandAssign.toLong * nVecs, nUpd, nIns, nFinal, matches))
-        .toDF("n_base_entries", "n_updates", "n_inserts", "n_final_entries",
-          "incr_matches_rebuild")
+      val result = Seq((CandAssign.toLong * nVecs, nUpd, nIns, nDel, nFinal, matches))
+        .toDF("n_base_entries", "n_updates", "n_inserts", "n_deletes",
+          "n_final_entries", "incr_matches_rebuild")
       IvfDeltaRun(result, commit.readPaths, commit.affected,
         AnnIndexStore.listEpochs(idxPath))
     } finally deleteRecursively(dir.toFile)
@@ -1102,14 +1116,16 @@ object SimilarityOps {
         recallWitnessSql,
       // incremental-maintenance witness: DuckDB independently recomputes
       // the entry-count arithmetic (CandAssign postings per vector,
-      // update/insert batch sizes from the same mod rules, final size =
-      // CandAssign * (corpus + inserts)); the incr-equals-full-rebuild
-      // set equality is the Spark-side asserted flag
+      // update/insert/delete batch sizes from the same mod rules, final
+      // size = CandAssign * (corpus + inserts - deletes)); the
+      // incr-equals-full-rebuild set equality is the Spark-side
+      // asserted flag
       "s_ivf_delta" ->
         s"""SELECT CAST($CandAssign * COUNT(*) AS BIGINT) AS n_base_entries,
            |  CAST(COUNT(*) FILTER (WHERE vec_id % $DeltaUpdateMod = 0) AS BIGINT) AS n_updates,
            |  CAST(COUNT(*) FILTER (WHERE vec_id % $DeltaInsertMod = 0) AS BIGINT) AS n_inserts,
-           |  CAST($CandAssign * (COUNT(*) + COUNT(*) FILTER (WHERE vec_id % $DeltaInsertMod = 0)) AS BIGINT) AS n_final_entries,
+           |  CAST(COUNT(*) FILTER (WHERE vec_id % $DeltaDeleteMod = 0 AND vec_id % $DeltaUpdateMod <> 0) AS BIGINT) AS n_deletes,
+           |  CAST($CandAssign * (COUNT(*) + COUNT(*) FILTER (WHERE vec_id % $DeltaInsertMod = 0) - COUNT(*) FILTER (WHERE vec_id % $DeltaDeleteMod = 0 AND vec_id % $DeltaUpdateMod <> 0)) AS BIGINT) AS n_final_entries,
            |  TRUE AS incr_matches_rebuild
            |FROM embeddings""".stripMargin,
       // identical witness shape for the int8-quantized index: DuckDB

@@ -113,6 +113,32 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     } finally deleteDir(dir)
   }
 
+  test("applyDelta delete op: the before-image names the cell, victim postings physically gone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec_").toString
+    try {
+      val m0 = AnnIndexStore.build(e0, dir)
+      val before = postingKey(AnnIndexStore.postings(spark, dir, m0))
+      val victims = e0.filter(col("vec_id") % 10 === 2)
+      val victimIds = victims.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(victimIds.nonEmpty)
+      val commit = AnnIndexStore.applyDelta(spark, dir,
+        victims.select(col("vec_id"), col("embedding"), lit("delete").as("op"),
+          col("embedding").as("old_embedding")))
+      val live = postingKey(AnnIndexStore.postings(spark, dir, commit.manifest))
+      // exactly the victims' postings disappeared; survivors' rows are
+      // byte-identical (no re-encode, no cell reshuffle)
+      assert(live == before.filterNot(p => victimIds.contains(p._2)),
+        "delete must remove exactly the victims' postings and nothing else")
+      // the merge touched only the cells the before-images name
+      val victimCells = before.filter(p => victimIds.contains(p._2)).map(_._1)
+      assert(commit.affected.toSet == victimCells,
+        s"delete read cells ${commit.affected} but victims live in $victimCells")
+      // untouched cells keep their original epoch-0 dirs
+      (m0.cells.keySet -- commit.affected).foreach { c =>
+        assert(commit.manifest.cells(c) == s"c$c/e0") }
+    } finally deleteDir(dir)
+  }
+
   test("retention GC drops epochs beyond the horizon; evicted snapshots fail pointedly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annspec_gc_").toString
     try {

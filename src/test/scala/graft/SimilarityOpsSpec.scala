@@ -251,11 +251,15 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val n = e.count()
     val nUpd = e.filter(col("vec_id") % SimilarityOps.DeltaUpdateMod === 0).count()
     val nIns = e.filter(col("vec_id") % SimilarityOps.DeltaInsertMod === 0).count()
+    val nDel = e.filter(col("vec_id") % SimilarityOps.DeltaDeleteMod === 0 &&
+      col("vec_id") % SimilarityOps.DeltaUpdateMod =!= 0).count()
     assert(r.getLong(0) == SimilarityOps.CandAssign * n)
     assert(r.getLong(1) == nUpd && nUpd > 0)
     assert(r.getLong(2) == nIns && nIns > 0)
-    assert(r.getLong(3) == SimilarityOps.CandAssign * (n + nIns))
-    assert(r.getBoolean(4), "incrementally-maintained index must equal a full rebuild")
+    assert(r.getLong(3) == nDel && nDel > 0,
+      "the delta batch must exercise the delete op")
+    assert(r.getLong(4) == SimilarityOps.CandAssign * (n + nIns - nDel))
+    assert(r.getBoolean(5), "incrementally-maintained index must equal a full rebuild")
     // the merge read touched ONLY the affected cells — every read path
     // is one of the affected cells' manifest entries, and no unaffected
     // cell's dir appears (manifest pruning is the path list itself)
