@@ -853,21 +853,8 @@ object StreamingOps {
             // idempotent batch replay); after 3 the new set is live.
             val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
             val merged = reduceKeys(cur.unionByName(delta))
-            val stage = stateDir.resolve(s".stage-e$newEpoch")
-            deleteRecursively(stage.toFile)
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
-            affected.foreach { b =>
-              val src = stage.resolve(s"bucket=$b")
-              val dst = stateDir.resolve(s"b$b").resolve(s"e$newEpoch")
-              java.nio.file.Files.createDirectories(dst.getParent)
-              deleteRecursively(dst.toFile) // crashed attempt's leftovers
-              if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
-            }
-            deleteRecursively(stage.toFile)
-            val newBuckets = man.map(_.buckets).getOrElse(Map.empty) ++
-              affected.map(b => b -> s"b$b/e$newEpoch")
-            writeUpsertManifest(stateDir, UpsertManifest(newEpoch, newBuckets))
-            gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
+            commitMergedBuckets(stateDir, merged, affected.toSeq, newEpoch,
+              man.map(_.buckets).getOrElse(Map.empty), retainEpochs)
           }
           ()
         }
@@ -881,6 +868,196 @@ object StreamingOps {
         .orderBy(col("user_id"))
       val (data, outSchema) = (rows.collect(), rows.schema)
       ss.createDataFrame(java.util.Arrays.asList(data: _*), outSchema)
+    }
+  }
+
+  /** Steps 1–3 of the upsert commit protocol (stage → per-bucket
+    * rename → atomic manifest flip) plus retention GC, shared by
+    * [[runUpsert]] and the schema-evolution drain: `merged` holds the
+    * affected buckets' complete post-merge rows (with the `bucket`
+    * partition column), and the crash argument in [[runUpsert]]'s
+    * protocol comment applies verbatim — the schema of the staged
+    * rows never changes the protocol, which is what makes evolution a
+    * data-path concern only. */
+  private def commitMergedBuckets(stateDir: java.nio.file.Path, merged: DataFrame,
+                                  affected: Seq[Int], newEpoch: Long,
+                                  prevBuckets: Map[Int, String],
+                                  retainEpochs: Int): Unit = {
+    val stage = stateDir.resolve(s".stage-e$newEpoch")
+    deleteRecursively(stage.toFile)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    affected.foreach { b =>
+      val src = stage.resolve(s"bucket=$b")
+      val dst = stateDir.resolve(s"b$b").resolve(s"e$newEpoch")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      deleteRecursively(dst.toFile) // crashed attempt's leftovers
+      if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
+    }
+    deleteRecursively(stage.toFile)
+    val newBuckets = prevBuckets ++ affected.map(b => b -> s"b$b/e$newEpoch")
+    writeUpsertManifest(stateDir, UpsertManifest(newEpoch, newBuckets))
+    gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
+  }
+
+  // ------------------------------------- MERGE schema evolution (widen)
+
+  private val evolveLayouts =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]
+
+  /** Two-era arrival layout for [[st_upsert_evolve]]: events with
+    * `event_id` below the cutoff are the PRE-evolution era — their
+    * files carry only the original columns; the rest are
+    * post-evolution files that ALSO carry `props` (the upstream
+    * producer shipped a new field). The cutoff is arithmetic on the
+    * data (`event_id < count·49/50`), so the oracle replays it
+    * exactly; it sits LATE (98%) so that at every fixture scale some
+    * keys are dormant after it — their state rows genuinely keep the
+    * pre-evolution null, exercising both sides of the widen. */
+  private[graft] def evolveCutoff(n: Long): Long = n * 49 / 50
+
+  private def evolveLayout(s: SparkSession, d: String): String =
+    perSession(evolveLayouts, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_evevo_" +
+        graft.ops.Tables.layoutTag(d)
+      val ev = graft.ops.Tables.events(s, d)
+      val half = evolveCutoff(ev.count())
+      ev.filter(col("event_id") < half)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .repartition(3).write.mode("overwrite").parquet(s"$p/v1")
+      ev.filter(col("event_id") >= half)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(3).write.mode("overwrite").parquet(s"$p/v2")
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** Per-key last-write-wins reduce over an EXPLICIT column list — the
+    * evolution-aware generalization of [[runUpsert]]'s `reduceKeys`.
+    * `event_id` sits in the comparator before any evolved column, and
+    * it is unique, so the struct max NEVER compares an evolved field —
+    * null-bearing new columns ride along without entering the order. */
+  private def reduceEvolveKeys(df: DataFrame, dataCols: Seq[String]): DataFrame =
+    df.groupBy(col("bucket"), col("user_id"))
+      .agg(max(struct(dataCols.map(col): _*)).as("m"))
+      .select(Seq(col("bucket"), col("user_id")) ++
+        dataCols.map(c => col(s"m.$c").as(c)): _*)
+
+  /** One era's streaming drain into the shared evolving state table.
+    * Post-evolution batches read pre-evolution epoch dirs with
+    * `mergeSchema` and align by name (`unionByName(allowMissing)`), so
+    * old rows widen to nulls IN THE MERGE — no rewrite of historical
+    * epochs, which is the property that matters at 100 TB: evolution
+    * costs zero data movement on existing state. */
+  private def evolveDrain(ss: SparkSession, srcDir: String, withProp: Boolean,
+                          stateDir: java.nio.file.Path, ckpt: String): Unit = {
+    val dataCols = Seq("tus", "event_type", "cents", "eid") ++
+      (if (withProp) Seq("prop_k") else Nil)
+    val schema = ss.read.parquet(srcDir).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$srcDir/part-*.parquet")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: java.lang.Long) =>
+        val sb = batch.sparkSession
+        val base = batch.select(
+          Seq(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+            col("event_id").as("eid")) ++
+            (if (withProp)
+              Seq(get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+            else Nil): _*)
+          .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
+        val delta = reduceEvolveKeys(base, dataCols)
+        // ≤ UpsertBuckets driver-side ints — the partition list, not data
+        val affected = delta.select("bucket").distinct().collect()
+          .map(_.getInt(0)).toSeq
+        if (affected.nonEmpty) {
+          val man = readUpsertManifest(stateDir)
+          val curPaths = man.toSeq.flatMap(m =>
+            affected.sorted.flatMap(m.buckets.get)).map(rel => s"$stateDir/$rel")
+          val cur =
+            if (curPaths.nonEmpty)
+              sb.read.option("mergeSchema", "true").parquet(curPaths: _*)
+                .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
+            else delta.limit(0)
+          val merged = reduceEvolveKeys(
+            cur.unionByName(delta, allowMissingColumns = true), dataCols)
+          commitMergedBuckets(stateDir, merged, affected,
+            man.map(_.epoch + 1).getOrElse(0L),
+            man.map(_.buckets).getOrElse(Map.empty), UpsertRetainEpochs)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING MERGE WITH SCHEMA EVOLUTION — the production shape
+    * [[st_upsert]] cannot express: the source gains a NEW column
+    * mid-stream (here `prop_k`, extracted from the `props` JSON the
+    * post-evolution files ship), the stream restarts on the new
+    * schema (a file stream's schema is fixed at plan time — the same
+    * restart Delta's `schemaTrackingLocation` mandates), and the
+    * MERGE WIDENS the state table in place: pre-evolution epoch dirs
+    * are never rewritten; their rows surface with nulls via
+    * by-name alignment, and a key's `prop_k` is non-null exactly when
+    * its last-write-wins winner arrived post-evolution.
+    *
+    * Determinism: the era split is `event_id < count·49/50` and the LWW
+    * comparator ends at the UNIQUE `event_id`, so the winning row —
+    * and therefore whether `prop_k` is set — is a pure function of the
+    * data, replayed by the oracle as one row_number over all events.
+    *
+    * 100 TB notes: evolution costs ZERO data movement on existing
+    * state (old epochs stay immutable; widening happens in the merge
+    * read path via `mergeSchema` + `unionByName(allowMissing)`); the
+    * per-batch work is unchanged from [[runUpsert]] — delta keys +
+    * affected buckets only; and the commit protocol is byte-identical
+    * ([[commitMergedBuckets]]), so crash/atomicity guarantees carry
+    * over unchanged. Nulls encode "pre-evolution" in state; the query
+    * surfaces them as -1 to keep the output column non-nullable. */
+  val st_upsert_evolve: Q = (s, d) => {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_evolve_state_")
+    try st_upsert_evolve_run(s, d, stateDir.toString, (_, _) => ())
+    finally deleteRecursively(stateDir.toFile)
+  }
+
+  /** The evolve run against an EXPLICIT state location — the unit the
+    * spec drives so it can inspect epoch-dir schemas and snapshot
+    * reads across the evolution boundary. `onPhase(phase, epoch)`
+    * fires after each era's drain with the then-current manifest
+    * epoch. */
+  private[graft] def st_upsert_evolve_run(s: SparkSession, d: String,
+                                          stateDirPath: String,
+                                          onPhase: (Int, Long) => Unit): DataFrame = {
+    val ss = streamSession(s)
+    val src = evolveLayout(ss, d)
+    val stateDir = java.nio.file.Paths.get(stateDirPath)
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_evolve_ck1_")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_evolve_ck2_")
+    try {
+      evolveDrain(ss, s"$src/v1", withProp = false, stateDir, ckpt1.toString)
+      onPhase(1, readUpsertManifest(stateDir).map(_.epoch).getOrElse(-1L))
+      evolveDrain(ss, s"$src/v2", withProp = true, stateDir, ckpt2.toString)
+      onPhase(2, readUpsertManifest(stateDir).map(_.epoch).getOrElse(-1L))
+      val finalPaths = readUpsertManifest(stateDir).toSeq
+        .flatMap(_.buckets.values).map(rel => s"$stateDir/$rel")
+      val all = ss.read.option("mergeSchema", "true").parquet(finalPaths: _*)
+      val widened =
+        if (all.columns.contains("prop_k")) all
+        else all.withColumn("prop_k", lit(null).cast("int"))
+      val out = widened.select(col("user_id"), col("tus").as("last_tus"),
+          col("event_type").as("last_type"), col("cents"),
+          coalesce(col("prop_k"), lit(-1)).cast("int").as("prop_k"))
+        .orderBy(col("user_id"))
+      val (data, outSchema) = (out.collect(), out.schema)
+      ss.createDataFrame(java.util.Arrays.asList(data: _*), outSchema)
+    } finally {
+      deleteRecursively(ckpt1.toFile)
+      deleteRecursively(ckpt2.toFile)
     }
   }
 
@@ -1276,6 +1453,7 @@ object StreamingOps {
     "st_custom_state" -> st_custom_state,
     "st_cdc" -> st_cdc,
     "st_upsert" -> st_upsert,
+    "st_upsert_evolve" -> st_upsert_evolve,
     "st_cdc_ttl" -> st_cdc_ttl,
     "st_stream_join" -> st_stream_join,
     "st_static_join" -> st_static_join,
@@ -1437,6 +1615,26 @@ object StreamingOps {
         |  FROM e GROUP BY 1)
         |SELECT user_id, m.tus AS last_tus, m.et AS last_type, m.c AS cents
         |FROM last ORDER BY user_id""".stripMargin,
+    // full replay of the evolving MERGE: the LWW winner per user is the
+    // row_number-1 row under (tus, event_type, cents, event_id) DESC —
+    // the unique event_id makes the comparator total — and prop_k is
+    // set iff that winner arrived in the post-evolution era
+    // (event_id >= count·49/50), -1 encoding the pre-evolution null
+    "st_upsert_evolve" ->
+      """WITH h AS (SELECT count(*) * 49 // 50 AS half FROM events),
+        |e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+        |    CASE WHEN event_id >= (SELECT half FROM h)
+        |         THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS prop_k
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tus DESC, event_type DESC, cents DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, tus AS last_tus, event_type AS last_type, cents,
+        |  CAST(COALESCE(prop_k, -1) AS INTEGER) AS prop_k
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "st_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.ts AS purchase_ts, c.ts AS click_ts

@@ -529,4 +529,81 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(jan29Streamed == jan29Base + jan29Keep,
       s"Jan 29 count $jan29Streamed != on-time $jan29Base + merged stragglers $jan29Keep")
   }
+
+  test("upsert schema evolution: old epochs never rewritten, widen-on-merge, winner era decides prop_k") {
+    import scala.jdk.CollectionConverters._
+    val state = java.nio.file.Files.createTempDirectory("graft_evolve_spec_")
+    def epochFiles(): Map[String, (Long, Long)] =
+      java.nio.file.Files.walk(state).iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.toString.matches(""".*/b\d+/e\d+/.*\.parquet"""))
+        .map(f => f.toString -> ((java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis))).toMap
+    var phase1Epoch = -1L
+    var phase1Files: Map[String, (Long, Long)] = Map.empty
+    val out = StreamingOps.st_upsert_evolve_run(spark, sf, state.toString, {
+      case (1, e) => phase1Epoch = e; phase1Files = epochFiles()
+      case _      => ()
+    })
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+
+    // 1. winner-era semantics: prop_k is -1 iff the user's LWW winner
+    //    (argmax under tus, event_type, cents, event_id) is pre-cutoff
+    val ev = Tables.events(spark, sf)
+    val half = StreamingOps.evolveCutoff(ev.count())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("event_type").desc, col("cents").desc,
+        col("event_id").desc)
+    val exp = ev.select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"),
+        when(col("event_id") >= half,
+          get_json_object(col("props"), "$.k").cast("int")).as("prop_k"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), coalesce(col("prop_k"), lit(-1)).as("prop_k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == exp, "evolved MERGE state drifted from the batch argmax replay")
+    assert(exp.values.exists(_ == -1) && exp.values.exists(_ >= 0),
+      "fixture must produce winners in BOTH eras or the test is vacuous")
+
+    // 2. evolution rewrote NOTHING: every pre-evolution epoch file
+    //    that survives retention GC is byte-identical (size + mtime)
+    //    and its footer schema still lacks prop_k — widening happened
+    //    in the merge read path, not by touching history. (Files the
+    //    GC dropped fell below the retention horizon — that is
+    //    retention at work, not a rewrite; #4 proves the retained
+    //    phase-1 snapshot still resolves in full.)
+    assert(phase1Files.nonEmpty, "phase-1 drain must have committed epoch files")
+    val after = epochFiles()
+    val surviving = phase1Files.keySet.intersect(after.keySet)
+    assert(surviving.nonEmpty, "no pre-evolution epoch file survived retention")
+    surviving.foreach { p =>
+      assert(after(p) == phase1Files(p), s"pre-evolution file was rewritten: $p")
+    }
+    val v1Dir = surviving.head.replaceAll("""/[^/]*\.parquet$""", "")
+    assert(!spark.read.parquet(v1Dir).columns.contains("prop_k"),
+      s"pre-evolution epoch dir $v1Dir gained prop_k — history was rewritten")
+
+    // 3. post-evolution epochs carry the new column
+    val newDirs = (after.keySet -- phase1Files.keySet)
+      .map(_.replaceAll("""/[^/]*\.parquet$""", ""))
+    assert(newDirs.nonEmpty, "phase-2 drain must have committed new epoch dirs")
+    assert(newDirs.exists(d => spark.read.parquet(d).columns.contains("prop_k")),
+      "no post-evolution epoch dir carries prop_k")
+
+    // 4. time travel ACROSS the evolution boundary: the phase-1 head
+    //    snapshot still reads (v1 shape) and equals the batch LWW over
+    //    pre-cutoff events only
+    val snap = StreamingOps.readUpsertStateAt(spark, state.toString, phase1Epoch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val expV1 = ev.filter(col("event_id") < half)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(snap == expV1,
+      "pre-evolution snapshot must equal the LWW over pre-cutoff events")
+  }
 }
