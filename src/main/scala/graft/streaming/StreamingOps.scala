@@ -237,6 +237,54 @@ object StreamingOps {
       .orderBy(col("window_start"), col("rk"))
   }
 
+  /** Bin width of [[st_quantile]]'s histogram — the accuracy dial:
+    * the reported quantile is the containing bin's UPPER bound, so
+    * error is < one bin width by construction (spec-pinned against
+    * the exact order statistic). */
+  private[graft] val QuantileBinWidth = 20.0
+
+  /** Streaming quantiles via a MERGEABLE fixed-bin histogram — the
+    * sketch shape that makes percentiles viable on an unbounded
+    * stream: each micro-batch folds its rows into per-(key, bin)
+    * counts, bins merge by ADDITION (commutative + associative, so
+    * the final histogram is independent of batching — the exact same
+    * argument as [[st_upsert]]'s LWW), and the quantile is read off
+    * the cumulative counts at serve time: p_q = upper bound of the
+    * first bin whose cumulative count reaches ⌈q·n⌉.
+    *
+    * Complete output mode is CORRECT here, not a shortcut: the state
+    * is keys × bins — bounded by construction and tiny (it is the
+    * sketch), unlike a windowed aggregation where complete mode would
+    * retain every window ever seen. At 100 TB/day the state store
+    * holds |event_type| × ⌈max/width⌉ counters regardless of row
+    * volume; the same histogram shape serves t-digest-style pipelines
+    * where exact percentile sorts are impossible.
+    *
+    * Deterministic by integer bin arithmetic (floor(value/width)) —
+    * the DuckDB oracle replays the identical histogram walk, so the
+    * hash match proves the streaming fold lost no count. */
+  val st_quantile: Q = (s, d) => {
+    val hist = eventStream(s, d)
+      .select(col("event_type"),
+        floor(col("value") / QuantileBinWidth).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val sink = drain(hist, "complete")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    sink
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.5) * col("n")),
+          (col("bin") + 1) * lit(QuantileBinWidth))).as("p50_hi"),
+        min(when(col("cum") >= ceil(lit(0.95) * col("n")),
+          (col("bin") + 1) * lit(QuantileBinWidth))).as("p95_hi"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------- late-data accounting
 
   /** Planted-straggler geometry for [[st_late_data]] (mod rules are
@@ -1454,6 +1502,7 @@ object StreamingOps {
     "st_cdc" -> st_cdc,
     "st_upsert" -> st_upsert,
     "st_upsert_evolve" -> st_upsert_evolve,
+    "st_quantile" -> st_quantile,
     "st_cdc_ttl" -> st_cdc_ttl,
     "st_stream_join" -> st_stream_join,
     "st_static_join" -> st_static_join,
@@ -1615,6 +1664,24 @@ object StreamingOps {
         |  FROM e GROUP BY 1)
         |SELECT user_id, m.tus AS last_tus, m.et AS last_type, m.c AS cents
         |FROM last ORDER BY user_id""".stripMargin,
+    // identical histogram walk in SQL: same bins, same cumulative
+    // threshold ⌈q·n⌉, same upper-bound readout (SUM(BIGINT) window
+    // results are HUGEINT — n is cast back; the CASE threshold compare
+    // is numeric so HUGEINT vs double is safe)
+    "st_quantile" ->
+      s"""WITH h AS (
+        |  SELECT event_type, CAST(floor(value / $QuantileBinWidth) AS BIGINT) AS bin,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT event_type, bin, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  MIN(CASE WHEN cum >= ceil(0.5 * n) THEN (bin + 1) * $QuantileBinWidth END) AS p50_hi,
+        |  MIN(CASE WHEN cum >= ceil(0.95 * n) THEN (bin + 1) * $QuantileBinWidth END) AS p95_hi
+        |FROM cm GROUP BY event_type, n ORDER BY event_type""".stripMargin,
     // full replay of the evolving MERGE: the LWW winner per user is the
     // row_number-1 row under (tus, event_type, cents, event_id) DESC —
     // the unique event_id makes the comparator total — and prop_k is

@@ -530,6 +530,30 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"Jan 29 count $jan29Streamed != on-time $jan29Base + merged stragglers $jan29Keep")
   }
 
+  test("streaming histogram quantile: within one bin of the exact order statistic, batch-equal fold") {
+    val rows = StreamingOps.st_quantile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+    val width = StreamingOps.QuantileBinWidth
+    rows.foreach { r =>
+      val (et, n) = (r.getString(0), r.getLong(1))
+      // exact order statistic: the ⌈q·n⌉-th smallest value of the type
+      def orderStat(q: Double): Double = {
+        val k = math.ceil(q * n).toLong
+        ev.filter(col("event_type") === et).select(col("value"))
+          .orderBy(col("value")).limit(k.toInt).orderBy(col("value").desc)
+          .head.getDouble(0)
+      }
+      Seq(0.5 -> r.getDouble(2), 0.95 -> r.getDouble(3)).foreach { case (q, hi) =>
+        val exact = orderStat(q)
+        assert(exact < hi && hi - exact <= width,
+          s"$et p$q: sketch upper bound $hi not within one bin of exact $exact")
+      }
+      // n really is the type's row count (the fold lost nothing)
+      assert(n == ev.filter(col("event_type") === et).count())
+    }
+  }
+
   test("upsert schema evolution: old epochs never rewritten, widen-on-merge, winner era decides prop_k") {
     import scala.jdk.CollectionConverters._
     val state = java.nio.file.Files.createTempDirectory("graft_evolve_spec_")
