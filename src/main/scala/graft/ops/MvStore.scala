@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable incremental MATERIALIZED-VIEW store — the aggregate-side
+  * member of the durable-artifact family ([[AnnIndexStore]] vectors,
+  * [[DedupIndexStore]] fingerprints, [[TextIndexStore]] postings,
+  * the streaming upsert state table): decomposable partial aggregates
+  * persisted under an epoch-versioned manifest, refreshed
+  * incrementally with batch-proportional work, and SERVED ACROSS
+  * SESSIONS with zero base-table jobs — the production form of
+  * [[RelationalQueries.q_incremental_agg]], whose stored state was a
+  * write-once per-run layout rather than a maintained artifact.
+  *
+  * Layout (the shared manifest shape, via [[graft.ManifestIo]]):
+  * {{{
+  * dir/
+  *   _manifest.json          current pointer  {epoch, buckets}
+  *   _manifest-eN.json       immutable per-epoch snapshot (time travel)
+  *   b<k>/e<N>/...parquet    bucket k's partials as of epoch N (immutable)
+  * }}}
+  * Partial rows are `(m, l_returnflag, rev_cents, qty, n)` — sum /
+  * sum / count states, each mergeable by further summing (the
+  * decomposable-aggregate contract that makes the MV incremental).
+  * Buckets hash on the MONTH alone: the refresh unit is a month of
+  * new base data, so a month's delta touches exactly ONE bucket and
+  * a refresh commit rewrites 1/[[NumBuckets]] of the view, not all
+  * of it — at 100 TB of history that asymmetry is the entire point.
+  *
+  * Refresh contract: APPEND-ONLY facts — the caller feeds each base
+  * partition's rows exactly once (exactly-once at the pipeline level
+  * comes from the upstream ledger, e.g. a streaming checkpoint as in
+  * [[graft.streaming.StreamingOps]]'s upsert; re-feeding a month
+  * would double its partials, exactly as in any SUM-based MV).
+  * Commits are single-writer, crash-safe by the ManifestIo argument:
+  * immutable epoch dirs + one atomic pointer flip; a crash mid-commit
+  * leaves only unreferenced garbage.
+  */
+object MvStore {
+
+  /** Refresh touches `affected buckets / NumBuckets` of the view; a
+    * production deployment sizes this so one refresh unit (here a
+    * month) is a small fraction. 8 over the fixture's ~70 months. */
+  val NumBuckets = 8
+
+  /** Epochs kept readable as snapshots after a refresh. */
+  val RetainEpochs = 3
+
+  case class MvManifest(epoch: Long, buckets: Map[Int, String])
+
+  // ------------------------------------------------------ manifest io
+
+  private def versionedPath(dir: String, e: Long) =
+    graft.ManifestIo.versionedPath(java.nio.file.Paths.get(dir), e)
+
+  private def renderManifest(m: MvManifest): String = {
+    val buckets = m.buckets.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    s"""{"epoch":${m.epoch},"buckets":$buckets}"""
+  }
+
+  private def parseManifest(p: java.nio.file.Path): MvManifest = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+    val epoch = (j \ "epoch") match {
+      case JInt(n) => n.toLong
+      case other   => sys.error(s"bad epoch $other")
+    }
+    val buckets = (j \ "buckets") match {
+      case JObject(fs) => fs.map {
+        case (k, JString(v)) => k.toInt -> v
+        case other           => sys.error(s"bad bucket entry $other")
+      }.toMap
+      case other => sys.error(s"bad buckets $other")
+    }
+    MvManifest(epoch, buckets)
+  }
+
+  def open(dir: String): MvManifest =
+    parseManifest(graft.ManifestIo.manifestPath(java.nio.file.Paths.get(dir)))
+
+  /** Snapshot manifest AS OF a retained epoch; pointed failure once
+    * the epoch falls past retention (same contract as the other
+    * stores — never a partial view). */
+  def openAt(dir: String, epoch: Long): MvManifest = {
+    val p = versionedPath(dir, epoch)
+    if (!java.nio.file.Files.exists(p))
+      throw new IllegalStateException(
+        s"snapshot expired: epoch $epoch of $dir is no longer retained " +
+          s"(retained: ${listEpochs(dir).mkString(",")})")
+    parseManifest(p)
+  }
+
+  def listEpochs(dir: String): Seq[Long] =
+    graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
+
+  // ----------------------------------------------------------- build
+
+  /** Month → bucket routing. Stored as a real column so a refresh
+    * merge never re-hashes history. */
+  private def withBucket(partials: DataFrame): DataFrame =
+    partials.withColumn("bucket", pmod(hash(col("m")), lit(NumBuckets)).cast("int"))
+
+  private val PartialCols =
+    Seq("m", "l_returnflag", "rev_cents", "qty", "n", "bucket")
+
+  /** Initial materialization at epoch 0 from the history's partial
+    * aggregates (one corpus-sized job — paid once, ever). */
+  def build(partials: DataFrame, dir: String): MvManifest = {
+    val base = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(base)
+    val published = graft.ManifestIo.publishPartitions(
+      withBucket(partials), base, 0L, "bucket", "b")
+    val m = MvManifest(0L, published.map(b => b -> s"b$b/e0").toMap)
+    graft.ManifestIo.commit(base, 0L, renderManifest(m))
+    m
+  }
+
+  /** Outcome of one refresh commit, with the diagnostics the spec
+    * asserts on (buckets touched; old paths the merge read). */
+  case class RefreshCommit(manifest: MvManifest, affected: Seq[Int],
+                           readPaths: Seq[String])
+
+  /** Incremental refresh: fold `deltaPartials` (the NEW base rows'
+    * partial aggregates — typically one month) into the view. Only
+    * the delta's buckets are read and re-reduced (`sum` of sums — the
+    * merge law), republished as new immutable epoch dirs, and flipped
+    * in atomically; untouched buckets carry forward by reference.
+    * Work is delta-proportional + the affected buckets' size — never
+    * the history. */
+  def refresh(s: SparkSession, dir: String, deltaPartials: DataFrame,
+              retain: Int = RetainEpochs): RefreshCommit = {
+    val base = java.nio.file.Paths.get(dir)
+    val m = open(dir)
+    val next = m.epoch + 1
+    val delta = withBucket(deltaPartials)
+    // ≤ NumBuckets driver-side ints — the partition list, not data
+    val affected = delta.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val readPaths = affected.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+    val old =
+      if (readPaths.nonEmpty) s.read.parquet(readPaths: _*)
+      else delta.limit(0)
+    val merged = old.select(PartialCols.map(col): _*)
+      .unionByName(delta.select(PartialCols.map(col): _*))
+      .groupBy(col("m"), col("l_returnflag"), col("bucket"))
+      .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("qty")).as("qty"),
+        sum(col("n")).as("n"))
+    val published = graft.ManifestIo.publishPartitions(merged, base, next, "bucket", "b")
+    val m2 = MvManifest(next,
+      m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap)
+    graft.ManifestIo.commit(base, next, renderManifest(m2))
+    gc(dir, next, retain)
+    RefreshCommit(m2, affected, readPaths)
+  }
+
+  // ----------------------------------------------------------- serve
+
+  /** Final per-returnflag totals from the persisted partials — a
+    * months × flags-sized read + reduce, ZERO base-table jobs. The
+    * serve path is what a second session (or another consumer
+    * entirely) runs against the shared artifact. */
+  def serve(s: SparkSession, dir: String, m: MvManifest): DataFrame = {
+    val paths = m.buckets.values.toSeq.sorted.map(rel => s"$dir/$rel")
+    s.read.parquet(paths: _*)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("qty")).as("qty"),
+        sum(col("n")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // -------------------------------------------------------------- gc
+
+  /** Retention GC, same shape as the sibling stores: versioned
+    * manifests below the horizon go through the
+    * [[graft.EpochGuard]] lease handshake, then bucket-epoch dirs no
+    * retained manifest references are swept. */
+  private[graft] def gc(dir: String, current: Long, retain: Int,
+                        afterIntent: Long => Unit = _ => ()): Unit = {
+    val horizon = math.max(0L, current - retain + 1)
+    graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
+    val referenced: Set[String] =
+      listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
+        .flatMap(_.buckets.values).toSet
+    val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+    for (cd <- dirs; ed <- Option(cd.listFiles()).toSeq.flatten
+           if ed.getName.matches("e\\d+")) {
+      val rel = s"${cd.getName}/${ed.getName}"
+      val epoch = ed.getName.stripPrefix("e").toLong
+      if (!referenced.contains(rel) && epoch < current)
+        graft.Fs.deleteRecursively(ed)
+    }
+  }
+}

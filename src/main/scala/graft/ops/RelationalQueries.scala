@@ -1287,6 +1287,55 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  private val mvStoreDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Write-once durable-MV artifact per (session, fixture dir) for
+    * [[q_mv_served]]/[[q_mv_asof]]: [[MvStore.build]] at epoch 0 over
+    * all history BEFORE the cutoff month, then one
+    * [[MvStore.refresh]] folding the cutoff month's delta to epoch 1
+    * — the build-then-maintain lifecycle a nightly pipeline runs. A
+    * stale artifact from a previous JVM is removed first: refresh is
+    * append-only, so replaying it over surviving state would double
+    * the cutoff month. */
+  private[ops] def mvStoreDir(s: SparkSession, d: String): String =
+    mvStoreDirs.getOrElseUpdate((s, d), {
+      val tag = Tables.layoutTag(d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvstore_$tag"
+      graft.Fs.deleteRecursively(new java.io.File(path))
+      val partials = monthlyPartials(lineitem(s, d)).cache()
+      try {
+        val maxMonth = partials.agg(max(col("m"))).head.getString(0)
+        require(maxMonth <= MvCutoffMonth,
+          s"fixture has ship month $maxMonth beyond MV cutoff $MvCutoffMonth — bump MvCutoffMonth")
+        MvStore.build(partials.filter(col("m") < MvCutoffMonth), path): Unit
+        MvStore.refresh(s, path, partials.filter(col("m") === MvCutoffMonth)): Unit
+      } finally { partials.unpersist(); () }
+      graft.Fs.deleteOnExit(path)
+    })
+
+  /** The DURABLE incremental MV, served: per-returnflag totals read
+    * from [[MvStore]]'s persisted partials — zero base-table jobs at
+    * query time, across sessions. Hash-matching the SAME full-table
+    * oracle as [[q_incremental_agg]] proves the artifact lifecycle
+    * (build + one refresh commit) converges exactly to the direct
+    * aggregate. */
+  val q_mv_served: Q = (s, d) => {
+    val dir = mvStoreDir(s, d)
+    MvStore.serve(s, dir, MvStore.open(dir))
+  }
+
+  /** Time travel on the durable MV: serve AS OF epoch 0 — the view
+    * BEFORE the cutoff month's refresh — through the immutable
+    * snapshot manifest. The oracle aggregates only pre-cutoff base
+    * rows, so the hash match proves refresh never mutated history
+    * (the same immutability the evolve/upsert specs pin file-level,
+    * here proven at the answer level). */
+  val q_mv_asof: Q = (s, d) => {
+    val dir = mvStoreDir(s, d)
+    MvStore.serve(s, dir, MvStore.openAt(dir, 0L))
+  }
+
   /** Rows whose planted-null rule fires in [[q_table_profile]] —
     * `l_orderkey % 13 == 0` blanks the derived cents column so the
     * null-counting path is non-vacuous on a fixture with no nulls. */
@@ -2033,6 +2082,8 @@ object RelationalQueries {
     "q_moving_avg" -> q_moving_avg,
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
+    "q_mv_served" -> q_mv_served,
+    "q_mv_asof" -> q_mv_asof,
     "q_table_profile" -> q_table_profile,
     "q_dq_checks" -> q_dq_checks,
     "q_sql_having_in" -> q_sql_having_in,
@@ -2291,6 +2342,22 @@ object RelationalQueries {
         |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // the durable MV's serve path must equal the direct full-table
+    // aggregate — identical oracle to q_incremental_agg by design
+    "q_mv_served" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // epoch-0 snapshot = the view before the cutoff month landed
+    "q_mv_asof" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-11-01 00:00:00'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_scan_pushdown" ->
       """SELECT p_partkey, p_brand, p_size FROM part
         |WHERE p_size >= 25 AND p_type = 'PROMO' ORDER BY p_partkey""".stripMargin,

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MvStoreSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def files(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) &&
+        f.toString.matches(""".*/b\d+/e\d+/.*\.parquet"""))
+      .map(f => f.toString -> ((java.nio.file.Files.size(f),
+        java.nio.file.Files.getLastModifiedTime(f).toMillis))).toMap
+  }
+
+  test("refresh is delta-proportional, history-immutable; serve crosses sessions with no base scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvspec_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val partials = li
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+    val cutoff = "2001-11"
+    MvStore.build(partials.filter(col("m") < cutoff), dir)
+    val e0Files = files(dir)
+    assert(e0Files.nonEmpty, "build must publish bucket dirs")
+
+    // refresh with one month touches exactly that month's ONE bucket
+    val commit = MvStore.refresh(spark, dir, partials.filter(col("m") === cutoff))
+    assert(commit.affected.length == 1,
+      s"a one-month delta must touch one bucket, got ${commit.affected}")
+    assert(commit.readPaths.forall(_.contains(s"b${commit.affected.head}/")),
+      "merge read paths must be confined to the affected bucket")
+
+    // history never rewritten: every epoch-0 file that survives GC is
+    // byte-identical; unaffected buckets still serve their e0 dirs
+    val after = files(dir)
+    val surviving = e0Files.keySet.intersect(after.keySet)
+    assert(surviving.nonEmpty)
+    surviving.foreach(p => assert(after(p) == e0Files(p), s"rewritten: $p"))
+    val liveRels = MvStore.open(dir).buckets.values.toSet
+    assert(liveRels.exists(_.endsWith("/e0")) && liveRels.exists(_.endsWith("/e1")),
+      s"live manifest must mix carried-forward e0 and refreshed e1 dirs: $liveRels")
+
+    // served totals equal the direct aggregate (merge law, end to end)
+    val expect = partials.groupBy(col("l_returnflag"))
+      .agg(sum("rev_cents").as("rev_cents"), sum("qty").as("qty"), sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // ...from a FRESH session: nothing in-JVM carries over but the artifact
+    val s2 = spark.newSession()
+    val served = MvStore.serve(s2, dir, MvStore.open(dir))
+    val got = served.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, "served MV drifted from the direct aggregate")
+
+    // zero base-table access on the serve path: the executed plan's
+    // only scan location is the store dir (string form renders under
+    // AQE too, same approach as PlanSweepSpec)
+    val planStr = served.queryExecution.executedPlan.toString
+    assert(planStr.contains(new java.io.File(dir).getName),
+      "serve plan must scan the MV artifact")
+    assert(!planStr.contains("lineitem"),
+      "serve plan must not touch the base table")
+
+    // snapshot AS OF epoch 0 equals the pre-cutoff aggregate
+    val snap = MvStore.serve(spark, dir, MvStore.openAt(dir, 0L)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect0 = partials.filter(col("m") < cutoff).groupBy(col("l_returnflag"))
+      .agg(sum("rev_cents").as("rev_cents"), sum("qty").as("qty"), sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(snap == expect0, "epoch-0 snapshot drifted from the pre-cutoff aggregate")
+    assert(snap != got, "fixture must have cutoff-month rows or the refresh test is vacuous")
+
+    // retention: refreshing past the horizon expires old snapshots POINTEDLY
+    (2 to MvStore.RetainEpochs + 1).foreach { i =>
+      // idempotent no-new-data refreshes: empty delta keeps totals, bumps epoch
+      MvStore.refresh(spark, dir, partials.filter(col("m") === cutoff).limit(0)): Unit
+    }
+    val ex = intercept[IllegalStateException](MvStore.openAt(dir, 0L))
+    assert(ex.getMessage.contains("snapshot expired"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+}
