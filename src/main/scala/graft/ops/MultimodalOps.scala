@@ -214,9 +214,8 @@ object MultimodalOps {
   /** A REAL RIFF/WAVE file: canonical 44-byte header (PCM format chunk
     * with consistent byte-rate/block-align) + little-endian 16-bit
     * samples. Any WAV reader decodes it. */
-  private[ops] def encodeWav(docId: Long, nChars: Long): Array[Byte] = {
-    val n = audioSamples(nChars)
-    val dataLen = n * 2
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
     val bb = ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
@@ -229,18 +228,20 @@ object MultimodalOps {
       .putShort(16)                      // bits per sample
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < n) { bb.putShort(pcmSample(docId, i).toShort); i += 1 }
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
     bb.array()
   }
+
+  private[ops] def encodeWav(docId: Long, nChars: Long): Array[Byte] =
+    wavBytes(Array.tabulate(audioSamples(nChars))(i => pcmSample(docId, i).toShort))
 
   // ------------------------------------------------------- WAV decode
 
   /** Decode a PCM16 mono WAV from its actual bytes: RIFF/WAVE
     * validation, fmt-chunk field checks (format, channels, rate,
-    * block align), then the sample stream — returning
-    * (sampleRate, nSamples, sumAbsAmplitude). Throws loudly on
-    * malformed input. */
-  private[ops] def decodeWav(payload: Array[Byte]): (Int, Int, Long) = {
+    * block align), then the raw sample stream — returning
+    * (sampleRate, samples). Throws loudly on malformed input. */
+  private[ops] def decodeWavRaw(payload: Array[Byte]): (Int, Array[Short]) = {
     require(payload.length >= 44, "not a WAV: too short")
     val bb = ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val riff = new Array[Byte](4); bb.get(riff)
@@ -250,8 +251,7 @@ object MultimodalOps {
     val wave = new Array[Byte](4); bb.get(wave)
     require(new String(wave, "US-ASCII") == "WAVE", "not a WAV: bad WAVE magic")
     var rate = -1
-    var nSamples = -1
-    var sumAbs = 0L
+    var samples: Array[Short] = null
     while (bb.remaining() >= 8) {
       val tag = new Array[Byte](4); bb.get(tag)
       val len = bb.getInt
@@ -267,14 +267,23 @@ object MultimodalOps {
           require(bb.getShort == 16, "unsupported WAV: not 16-bit")
         case "data" =>
           require(rate > 0, "corrupt WAV: data before fmt")
-          nSamples = len / 2
+          samples = new Array[Short](len / 2)
           var i = 0
-          while (i < nSamples) { sumAbs += math.abs(bb.getShort.toLong); i += 1 }
+          while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
         case _ => bb.position(bb.position() + len)
       }
     }
-    require(nSamples >= 0, "corrupt WAV: no data chunk")
-    (rate, nSamples, sumAbs)
+    require(samples != null, "corrupt WAV: no data chunk")
+    (rate, samples)
+  }
+
+  /** Feature view of [[decodeWavRaw]]: (rate, nSamples, sumAbs). */
+  private[ops] def decodeWav(payload: Array[Byte]): (Int, Int, Long) = {
+    val (rate, samples) = decodeWavRaw(payload)
+    var sumAbs = 0L
+    var i = 0
+    while (i < samples.length) { sumAbs += math.abs(samples(i).toLong); i += 1 }
+    (rate, samples.length, sumAbs)
   }
 
   // ------------------------------------------------- GIF encode (LZW)
@@ -908,9 +917,124 @@ object MultimodalOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---------------------------------------- audio fingerprint matching
+
+  /** Frame length (samples), band count, planted-variant id offset,
+    * and the minimum clip length (frames) a match must span — short
+    * fingerprints carry too few bits to be evidence, exactly as in
+    * production audio identification. */
+  private[ops] val FpFrame = 250
+  private[ops] val FpBands = 4
+  private[ops] val ClipOffset = 1600000L
+  private[ops] val MinClipFrames = 5
+
+  /** Haitsma–Kalker-style audio fingerprint, integer-exact: the PCM
+    * splits into [[FpFrame]]-sample frames, each frame's energy lands
+    * in [[FpBands]] interleaved bands (E(f,b) = Σ|s| over in-frame
+    * positions ≡ b mod 4 — all integer sums, so the oracle replays
+    * them exactly), and bit (f−1)·4+b is set when band b's energy
+    * ROSE from frame f−1 to f. The sign-of-change encoding is what
+    * makes it a fingerprint: any monotone amplitude scaling preserves
+    * every comparison, while the bits still track the signal's
+    * temporal structure. Returns (nFrames, packed bits ≤ 36, and the
+    * frame-major flattened band-energy sequence the verify step
+    * compares exactly). */
+  private[ops] def audioFingerprint(samples: Array[Short]): (Int, Long, Array[Long]) = {
+    val nf = samples.length / FpFrame
+    val e = Array.ofDim[Long](nf, FpBands)
+    var f = 0
+    while (f < nf) {
+      var j = 0
+      while (j < FpFrame) {
+        e(f)(j % FpBands) += math.abs(samples(f * FpFrame + j).toLong)
+        j += 1
+      }
+      f += 1
+    }
+    var fp = 0L
+    f = 1
+    while (f < nf) {
+      var b = 0
+      while (b < FpBands) {
+        if (e(f)(b) > e(f - 1)(b)) fp |= 1L << ((f - 1) * FpBands + b)
+        b += 1
+      }
+      f += 1
+    }
+    (nf, fp, e.flatten)
+  }
+
+  /** A real WAV whose PCM is the original's with the FIRST FRAME
+    * dropped — the planted "same recording, offset start" variant
+    * (byte-distinct, duration-distinct, content-identical from sample
+    * 250 on). */
+  private[ops] def encodeWavClipped(docId: Long, nChars: Long): Array[Byte] =
+    wavBytes(Array.tabulate(audioSamples(nChars) - FpFrame)(i =>
+      pcmSample(docId, i + FpFrame).toShort))
+
+  /** WAV corpus with planted clipped variants for doc_id % 6 == 0. */
+  private[ops] def audioFpCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .flatMap { case (id, n) =>
+        val base = Seq(MediaRecord(id, "audio/wav", encodeWav(id, n)))
+        val clip =
+          if (id % 6 == 0)
+            Seq(MediaRecord(id + ClipOffset, "audio/wav", encodeWavClipped(id, n)))
+          else Nil
+        base ++ clip
+      }.toDF()
+  }
+
+  /** AUDIO IDENTIFICATION BY SUB-FINGERPRINT SHIFT MATCHING — the
+    * audio sibling of [[mm_phash_dedup]]: every clip's fingerprint is
+    * computed from its REAL WAV bytes (decode → frame → band energies
+    * → change bits), and "b is a one-frame-offset copy of a" becomes
+    * a pure EQUI-JOIN: fp_b = fp_a >> [[FpBands]] with one fewer
+    * frame, because dropping the first frame shifts the change-bit
+    * sequence by exactly one frame's worth of bits. The join is the
+    * CANDIDATE stage (the change bits are a lossy sketch — on this
+    * low-entropy synthetic signal they collide often, as weak
+    * fingerprints do on silence-heavy audio in production); survivors
+    * are VERIFIED by exact equality of the shifted band-energy
+    * sequence — the same candidates-then-verify shape as
+    * [[mm_phash_dedup]]'s banded LSH. Matches must span at least
+    * [[MinClipFrames]] frames, the minimum-overlap rule of production
+    * matchers. The DuckDB oracle recomputes every band energy
+    * arithmetically from the PCM formula and replays both stages, so
+    * the hash match proves the real-bytes decode pipeline AND the
+    * shift-match algebra. At 100 TB, only (doc_id, nf, fp, nf·4
+    * energy longs) rows ever shuffle — audio identification without
+    * a sample crossing the wire. */
+  val mm_audio_fingerprint: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val fps = audioFpCorpus(s, d).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap(_.iterator.map { r =>
+          val (_, samples) = decodeWavRaw(r.payload)
+          val (nf, fp, earr) = audioFingerprint(samples)
+          (r.doc_id, nf, fp, earr)
+        })
+      }.toDF("doc_id", "nf", "fp", "earr")
+    val left = fps.filter(col("nf") >= MinClipFrames + 1)
+      .select(col("doc_id").as("id_a"), (col("nf") - 1).as("nf_m"),
+        shiftrightunsigned(col("fp"), FpBands).as("fp_m"),
+        slice(col("earr"), lit(FpBands + 1),
+          (col("nf") - 1) * lit(FpBands)).as("ea_tail"))
+    val right = fps.filter(col("nf") >= MinClipFrames)
+      .select(col("doc_id").as("id_b"), col("nf").as("nf_m"),
+        col("fp").as("fp_m"), col("earr").as("eb"))
+    left.join(right, Seq("nf_m", "fp_m"))
+      .filter(col("id_a") =!= col("id_b") && col("ea_tail") === col("eb"))
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "mm_audio_fingerprint" -> mm_audio_fingerprint,
     "mm_binary_meta" -> mm_binary_meta,
     "mm_decode" -> mm_decode,
     "mm_gif_decode" -> mm_gif_decode,
@@ -921,6 +1045,45 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // recompute every band energy arithmetically from the PCM formula
+    // (orig + clipped variants via the generator-index offset), pack
+    // the change bits, and replay the same shift-match equi-join.
+    // SUM of shifted BIGINTs is HUGEINT — folded back to BIGINT (fp
+    // is ≤ 36 bits, so no sign subtlety).
+    "mm_audio_fingerprint" ->
+      s"""WITH p AS (SELECT doc_id, 500 + (n_chars * 7) % 2000 AS n FROM documents),
+         |w AS (
+         |  SELECT doc_id AS id, doc_id AS src, 0 AS off, n FROM p
+         |  UNION ALL
+         |  SELECT doc_id + $ClipOffset, doc_id, $FpFrame, n - $FpFrame
+         |  FROM p WHERE doc_id % 6 = 0),
+         |e AS (
+         |  SELECT w.id, w.n // $FpFrame AS nf, f.f AS f, b.b AS b,
+         |    list_sum(list_transform(generate_series(b.b, ${FpFrame - 1}, $FpBands),
+         |      j -> abs((((w.off + f.f * $FpFrame + j) * (w.off + f.f * $FpFrame + j)
+         |                 + w.src * 31) % 65536) - 32768))) AS en
+         |  FROM w, generate_series(0, 9) AS f(f), generate_series(0, ${FpBands - 1}) AS b(b)
+         |  WHERE f.f < w.n // $FpFrame),
+         |bits AS (
+         |  SELECT a.id,
+         |    CAST(SUM(CASE WHEN a.en > prev.en
+         |      THEN CAST(1 AS BIGINT) << ((a.f - 1) * $FpBands + a.b)
+         |      ELSE 0 END) AS BIGINT) AS fp
+         |  FROM e a JOIN e prev
+         |    ON a.id = prev.id AND a.b = prev.b AND prev.f = a.f - 1
+         |  GROUP BY a.id),
+         |earr AS (
+         |  SELECT id, list(en ORDER BY f, b) AS ea FROM e GROUP BY id),
+         |fp AS (
+         |  SELECT w.id, w.n // $FpFrame AS nf, COALESCE(b.fp, 0) AS fp, earr.ea
+         |  FROM w LEFT JOIN bits b ON w.id = b.id
+         |  JOIN earr ON w.id = earr.id)
+         |SELECT a.id AS id_a, c.id AS id_b
+         |FROM fp a JOIN fp c
+         |  ON c.nf = a.nf - 1 AND c.fp = (a.fp >> $FpBands) AND c.id <> a.id
+         |WHERE a.nf >= ${MinClipFrames + 1}
+         |  AND c.ea = a.ea[${FpBands + 1}:]
+         |ORDER BY id_a, id_b""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

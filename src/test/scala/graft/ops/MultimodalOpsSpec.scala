@@ -241,4 +241,35 @@ class MultimodalOpsSpec extends AnyFunSuite {
     for (id <- ids if id % 5 == 0)
       assert(payloads(id) != payloads(id + 400000L), s"doc $id variant bytes identical")
   }
+
+  test("audio fingerprint: clipped WAVs are real bytes, matches are exactly the planted pairs") {
+    import org.apache.spark.sql.functions._
+    // the clipped variant is a genuine decodable WAV: one frame
+    // shorter, every surviving sample identical to the original's tail
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val someId = docs.keys.filter(_ % 6 == 0).min
+    val (_, orig) = MultimodalOps.decodeWavRaw(
+      MultimodalOps.encodeWav(someId, docs(someId)))
+    val (_, clip) = MultimodalOps.decodeWavRaw(
+      MultimodalOps.encodeWavClipped(someId, docs(someId)))
+    assert(clip.length == orig.length - MultimodalOps.FpFrame)
+    assert(clip.toSeq == orig.drop(MultimodalOps.FpFrame).toSeq,
+      "clipped samples must be the original's tail")
+
+    // the match set is EXACTLY the planted (orig, clip) pairs long
+    // enough to clear the minimum-overlap rule: candidates the lossy
+    // change-bit join over-generates are killed by the energy verify
+    val got = MultimodalOps.mm_audio_fingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.collect {
+      case (id, n) if id % 6 == 0 &&
+        (500 + (n * 7) % 2000) / MultimodalOps.FpFrame >= MultimodalOps.MinClipFrames + 1 =>
+        (id, id + MultimodalOps.ClipOffset)
+    }.toSet
+    assert(planted.nonEmpty, "fixture must plant clip pairs above the overlap floor")
+    assert(got == planted,
+      s"matches != planted pairs (extra: ${got -- planted}, missing: ${planted -- got})")
+  }
 }
