@@ -92,6 +92,17 @@ object MvStore {
     parseManifest(p)
   }
 
+  /** Lease-pinned snapshot access — the concurrent-reader isolation
+    * [[openAt]] alone cannot give (its parquet read is lazy; a
+    * refresh's retention GC could sweep files between resolve and
+    * action). Same [[graft.EpochGuard]] handshake as the sibling
+    * stores. */
+  def withSnapshot[A](dir: String, epoch: Long)(body: MvManifest => A): A =
+    graft.EpochGuard.withLease(java.nio.file.Paths.get(dir), epoch,
+      java.nio.file.Files.exists(versionedPath(dir, epoch)), dir) {
+      body(parseManifest(versionedPath(dir, epoch)))
+    }
+
   def listEpochs(dir: String): Seq[Long] =
     graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
 

@@ -78,11 +78,19 @@ class MvStoreSpec extends AnyFunSuite {
     assert(snap == expect0, "epoch-0 snapshot drifted from the pre-cutoff aggregate")
     assert(snap != got, "fixture must have cutoff-month rows or the refresh test is vacuous")
 
-    // retention: refreshing past the horizon expires old snapshots POINTEDLY
-    (2 to MvStore.RetainEpochs + 1).foreach { i =>
-      // idempotent no-new-data refreshes: empty delta keeps totals, bumps epoch
-      MvStore.refresh(spark, dir, partials.filter(col("m") === cutoff).limit(0)): Unit
+    // a lease-pinned snapshot survives refreshes whose GC would
+    // expire it (manifest survives -> its bucket dirs stay referenced
+    // -> the sweep spares them transitively)
+    MvStore.withSnapshot(dir, 0L) { m0 =>
+      (2 to MvStore.RetainEpochs + 2).foreach { _ =>
+        MvStore.refresh(spark, dir, partials.filter(col("m") === cutoff).limit(0)): Unit
+      }
+      val pinned = MvStore.serve(spark, dir, m0).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(pinned == expect0, "leased epoch-0 snapshot must stay fully readable")
     }
+    // lease released: the next refresh's GC expires it POINTEDLY
+    MvStore.refresh(spark, dir, partials.filter(col("m") === cutoff).limit(0)): Unit
     val ex = intercept[IllegalStateException](MvStore.openAt(dir, 0L))
     assert(ex.getMessage.contains("snapshot expired"))
     graft.Fs.deleteRecursively(new java.io.File(dir))

@@ -180,4 +180,31 @@ class TextOpsSpec extends AnyFunSuite {
     // fuse), but every count must be > 0
     assert(TextOps.t_bpe_train(spark, sf).collect().forall(_.getLong(3) > 0))
   }
+
+  test("trigram search: candidate stage prunes AND over-generates, verify is exact") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val qTris = TextOps.triGrams(TextOps.TriQuery)
+    val qDf = spark.createDataFrame(qTris.map(Tuple1(_))).toDF("tri")
+    val candSet = TextOps.trigramIndex(docs)
+      .join(broadcast(qDf), "tri")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ntri"))
+      .filter(col("ntri") === qTris.length)
+      .collect().map(_.getLong(0)).toSet
+    val rows = TextOps.t_trigram_search(spark, sf).collect()
+    val verified = rows.map(_.getLong(0)).toSet
+    // the index genuinely narrows the scan...
+    assert(candSet.size < total,
+      s"trigram candidates ${candSet.size} must prune the $total-doc corpus")
+    // ...but candidacy is necessary, not sufficient — the verify stage
+    // must have real work (docs with all trigrams, phrase absent)
+    assert(verified.subsetOf(candSet), "a verified doc escaped the candidate set")
+    assert((candSet -- verified).nonEmpty,
+      "fixture must reject some candidates or the verify stage is vacuous")
+    assert(verified.nonEmpty && rows.forall(_.getLong(1) >= 1))
+    // exact equality with the naive scan
+    val naive = docs.filter(col("text").contains(TextOps.TriQuery))
+      .collect().map(_.getLong(0)).toSet
+    assert(verified == naive, "index search drifted from the naive scan")
+  }
 }
