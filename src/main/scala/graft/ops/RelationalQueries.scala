@@ -1294,14 +1294,16 @@ object RelationalQueries {
     * [[q_mv_served]]/[[q_mv_asof]]: [[MvStore.build]] at epoch 0 over
     * all history BEFORE the cutoff month, then one
     * [[MvStore.refresh]] folding the cutoff month's delta to epoch 1
-    * — the build-then-maintain lifecycle a nightly pipeline runs. A
-    * stale artifact from a previous JVM is removed first: refresh is
-    * append-only, so replaying it over surviving state would double
-    * the cutoff month. */
+    * — the build-then-maintain lifecycle a nightly pipeline runs. The
+    * path is PER-JVM (pid-tagged): the build deletes-then-recreates
+    * its dir, so a shared path would let one JVM's rebuild tear the
+    * artifact out from under a concurrently-reading JVM — unlike the
+    * overwrite-idempotent layout dirs, this one must not be shared. */
   private[ops] def mvStoreDir(s: SparkSession, d: String): String =
     mvStoreDirs.getOrElseUpdate((s, d), {
       val tag = Tables.layoutTag(d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvstore_$tag"
+      val pid = ProcessHandle.current().pid()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvstore_${pid}_$tag"
       graft.Fs.deleteRecursively(new java.io.File(path))
       val partials = monthlyPartials(lineitem(s, d)).cache()
       try {
