@@ -1338,6 +1338,57 @@ object RelationalQueries {
     MvStore.serve(s, dir, MvStore.openAt(dir, 0L))
   }
 
+  /** Correction rule for [[q_mv_retract]]: late-arriving re-statements
+    * hit rows with `l_orderkey % 97 == 0` in the two months before the
+    * cutoff (corrections are temporally local in production — that
+    * locality is what keeps a retraction refresh delta-proportional),
+    * bumping the stated quantity by one. */
+  private val MvRetractMod = 97
+  private val MvRetractMonths = Seq("2001-09", "2001-10")
+
+  private val mvRetractDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Write-once RETRACTION artifact: the full-history MV at epoch 0,
+    * then one refresh whose delta carries the corrections as
+    * retraction pairs — the OLD partials NEGATED plus the corrected
+    * partials — so the additive merge law applies corrections with
+    * the same machinery as inserts. This is CDC-driven MV
+    * maintenance: a changelog's (before, after) images become
+    * (−partial(before), +partial(after)). */
+  private[ops] def mvRetractDir(s: SparkSession, d: String): String =
+    mvRetractDirs.getOrElseUpdate((s, d), {
+      val tag = Tables.layoutTag(d)
+      val pid = ProcessHandle.current().pid()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvretract_${pid}_$tag"
+      graft.Fs.deleteRecursively(new java.io.File(path))
+      val li = lineitem(s, d)
+      MvStore.build(monthlyPartials(li), path): Unit
+      val affected = li
+        .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+        .filter(col("l_orderkey") % MvRetractMod === 0 &&
+          col("m").isin(MvRetractMonths: _*))
+        .drop("m")
+      val negOld = monthlyPartials(affected)
+        .select(col("m"), col("l_returnflag"), (-col("rev_cents")).as("rev_cents"),
+          (-col("qty")).as("qty"), (-col("n")).as("n"))
+      val addNew = monthlyPartials(
+        affected.withColumn("l_quantity", col("l_quantity") + 1))
+      MvStore.refresh(s, path, negOld.unionByName(addNew)): Unit
+      graft.Fs.deleteOnExit(path)
+    })
+
+  /** MV RETRACTIONS: corrections applied to the durable view as
+    * negative partials — hash-matching a direct aggregate over the
+    * CORRECTED base table proves the (−before, +after) changelog
+    * encoding converges exactly, the capability that lets a 100 TB
+    * nightly MV consume an upsert/CDC feed instead of rebuilding
+    * when facts are re-stated. */
+  val q_mv_retract: Q = (s, d) => {
+    val dir = mvRetractDir(s, d)
+    MvStore.serve(s, dir, MvStore.open(dir))
+  }
+
   /** Rows whose planted-null rule fires in [[q_table_profile]] —
     * `l_orderkey % 13 == 0` blanks the derived cents column so the
     * null-counting path is non-vacuous on a fixture with no nulls. */
@@ -2086,6 +2137,7 @@ object RelationalQueries {
     "q_incremental_agg" -> q_incremental_agg,
     "q_mv_served" -> q_mv_served,
     "q_mv_asof" -> q_mv_asof,
+    "q_mv_retract" -> q_mv_retract,
     "q_table_profile" -> q_table_profile,
     "q_dq_checks" -> q_dq_checks,
     "q_sql_having_in" -> q_sql_having_in,
@@ -2350,6 +2402,16 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
         |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // direct aggregate over the CORRECTED base: the MV consumed the
+    // corrections as (-before, +after) partials and must agree
+    "q_mv_retract" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(CAST(round(CASE WHEN l_orderkey % 97 = 0
+        |         AND strftime(l_shipdate, '%Y-%m') IN ('2001-09', '2001-10')
+        |       THEN l_quantity + 1 ELSE l_quantity END) AS BIGINT)) AS BIGINT) AS qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // epoch-0 snapshot = the view before the cutoff month landed

@@ -95,4 +95,46 @@ class MvStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("snapshot expired"))
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
+
+  test("retraction refresh: (-before, +after) partials correct the view delta-proportionally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvretr_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def partials(rows: org.apache.spark.sql.DataFrame) = rows
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+    MvStore.build(partials(li), dir)
+    val months = Seq("2001-09", "2001-10")
+    val affected = li
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .filter(col("l_orderkey") % 97 === 0 && col("m").isin(months: _*))
+      .drop("m")
+    assert(affected.count() > 0, "correction rule must hit fixture rows")
+    val negOld = partials(affected)
+      .select(col("m"), col("l_returnflag"), (-col("rev_cents")).as("rev_cents"),
+        (-col("qty")).as("qty"), (-col("n")).as("n"))
+    val addNew = partials(affected.withColumn("l_quantity", col("l_quantity") + 1))
+    val commit = MvStore.refresh(spark, dir, negOld.unionByName(addNew))
+    // corrections are temporally local -> the refresh touched only the
+    // correction months' buckets, never the history
+    val monthBuckets = months
+      .map(m => math.floorMod(spark.range(1).select(hash(lit(m))).head.getInt(0),
+        MvStore.NumBuckets)).toSet
+    assert(commit.affected.toSet == monthBuckets,
+      s"retraction touched ${commit.affected}, expected month buckets $monthBuckets")
+    // the corrected view equals a direct aggregate over corrected facts
+    val corrected = li.withColumn("l_quantity",
+      when(col("l_orderkey") % 97 === 0 &&
+        date_format(col("l_shipdate"), "yyyy-MM").isin(months: _*),
+        col("l_quantity") + 1).otherwise(col("l_quantity")))
+    val expect = partials(corrected).groupBy(col("l_returnflag"))
+      .agg(sum("rev_cents").as("rev_cents"), sum("qty").as("qty"), sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = MvStore.serve(spark, dir, MvStore.open(dir)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, "retraction-merged view drifted from the corrected aggregate")
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
 }
