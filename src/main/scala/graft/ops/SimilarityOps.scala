@@ -192,6 +192,75 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rk"))
   }
 
+  // --------------------------------------- diversified retrieval (MMR)
+
+  /** Pool width, result depth, and λ of [[s_ann_mmr]], with λ = 0.7
+    * carried as the exact integer pair (7, 3) over a ×10 scale so the
+    * greedy argmax is integer-exact in both engines. */
+  private[ops] val MmrPool = 20
+  private[ops] val MmrK = 5
+  private val MmrRelW = 7L
+  private val MmrDivW = 3L
+
+  /** DIVERSIFIED TOP-K (maximal marginal relevance) — the RAG serving
+    * step after any `s_ann_*` retrieval: from each query's top-
+    * [[MmrPool]] relevance pool, greedily select [[MmrK]] results
+    * maximizing `7·rel − 3·max_sim_to_selected` (×10-scaled λ = 0.7;
+    * first pick is pure relevance), so near-duplicate passages stop
+    * crowding out coverage. The expensive parts are DataFrame-shaped
+    * and bounded — the pool comes from the existing brute-force top-k
+    * and the pairwise pool similarities are pool²-per-query, never
+    * corpus² — and the inherently SEQUENTIAL greedy walk runs inside
+    * one `flatMapGroups` task per query over its own ≤pool² integer
+    * rows: at 100 TB queries parallelize across tasks while each walk
+    * stays a few hundred integer ops. Ties break (score desc, cid
+    * asc). The oracle unrolls the k-step greedy as chained SQL stages
+    * (the [[TextOps.t_bpe_train]] unrolling pattern) over the same
+    * e6-integerized cosines, so every selection — not just the final
+    * set — is hash-pinned. */
+  val s_ann_mmr: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val e = Tables.embeddings(s, d)
+    val pool = bruteForceTopK(querySide(e), candSide(e), MmrPool)
+    val withVec = pool.join(candSide(e), "cid")
+      .withColumn("cn", sqrt(normSq(col("ce"))))
+    val a = withVec.select(col("qid"), col("cid").as("a"),
+      col("cos_e6").as("a_rel"), col("ce").as("ae"), col("cn").as("an"))
+    val b = withVec.select(col("qid"), col("cid").as("b"),
+      col("ce").as("be"), col("cn").as("bn"))
+    val pairs = a.join(b, Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim_e6",
+        round(dot(col("ae"), col("be")) / (col("an") * col("bn")) * 1e6).cast("long"))
+      .select(col("qid"), col("a"), col("a_rel"), col("b"), col("sim_e6"))
+    pairs.as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        (1 to math.min(MmrK, rel.size)).iterator.map { rk =>
+          val (bestCid, bestScore) = rel.keysIterator
+            .filterNot(selected.contains)
+            .map { c =>
+              val penalty =
+                if (selected.isEmpty) 0L
+                else selected.iterator.map(sv => sim((c, sv))).max
+              c -> (MmrRelW * rel(c) - MmrDivW * penalty)
+            }
+            .reduce { (x, y) =>
+              if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+            }
+          selected += bestCid
+          (qid, rk, bestCid, bestScore)
+        }
+      }
+      .toDF("qid", "rk", "cid", "mmr_e6")
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Recall floor the registered IVF witness asserts at nprobe = 5
     * (measured 0.95 at sf0.1 with the dual-assignment index; the full
     * nprobe curve lives in SCALING.md and SimilarityOpsSpec). */
@@ -1006,6 +1075,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "s_ann_mmr" -> s_ann_mmr,
     "s_cosine_topk" -> s_cosine_topk,
     "s_ann_ivf" -> s_ann_ivf,
     "s_ann_ivf_salted" -> s_ann_ivf_salted,
@@ -1088,7 +1158,59 @@ object SimilarityOps {
            |  (SELECT * FROM f ORDER BY rrf_e12 DESC, doc_id LIMIT $HybridTopK)
            |ORDER BY doc_id""".stripMargin
 
+    // the k-step greedy MMR unrolled as chained stages (the BPE-train
+    // unrolling pattern): pick1 = pure-relevance argmax, each later
+    // stage recomputes 7·rel − 3·max-sim-to-selected over the
+    // not-yet-selected pool and argmaxes with the same (score desc,
+    // cid) tie-break — every selection is hash-pinned, not just the
+    // final set
+    val mmrSql: String = {
+      val cosQC = oracleCosineSql("qe", "ce", Dim)
+      val cosAB = oracleCosineSql("x.emb", "y.emb", Dim)
+      val head =
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+           |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+           |s AS (SELECT qid, cid, CAST(ROUND($cosQC * 1000000) AS BIGINT) AS rel
+           |      FROM c CROSS JOIN q),
+           |pool AS (SELECT qid, cid, rel FROM (
+           |  SELECT qid, cid, rel,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+           |  FROM s) t WHERE rk <= $MmrPool),
+           |pe AS (SELECT p.qid, p.cid, p.rel, e.embedding AS emb
+           |       FROM pool p JOIN embeddings e ON e.vec_id = p.cid),
+           |ps AS (SELECT x.qid, x.cid AS a, y.cid AS b,
+           |         CAST(ROUND($cosAB * 1000000) AS BIGINT) AS sim
+           |       FROM pe x JOIN pe y ON x.qid = y.qid AND x.cid <> y.cid),
+           |pick1 AS (SELECT qid, cid, $MmrRelW * rel AS mmr FROM (
+           |  SELECT qid, cid, rel,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+           |  FROM pool) t WHERE rk = 1),
+           |sel1 AS (SELECT qid, cid FROM pick1)""".stripMargin
+      val stages = (2 to MmrK).map { i =>
+        val p = i - 1
+        s""",
+           |cand$i AS (SELECT p.qid, p.cid, p.rel, MAX(ps.sim) AS msim
+           |  FROM pool p
+           |  JOIN ps ON ps.qid = p.qid AND ps.a = p.cid
+           |  JOIN sel$p sl ON sl.qid = ps.qid AND sl.cid = ps.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel$p s2
+           |                    WHERE s2.qid = p.qid AND s2.cid = p.cid)
+           |  GROUP BY p.qid, p.cid, p.rel),
+           |pick$i AS (SELECT qid, cid, mmr FROM (
+           |  SELECT qid, cid, $MmrRelW * rel - $MmrDivW * msim AS mmr,
+           |    ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY $MmrRelW * rel - $MmrDivW * msim DESC, cid) AS rk
+           |  FROM cand$i) t WHERE rk = 1),
+           |sel$i AS (SELECT qid, cid FROM sel$p UNION ALL SELECT qid, cid FROM pick$i)""".stripMargin
+      }.mkString
+      val unions = (1 to MmrK).map(i =>
+        s"SELECT qid, CAST($i AS INTEGER) AS rk, cid, CAST(mmr AS BIGINT) AS mmr_e6 FROM pick$i")
+        .mkString("\n", "\nUNION ALL\n", "")
+      head + stages + unions + "\nORDER BY qid, rk"
+    }
+
     Map(
+      "s_ann_mmr" -> mmrSql,
       "s_cosine_topk" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
            |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),

@@ -419,4 +419,26 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(w.getAs[Long]("n_exact") == 10L)
     assert(w.getAs[Boolean]("overlap_ge_90"))
   }
+
+  test("MMR: relevance-first, contiguous dedup'd ranks, and genuine diversification") {
+    val mmr = SimilarityOps.s_ann_mmr(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    val top5 = SimilarityOps.s_cosine_topk(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    assert(mmr.keySet == top5.keySet)
+    mmr.foreach { case (qid, rows) =>
+      // ranks 1..5, no repeated candidate
+      assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length), s"q$qid ranks not contiguous")
+      val picked = rows.map(_.getLong(2))
+      assert(picked.distinct.length == picked.length, s"q$qid picked a candidate twice")
+      // the first pick is the pure-relevance top-1 (λ has no penalty yet)
+      assert(picked.head == top5(qid).head.getLong(2),
+        s"q$qid first MMR pick must be the relevance top-1")
+    }
+    // λ = 0.7 must actually trade relevance for diversity somewhere —
+    // if MMR always returned the plain top-5 the operator is vacuous
+    val diverged = mmr.keys.count(q =>
+      mmr(q).map(_.getLong(2)).toSeq != top5(q).map(_.getLong(2)).toSeq)
+    assert(diverged > 0, "MMR never diverged from the plain top-5 — vacuous diversification")
+  }
 }
