@@ -1158,6 +1158,86 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  // ------------------------------------------------ funnel / cohorts
+
+  /** Conversion window of [[q_funnel]] — each stage must fire within
+    * 12 h of the PREVIOUS stage (the standard product-analytics
+    * semantics; unbounded windows are vacuous on this fixture, where
+    * every user eventually does everything). Exact micros. */
+  private val FunnelWindowUs = 43_200_000_000L
+
+  /** ORDERED-STAGE CONVERSION FUNNEL — view → click → purchase, each
+    * stage strictly after the previous and within [[FunnelWindowUs]]
+    * of it. The warehouse-standard formulation: one keyed min-
+    * aggregate per stage (first qualifying time), each stage joining
+    * the previous stage's per-user timestamp back to the typed event
+    * slice. Emits per stage the surviving user count and the EXACT
+    * integer sum of seconds-from-first-view (latency analytics
+    * without float drift).
+    *
+    * Scale shape: stage k is `events[type=k] ⋈ stage_{k-1}` on
+    * user_id — every aggregate and join keys on user_id, so one
+    * exchange per side and the per-stage work shrinks with the
+    * funnel (stage k's build side is only stage k-1's survivors,
+    * broadcastable once conversion bites). The type filter pushes to
+    * the scan, so each pass reads one event-type slice of a
+    * (user_id, type, ts) projection — never the full row. Funnel
+    * depth = number of passes, the classic trade against the
+    * sort-per-user walk (which serializes each user's whole history
+    * into one task and dies on [[q_sessionize_skew]]'s bot user). */
+  val q_funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    def slice(t: String) = ev.filter(col("event_type") === t)
+    val v = slice("view").groupBy(col("user_id")).agg(min(col("t_us")).as("tv"))
+    val c = slice("click").join(v, "user_id")
+      .filter(col("t_us") > col("tv") && col("t_us") <= col("tv") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("tc"), min(col("tv")).as("tv"))
+    val p = slice("purchase").join(c, "user_id")
+      .filter(col("t_us") > col("tc") && col("t_us") <= col("tc") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("tp"), min(col("tv")).as("tv"))
+    def stage(n: Int, name: String, df: DataFrame, lat: Column) =
+      df.agg(count(lit(1)).as("users"), coalesce(sum(lat), lit(0L)).as("sum_lat_secs"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("users"), col("sum_lat_secs"))
+    // latency in whole seconds via exact integer `div` (no float lane)
+    stage(1, "view", v, lit(0L))
+      .unionByName(stage(2, "click", c, expr("(tc - tv) div 1000000")))
+      .unionByName(stage(3, "purchase", p, expr("(tp - tv) div 1000000")))
+      .orderBy(col("stage"))
+  }
+
+  /** COHORT RETENTION MATRIX — users cohorted by the Monday of their
+    * first purchase, with retention measured as any-event activity in
+    * each subsequent week: (cohort_week, week_offset, active_users).
+    * The product-analytics companion of [[q_funnel]] (who converts →
+    * do they stay). Both inputs aggregate on user_id — the cohort
+    * assignment is a per-user min over the purchase slice, the
+    * activity set is a per-(user, week) distinct — so the join is
+    * co-partitioned and the final matrix groupBy runs over
+    * cohort-weeks × offsets rows, thousands at most, regardless of
+    * corpus size. Weeks are Monday-start in both engines
+    * (`date_trunc('week')`), offsets exact integer day-diffs ÷ 7. */
+  val q_cohort_retention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val cohort = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    cohort.join(activity, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .filter(col("week_offset") >= 0)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Chunk width of the skew-safe sessionize. MUST exceed
     * [[SessionGapUs]]: then an event-free chunk implies a gap longer
     * than the session gap, so sessions can only merge across the
@@ -1387,6 +1467,64 @@ object RelationalQueries {
   val q_mv_retract: Q = (s, d) => {
     val dir = mvRetractDir(s, d)
     MvStore.serve(s, dir, MvStore.open(dir))
+  }
+
+  /** Delta predicates of [[q_mv_join_delta]] — deliberately
+    * INDEPENDENT (mod 7 on orders, mod 5 on a different key mix for
+    * lineitem) so all four join quadrants (old×old, Δ×old, old×Δ,
+    * Δ×Δ) are non-empty and every term of the delta algebra is
+    * exercised (spec-pinned). */
+  private def ordersIsDelta: Column = col("o_orderkey") % 7 === 0
+  private def lineitemIsDelta: Column =
+    (col("l_orderkey") + col("l_linenumber")) % 5 === 0
+
+  /** JOIN-MV DELTA MAINTENANCE — the two-table member of the MV
+    * family. The view is an aggregate over a JOIN,
+    * `revenue per (o_orderpriority, ship month) from lineitem ⋈
+    * orders`, and BOTH base tables receive a delta. Instead of
+    * rebuilding, the refresh computes the three delta-join terms of
+    *
+    *   (L ∪ ΔL) ⋈ (O ∪ ΔO) = L⋈O ∪ ΔL⋈O ∪ L⋈ΔO ∪ ΔL⋈ΔO
+    *
+    * as partials and folds them into the old view with the SAME
+    * additive merge law as [[q_mv_retract]]'s retractions.
+    * Hash-matching the direct aggregate over the full join proves
+    * the algebra converges exactly — the capability that keeps a
+    * denormalized 100 TB MV's nightly refresh proportional to the
+    * day's deltas on EITHER side, not to the join.
+    *
+    * Scale shape: each delta term joins a delta-sized side against a
+    * base table on the join key (orderkey) — co-partitioned shuffles
+    * whose output is delta-proportional, with the delta side
+    * broadcastable when small; the old view is never recomputed, and
+    * the final merge groups over (priority, month) — bounded by the
+    * key-space, not the fact tables. In the durable form the merge
+    * republishes only the months the deltas touch (the [[MvStore]]
+    * month-bucket argument, proven over inserts by `q_mv_served` and
+    * retractions by `q_mv_retract`); here the algebra itself is
+    * under test, in-session, against an oracle that never saw the
+    * decomposition. */
+  val q_mv_join_delta: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate"), col("l_extendedprice"), lineitemIsDelta.as("l_delta"))
+    val ord = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), ordersIsDelta.as("o_delta"))
+    def partials(l: DataFrame, o: DataFrame) =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+        .agg(cents(col("l_extendedprice")).as("rev_cents"),
+          count(lit(1)).as("n"))
+    val lOld = li.filter(!col("l_delta")); val lNew = li.filter(col("l_delta"))
+    val oOld = ord.filter(!col("o_delta")); val oNew = ord.filter(col("o_delta"))
+    val oldView = partials(lOld, oOld)
+    val deltas = partials(lNew, oOld)
+      .unionByName(partials(lOld, oNew))
+      .unionByName(partials(lNew, oNew))
+    oldView.unionByName(deltas)
+      .groupBy(col("o_orderpriority"), col("m"))
+      .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("n")).as("n"))
+      .orderBy(col("o_orderpriority"), col("m"))
   }
 
   /** Rows whose planted-null rule fires in [[q_table_profile]] —
@@ -2132,6 +2270,9 @@ object RelationalQueries {
     "q_sql_exists" -> q_sql_exists,
     "q_sessionize" -> q_sessionize,
     "q_sessionize_skew" -> q_sessionize_skew,
+    "q_funnel" -> q_funnel,
+    "q_cohort_retention" -> q_cohort_retention,
+    "q_mv_join_delta" -> q_mv_join_delta,
     "q_moving_avg" -> q_moving_avg,
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
@@ -2209,6 +2350,51 @@ object RelationalQueries {
         |ORDER BY s_suppkey""".stripMargin,
     "q_table_profile" -> tableProfileOracle,
     "q_dq_checks" -> dqChecksOracle,
+    // ordered-stage funnel: stage k strictly after stage k-1, within
+    // the 12 h window; latencies summed as exact whole seconds
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+        |v AS (SELECT user_id, MIN(t_us) AS tv FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(t_us) AS tc, MIN(tv) AS tv
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t_us > tv
+        |        AND t_us <= tv + 43200000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(t_us) AS tp, MIN(tv) AS tv
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t_us > tc
+        |        AND t_us <= tc + 43200000000 GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS stage, 'view' AS stage_name,
+        |  COUNT(*) AS users, CAST(0 AS BIGINT) AS sum_lat_secs FROM v
+        |UNION ALL SELECT 2, 'click', COUNT(*),
+        |  CAST(COALESCE(SUM((tc - tv) // 1000000), 0) AS BIGINT) FROM c
+        |UNION ALL SELECT 3, 'purchase', COUNT(*),
+        |  CAST(COALESCE(SUM((tp - tv) // 1000000), 0) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
+    // Monday-start weeks in both engines; offsets exact day-diff // 7
+    "q_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(*) AS active_users
+        |FROM cohort JOIN activity USING (user_id)
+        |WHERE week >= cohort_week
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // direct aggregate over the FULL join — the oracle never sees the
+    // delta decomposition, so a hash match proves the algebra
+    "q_mv_join_delta" ->
+      """SELECT o_orderpriority, strftime(l_shipdate, '%Y-%m') AS m,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority, m
+        |ORDER BY o_orderpriority, m""".stripMargin,
     // exact integer co-moments (HUGEINT side of the DECIMAL(38,0)
     // contract): every derived statistic is the same IEEE expression
     // over identical integers, so doubles match bit-for-bit

@@ -740,4 +740,75 @@ class RelationalQueriesSpec extends AnyFunSuite {
       assert(cums.last == trueDistinct(user), s"user $user final distinct wrong")
     }
   }
+
+  test("funnel: stages strictly narrow, window binds, driver replay agrees") {
+    import spark.implicits._
+    val rows = ops.RelationalQueries.q_funnel(spark, sf)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("view", "click", "purchase"))
+    val counts = rows.map(_._3)
+    // every stage non-vacuous AND strictly narrowing (the 12 h window bites)
+    assert(counts.forall(_ > 0) && counts(0) > counts(1) && counts(1) > counts(2),
+      s"funnel not strictly narrowing: ${counts.toSeq}")
+    // driver replay of the full per-user walk
+    val W = 43_200_000_000L
+    val byUser = ops.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("t"))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    def firstIn(evs: Array[(Long, String, Long)], t: String, lo: Long): Option[Long] =
+      evs.filter(e => e._2 == t && e._3 > lo && e._3 <= lo + W)
+        .map(_._3).sorted.headOption
+    var (s2, s3, lat2, lat3) = (0L, 0L, 0L, 0L)
+    byUser.foreach { case (_, evs) =>
+      val tv = evs.filter(_._2 == "view").map(_._3).sorted.headOption
+      val tc = tv.flatMap(firstIn(evs, "click", _))
+      val tp = tc.flatMap(firstIn(evs, "purchase", _))
+      tc.foreach { t => s2 += 1; lat2 += (t - tv.get) / 1000000L }
+      tp.foreach { t => s3 += 1; lat3 += (t - tv.get) / 1000000L }
+    }
+    assert((counts(1), counts(2)) == ((s2, s3)))
+    assert((rows(1)._4, rows(2)._4) == ((lat2, lat3)))
+  }
+
+  test("cohort retention: offset-0 is the full cohort, matrix bounded by activity") {
+    import spark.implicits._
+    val rows = ops.RelationalQueries.q_cohort_retention(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    val cohortSizes = ops.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum >= cohortSizes, "each purchaser is active >= 1 week")
+    // offset 0 counts every cohort member: the purchase itself is activity
+    val off0 = rows.filter(_._2 == 0L).map(_._3).sum
+    assert(off0 == cohortSizes, s"offset-0 total $off0 != cohort total $cohortSizes")
+    // no offset row exceeds its cohort's size
+    val size = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { r => assert(r._3 <= size(r._1), s"offset ${r._2} exceeds cohort") }
+    // retention within a cohort is non-increasing is NOT generally true
+    // (activity fluctuates) — but the span is bounded by the fixture month
+    assert(rows.map(_._2).max <= 5)
+  }
+
+  test("join-MV delta: all four quadrants non-empty, merged view = direct aggregate") {
+    val li = ops.Tables.lineitem(spark, sf)
+    val ord = ops.Tables.orders(spark, sf)
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(((col("l_orderkey") + col("l_linenumber")) % 5 === 0).as("ld"),
+        (col("o_orderkey") % 7 === 0).as("od"))
+      .groupBy("ld", "od").count().collect()
+    assert(j.length == 4, s"expected 4 join quadrants, got ${j.length}")
+    j.foreach(r => assert(r.getLong(2) > 0, s"empty quadrant $r"))
+    // merged delta view equals the direct aggregate the oracle computes
+    val got = ops.RelationalQueries.q_mv_join_delta(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val direct = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"),
+        org.apache.spark.sql.functions.date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"),
+        count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == direct)
+  }
 }
