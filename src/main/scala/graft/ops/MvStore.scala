@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *   _manifest-eN.json       immutable per-epoch snapshot (time travel)
   *   b<k>/e<N>/...parquet    bucket k's partials as of epoch N (immutable)
   * }}}
-  * Partial rows are `(m, l_returnflag, rev_cents, qty, n)` — sum /
-  * sum / count states, each mergeable by further summing (the
-  * decomposable-aggregate contract that makes the MV incremental).
+  * Partial rows are `(m, keys…, aggs…)` with the view definition
+  * (key and agg column lists) recorded IN the manifest — every agg
+  * state merges by further summing (counts are sums of 1s,
+  * retractions sums of negatives): the decomposable-aggregate
+  * contract that makes the MV incremental, over any view shape that
+  * satisfies it (single-table or join-sourced partials alike).
   * Buckets hash on the MONTH alone: the refresh unit is a month of
   * new base data, so a month's delta touches exactly ONE bucket and
   * a refresh commit rewrites 1/[[NumBuckets]] of the view, not all
@@ -47,7 +50,16 @@ object MvStore {
   /** Epochs kept readable as snapshots after a refresh. */
   val RetainEpochs = 3
 
-  case class MvManifest(epoch: Long, buckets: Map[Int, String])
+  /** The manifest carries the VIEW DEFINITION alongside the pointer:
+    * `keys` (group columns beyond the month bucket key `m`) and
+    * `aggs` (partial columns, every one merged by SUM — counts are
+    * sums of 1s, retractions are sums of negatives). Refresh and
+    * serve read the schema from here, so a maintenance job or a
+    * second-session consumer needs the artifact path and NOTHING
+    * else — the production property that lets one store hold many
+    * views (single-table, join-shaped, …) without per-view code. */
+  case class MvManifest(epoch: Long, keys: Seq[String], aggs: Seq[String],
+                        buckets: Map[Int, String])
 
   // ------------------------------------------------------ manifest io
 
@@ -57,7 +69,8 @@ object MvStore {
   private def renderManifest(m: MvManifest): String = {
     val buckets = m.buckets.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    s"""{"epoch":${m.epoch},"buckets":$buckets}"""
+    def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    s"""{"epoch":${m.epoch},"keys":${arr(m.keys)},"aggs":${arr(m.aggs)},"buckets":$buckets}"""
   }
 
   private def parseManifest(p: java.nio.file.Path): MvManifest = {
@@ -67,6 +80,13 @@ object MvStore {
       case JInt(n) => n.toLong
       case other   => sys.error(s"bad epoch $other")
     }
+    def arr(field: String): Seq[String] = (j \ field) match {
+      case JArray(xs) => xs.map {
+        case JString(x) => x
+        case other      => sys.error(s"bad $field entry $other")
+      }
+      case other => sys.error(s"bad $field $other")
+    }
     val buckets = (j \ "buckets") match {
       case JObject(fs) => fs.map {
         case (k, JString(v)) => k.toInt -> v
@@ -74,7 +94,7 @@ object MvStore {
       }.toMap
       case other => sys.error(s"bad buckets $other")
     }
-    MvManifest(epoch, buckets)
+    MvManifest(epoch, arr("keys"), arr("aggs"), buckets)
   }
 
   def open(dir: String): MvManifest =
@@ -113,17 +133,23 @@ object MvStore {
   private def withBucket(partials: DataFrame): DataFrame =
     partials.withColumn("bucket", pmod(hash(col("m")), lit(NumBuckets)).cast("int"))
 
-  private val PartialCols =
-    Seq("m", "l_returnflag", "rev_cents", "qty", "n", "bucket")
+  private def partialCols(m: MvManifest): Seq[String] =
+    ("m" +: m.keys) ++ m.aggs :+ "bucket"
 
   /** Initial materialization at epoch 0 from the history's partial
-    * aggregates (one corpus-sized job — paid once, ever). */
-  def build(partials: DataFrame, dir: String): MvManifest = {
+    * aggregates — rows `(m, keys…, aggs…)` — recording the view
+    * definition in the manifest (one corpus-sized job, paid once,
+    * ever). */
+  def build(partials: DataFrame, dir: String,
+            keys: Seq[String], aggs: Seq[String]): MvManifest = {
     val base = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(base)
+    val expect = ("m" +: keys) ++ aggs
+    require(partials.columns.toSet == expect.toSet,
+      s"partials columns ${partials.columns.toSeq} != declared view $expect")
     val published = graft.ManifestIo.publishPartitions(
       withBucket(partials), base, 0L, "bucket", "b")
-    val m = MvManifest(0L, published.map(b => b -> s"b$b/e0").toMap)
+    val m = MvManifest(0L, keys, aggs, published.map(b => b -> s"b$b/e0").toMap)
     graft.ManifestIo.commit(base, 0L, renderManifest(m))
     m
   }
@@ -153,13 +179,14 @@ object MvStore {
     val old =
       if (readPaths.nonEmpty) s.read.parquet(readPaths: _*)
       else delta.limit(0)
-    val merged = old.select(PartialCols.map(col): _*)
-      .unionByName(delta.select(PartialCols.map(col): _*))
-      .groupBy(col("m"), col("l_returnflag"), col("bucket"))
-      .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("qty")).as("qty"),
-        sum(col("n")).as("n"))
+    val cols = partialCols(m)
+    val merged = old.select(cols.map(col): _*)
+      .unionByName(delta.select(cols.map(col): _*))
+      .groupBy(("m" +: m.keys :+ "bucket").map(col): _*)
+      .agg(sum(col(m.aggs.head)).as(m.aggs.head),
+        m.aggs.tail.map(a => sum(col(a)).as(a)): _*)
     val published = graft.ManifestIo.publishPartitions(merged, base, next, "bucket", "b")
-    val m2 = MvManifest(next,
+    val m2 = MvManifest(next, m.keys, m.aggs,
       m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap)
     graft.ManifestIo.commit(base, next, renderManifest(m2))
     gc(dir, next, retain)
@@ -168,17 +195,18 @@ object MvStore {
 
   // ----------------------------------------------------------- serve
 
-  /** Final per-returnflag totals from the persisted partials — a
-    * months × flags-sized read + reduce, ZERO base-table jobs. The
-    * serve path is what a second session (or another consumer
-    * entirely) runs against the shared artifact. */
+  /** Final per-key totals from the persisted partials — a
+    * months × keys-sized read + reduce over the manifest's declared
+    * view schema, ZERO base-table jobs. The serve path is what a
+    * second session (or another consumer entirely) runs against the
+    * shared artifact. */
   def serve(s: SparkSession, dir: String, m: MvManifest): DataFrame = {
     val paths = m.buckets.values.toSeq.sorted.map(rel => s"$dir/$rel")
     s.read.parquet(paths: _*)
-      .groupBy(col("l_returnflag"))
-      .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("qty")).as("qty"),
-        sum(col("n")).as("n"))
-      .orderBy(col("l_returnflag"))
+      .groupBy(m.keys.map(col): _*)
+      .agg(sum(col(m.aggs.head)).as(m.aggs.head),
+        m.aggs.tail.map(a => sum(col(a)).as(a)): _*)
+      .orderBy(m.keys.map(col): _*)
   }
 
   // -------------------------------------------------------------- gc

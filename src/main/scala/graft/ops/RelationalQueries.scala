@@ -1390,7 +1390,8 @@ object RelationalQueries {
         val maxMonth = partials.agg(max(col("m"))).head.getString(0)
         require(maxMonth <= MvCutoffMonth,
           s"fixture has ship month $maxMonth beyond MV cutoff $MvCutoffMonth — bump MvCutoffMonth")
-        MvStore.build(partials.filter(col("m") < MvCutoffMonth), path): Unit
+        MvStore.build(partials.filter(col("m") < MvCutoffMonth), path,
+          Seq("l_returnflag"), Seq("rev_cents", "qty", "n")): Unit
         MvStore.refresh(s, path, partials.filter(col("m") === MvCutoffMonth)): Unit
       } finally { partials.unpersist(); () }
       graft.Fs.deleteOnExit(path)
@@ -1443,7 +1444,8 @@ object RelationalQueries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvretract_${pid}_$tag"
       graft.Fs.deleteRecursively(new java.io.File(path))
       val li = lineitem(s, d)
-      MvStore.build(monthlyPartials(li), path): Unit
+      MvStore.build(monthlyPartials(li), path,
+        Seq("l_returnflag"), Seq("rev_cents", "qty", "n")): Unit
       val affected = li
         .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
         .filter(col("l_orderkey") % MvRetractMod === 0 &&
@@ -1504,27 +1506,72 @@ object RelationalQueries {
     * retractions by `q_mv_retract`); here the algebra itself is
     * under test, in-session, against an oracle that never saw the
     * decomposition. */
+  /** Monthly partials of the join view — shared by the in-session
+    * algebra proof ([[q_mv_join_delta]]) and the durable form
+    * ([[q_mv_join_served]]) so there is exactly one definition of
+    * what a join-MV partial is. */
+  private def joinMvPartials(l: DataFrame, o: DataFrame): DataFrame =
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        col("o_orderpriority"))
+      .agg(cents(col("l_extendedprice")).as("rev_cents"),
+        count(lit(1)).as("n"))
+
+  private def joinMvSides(s: SparkSession, d: String): (DataFrame, DataFrame) = (
+    lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_shipdate"), col("l_extendedprice"), lineitemIsDelta.as("l_delta")),
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), ordersIsDelta.as("o_delta")))
+
   val q_mv_join_delta: Q = (s, d) => {
-    val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-      col("l_shipdate"), col("l_extendedprice"), lineitemIsDelta.as("l_delta"))
-    val ord = orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"), ordersIsDelta.as("o_delta"))
-    def partials(l: DataFrame, o: DataFrame) =
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"),
-          date_format(col("l_shipdate"), "yyyy-MM").as("m"))
-        .agg(cents(col("l_extendedprice")).as("rev_cents"),
-          count(lit(1)).as("n"))
+    val (li, ord) = joinMvSides(s, d)
     val lOld = li.filter(!col("l_delta")); val lNew = li.filter(col("l_delta"))
     val oOld = ord.filter(!col("o_delta")); val oNew = ord.filter(col("o_delta"))
-    val oldView = partials(lOld, oOld)
-    val deltas = partials(lNew, oOld)
-      .unionByName(partials(lOld, oNew))
-      .unionByName(partials(lNew, oNew))
+    val oldView = joinMvPartials(lOld, oOld)
+    val deltas = joinMvPartials(lNew, oOld)
+      .unionByName(joinMvPartials(lOld, oNew))
+      .unionByName(joinMvPartials(lNew, oNew))
     oldView.unionByName(deltas)
       .groupBy(col("o_orderpriority"), col("m"))
       .agg(sum(col("rev_cents")).as("rev_cents"), sum(col("n")).as("n"))
       .orderBy(col("o_orderpriority"), col("m"))
+  }
+
+  private val mvJoinDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Write-once DURABLE join-MV: epoch 0 holds the old-quadrant view,
+    * one refresh folds the three delta-join terms — possible at all
+    * because [[MvStore]]'s manifest now carries the view definition
+    * (keys `o_orderpriority`, aggs `rev_cents, n`) instead of
+    * hardcoding the single-table view's schema. */
+  private[ops] def mvJoinDir(s: SparkSession, d: String): String =
+    mvJoinDirs.getOrElseUpdate((s, d), {
+      val tag = Tables.layoutTag(d)
+      val pid = ProcessHandle.current().pid()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvjoin_${pid}_$tag"
+      graft.Fs.deleteRecursively(new java.io.File(path))
+      val (li, ord) = joinMvSides(s, d)
+      val lOld = li.filter(!col("l_delta")); val lNew = li.filter(col("l_delta"))
+      val oOld = ord.filter(!col("o_delta")); val oNew = ord.filter(col("o_delta"))
+      MvStore.build(joinMvPartials(lOld, oOld), path,
+        Seq("o_orderpriority"), Seq("rev_cents", "n")): Unit
+      val deltas = joinMvPartials(lNew, oOld)
+        .unionByName(joinMvPartials(lOld, oNew))
+        .unionByName(joinMvPartials(lNew, oNew))
+      MvStore.refresh(s, path, deltas): Unit
+      graft.Fs.deleteOnExit(path)
+    })
+
+  /** The JOIN-MV, DURABLE AND SERVED: the [[q_mv_join_delta]] algebra
+    * maintained in the schema-driven [[MvStore]] artifact and read
+    * back with zero base-table jobs — proving the store's manifest-
+    * recorded view definition round-trips a join-shaped view through
+    * build → delta refresh → cross-consumer serve. Hash-matches the
+    * direct full-join aggregate. */
+  val q_mv_join_served: Q = (s, d) => {
+    val dir = mvJoinDir(s, d)
+    MvStore.serve(s, dir, MvStore.open(dir))
   }
 
   /** Rows whose planted-null rule fires in [[q_table_profile]] —
@@ -2273,6 +2320,7 @@ object RelationalQueries {
     "q_funnel" -> q_funnel,
     "q_cohort_retention" -> q_cohort_retention,
     "q_mv_join_delta" -> q_mv_join_delta,
+    "q_mv_join_served" -> q_mv_join_served,
     "q_moving_avg" -> q_moving_avg,
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
@@ -2386,6 +2434,14 @@ object RelationalQueries {
         |WHERE week >= cohort_week
         |GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // durable join-MV serve: direct full-join aggregate by priority
+    "q_mv_join_served" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // direct aggregate over the FULL join — the oracle never sees the
     // delta decomposition, so a hash match proves the algebra
     "q_mv_join_delta" ->

@@ -1210,6 +1210,97 @@ object StreamingOps {
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Arrival cutovers for [[st_stream_outer_join]]'s three-batch
+    * layout (clean time split, no stragglers — arrival order equals
+    * event-time order, so the inner matches are exactly the batch
+    * join and only the NULL-emission timing is streaming-specific). */
+  private val OuterCut1 = "2024-01-20 00:00:00"
+  private val OuterCut2 = "2024-01-27 00:00:00"
+
+  private val outerLayouts =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]
+
+  /** Three mtime-ordered single-file batches split at [[OuterCut1]] /
+    * [[OuterCut2]] — same arrival-pinning mechanism as [[lateLayout]],
+    * minus the planted stragglers. */
+  private def outerLayout(s: SparkSession, d: String): String =
+    perSession(outerLayouts, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_evouter_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val ev = graft.ops.Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      val c1 = lit(OuterCut1).cast("timestamp")
+      val c2 = lit(OuterCut2).cast("timestamp")
+      val now = System.currentTimeMillis()
+      writeSingleFile(ev.filter(col("ts") < c1),
+        java.nio.file.Paths.get(p, "batch0.parquet"), now - 180000)
+      writeSingleFile(ev.filter(col("ts") >= c1 && col("ts") < c2),
+        java.nio.file.Paths.get(p, "batch1.parquet"), now - 120000)
+      writeSingleFile(ev.filter(col("ts") >= c2),
+        java.nio.file.Paths.get(p, "batch2.parquet"), now - 60000)
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** Watermarked stream-stream LEFT OUTER interval join — the outer
+    * sibling of [[st_stream_join]] (unattributed-purchase tracking):
+    * matches emit eagerly, and a purchase with NO click in its
+    * preceding hour emits a null-padded row ONLY once the watermark
+    * proves no matching click can still arrive — the null-emission
+    * gating that distinguishes a streaming outer join from a batch
+    * one (a batch engine knows the input ended; a stream must prove
+    * it per row from the watermark). State stays watermark-bounded
+    * exactly as in the inner join, so the shape runs forever at
+    * 100 TB/day.
+    *
+    * Determinism: [[outerLayout]] pins three arrival batches in
+    * event-time order, and two engine behaviors (both probed
+    * empirically, both pinned by the oracle) decide which nulls
+    * surface. (1) The query watermark is the MIN across the two
+    * watermarked sources (`multipleWatermarkPolicy=min`, the
+    * default): `min(max click_ts, max purchase_ts) − 1 h`. (2) After
+    * the last file, AvailableNow runs a NO-DATA micro-batch
+    * (`noDataMicroBatches.enabled=true` default) whose only job is
+    * flushing state the final watermark evicts — so unlike
+    * [[st_late_data]]'s input-admission filter (one batch behind),
+    * eviction catches up to the final watermark. Emitted nulls are
+    * therefore exactly the unmatched purchases STRICTLY below that
+    * watermark; an unmatched purchase inside the final hour stays
+    * UNEMITTED (the stream cannot yet prove no click is coming) —
+    * asserted non-empty in the spec, so the boundary rule is
+    * load-bearing, and DuckDB replays it verbatim. Nulls travel as
+    * sentinels (click_id −1, click_ts epoch) to keep the
+    * cross-engine hash exact. */
+  val st_stream_outer_join: Q = (s, d) => {
+    val ss = streamSession(s)
+    val src = outerLayout(ss, d)
+    val schema = ss.read.parquet(s"$src/*.parquet").schema
+    def arrivals = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*.parquet")
+    val clicks = arrivals.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = arrivals.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+        expr("""user_id = c_user AND
+                click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+                click_ts <= purchase_ts"""),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        col("purchase_ts"),
+        coalesce(col("click_ts"),
+          lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"))
+    drain(joined, "append")
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Event-type → weight enrichment dim for the stream-static join:
     * tiny, fixed, broadcast — the classic streaming-enrichment shape
     * (feature lookups, routing tables). Mirrored literally in the
@@ -1505,6 +1596,7 @@ object StreamingOps {
     "st_quantile" -> st_quantile,
     "st_cdc_ttl" -> st_cdc_ttl,
     "st_stream_join" -> st_stream_join,
+    "st_stream_outer_join" -> st_stream_outer_join,
     "st_static_join" -> st_static_join,
     "st_parquet_sink" -> st_parquet_sink,
     "st_compact" -> st_compact,
@@ -1710,6 +1802,29 @@ object StreamingOps {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+    // outer sibling: matches plus null rows for unmatched purchases
+    // STRICTLY below the final min-of-sources watermark (see the
+    // query doc for the two engine behaviors this replays)
+    "st_stream_outer_join" ->
+      """WITH b AS (SELECT LEAST(
+        |    (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+        |  ) - INTERVAL 1 HOUR AS wm)
+        |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.ts AS purchase_ts, c.ts AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |UNION ALL
+        |SELECT p.user_id, p.event_id, CAST(-1 AS BIGINT), p.ts,
+        |  TIMESTAMP '1970-01-01 00:00:00'
+        |FROM events p, b
+        |WHERE p.event_type = 'purchase' AND p.ts < b.wm
+        |  AND NOT EXISTS (SELECT 1 FROM events c
+        |    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
     "st_session" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events),
         |g AS (SELECT user_id, ts,

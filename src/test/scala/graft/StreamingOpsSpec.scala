@@ -630,4 +630,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(snap == expV1,
       "pre-evolution snapshot must equal the LWW over pre-cutoff events")
   }
+
+  test("stream-stream outer join: null emission gated on the min-of-sources watermark") {
+    val rows = StreamingOps.st_stream_outer_join(spark, sf).collect()
+    val (nulls, inner) = rows.partition(_.getLong(2) == -1L)
+    assert(inner.nonEmpty && nulls.nonEmpty)
+
+    val ev = Tables.events(spark, sf)
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c)
+    // inner part = the batch interval join, exactly
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), us(col("ts")).as("ct"), col("event_id").as("cid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us(col("ts")).as("pt"), col("event_id").as("pid"))
+    val H = 3600L * 1000000L
+    val batchPairs = purchases.join(clicks, col("user_id") === col("cu") &&
+        col("ct") >= col("pt") - H && col("ct") <= col("pt"))
+      .collect().map(r => (r.getLong(2), r.getLong(5))).toSet // (pid, cid)
+    assert(inner.map(r => (r.getLong(1), r.getLong(2))).toSet == batchPairs,
+      "eagerly-emitted matches must equal the batch interval join")
+
+    // null part = unmatched purchases STRICTLY below the final watermark,
+    // which is min over the two sources (multipleWatermarkPolicy=min)
+    val maxClick = clicks.agg(max(col("ct"))).head.getLong(0)
+    val maxPurchase = purchases.agg(max(col("pt"))).head.getLong(0)
+    val wm = math.min(maxClick, maxPurchase) - H
+    val unmatched = purchases.join(clicks, col("user_id") === col("cu") &&
+        col("ct") >= col("pt") - H && col("ct") <= col("pt"), "left_anti")
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap // pid -> pt
+    val nullIds = nulls.map(_.getLong(1)).toSet
+    val below = unmatched.filter(_._2 < wm).keySet
+    val suppressed = unmatched.filter(_._2 >= wm).keySet
+    assert(nullIds == below, "emitted nulls must be exactly the below-watermark unmatched")
+    // the gating is load-bearing: some unmatched purchases are NOT yet
+    // provably unmatchable and must stay unemitted
+    assert(suppressed.nonEmpty, "no suppressed purchases — boundary rule vacuous")
+    // robustness of the strict-< boundary: no purchase sits near it
+    val dmin = unmatched.values.map(t => math.abs(t - wm)).min
+    assert(dmin > 60L * 1000000L, s"unmatched purchase within 60s of watermark ($dmin us)")
+  }
 }

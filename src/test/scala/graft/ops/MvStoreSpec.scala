@@ -27,7 +27,8 @@ class MvStoreSpec extends AnyFunSuite {
         sum(round(col("l_quantity")).cast("long")).as("qty"),
         count(lit(1)).as("n"))
     val cutoff = "2001-11"
-    MvStore.build(partials.filter(col("m") < cutoff), dir)
+    MvStore.build(partials.filter(col("m") < cutoff), dir,
+      Seq("l_returnflag"), Seq("rev_cents", "qty", "n"))
     val e0Files = files(dir)
     assert(e0Files.nonEmpty, "build must publish bucket dirs")
 
@@ -105,7 +106,7 @@ class MvStoreSpec extends AnyFunSuite {
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
         sum(round(col("l_quantity")).cast("long")).as("qty"),
         count(lit(1)).as("n"))
-    MvStore.build(partials(li), dir)
+    MvStore.build(partials(li), dir, Seq("l_returnflag"), Seq("rev_cents", "qty", "n"))
     val months = Seq("2001-09", "2001-10")
     val affected = li
       .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
@@ -136,5 +137,47 @@ class MvStoreSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == expect, "retraction-merged view drifted from the corrected aggregate")
     graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("schema-driven store: a join-shaped view round-trips build → refresh → serve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvjoin_spec_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_extendedprice"),
+        ((col("l_orderkey") + col("l_linenumber")) % 5 === 0).as("ld"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_orderkey") % 7 === 0).as("od"))
+    def partials(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"), col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n"))
+    MvStore.build(partials(li.filter(!col("ld")), ord.filter(!col("od"))), dir,
+      Seq("o_orderpriority"), Seq("rev_cents", "n"))
+    // the manifest carries the view definition, not the code
+    val m0 = MvStore.open(dir)
+    assert(m0.keys == Seq("o_orderpriority") && m0.aggs == Seq("rev_cents", "n"))
+    val deltas = partials(li.filter(col("ld")), ord.filter(!col("od")))
+      .unionByName(partials(li.filter(!col("ld")), ord.filter(col("od"))))
+      .unionByName(partials(li.filter(col("ld")), ord.filter(col("od"))))
+    MvStore.refresh(spark, dir, deltas): Unit
+    // a second session (fresh catalog/conf) serves from the artifact
+    // alone — the declared schema drives the reduce, zero caller code
+    val s2 = spark.newSession()
+    val got = MvStore.serve(s2, dir, MvStore.open(dir)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, "served join view drifted from the direct full-join aggregate")
+    // a build whose partials disagree with the declared view fails loudly
+    val bad = intercept[IllegalArgumentException](
+      MvStore.build(partials(li, ord), dir + "_bad", Seq("nope"), Seq("rev_cents", "n")))
+    assert(bad.getMessage.contains("declared view"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+    graft.Fs.deleteRecursively(new java.io.File(dir + "_bad"))
   }
 }
