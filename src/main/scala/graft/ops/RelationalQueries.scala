@@ -345,6 +345,61 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Session clone with [[graft.plans.RangeJoinBinning]] installed via
+    * `experimental.extraOptimizations` (the already-built-session
+    * registration path; clusters use `spark.sql.extensions=
+    * graft.plans.GraftSparkExtensions`). Bin width 1800 s matches the
+    * witness's 30-minute intervals (the classic dial: width ≈ typical
+    * interval length ⇒ ≤2 bins per interval); `force` bypasses the
+    * broadcast-size guard because fixture sides are tiny while the
+    * rule exists for the two-big-sides regime. A CLONE so the rule and
+    * its confs never touch the caller's session (same isolation
+    * argument as the streaming clone). */
+  private val rangeJoinSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]
+
+  private def rangeJoinSession(s0: SparkSession): SparkSession =
+    rangeJoinSessions.synchronized {
+      val cur = rangeJoinSessions.get(s0)
+      if (cur != null) cur
+      else {
+        val c = s0.newSession()
+        val cc = c.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        cc.experimental.extraOptimizations =
+          cc.experimental.extraOptimizations :+ graft.plans.RangeJoinBinning
+        c.conf.set(graft.plans.RangeJoinBinning.WidthKey, "1800")
+        c.conf.set(graft.plans.RangeJoinBinning.ForceKey, "true")
+        rangeJoinSessions.put(s0, c)
+        c
+      }
+    }
+
+  /** BINNED range join through the optimizer RULE (vs [[q_range_join]]'s
+    * broadcast-small-side shape): error-blackout impact — for each
+    * sampled error event's 30-minute window, how many clicks (any user)
+    * landed inside it. The join's ONLY cross-side predicate is the band
+    * `lo <= click_ts <= hi` — no equi key, the shape Spark can only
+    * BNLJ/cartesian — and [[graft.plans.RangeJoinBinning]] rewrites it
+    * to an equi join on 1800 s bins + residual, so the physical plan is
+    * a hash/sort-merge join (plan-asserted in the spec, alongside
+    * result equality with the rule disabled). At 100 TB both sides are
+    * fact-sized event streams and the bin key is the shuffle key. */
+  val q_range_bin_join: Q = (s, d) => {
+    val ss = rangeJoinSession(s)
+    val ev = events(ss, d)
+    val windows = ev
+      .filter(col("event_type") === "error" && col("event_id") % 37 === 0)
+      .select(col("event_id").as("window_id"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    clicks.join(windows, col("click_ts") >= col("lo") && col("click_ts") <= col("hi"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_id"))
+  }
+
   /** As-of join: for each click event, the most recent error timestamp
     * for the same user at or before it. Expressed as a running MAX over
     * a RANGE frame (tie-safe), not a self-join — one shuffle by user. */
@@ -2296,6 +2351,7 @@ object RelationalQueries {
     "q_anti_join" -> q_anti_join,
     "q_outer_join" -> q_outer_join,
     "q_range_join" -> q_range_join,
+    "q_range_bin_join" -> q_range_bin_join,
     "q_asof_join" -> q_asof_join,
     "q_nullsafe_eq" -> q_nullsafe_eq,
     "q_window_rank" -> q_window_rank,
@@ -2816,6 +2872,20 @@ object RelationalQueries {
         |    CAST(quarter(o_orderdate) AS VARCHAR) AS bucket,
         |  COUNT(1) AS n, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the rule-rewritten band join must still equal the naive range join
+    "q_range_bin_join" ->
+      """SELECT w.window_id,
+        |  COUNT(1) AS n_clicks,
+        |  COUNT(DISTINCT c.user_id) AS n_users
+        |FROM (SELECT event_id AS window_id, ts AS lo,
+        |        ts + INTERVAL 30 MINUTE AS hi
+        |      FROM events
+        |      WHERE event_type = 'error' AND event_id % 37 = 0) w
+        |JOIN (SELECT user_id, ts AS click_ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON c.click_ts >= w.lo AND c.click_ts <= w.hi
+        |GROUP BY w.window_id
+        |ORDER BY w.window_id""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, ts, last_error_ts FROM (
         |  SELECT event_id, user_id, ts, event_type,

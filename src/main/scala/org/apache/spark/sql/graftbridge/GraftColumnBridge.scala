@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test-only: materialize the optimizer rules an extensions
+    * installer registered (`buildOptimizerRules` is `private[sql]`),
+    * so the `spark.sql.extensions=` registration path is assertable
+    * without tearing down the shared test SparkContext. */
+  def optimizerRules(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      s: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(s)
 }
