@@ -195,18 +195,66 @@ object MvStore {
 
   // ----------------------------------------------------------- serve
 
+  /** Read + reduce a non-empty set of bucket dirs to per-key totals
+    * under the manifest's declared view schema (no presentation
+    * sort). */
+  private def reduceBuckets(s: SparkSession, dir: String, m: MvManifest,
+                            rels: Iterable[String]): DataFrame = {
+    val paths = rels.toSeq.sorted.map(rel => s"$dir/$rel")
+    require(paths.nonEmpty, "reduceBuckets over zero buckets")
+    s.read.parquet(paths: _*)
+      .groupBy(m.keys.map(col): _*)
+      .agg(sum(col(m.aggs.head)).as(m.aggs.head),
+        m.aggs.tail.map(a => sum(col(a)).as(a)): _*)
+  }
+
   /** Final per-key totals from the persisted partials — a
     * months × keys-sized read + reduce over the manifest's declared
     * view schema, ZERO base-table jobs. The serve path is what a
     * second session (or another consumer entirely) runs against the
     * shared artifact. */
-  def serve(s: SparkSession, dir: String, m: MvManifest): DataFrame = {
-    val paths = m.buckets.values.toSeq.sorted.map(rel => s"$dir/$rel")
-    s.read.parquet(paths: _*)
-      .groupBy(m.keys.map(col): _*)
-      .agg(sum(col(m.aggs.head)).as(m.aggs.head),
-        m.aggs.tail.map(a => sum(col(a)).as(a)): _*)
+  def serve(s: SparkSession, dir: String, m: MvManifest): DataFrame =
+    reduceBuckets(s, dir, m, m.buckets.values)
       .orderBy(m.keys.map(col): _*)
+
+  // ----------------------------------------------------- change feed
+
+  /** CHANGE DATA FEED between two retained epochs: the per-key agg
+    * DELTAS a downstream consumer applies to advance its copy of the
+    * view from epoch `from` to epoch `to` — the subscription shape
+    * that lets dashboards / derived tables follow a 100 TB MV without
+    * ever re-reading it. Because a refresh republishes only the
+    * buckets its delta touched, the manifests' bucket pointers
+    * IDENTIFY the change set: only buckets whose pointer moved are
+    * read (from both epochs), so the feed costs change-proportional
+    * I/O, never a view scan. Emitted rows are keys + signed agg
+    * deltas (additive-merge law: new = old + feed), zero-delta keys
+    * suppressed. */
+  def changeFeed(s: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    require(from < to, s"changeFeed wants from < to, got $from → $to")
+    val mf = openAt(dir, from)
+    val mt = openAt(dir, to)
+    require(mf.keys == mt.keys && mf.aggs == mt.aggs,
+      s"view definition drifted between epochs: ${mf.keys}/${mf.aggs} vs ${mt.keys}/${mt.aggs}")
+    val changed = mt.buckets.filter { case (k, rel) => !mf.buckets.get(k).contains(rel) }
+    if (changed.isEmpty) // no refresh landed between the epochs
+      return serve(s, dir, mt).limit(0)
+    val oldRels = changed.keys.flatMap(mf.buckets.get)
+    val newAgg = reduceBuckets(s, dir, mt, changed.values)
+    val oldAgg = // every changed bucket can be NEW in `to` (first write);
+      // fresh empty frame (not newAgg.limit(0)) to avoid self-join lineage
+      if (oldRels.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          newAgg.schema)
+      else reduceBuckets(s, dir, mf, oldRels)
+    val joinCond = mt.keys.map(k => newAgg(k) <=> oldAgg(k)).reduce(_ && _)
+    val keyCols = mt.keys.map(k => coalesce(newAgg(k), oldAgg(k)).as(k))
+    val deltaCols = mt.aggs.map(a =>
+      (coalesce(newAgg(a), lit(0L)) - coalesce(oldAgg(a), lit(0L))).as(a))
+    newAgg.join(oldAgg, joinCond, "full_outer")
+      .select(keyCols ++ deltaCols: _*)
+      .filter(mt.aggs.map(a => col(a) =!= 0).reduce(_ || _))
+      .orderBy(mt.keys.map(col): _*)
   }
 
   // -------------------------------------------------------------- gc

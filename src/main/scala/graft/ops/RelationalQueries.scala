@@ -1474,6 +1474,20 @@ object RelationalQueries {
     MvStore.serve(s, dir, MvStore.openAt(dir, 0L))
   }
 
+  /** CHANGE DATA FEED off the durable MV: the per-flag deltas between
+    * epoch 0 and epoch 1 — what a subscribed consumer applies to
+    * follow the view without re-reading it. The only refresh between
+    * those epochs folded in exactly the cutoff month, so the oracle is
+    * the direct base-table aggregate over that month alone: a hash
+    * match proves the feed carries the refresh's NET effect (keys +
+    * signed agg deltas under the additive merge law) and nothing else.
+    * I/O is change-proportional by construction — only buckets whose
+    * manifest pointer moved are read ([[MvStore.changeFeed]]). */
+  val q_mv_changefeed: Q = (s, d) => {
+    val dir = mvStoreDir(s, d)
+    MvStore.changeFeed(s, dir, 0L, 1L)
+  }
+
   /** Correction rule for [[q_mv_retract]]: late-arriving re-statements
     * hit rows with `l_orderkey % 97 == 0` in the two months before the
     * cutoff (corrections are temporally local in production — that
@@ -2382,6 +2396,7 @@ object RelationalQueries {
     "q_incremental_agg" -> q_incremental_agg,
     "q_mv_served" -> q_mv_served,
     "q_mv_asof" -> q_mv_asof,
+    "q_mv_changefeed" -> q_mv_changefeed,
     "q_mv_retract" -> q_mv_retract,
     "q_table_profile" -> q_table_profile,
     "q_dq_checks" -> q_dq_checks,
@@ -2719,6 +2734,14 @@ object RelationalQueries {
         |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
         |  COUNT(*) AS n
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-11-01 00:00:00'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // the epoch-0 → epoch-1 feed must be the cutoff month's net effect
+    "q_mv_changefeed" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-11-01 00:00:00'
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_scan_pushdown" ->
       """SELECT p_partkey, p_brand, p_size FROM part

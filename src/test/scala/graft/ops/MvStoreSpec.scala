@@ -139,6 +139,87 @@ class MvStoreSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("change feed between epochs is the refresh's net effect, read change-proportionally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvfeed_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val partials = li
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+    val cutoff = "2001-11"
+    MvStore.build(partials.filter(col("m") < cutoff), dir,
+      Seq("l_returnflag"), Seq("rev_cents", "qty", "n"))
+    val commit = MvStore.refresh(spark, dir, partials.filter(col("m") === cutoff))
+
+    val feed = MvStore.changeFeed(spark, dir, 0L, 1L)
+    // change-proportional: every file read lives in a CHANGED bucket
+    // (the refreshed bucket's e0/e1 dirs), never the full view
+    val touched = feed.inputFiles.toSeq
+    assert(touched.nonEmpty)
+    val okDirs = commit.affected.map(b => s"/b$b/").toSet
+    touched.foreach(p => assert(okDirs.exists(p.contains),
+      s"feed read outside the changed buckets: $p"))
+
+    // net effect = the cutoff month's direct aggregate
+    val expect = partials.filter(col("m") === cutoff)
+      .groupBy(col("l_returnflag"))
+      .agg(sum("rev_cents").as("rev_cents"), sum("qty").as("qty"), sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = feed.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, "feed drifted from the refresh's net effect")
+
+    // applying the feed to the epoch-0 view reproduces epoch 1 exactly
+    // (the additive merge law the consumer relies on)
+    val v0 = MvStore.serve(spark, dir, MvStore.openAt(dir, 0L)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val v1 = MvStore.serve(spark, dir, MvStore.openAt(dir, 1L)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val applied = (v0.keySet ++ got.keySet).map { k =>
+      val (a1, a2, a3) = v0.getOrElse(k, (0L, 0L, 0L))
+      val (d1, d2, d3) = got.getOrElse(k, (0L, 0L, 0L))
+      k -> ((a1 + d1, a2 + d2, a3 + d3))
+    }.toMap
+    assert(applied == v1, "epoch0 + feed != epoch1 — merge law broken")
+
+    // degenerate span is rejected loudly, not returned empty
+    val bad = intercept[IllegalArgumentException](
+      MvStore.changeFeed(spark, dir, 1L, 1L))
+    assert(bad.getMessage.contains("from < to"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("retraction refresh surfaces in the feed as signed deltas with zero rows suppressed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvfeedneg_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def partials(src: org.apache.spark.sql.DataFrame) = src
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+    MvStore.build(partials(li), dir, Seq("l_returnflag"), Seq("rev_cents", "qty", "n"))
+    // correction: +1 qty on a sliver of rows — rev_cents and n unchanged,
+    // so the feed's qty column is the ONLY nonzero delta
+    val affected = li.filter(col("l_orderkey") % 97 === 0)
+    val retract = partials(affected)
+      .select(col("m"), col("l_returnflag"), (-col("rev_cents")).as("rev_cents"),
+        (-col("qty")).as("qty"), (-col("n")).as("n"))
+    val corrected = partials(affected.withColumn("l_quantity", col("l_quantity") + 1))
+    MvStore.refresh(spark, dir, retract.unionByName(corrected))
+
+    val feed = MvStore.changeFeed(spark, dir, 0L, 1L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect = affected.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> ((0L, r.getLong(1), 0L))).toMap
+    assert(feed == expect,
+      s"retraction feed must be (0, +count, 0) per flag: got $feed want $expect")
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("schema-driven store: a join-shaped view round-trips build → refresh → serve") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvjoin_spec_").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
