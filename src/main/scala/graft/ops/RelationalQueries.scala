@@ -1648,6 +1648,51 @@ object RelationalQueries {
     * null-counting path is non-vacuous on a fixture with no nulls. */
   private val ProfileNullMod = 13
 
+  /** EQUI-DEPTH HISTOGRAM construction — the CBO histogram stats pass
+    * ([[q_table_profile]] collects ndv/null/min/max; selectivity
+    * estimation additionally needs distribution boundaries). Exact
+    * quartile boundaries per column, computed WITHOUT a corpus sort:
+    * one `stack` unpivot → one groupBy((col, v)) with map-side combine
+    * (the only corpus-sized exchange), then the cumulative-count walk
+    * runs on the GROUPED table — ndv-bounded rows, which is why the
+    * witnessed columns are bounded-cardinality (qty ≤ 50 values,
+    * linenumber ≤ 7, a price BAND rather than raw cents; the
+    * unbounded-ndv production recipe is band-first-then-walk, shown
+    * here literally). Boundary definition is the integer-exact
+    * lower-bound quantile — smallest v with cum ≥ ⌈q·n⌉, ceilings as
+    * `(a + b − 1) DIV b` — so both engines agree to the bit with no
+    * interpolation. Nulls are planted on the band column
+    * (`l_orderkey % 13`, the [[q_table_profile]] rule) and excluded
+    * from the walk but counted, pinning the null path. */
+  val q_equidepth_hist: Q = (s, d) => {
+    val base = lineitem(s, d).select(
+      round(col("l_quantity")).cast("long").as("qty"),
+      col("l_linenumber").cast("long").as("ln"),
+      when(col("l_orderkey") % 13 === 0, lit(null).cast("long"))
+        .otherwise(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) DIV 100000"))
+        .as("band"))
+    val long3 = base.select(
+      expr("stack(3, 'qty', qty, 'ln', ln, 'band', band) AS (col_name, v)"))
+    val g = long3.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    val perCol = g.groupBy(col("col_name")).agg(
+      sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
+      sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+      count(when(col("v").isNotNull, lit(1))).as("ndv"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val w = Window.partitionBy(col("col_name")).orderBy(col("v"))
+    val cum = g.filter(col("v").isNotNull)
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(perCol.select(col("col_name"), col("n_nonnull")), "col_name")
+    val qs = cum.groupBy(col("col_name")).agg(
+      min(when(col("cum") >= expr("(n_nonnull + 3) DIV 4"), col("v"))).as("p25"),
+      min(when(col("cum") >= expr("(n_nonnull + 1) DIV 2"), col("v"))).as("p50"),
+      min(when(col("cum") >= expr("(3 * n_nonnull + 3) DIV 4"), col("v"))).as("p75"))
+    perCol.join(qs, "col_name")
+      .select(col("col_name"), col("n_nonnull"), col("n_null"), col("ndv"),
+        col("min_v"), col("max_v"), col("p25"), col("p50"), col("p75"))
+      .orderBy(col("col_name"))
+  }
+
   /** ANALYZE-style table profiling — the stats-collection pass every
     * engine runs before cost-based planning and every data team runs
     * as a freshness/drift check: per column, row count, null count,
@@ -2399,6 +2444,7 @@ object RelationalQueries {
     "q_mv_changefeed" -> q_mv_changefeed,
     "q_mv_retract" -> q_mv_retract,
     "q_table_profile" -> q_table_profile,
+    "q_equidepth_hist" -> q_equidepth_hist,
     "q_dq_checks" -> q_dq_checks,
     "q_sql_having_in" -> q_sql_having_in,
     "q_sql_scalar_subquery" -> q_sql_scalar_subquery,
@@ -2735,6 +2781,39 @@ object RelationalQueries {
         |  COUNT(*) AS n
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-11-01 00:00:00'
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // equi-depth boundaries: identical grouped-cumsum walk, identical
+    // integer-exact lower-bound quantile definition
+    "q_equidepth_hist" ->
+      """WITH base AS (
+        |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+        |    CAST(l_linenumber AS BIGINT) AS ln,
+        |    CASE WHEN l_orderkey % 13 = 0 THEN NULL
+        |      ELSE CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100000
+        |    END AS band
+        |  FROM lineitem),
+        |long3 AS (
+        |  SELECT 'qty' AS col_name, qty AS v FROM base
+        |  UNION ALL SELECT 'ln', ln FROM base
+        |  UNION ALL SELECT 'band', band FROM base),
+        |g AS (SELECT col_name, v, COUNT(*) AS cnt FROM long3 GROUP BY 1, 2),
+        |percol AS (SELECT col_name,
+        |    CAST(SUM(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nonnull,
+        |    CAST(SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+        |    MIN(v) AS min_v, MAX(v) AS max_v
+        |  FROM g GROUP BY 1),
+        |cum AS (SELECT g.col_name, g.v,
+        |    SUM(g.cnt) OVER (PARTITION BY g.col_name ORDER BY g.v) AS cum,
+        |    p.n_nonnull
+        |  FROM g JOIN percol p USING (col_name) WHERE g.v IS NOT NULL),
+        |qs AS (SELECT col_name,
+        |    MIN(CASE WHEN cum >= (n_nonnull + 3) // 4 THEN v END) AS p25,
+        |    MIN(CASE WHEN cum >= (n_nonnull + 1) // 2 THEN v END) AS p50,
+        |    MIN(CASE WHEN cum >= (3 * n_nonnull + 3) // 4 THEN v END) AS p75
+        |  FROM cum GROUP BY 1)
+        |SELECT p.col_name, n_nonnull, n_null, ndv, min_v, max_v, p25, p50, p75
+        |FROM percol p JOIN qs USING (col_name)
+        |ORDER BY col_name""".stripMargin,
     // the epoch-0 → epoch-1 feed must be the cutoff month's net effect
     "q_mv_changefeed" ->
       """SELECT l_returnflag,

@@ -40,6 +40,25 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(row.schema("sum_base_cents").dataType.typeName == "long")
   }
 
+  test("equi-depth boundaries match a driver-side sorted replay; null plant fires") {
+    val got = ops.RelationalQueries.q_equidepth_hist(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("qty", "ln", "band"))
+    assert(got("band").getLong(2) > 0, "planted nulls missing from band")
+    assert(got("qty").getLong(2) == 0 && got("ln").getLong(2) == 0)
+    // independent definition: sort the raw column, take the ceil-rank elements
+    val li = ops.Tables.lineitem(spark, sf)
+    val qty = li.select(round(col("l_quantity")).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val n = qty.length
+    def lb(num: Int, den: Int) = qty((n * num + den - 1) / den - 1)
+    val r = got("qty")
+    assert((r.getLong(6), r.getLong(7), r.getLong(8)) == ((lb(1, 4), lb(1, 2), lb(3, 4))),
+      "grouped-cumsum walk drifted from the sorted-rank definition")
+    assert(r.getLong(3) == qty.distinct.length && r.getLong(4) == qty.min &&
+      r.getLong(5) == qty.max)
+  }
+
   test("dq checks: every rule non-vacuous, counts match a driver replay") {
     val got = ops.RelationalQueries.q_dq_checks(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
