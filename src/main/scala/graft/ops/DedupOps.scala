@@ -1054,6 +1054,31 @@ object DedupOps {
     * rule, tiling, md5 chunk fingerprints — ending at the `spans` and
     * `grp` CTEs both consumers select from. ONE definition, so the
     * detect and apply oracles can never drift apart. */
+  /** Shared recursive-CTE prefix deriving the near-dup CLUSTER walk
+    * (all-pairs df-uncapped Jaccard ≥ 0.5 → symmetric edges →
+    * transitive closure `walk(v, l)`), ONE definition consumed by the
+    * `d_dedup_clusters` / `d_dedup_apply` oracles here and the
+    * leakage-split oracle in [[PipelineOps]] — so the cluster
+    * derivation the three hash checks replay can never drift apart. */
+  private[ops] lazy val clusterWalkCte: String =
+    """WITH RECURSIVE
+      |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |pairs AS (SELECT ia AS a, ib AS b FROM common
+      |          JOIN sizes na ON ia = na.doc_id
+      |          JOIN sizes nb ON ib = nb.doc_id
+      |          WHERE 2 * c >= (na.n + nb.n - c)),
+      |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |walk(v, l) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v)""".stripMargin
+
   private lazy val substringSpansCte: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -1130,47 +1155,15 @@ object DedupOps {
          |ORDER BY doc_new, doc_old""".stripMargin,
     "d_dedup_minhash" -> jaccardOracle(None),
     "d_dedup_clusters" ->
-      """WITH RECURSIVE
-        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |pairs AS (SELECT ia AS a, ib AS b FROM common
-        |          JOIN sizes na ON ia = na.doc_id
-        |          JOIN sizes nb ON ib = nb.doc_id
-        |          WHERE 2 * c >= (na.n + nb.n - c)),
-        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |walk(v, l) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v)
-        |SELECT v AS doc_id, MIN(l) AS cluster, v = MIN(l) AS is_keeper
-        |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
+      s"""$clusterWalkCte
+         |SELECT v AS doc_id, MIN(l) AS cluster, v = MIN(l) AS is_keeper
+         |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
     "d_dedup_apply" ->
-      """WITH RECURSIVE
-        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |pairs AS (SELECT ia AS a, ib AS b FROM common
-        |          JOIN sizes na ON ia = na.doc_id
-        |          JOIN sizes nb ON ib = nb.doc_id
-        |          WHERE 2 * c >= (na.n + nb.n - c)),
-        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |walk(v, l) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v),
-        |dropped AS (SELECT v AS doc_id FROM walk GROUP BY v HAVING v <> MIN(l))
-        |SELECT source, COUNT(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-        |GROUP BY source ORDER BY source""".stripMargin,
+      s"""$clusterWalkCte,
+         |dropped AS (SELECT v AS doc_id FROM walk GROUP BY v HAVING v <> MIN(l))
+         |SELECT source, COUNT(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // d_dedup_simhash is a bound-witness: DuckDB independently rebuilds
     // the exact df-capped Jaccard pair set and asserts the sketch's
     // recall/precision flags — the sketch itself (xxhash64) has no SQL

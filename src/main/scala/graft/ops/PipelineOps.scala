@@ -313,6 +313,37 @@ object PipelineOps {
           .as("scrubbed_hash16"))
       .orderBy(col("doc_id"))
 
+  // --------------------------------------- leakage-proof dataset split
+
+  /** LEAKAGE-PROOF train/val/test split — the split step of a training
+    * pipeline, keyed so evaluation can't see training data through a
+    * near-duplicate: the split key is the doc's near-dup CLUSTER label
+    * (from [[DedupOps.d_dedup_clusters]]'s connected components;
+    * singletons key on their own id), so an entire cluster lands on
+    * ONE side by construction. Keying on doc_id — or even on source,
+    * in this corpus — provably leaks (the spec exhibits straddling
+    * near-dup pairs under both). Assignment is the same exact-integer
+    * Knuth hash as every sampler here (deterministic, re-runnable,
+    * engine-exact), 8/1/1 over hash mod 10. Scale shape: the cluster
+    * labels are pair-graph-sized (tiny vs corpus), the join is a
+    * broadcast probe, and the split adds zero exchanges beyond it. */
+  val p_leakage_split: Q = (s, d) => {
+    val labels = DedupOps.d_dedup_clusters(s, d)
+      .select(col("doc_id"), col("cluster"))
+    val keyed = Tables.documents(s, d)
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
+    val k = knuthKey(col("grp")) % 10L
+    keyed
+      .withColumn("split",
+        when(k < 8, "train").when(k === 8, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
   // ------------------------------------------------ end-to-end curation
 
   /** Synthetic id offset for re-crawled copies (stage 0) — far above
@@ -1001,9 +1032,26 @@ object PipelineOps {
     "p_embed_decon" -> p_embed_decon,
     "p_label_prop" -> p_label_prop,
     "p_bpe_pair_counts" -> p_bpe_pair_counts,
+    "p_leakage_split" -> p_leakage_split,
   )
 
   val oracles: Map[String, String] = Map(
+    // the SAME cluster walk as the d_dedup_clusters oracle (shared CTE
+    // constant), then the split arithmetic replayed exactly
+    "p_leakage_split" ->
+      s"""${DedupOps.clusterWalkCte},
+         |labels AS (SELECT v AS doc_id, MIN(l) AS cluster FROM walk GROUP BY v),
+         |keyed AS (SELECT d.doc_id, d.n_chars,
+         |    COALESCE(l.cluster, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |sp AS (SELECT n_chars, grp,
+         |    (${knuthKeySql("grp")}) % 10 AS k FROM keyed)
+         |SELECT CASE WHEN k < 8 THEN 'train' WHEN k = 8 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
     // the planted two-snapshot construction replayed; concat_ws skips
     // NULL CASE arms identically in both engines
     "p_snapshot_diff" ->

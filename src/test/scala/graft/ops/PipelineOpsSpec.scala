@@ -19,6 +19,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.forall(_.getLong(2) >= 0))
   }
 
+  test("leakage split: no near-dup pair straddles; id- and source-keyed splits do") {
+    def knuth(g: Long) = (g % 1000003L) * 2654435761L % 1000003L % 10L
+    // per-doc group assignment exactly as the operator derives it
+    val labels = DedupOps.d_dedup_clusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grpOf = (id: Long) => labels.getOrElse(id, id)
+    val pairs = DedupOps.d_dedup_minhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // cluster-keyed: zero straddlers, by construction AND by check
+    val straddleCluster = pairs.filter { case (a, b) =>
+      knuth(grpOf(a)) != knuth(grpOf(b)) }
+    assert(straddleCluster.isEmpty, s"cluster split leaked: $straddleCluster")
+    // the naive keys genuinely leak on this corpus (non-vacuity of the
+    // design choice — if these ever turn empty the witness is moot)
+    def srcKey(s: String) = s.filter(_.isDigit).toLong
+    val straddleId = pairs.count { case (a, b) => knuth(a) != knuth(b) }
+    val straddleSrc = pairs.count { case (a, b) =>
+      knuth(srcKey(docs(a))) != knuth(srcKey(docs(b))) }
+    assert(straddleId > 0, "doc_id-keyed split did not leak — contrast vacuous")
+    assert(straddleSrc > 0, "source-keyed split did not leak — contrast vacuous")
+    // the registered aggregate is consistent with the raw assignment
+    val got = PipelineOps.p_leakage_split(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.keys.groupBy { id =>
+      val k = knuth(grpOf(id))
+      if (k < 8) "train" else if (k == 8) "val" else "test"
+    }.map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected)
+  }
+
   test("mixture sample: per-source keep rates honor the quota ordering") {
     val docs = Tables.documents(spark, sf)
     val kept = PipelineOps.p_mixture_sample(spark, sf)
