@@ -1580,10 +1580,124 @@ object StreamingOps {
     }
   }
 
+  // ------------------------------------------- streaming MV maintenance
+
+  private val mvIngestDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  private[graft] val MvIngestBatches = 3
+
+  /** The ingest view's partial derivation — ONE definition shared by
+    * the epoch-0 build and every micro-batch delta, so the streamed
+    * view cannot drift from its own bootstrap. (Same monthly pricing
+    * view as the batch MV family.) */
+  private def mvIngestPartials(df: DataFrame): DataFrame =
+    df.groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+
+  /** Micro-batches of raw fact rows for [[st_mv_ingest]]: three
+    * mtime-ordered single files, each one quarter of lineitem
+    * (`l_orderkey % 4 ∈ {1,2,3}`); the remaining quarter bootstraps
+    * epoch 0. Raw ROWS, not partials — aggregating inside the
+    * micro-batch is the shape under test. */
+  private def mvIngestLayout(s: SparkSession, d: String): String =
+    perSession(mvIngestDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_mving_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val li = graft.ops.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity"))
+      val now = System.currentTimeMillis()
+      (1 to MvIngestBatches).foreach { b =>
+        writeSingleFile(li.filter(col("l_orderkey") % 4 === b),
+          java.nio.file.Paths.get(p, s"batch$b.parquet"),
+          now - (MvIngestBatches - b).toLong * 60000)
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** STREAMING MATERIALIZED-VIEW MAINTENANCE — the MV member of the
+    * live-artifact family, closing the symmetry with [[st_ann_ingest]]
+    * (ANN index) and [[st_upsert]] (state table): a fact stream drains
+    * through `foreachBatch`, each micro-batch aggregates ITSELF to
+    * monthly partials (batch-sized work) and commits them as one MV
+    * epoch via [[graft.ops.MvStore.refreshIdempotent]] — the batch id
+    * pins the epoch, so at-least-once delivery becomes an exactly-once
+    * view (replayed batch → epoch already flipped → no-op; skipped
+    * batch → pointed gap error, never a view missing a delta). Epoch 0
+    * bootstraps from the historical quarter, the stream folds in the
+    * rest; the registered witness serves the FINAL view and must
+    * hash-match the direct full-table aggregate — the driver's proof
+    * that a view maintained by a stream equals one computed from
+    * scratch. At 100 TB: per-batch cost is the batch aggregate plus a
+    * months-touched-sized bucket merge; the view never rebuilds, and
+    * the stream carries no state store (the artifact IS the state). */
+  val st_mv_ingest: Q = (s, d) => {
+    val dir = runMvIngest(s, d)
+    graft.ops.MvStore.serve(s, dir, graft.ops.MvStore.open(dir))
+  }
+
+  private val mvIngestStoreDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** Bootstrap epoch 0 and drain the fact stream into the MV once per
+    * (session, fixture); returns the store dir. Overrides let the spec
+    * run an un-memoized copy and restart it against its checkpoint. */
+  private[graft] def runMvIngest(s: SparkSession, d: String,
+                                 storeOverride: Option[String] = None,
+                                 ckptOverride: Option[String] = None,
+                                 onBatch: Long => Unit = _ => ()): String = {
+    def run(storeDir: String, ckptDir: String): String = {
+      val ss = streamSession(s)
+      val src = mvIngestLayout(ss, d)
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(storeDir, "_manifest.json"))) {
+        val li = graft.ops.Tables.lineitem(ss, d).filter(col("l_orderkey") % 4 === 0)
+        graft.ops.MvStore.build(mvIngestPartials(li), storeDir,
+          Seq("l_returnflag"), Seq("rev_cents", "qty", "n")): Unit
+      }
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          onBatch(id)
+          graft.ops.MvStore.refreshIdempotent(
+            batch.sparkSession, storeDir, mvIngestPartials(batch), id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      storeDir
+    }
+    (storeOverride, ckptOverride) match {
+      case (Some(st), Some(ck)) => run(st, ck)
+      case _ =>
+        perSession(mvIngestStoreDirs, s).getOrElseUpdate(d, {
+          val st = s"${System.getProperty("java.io.tmpdir")}/graft_mvingstore_" +
+            graft.ops.Tables.layoutTag(d)
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_mvingckpt_" +
+            graft.ops.Tables.layoutTag(d)
+          exitDeleteDirs.add(st)
+          exitDeleteDirs.add(ck)
+          run(st, ck)
+        })
+    }
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "st_ann_ingest" -> st_ann_ingest,
+    "st_mv_ingest" -> st_mv_ingest,
     "st_scd_join" -> st_scd_join,
     "st_tumbling" -> st_tumbling,
     "st_sliding" -> st_sliding,
@@ -1638,6 +1752,14 @@ object StreamingOps {
     // a stream-assembled index must search as well as a batch-built
     // one: same independently-rebuilt exact top-5, same recall floor
     "st_ann_ingest" -> graft.ops.SimilarityOps.recallWitnessSql,
+    // a view maintained by the stream must equal one computed from
+    // scratch — the identical oracle to the batch MV family
+    "st_mv_ingest" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // full replay of the changing-dim resolution: batch = event_id %
     // ScdBatches, version per (batch, user) = the CASE mirror of
     // scdDimVersion's coverage rules, tier = (user_id + version) % 4

@@ -631,6 +631,59 @@ class StreamingOpsSpec extends AnyFunSuite {
       "pre-evolution snapshot must equal the LWW over pre-cutoff events")
   }
 
+  test("streaming MV ingest: exactly-once epochs, replay no-op, gap error, restart fires nothing") {
+    val store = java.nio.file.Files.createTempDirectory("graft_mvingspec_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mvingspec_ck_").toString
+    var batches = List.empty[Long]
+    StreamingOps.runMvIngest(spark, sf, Some(store), Some(ckpt), id => batches ::= id)
+    assert(batches.sorted == (0L until StreamingOps.MvIngestBatches).toList,
+      s"expected one batch per file, got $batches")
+    val head = graft.ops.MvStore.open(store)
+    assert(head.epoch == StreamingOps.MvIngestBatches.toLong,
+      "one epoch per micro-batch plus the bootstrap")
+
+    // the streamed view equals the direct aggregate
+    val got = graft.ops.MvStore.serve(spark, store, head).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect = graft.ops.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rc"),
+        sum(round(col("l_quantity")).cast("long")).as("q"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, "streamed MV drifted from the from-scratch aggregate")
+
+    // replayed batch: no-op, zero writes — every artifact byte identical
+    def snapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => f.toString ->
+          java.nio.file.Files.getLastModifiedTime(f).toMillis).toMap
+    }
+    val before = snapshot()
+    val someDelta = graft.ops.Tables.lineitem(spark, sf).limit(50)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"), count(lit(1)).as("n"))
+    graft.ops.MvStore.refreshIdempotent(spark, store, someDelta,
+      batchId = 0L) // long committed
+    assert(snapshot() == before, "replayed batch wrote to the store")
+
+    // a batch past a hole fails loudly instead of committing around it
+    val gap = intercept[RuntimeException](graft.ops.MvStore.refreshIdempotent(
+      spark, store, someDelta, batchId = head.epoch + 5))
+    assert(gap.getMessage.contains("gap"))
+
+    // restart against the drained checkpoint: ZERO batches fire
+    var restarted = 0
+    StreamingOps.runMvIngest(spark, sf, Some(store), Some(ckpt), _ => restarted += 1)
+    assert(restarted == 0, s"restart re-fired $restarted batches")
+    assert(graft.ops.MvStore.open(store).epoch == head.epoch)
+
+    graft.Fs.deleteRecursively(new java.io.File(store))
+    graft.Fs.deleteRecursively(new java.io.File(ckpt))
+  }
+
   test("stream-stream outer join: null emission gated on the min-of-sources watermark") {
     val rows = StreamingOps.st_stream_outer_join(spark, sf).collect()
     val (nulls, inner) = rows.partition(_.getLong(2) == -1L)
