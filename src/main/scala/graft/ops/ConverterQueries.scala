@@ -239,6 +239,40 @@ object ConverterQueries {
   /** CSV sink + source round-trip over `orders` (header, explicit
     * schema on read, dates as ISO strings — the interchange format
     * warehouses still speak). Distributed write, splittable read. */
+  /** RAW-FILE ingestion through Spark's `binaryFile` datasource — the
+    * path every multimodal corpus takes INTO the engine (images/audio
+    * arrive as files on object storage, not as parquet columns; the
+    * [[MultimodalOps]] decoders consume what this source produces).
+    * Layout: one file per document, written partition-parallel; read
+    * back with the binaryFile schema (path, modificationTime, length,
+    * content), identity recovered from the filename, content verified
+    * by byte length + sha256 — the oracle recomputes both straight
+    * from the `documents` table (the fixture text is ASCII, so DuckDB's
+    * char-count/sha over the string equal Spark's over the file
+    * bytes; a hash match proves every byte survived the file hop).
+    * At 100 TB the same read is partition-parallel over object
+    * storage, with `pathGlobFilter`/`recursiveFileLookup` doing the
+    * listing-side pruning. */
+  val src_binaryfile_roundtrip: (SparkSession, String) => DataFrame = (s, d) => {
+    val path = layout(s, d, "binfiles") { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)): Unit
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p, f"doc${r.getLong(0)}%08d.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          }
+        }
+    }
+    s.read.format("binaryFile").load(s"$path/*.txt")
+      .select(
+        regexp_extract(col("path"), "doc(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        substring(sha2(col("content"), 256), 1, 16).as("sha16"))
+      .orderBy(col("doc_id"))
+  }
+
   val src_csv_roundtrip: (SparkSession, String) => DataFrame = (s, d) => {
     import org.apache.spark.sql.types._
     val path = layout(s, d, "csv_orders") { p =>
@@ -489,6 +523,7 @@ object ConverterQueries {
     "conv_typed" -> conv_typed,
     "conv_colmap" -> conv_colmap,
     "src_jsonl_roundtrip" -> src_jsonl_roundtrip,
+    "src_binaryfile_roundtrip" -> src_binaryfile_roundtrip,
     "src_csv_roundtrip" -> src_csv_roundtrip,
     "src_orc_roundtrip" -> src_orc_roundtrip,
     "src_xml_roundtrip" -> src_xml_roundtrip,
@@ -522,6 +557,11 @@ object ConverterQueries {
         |  CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
         |  CAST(SUM(len(props)) AS BIGINT) AS props_len
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // every byte must survive the file hop: length + sha per document
+    "src_binaryfile_roundtrip" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  substr(sha256(text), 1, 16) AS sha16
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "src_csv_roundtrip" ->
       """SELECT o_orderstatus, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
