@@ -128,6 +128,50 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     assert(got == Set(("ok", 20L)), s"degenerate intervals leaked: $got")
   }
 
+  test("property: rewrite preserves the exact pair set on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = ruleSession(1, force = true) // width overridden per trial
+    val ptSchema = StructType(Seq(StructField("pid", IntegerType, nullable = false),
+      StructField("p", LongType, nullable = true)))
+    val ivSchema = StructType(Seq(StructField("iid", IntegerType, nullable = false),
+      StructField("lo", LongType, nullable = true),
+      StructField("hi", LongType, nullable = true)))
+    val genVal: Gen[java.lang.Long] =
+      Gen.frequency(9 -> Gen.chooseNum(-200L, 200L).map(Long.box),
+        1 -> Gen.const(null: java.lang.Long))
+    // intervals include inverted (lo > hi), empty after strictness,
+    // point-sized, multi-bin, and null-bounded — every degenerate shape
+    val genIv: Gen[(java.lang.Long, java.lang.Long)] =
+      for { a <- genVal; b <- genVal } yield (a, b)
+    val trial = for {
+      w <- Gen.oneOf(1L, 3L, 10L, 64L)
+      pts <- Gen.listOfN(60, genVal)
+      ivs <- Gen.listOfN(25, genIv)
+    } yield (w, pts, ivs)
+    val prop = Prop.forAllNoShrink(trial) { case (w, pts, ivs) =>
+      s.conf.set(RangeJoinBinning.WidthKey, w.toString)
+      def mk(sess: SparkSession) = {
+        val p = sess.createDataFrame(
+          java.util.Arrays.asList(pts.zipWithIndex.map { case (v, i) =>
+            Row(i, v) }: _*), ptSchema)
+        val iv = sess.createDataFrame(
+          java.util.Arrays.asList(ivs.zipWithIndex.map { case ((a, b), i) =>
+            Row(i, a, b) }: _*), ivSchema)
+        p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+          .select(col("pid"), col("iid"))
+      }
+      val on = mk(s)
+      val fired = on.queryExecution.optimizedPlan.toString.contains("__graft_bin")
+      val got = on.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val want = mk(spark).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      (fired: Prop) && (got == want: Prop)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("spark.sql.extensions registration path installs the same rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtensions().apply(ext)
