@@ -248,6 +248,52 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Context length of the contiguous training stream
+    * ([[p_contig_pack]]) — the fixed chunk the GPT-style loader cuts. */
+  private val ContigChunk = 256L
+  private val ContigBuckets = 32
+
+  /** CONTIGUOUS token-stream layout — the Megatron/GPT dataset shape,
+    * the alternative to [[p_sequence_pack]]'s greedy bins: every doc is
+    * concatenated in the deterministic training order (the
+    * [[p_train_shuffle]] Knuth key) into ONE logical token stream, and
+    * the loader cuts that stream at exact [[ContigChunk]] boundaries —
+    * docs SPAN chunks (zero padding waste), so what the layout job must
+    * produce is each doc's exact global offset. That is a global
+    * prefix sum, computed scalably by the same two-phase trick as
+    * [[p_token_budget]]: per-bucket local window (bounded partitions),
+    * then bucket offsets from a [[ContigBuckets]]-row aggregate window
+    * broadcast back. first/last chunk and the in-chunk offset are pure
+    * integer division over the offset — the whole layout is one
+    * shuffle plus a B-row window, at any corpus size. Token counts are
+    * the committed BPE tokenizer's; DuckDB replays count, prefix sum,
+    * and chunk arithmetic exactly. */
+  val p_contig_pack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val key = knuthKey(col("doc_id"))
+    val bucketed = TextOps.bpeSourceTokens(s, d)
+      .withColumn("k", key)
+      .withColumn("bkt", expr(s"(k * $ContigBuckets) div 1000003").cast("int"))
+    val wLocal = Window.partitionBy(col("bkt"))
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("cum_local",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    local.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("start_tok", col("cum_local") + col("off"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div $ContigChunk").as("first_chunk"),
+        expr(s"(start_tok + n_tokens - 1) div $ContigChunk").as("last_chunk"),
+        (col("start_tok") % ContigChunk).as("off_in_chunk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token budget per training chunk for [[p_doc_chunk]]. */
   private val ChunkTokens = 64L
 
@@ -1033,9 +1079,26 @@ object PipelineOps {
     "p_label_prop" -> p_label_prop,
     "p_bpe_pair_counts" -> p_bpe_pair_counts,
     "p_leakage_split" -> p_leakage_split,
+    "p_contig_pack" -> p_contig_pack,
   )
 
   val oracles: Map[String, String] = Map(
+    // identical BPE counts, identical global prefix sum, identical
+    // chunk arithmetic — the whole contiguous layout replayed
+    "p_contig_pack" ->
+      s"""WITH ${TextOps.bpeCountCtes},
+         |c AS (
+         |  SELECT d.doc_id, b.n_tokens,
+         |    COALESCE(SUM(b.n_tokens) OVER (
+         |      ORDER BY ${knuthKeySql("d.doc_id")}, d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(start_tok // $ContigChunk AS BIGINT) AS first_chunk,
+         |  CAST((start_tok + n_tokens - 1) // $ContigChunk AS BIGINT) AS last_chunk,
+         |  CAST(start_tok % $ContigChunk AS BIGINT) AS off_in_chunk
+         |FROM c ORDER BY doc_id""".stripMargin,
     // the SAME cluster walk as the d_dedup_clusters oracle (shared CTE
     // constant), then the split arithmetic replayed exactly
     "p_leakage_split" ->

@@ -53,6 +53,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("contig pack: offsets tile the stream densely; chunk spans are exact") {
+    val rows = PipelineOps.p_contig_pack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // dense tiling: sorted by offset, every doc starts where the
+    // previous ended — no gaps, no overlaps, total = sum of counts
+    val byOff = rows.sortBy(_._3)
+    byOff.foldLeft(0L) { case (expect, (id, n, start, _, _, _)) =>
+      assert(start == expect, s"doc $id starts at $start, stream position is $expect")
+      start + n
+    }
+    assert(byOff.map(_._2).sum == byOff.last._3 + byOff.last._2)
+    // chunk arithmetic consistent with the offsets
+    rows.foreach { case (id, n, start, first, last, off) =>
+      assert(first == start / 256 && off == start % 256, s"doc $id")
+      assert(last == (start + n - 1) / 256)
+      assert(last >= first)
+    }
+    // docs genuinely span chunks on this corpus (the layout's point)
+    assert(rows.count { case (_, _, _, f, l, _) => l > f } > 0,
+      "no doc spans a chunk boundary — witness vacuous")
+  }
+
   test("mixture sample: per-source keep rates honor the quota ordering") {
     val docs = Tables.documents(spark, sf)
     val kept = PipelineOps.p_mixture_sample(spark, sf)
