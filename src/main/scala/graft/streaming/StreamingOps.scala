@@ -934,18 +934,161 @@ object StreamingOps {
     val stage = stateDir.resolve(s".stage-e$newEpoch")
     deleteRecursively(stage.toFile)
     merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
-    affected.foreach { b =>
+    val committed = affected.filter { b =>
       val src = stage.resolve(s"bucket=$b")
       val dst = stateDir.resolve(s"b$b").resolve(s"e$newEpoch")
       java.nio.file.Files.createDirectories(dst.getParent)
       deleteRecursively(dst.toFile) // crashed attempt's leftovers
-      if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, dst)
+      if (java.nio.file.Files.exists(src)) { java.nio.file.Files.move(src, dst); true }
+      else false // bucket rewrote to EMPTY (e.g. a DV compaction that
+      // deleted its every row): reference nothing rather than a
+      // never-created dir — the manifest diff reads as a drop
     }
     deleteRecursively(stage.toFile)
-    val newBuckets = prevBuckets ++ affected.map(b => b -> s"b$b/e$newEpoch")
+    val newBuckets = (prevBuckets -- affected.toSet.diff(committed.toSet)) ++
+      committed.map(b => b -> s"b$b/e$newEpoch")
     writeUpsertManifest(stateDir, UpsertManifest(newEpoch, newBuckets))
     gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
   }
+
+  // ---------------------------- deletion vectors (merge-on-read delete)
+
+  /** Victim rule for [[st_upsert_dv]] — a keyed compliance slice. */
+  private val DvMod = 23L
+  private val DvRem = 5L
+
+  /** MERGE-ON-READ row deletes for the upsert state table — the
+    * deletion-vector design (Delta DVs / Iceberg position deletes):
+    * instead of rewriting every bucket a victim lives in (copy-on-
+    * write, what [[commitMergedBuckets]] does for upserts), the delete
+    * commits a SIDECAR of (file, row_index) positions — built from one
+    * scan exposing `_metadata.file_path`/`row_index` — and serving
+    * anti-joins the broadcast vector before the rows are used. ZERO
+    * data-file bytes move at delete time (spec proves byte-identity);
+    * the read tax is one broadcast anti-join until [[compactDv]]
+    * rewrites ONLY the buckets the vector touches and drops it — the
+    * standard MoR → compaction lifecycle. The vector binds to the
+    * epoch whose immutable files it indexes: serving rejects a stale
+    * vector loudly (a bucket rewrite would re-base or drop it, as
+    * compaction does) rather than silently resurrecting rows. */
+  private[graft] def commitDv(s: SparkSession, stateDirPath: String): Long = {
+    val stateDir = java.nio.file.Paths.get(stateDirPath)
+    val man = readUpsertManifest(stateDir)
+      .getOrElse(sys.error(s"no state table at $stateDirPath"))
+    val paths = man.buckets.values.toSeq.sorted.map(rel => s"$stateDirPath/$rel")
+    val rel = s"dv/e${man.epoch}"
+    s.read.parquet(paths: _*)
+      .filter(col("user_id") % DvMod === DvRem)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("idx"))
+      .write.mode("overwrite").parquet(s"$stateDirPath/$rel")
+    val n = s.read.parquet(s"$stateDirPath/$rel").count()
+    graft.ManifestIo.atomicWrite(stateDir.resolve("_dv.json"),
+      s"""{"epoch":${man.epoch},"rel":"$rel","n":$n}""")
+    n
+  }
+
+  /** (epoch, rel) of the committed deletion vector, if any. */
+  private[graft] def readDvPointer(stateDirPath: String): Option[(Long, String)] = {
+    val p = java.nio.file.Paths.get(stateDirPath, "_dv.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+      val epoch = (j \ "epoch") match {
+        case JInt(n) => n.toLong
+        case other   => sys.error(s"bad dv epoch $other")
+      }
+      val rel = (j \ "rel") match {
+        case JString(r) => r
+        case other      => sys.error(s"bad dv rel $other")
+      }
+      Some((epoch, rel))
+    }
+  }
+
+  /** Merge-on-read serve: state files (never rewritten by the delete)
+    * anti-joined against the broadcast deletion vector on
+    * (file, row_index). */
+  private[graft] def serveUpsertMor(s: SparkSession, stateDirPath: String): DataFrame = {
+    val stateDir = java.nio.file.Paths.get(stateDirPath)
+    val man = readUpsertManifest(stateDir)
+      .getOrElse(sys.error(s"no state table at $stateDirPath"))
+    val paths = man.buckets.values.toSeq.sorted.map(rel => s"$stateDirPath/$rel")
+    val base = s.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("idx"),
+        col("user_id"), col("tus"), col("event_type"), col("cents"))
+    val alive = readDvPointer(stateDirPath) match {
+      case Some((e, rel)) =>
+        require(e == man.epoch,
+          s"deletion vector is based on epoch $e but the table is at ${man.epoch} " +
+            "— a bucket rewrite must re-base or drop its vector (compactDv does)")
+        base.join(broadcast(s.read.parquet(s"$stateDirPath/$rel")),
+          Seq("file", "idx"), "left_anti")
+      case None => base
+    }
+    alive.select(col("user_id"), col("tus").as("last_tus"),
+        col("event_type").as("last_type"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Apply the deletion vector PHYSICALLY: rewrite only the buckets
+    * the vector's files live in (minus their dead rows) as a new
+    * epoch behind the usual atomic flip, then drop the vector — after
+    * which serving pays no anti-join. Untouched buckets' files never
+    * move. */
+  private[graft] def compactDv(s: SparkSession, stateDirPath: String): Unit = {
+    val stateDir = java.nio.file.Paths.get(stateDirPath)
+    val man = readUpsertManifest(stateDir)
+      .getOrElse(sys.error(s"no state table at $stateDirPath"))
+    val (e, rel) = readDvPointer(stateDirPath)
+      .getOrElse(sys.error(s"no deletion vector at $stateDirPath"))
+    require(e == man.epoch, s"stale deletion vector (epoch $e vs ${man.epoch})")
+    val dv = s.read.parquet(s"$stateDirPath/$rel")
+    // buckets owning dv'd files — parsed from the vector itself
+    val affected = dv.select(regexp_extract(col("file"), "/b(\\d+)/e\\d+/", 1)
+        .cast("int").as("b")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val paths = affected.flatMap(man.buckets.get).map(r => s"$stateDirPath/$r")
+    val merged = s.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("idx"),
+        col("user_id"), col("tus"), col("event_type"), col("cents"))
+      .join(broadcast(dv), Seq("file", "idx"), "left_anti")
+      .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
+      .select(col("bucket"), col("user_id"), col("tus"), col("event_type"), col("cents"))
+    commitMergedBuckets(stateDir, merged, affected, man.epoch + 1,
+      man.buckets, UpsertRetainEpochs)
+    java.nio.file.Files.delete(stateDir.resolve("_dv.json"))
+    deleteRecursively(stateDir.resolve(rel).toFile)
+  }
+
+  private val dvStateDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** Materialize the upsert state once per (session, fixture) and
+    * commit the deletion vector over it. */
+  private def dvLayout(s: SparkSession, d: String): String =
+    perSession(dvStateDirs, s).getOrElseUpdate(d, {
+      val st = s"${System.getProperty("java.io.tmpdir")}/graft_dvstate_" +
+        graft.ops.Tables.layoutTag(d)
+      val ck = s"${System.getProperty("java.io.tmpdir")}/graft_dvckpt_" +
+        graft.ops.Tables.layoutTag(d)
+      exitDeleteDirs.add(st)
+      exitDeleteDirs.add(ck)
+      graft.Fs.deleteRecursively(new java.io.File(st))
+      graft.Fs.deleteRecursively(new java.io.File(ck))
+      runUpsert(s, d, st, ck): Unit
+      commitDv(s, st): Unit
+      st
+    })
+
+  /** The MoR-served state: full streaming MERGE materialization, then
+    * a deletion-vector delete of the `user_id % 23 == 5` slice, served
+    * without a single data-file rewrite. The oracle replays the LWW
+    * arg-max minus the victim rule. */
+  val st_upsert_dv: Q = (s, d) => serveUpsertMor(s, dvLayout(s, d))
 
   // ------------------------------------- MERGE schema evolution (widen)
 
@@ -1698,6 +1841,7 @@ object StreamingOps {
   val queries: Map[String, Q] = Map(
     "st_ann_ingest" -> st_ann_ingest,
     "st_mv_ingest" -> st_mv_ingest,
+    "st_upsert_dv" -> st_upsert_dv,
     "st_scd_join" -> st_scd_join,
     "st_tumbling" -> st_tumbling,
     "st_sliding" -> st_sliding,
@@ -1878,6 +2022,18 @@ object StreamingOps {
         |  FROM e GROUP BY 1)
         |SELECT user_id, m.tus AS last_tus, m.et AS last_type, m.c AS cents
         |FROM last ORDER BY user_id""".stripMargin,
+    // the MoR-served state = the LWW arg-max minus the victim slice
+    "st_upsert_dv" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id,
+        |    max(struct_pack(tus := tus, et := event_type, c := cents)) AS m
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, m.tus AS last_tus, m.et AS last_type, m.c AS cents
+        |FROM last WHERE user_id % 23 <> 5 ORDER BY user_id""".stripMargin,
     // identical histogram walk in SQL: same bins, same cumulative
     // threshold ⌈q·n⌉, same upper-bound readout (SUM(BIGINT) window
     // results are HUGEINT — n is cast back; the CASE threshold compare

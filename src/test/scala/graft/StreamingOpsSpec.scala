@@ -631,6 +631,54 @@ class StreamingOpsSpec extends AnyFunSuite {
       "pre-evolution snapshot must equal the LWW over pre-cutoff events")
   }
 
+  test("deletion vectors: zero rewrite at delete, exact MoR serve, physical compaction, stale guard") {
+    val st = java.nio.file.Files.createTempDirectory("graft_dvspec_state_").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_dvspec_ckpt_").toString
+    val full = StreamingOps.runUpsert(spark, sf, st, ck).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def dataFiles(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(st)).iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.toString.matches(""".*/b\d+/e\d+/.*\.parquet"""))
+        .map(f => f.toString -> ((java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis))).toMap
+    }
+    val before = dataFiles()
+    val n = StreamingOps.commitDv(spark, st)
+    assert(n > 0, "victim slice empty — witness vacuous")
+    assert(dataFiles() == before, "delete rewrote data files — not merge-on-read")
+
+    // MoR serve = full state minus exactly the victims
+    val expect = full.filter(_._1 % 23 != 5).toSeq
+    def served() = StreamingOps.serveUpsertMor(spark, st).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(served() == expect, "MoR serve drifted from the filtered state")
+    assert(full.count(_._1 % 23 == 5).toLong == n)
+
+    // physical compaction: vector applied, dropped; answer unchanged;
+    // only vector-touched buckets rewrote
+    StreamingOps.compactDv(spark, st)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(st, "_dv.json")))
+    assert(served() == expect, "compaction changed the answer")
+    val after = dataFiles()
+    val survivingOld = before.keySet.intersect(after.keySet)
+    assert(survivingOld.nonEmpty, "every bucket rewrote — compaction not targeted")
+    survivingOld.foreach(p => assert(after(p) == before(p), s"rewritten in place: $p"))
+
+    // stale-vector guard: a vector pinned to an old epoch is rejected
+    val man = java.nio.file.Files.readString(java.nio.file.Paths.get(st, "_manifest.json"))
+    val epoch = """"epoch":(\d+)""".r.findFirstMatchIn(man).get.group(1).toLong
+    graft.ManifestIo.atomicWrite(java.nio.file.Paths.get(st, "_dv.json"),
+      s"""{"epoch":${epoch - 1},"rel":"dv/e${epoch - 1}","n":0}""")
+    val stale = intercept[IllegalArgumentException](
+      StreamingOps.serveUpsertMor(spark, st).collect())
+    assert(stale.getMessage.contains("re-base or drop"))
+
+    graft.Fs.deleteRecursively(new java.io.File(st))
+    graft.Fs.deleteRecursively(new java.io.File(ck))
+  }
+
   test("streaming MV ingest: exactly-once epochs, replay no-op, gap error, restart fires nothing") {
     val store = java.nio.file.Files.createTempDirectory("graft_mvingspec_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mvingspec_ck_").toString
