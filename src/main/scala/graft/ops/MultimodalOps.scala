@@ -814,6 +814,99 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------- scene-cut detection
+
+  /** Scene length of [[mm_scene_cut]]'s planted footage: alternates by
+    * `(id / 4) % 2` — INDEPENDENT of the frame-count residue `id % 4`,
+    * so every (frames, scene-length) combination occurs and the corpus
+    * carries all three classes: multi-frame zero-cut docs (one scene),
+    * boundary-only cuts, and every-pair cuts. */
+  private[ops] def sceneLen(docId: Long): Int = 1 + ((docId / 4) % 2).toInt
+
+  /** Multi-frame payload with PLANTED SCENE STRUCTURE: frames inside a
+    * scene are pixel-identical (seeded by the scene index), a scene
+    * change re-seeds — consecutive-frame deltas are exactly 0 within a
+    * scene and large at a boundary, so the detector's threshold is
+    * meaningfully load-bearing rather than always-firing. */
+  private[ops] def encodeScenes(docId: Long, nChars: Long): Array[Byte] = {
+    val (w, h) = imageDims(docId, nChars)
+    val bos = new ByteArrayOutputStream()
+    var k = 0
+    while (k < frameCount(docId)) {
+      val scene = k / sceneLen(docId)
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = pixel(docId + scene * FrameSeed, x, y).toByte; x += 1
+        }
+        y += 1
+      }
+      bos.write(encodePngPixels(px, w, h))
+      k += 1
+    }
+    bos.toByteArray
+  }
+
+  case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Int,
+                       first_cut: Int, total_delta: Long)
+
+  /** SCENE-CUT DETECTION over real multi-frame payloads — the video
+    * curation step that picks keyframe boundaries: decode every frame
+    * (genuine PNG walk + inflate), difference consecutive frames
+    * pixel-by-pixel, and declare a cut where the absolute-delta sum
+    * exceeds 10·w·h (mean per-pixel change > 10 — within-scene deltas
+    * are exactly 0 here, boundary deltas average ~99, so the threshold
+    * separates them with a wide margin). Work is one sequential frame
+    * walk per doc inside batched `mapPartitions` — docs parallelize
+    * across tasks, memory is two frames per task, nothing shuffles but
+    * the per-doc summary row. The oracle recomputes every per-pixel
+    * |difference| arithmetically from the generator formula, so cuts,
+    * first-cut index AND the exact total delta are hash-pinned. */
+  val mm_scene_cut: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, n) => MediaRecord(id, "video/x-png-frames", encodeScenes(id, n)) }
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { r =>
+            var offset = 0
+            var k = 0
+            var nCuts = 0
+            var firstCut = -1
+            var totalDelta = 0L
+            var prev: Array[Byte] = null
+            var wh = 0L
+            while (offset < r.payload.length) {
+              val img = walkPng(r.payload, offset, inflate = true)
+              wh = img.width.toLong * img.height
+              if (prev != null) {
+                var deltaSum = 0L
+                var i = 0
+                while (i < img.pixels.length) {
+                  deltaSum += math.abs((img.pixels(i) & 0xFF) - (prev(i) & 0xFF))
+                  i += 1
+                }
+                totalDelta += deltaSum
+                if (deltaSum > 10L * wh) {
+                  nCuts += 1
+                  if (firstCut < 0) firstCut = k
+                }
+              }
+              prev = img.pixels
+              offset = img.end
+              k += 1
+            }
+            SceneCuts(r.doc_id, k, nCuts, firstCut, totalDelta)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------ perceptual-hash dedup
 
   /** Hamming threshold and band count of the 64-bit dHash LSH. */
@@ -1041,6 +1134,7 @@ object MultimodalOps {
     "mm_audio_decode" -> mm_audio_decode,
     "mm_resize" -> mm_resize,
     "mm_frame_sample" -> mm_frame_sample,
+    "mm_scene_cut" -> mm_scene_cut,
     "mm_phash_dedup" -> mm_phash_dedup,
   )
 
@@ -1126,6 +1220,28 @@ object MultimodalOps {
         |    y -> list_transform(generate_series(0, w2 - 1),
         |      x -> (2 * x * 31 + 2 * y * 17 + doc_id) % 256)))) AS BIGINT) AS px_sum
         |FROM p ORDER BY doc_id""".stripMargin,
+    // per-pair pixel |differences| recomputed from the scene-seeded
+    // generator formula: cuts, first-cut index AND exact total delta
+    "mm_scene_cut" -> {
+      def delta(f: String) =
+        s"""list_sum(flatten(list_transform(generate_series(0, h - 1),
+           |        y -> list_transform(generate_series(0, w - 1),
+           |          x -> abs(((x * 31 + y * 17 + doc_id + (($f // slen)) * 1000003) % 256)
+           |                 - ((x * 31 + y * 17 + doc_id + ((($f - 1) // slen)) * 1000003) % 256))))))""".stripMargin
+      s"""WITH p AS (SELECT doc_id,
+         |    1 + (doc_id % 4) AS k, 1 + ((doc_id // 4) % 2) AS slen,
+         |    16 + (n_chars % 48) AS w, 16 + (doc_id % 32) AS h
+         |  FROM documents),
+         |d AS (SELECT doc_id, k, slen, w, h,
+         |    list_transform(generate_series(1, k - 1), f -> ${delta("f")}) AS deltas
+         |  FROM p)
+         |SELECT doc_id, CAST(k AS INTEGER) AS n_frames,
+         |  CAST(len(list_filter(deltas, dd -> dd > 10 * w * h)) AS INTEGER) AS n_cuts,
+         |  CAST(COALESCE(list_filter(generate_series(1, k - 1),
+         |    f -> ${delta("f")} > 10 * w * h)[1], -1) AS INTEGER) AS first_cut,
+         |  CAST(COALESCE(list_sum(deltas), 0) AS BIGINT) AS total_delta
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "mm_frame_sample" ->
       """WITH p AS (SELECT doc_id,
         |    1 + (doc_id % 4) AS k,

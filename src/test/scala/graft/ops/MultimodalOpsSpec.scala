@@ -7,6 +7,23 @@ class MultimodalOpsSpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("scene cuts: every planted class present and cut positions match scene boundaries") {
+    val rows = MultimodalOps.mm_scene_cut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // planted classes all occur: no-cut docs (single scene), boundary
+    // cuts, and odd-id docs where EVERY consecutive pair is a cut
+    assert(rows.exists { case (_, k, c, _) => k > 1 && c == 0 })
+    assert(rows.exists { case (_, k, c, _) => c > 0 && c < k - 1 })
+    assert(rows.exists { case (_, k, c, _) => k > 1 && c == k - 1 })
+    rows.foreach { case (id, k, cuts, first) =>
+      val slen = 1 + ((id / 4) % 2).toInt
+      val expectCuts = (1 until k).count(f => f / slen != (f - 1) / slen)
+      assert(cuts == expectCuts, s"doc $id: $cuts cuts, scene arithmetic says $expectCuts")
+      val expectFirst = (1 until k).find(f => f / slen != (f - 1) / slen).getOrElse(-1)
+      assert(first == expectFirst, s"doc $id first cut $first != $expectFirst")
+    }
+  }
+
   test("media table: one binary payload per doc, byte length == n_chars (ascii)") {
     val m = MultimodalOps.mediaTable(spark, sf)
     assert(m.schema("payload").dataType.typeName == "binary")
