@@ -204,6 +204,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF KEYWORD EXTRACTION — the per-document salient-terms step
+    * (search snippets, topic tagging, weak labels for classifier
+    * training): score every (doc, token) by tf × idf with the SAME
+    * integer idf lane as [[t_idf_score]] (`(10⁶·n_docs) div df` — exact
+    * in both engines), keep each doc's top-3 by (score desc, token
+    * asc). Two corpus aggregations (per-doc term counts; distinct-doc
+    * df) + one join + a per-doc window whose partition is one doc's
+    * distinct tokens — bounded by doc length, never corpus-keyed, so
+    * the rank adds no skew at 100 TB. */
+  val t_keyword_topk: Q = (s, d) => {
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = occ.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * expr("(1000000L * n_docs) div df")).as("tfidf_e6"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf_e6"), col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tfidf_e6"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Occurrence-level bigram "LM" scoring — the statistical-likelihood
     * quality signal: how common are this document's word BIGRAMS in the
     * corpus, on average? Train = one groupBy over exploded bigram
@@ -682,6 +708,7 @@ object TextOps {
     "t_lang_id" -> t_lang_id,
     "t_quality_score" -> t_quality_score,
     "t_idf_score" -> t_idf_score,
+    "t_keyword_topk" -> t_keyword_topk,
     "t_bigram_score" -> t_bigram_score,
     "t_repetition" -> t_repetition,
     "t_fingerprint" -> t_fingerprint,
@@ -956,6 +983,22 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin
 
   private lazy val langOracles: Map[String, String] = Map(
+    // same integer idf lane as t_idf_score, tf on raw occurrences,
+    // identical (score desc, token asc) tie-break
+    "t_keyword_topk" ->
+      """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(1) AS tf FROM occ GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(1) AS df FROM tf GROUP BY 1),
+        |total AS (SELECT COUNT(1) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tok,
+        |    CAST(tf * ((1000000 * n_docs) // df) AS BIGINT) AS tfidf_e6
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN total)
+        |SELECT doc_id, rk, tok, tfidf_e6 FROM (
+        |  SELECT doc_id, tok, tfidf_e6,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_e6 DESC, tok) AS INTEGER) AS rk
+        |  FROM scored) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "t_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |prof(plang, tok) AS (VALUES $profValues),
