@@ -214,7 +214,8 @@ object MultimodalOps {
   /** A REAL RIFF/WAVE file: canonical 44-byte header (PCM format chunk
     * with consistent byte-rate/block-align) + little-endian 16-bit
     * samples. Any WAV reader decodes it. */
-  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+  private def wavBytes(samples: Array[Short],
+                       rate: Int = SampleRate): Array[Byte] = {
     val dataLen = samples.length * 2
     val bb = ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -222,8 +223,8 @@ object MultimodalOps {
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1)                       // PCM
       .putShort(1)                       // mono
-      .putInt(SampleRate)
-      .putInt(SampleRate * 2)            // byte rate
+      .putInt(rate)
+      .putInt(rate * 2)                  // byte rate
       .putShort(2)                       // block align
       .putShort(16)                      // bits per sample
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
@@ -814,6 +815,37 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  case class ResampledAudio(doc_id: Long, out_rate: Int, n_out: Int,
+                            duration_ms: Long, sum_abs: Long)
+
+  /** AUDIO RESAMPLING (8 kHz → 4 kHz by 2:1 decimation) — the sample-
+    * rate normalization every audio corpus runs before feature
+    * extraction: decode the real WAV, keep every second sample,
+    * RE-ENCODE as a genuine 4 kHz RIFF/WAVE (header byte-rate and all),
+    * and decode that — so the witness certifies the full
+    * decode → transform → encode → decode loop on bytes the first
+    * decoder never saw, the same round-trip discipline as
+    * [[mm_resize]]. (Production decimation low-pass-filters first;
+    * pure decimation keeps the arithmetic integer-exact so the oracle
+    * can replay every output sample from the PCM generator formula.)
+    * Batched `mapPartitions`; memory is one batch of clips per task. */
+  val mm_audio_resample: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    wavTable(s, d).select(col("doc_id"), col("mime"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.map { r =>
+            val (rate, samples) = decodeWavRaw(r.payload)
+            val out = Array.tabulate((samples.length + 1) / 2)(j => samples(2 * j))
+            val re = wavBytes(out, rate / 2)
+            val (rate2, n2, sumAbs2) = decodeWav(re)
+            ResampledAudio(r.doc_id, rate2, n2, n2.toLong * 1000L / rate2, sumAbs2)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------- scene-cut detection
 
   /** Scene length of [[mm_scene_cut]]'s planted footage: alternates by
@@ -1135,6 +1167,7 @@ object MultimodalOps {
     "mm_resize" -> mm_resize,
     "mm_frame_sample" -> mm_frame_sample,
     "mm_scene_cut" -> mm_scene_cut,
+    "mm_audio_resample" -> mm_audio_resample,
     "mm_phash_dedup" -> mm_phash_dedup,
   )
 
@@ -1219,6 +1252,18 @@ object MultimodalOps {
         |  CAST(list_sum(flatten(list_transform(generate_series(0, h2 - 1),
         |    y -> list_transform(generate_series(0, w2 - 1),
         |      x -> (2 * x * 31 + 2 * y * 17 + doc_id) % 256)))) AS BIGINT) AS px_sum
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // every surviving sample replayed from the PCM generator formula
+    // at the decimated indices; duration via the same integer division
+    "mm_audio_resample" ->
+      """WITH p AS (SELECT doc_id, 500 + ((n_chars * 7) % 2000) AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(4000 AS INTEGER) AS out_rate,
+        |  CAST((n + 1) // 2 AS INTEGER) AS n_out,
+        |  CAST(((n + 1) // 2) * 1000 // 4000 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(generate_series(0, (n + 1) // 2 - 1),
+        |    j -> abs(((2 * j) * (2 * j) + doc_id * 31) % 65536 - 32768))) AS BIGINT)
+        |    AS sum_abs
         |FROM p ORDER BY doc_id""".stripMargin,
     // per-pair pixel |differences| recomputed from the scene-seeded
     // generator formula: cuts, first-cut index AND exact total delta
