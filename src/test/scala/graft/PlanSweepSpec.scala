@@ -27,6 +27,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "s_cosine_topk",    // brute-force baseline: crossJoin(broadcast(queries))
     "q_range_join",     // broadcast ~28-row quarter-bucket list
     "t_idf_score",      // 1-row corpus-constant IDF denominator
+    "t_keyword_topk",   // same 1-row n_docs cross as t_idf_score
     "conv_scale",       // 1-row result-shaping aggregate
     "q_approx_distinct",// bound witness: exact × approx 1-row aggregates
     "q_hll_rollup",     // bound witness: 1-row sketch/exact aggregates crossed
