@@ -249,6 +249,24 @@ object MvStore {
     * I/O, never a view scan. Emitted rows are keys + signed agg
     * deltas (additive-merge law: new = old + feed), zero-delta keys
     * suppressed. */
+  /** Lease-pinned change feed — the concurrent-reader-safe form of
+    * [[changeFeed]], which (like every bare snapshot resolve here)
+    * reads its parquet lazily and could otherwise race a refresh's
+    * retention GC between resolve and action. Pins BOTH endpoint
+    * epochs with nested [[graft.EpochGuard]] leases for the duration
+    * of `body`. */
+  def withChangeFeed[A](s: SparkSession, dir: String, from: Long, to: Long)
+                       (body: DataFrame => A): A = {
+    val base = java.nio.file.Paths.get(dir)
+    graft.EpochGuard.withLease(base, from,
+      java.nio.file.Files.exists(versionedPath(dir, from)), dir) {
+      graft.EpochGuard.withLease(base, to,
+        java.nio.file.Files.exists(versionedPath(dir, to)), dir) {
+        body(changeFeed(s, dir, from, to))
+      }
+    }
+  }
+
   def changeFeed(s: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
     require(from < to, s"changeFeed wants from < to, got $from → $to")
     val mf = openAt(dir, from)

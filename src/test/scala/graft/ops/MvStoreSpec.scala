@@ -191,6 +191,38 @@ class MvStoreSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("lease-pinned change feed survives concurrent retention GC, expires after release") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvfeedlease_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = li.withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+    MvStore.build(p.filter(col("m") < "2001-09"), dir,
+      Seq("l_returnflag"), Seq("rev_cents", "qty", "n"))           // e0
+    MvStore.refresh(spark, dir, p.filter(col("m") === "2001-09")): Unit // e1
+    MvStore.refresh(spark, dir, p.filter(col("m") === "2001-10")): Unit // e2
+    val expect = p.filter(col("m") === "2001-09").groupBy(col("l_returnflag"))
+      .agg(sum("rev_cents").as("r"), sum("qty").as("q"), sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    MvStore.withChangeFeed(spark, dir, 0L, 1L) { feed =>
+      // retain=1 GC would evict epochs 0 and 1 — the leases spare them,
+      // so the pinned feed still reads complete files afterwards
+      MvStore.refresh(spark, dir, p.filter(col("m") === "2001-10"), retain = 1): Unit
+      val got = feed.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expect, "leased feed lost data under concurrent GC")
+    }
+    // leases released: the next GC pass evicts the endpoints, and the
+    // bare feed fails POINTEDLY rather than reading a partial view
+    MvStore.refresh(spark, dir, p.filter(col("m") === "2001-10"), retain = 1): Unit
+    val gone = intercept[IllegalStateException](
+      MvStore.changeFeed(spark, dir, 0L, 1L))
+    assert(gone.getMessage.contains("snapshot expired"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("retraction refresh surfaces in the feed as signed deltas with zero rows suppressed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvfeedneg_").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
