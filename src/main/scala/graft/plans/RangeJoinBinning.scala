@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType}
@@ -35,9 +35,12 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampTyp
   *   - `spark.graft.rangeJoin.binWidth` (in the point column's native
   *     integer units; SECONDS for timestamps) is set positive on the
   *     session — the width is a semantic choice only the user can make;
-  *   - the join is INNER with NO extractable equi conjunct (if one
-  *     exists Spark already hash-joins on it and the band is a fine
-  *     residual);
+  *   - the join is INNER — or LEFT/RIGHT OUTER with the PRESERVED side
+  *     being the point side (the rewrite never duplicates the point
+  *     side, so outer null-row semantics survive verbatim; a preserved
+  *     interval side would emit one null row per bin) — with NO
+  *     extractable equi conjunct (if one exists Spark already
+  *     hash-joins on it and the band is a fine residual);
   *   - both sides' stats exceed `autoBroadcastJoinThreshold` (a
   *     broadcastable side makes BNLJ acceptable) — overridable with
   *     `spark.graft.rangeJoin.force=true` for fixture-scale witnesses.
@@ -64,7 +67,7 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     val width = conf.getConfString(WidthKey, "0").toLong
     if (width <= 0) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) =>
+      case j @ Join(_, _, Inner | LeftOuter | RightOuter, Some(_), _) =>
         rewrite(j, width).getOrElse(j)
     }
   }
@@ -114,6 +117,18 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
       ps <- side(p1).toSeq
       ls <- side(lo).toSeq if ls != ps
       hs <- side(hi).toSeq if hs == ls
+      // OUTER joins are rewritable only when the PRESERVED side is the
+      // POINT side: the point side is never duplicated by the rewrite,
+      // so "no row satisfies the full condition → one null row" is
+      // preserved verbatim. A preserved INTERVAL side explodes into
+      // its bins and an unmatched interval would emit one null row PER
+      // BIN — so that shape stays with the vanilla planner.
+      if (j.joinType match {
+        case Inner      => true
+        case LeftOuter  => ps   // point on the left (preserved) side
+        case RightOuter => !ps  // point on the right (preserved) side
+        case _          => false
+      })
     } yield Band(p1, lo, hi, pointOnLeft = ps)
     bands.headOption.map(buildPlan(j, _, width))
   }
@@ -161,7 +176,7 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     val (newLeft, newRight) =
       if (b.pointOnLeft) (pointProj, gen) else (gen, pointProj)
     val cond = And(EqualTo(pbin.toAttribute, binAttr), j.condition.get)
-    Project(j.output, Join(newLeft, newRight, Inner, Some(cond), j.hint))
+    Project(j.output, Join(newLeft, newRight, j.joinType, Some(cond), j.hint))
   }
 }
 

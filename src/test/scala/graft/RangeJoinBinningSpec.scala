@@ -128,6 +128,34 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     assert(got == Set(("ok", 20L)), s"degenerate intervals leaked: $got")
   }
 
+  test("outer joins: point-side-preserved rewrites fire and keep null rows; interval-side-preserved stays out") {
+    val s = ruleSession(10, force = true)
+    import s.implicits._
+    val pts = Seq(Some(5L), Some(25L), Some(95L), None).zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("pid", "p")
+    val ivs = Seq((0L, 30L, "a"), (20L, 40L, "b")).toDF("lo", "hi", "iid")
+    // LEFT OUTER, point side preserved: rewrite fires, unmatched points
+    // (95 and the null) emit exactly one null row each
+    val lo = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+    assert(lo.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    val got = lo.select(col("pid"), col("iid")).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(got == Set((0, Some("a")), (1, Some("a")), (1, Some("b")),
+      (2, None), (3, None)), s"outer rows drifted: $got")
+    // LEFT OUTER with the INTERVAL side preserved: the rewrite would
+    // emit one null row per bin for an unmatched interval — must not fire
+    val lo2 = ivs.join(pts, col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+    assert(!lo2.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+      "rule fired on a preserved interval side")
+    // RIGHT OUTER mirror: point on the right (preserved) side → fires,
+    // same row multiset as the vanilla plan
+    val ro = ivs.join(pts, col("p") >= col("lo") && col("p") <= col("hi"), "right_outer")
+    assert(ro.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+    val roRows = ro.select(col("pid"), col("iid")).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(roRows == got)
+  }
+
   test("property: rewrite preserves the exact pair set on random data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.apache.spark.sql.Row
@@ -147,11 +175,13 @@ class RangeJoinBinningSpec extends AnyFunSuite {
       for { a <- genVal; b <- genVal } yield (a, b)
     val trial = for {
       w <- Gen.oneOf(1L, 3L, 10L, 64L)
+      outer <- Gen.oneOf(false, true)
       pts <- Gen.listOfN(60, genVal)
       ivs <- Gen.listOfN(25, genIv)
-    } yield (w, pts, ivs)
-    val prop = Prop.forAllNoShrink(trial) { case (w, pts, ivs) =>
+    } yield (w, outer, pts, ivs)
+    val prop = Prop.forAllNoShrink(trial) { case (w, outer, pts, ivs) =>
       s.conf.set(RangeJoinBinning.WidthKey, w.toString)
+      val joinType = if (outer) "left_outer" else "inner"
       def mk(sess: SparkSession) = {
         val p = sess.createDataFrame(
           java.util.Arrays.asList(pts.zipWithIndex.map { case (v, i) =>
@@ -159,14 +189,15 @@ class RangeJoinBinningSpec extends AnyFunSuite {
         val iv = sess.createDataFrame(
           java.util.Arrays.asList(ivs.zipWithIndex.map { case ((a, b), i) =>
             Row(i, a, b) }: _*), ivSchema)
-        p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+        p.join(iv, col("p") >= col("lo") && col("p") <= col("hi"), joinType)
           .select(col("pid"), col("iid"))
       }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap // multiset
       val on = mk(s)
       val fired = on.queryExecution.optimizedPlan.toString.contains("__graft_bin")
-      val got = on.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-      val want = mk(spark).collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-      (fired: Prop) && (got == want: Prop)
+      (fired: Prop) && (rows(on) == rows(mk(spark)): Prop)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
