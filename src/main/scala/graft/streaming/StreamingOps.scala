@@ -1071,9 +1071,13 @@ object StreamingOps {
     * commit the deletion vector over it. */
   private def dvLayout(s: SparkSession, d: String): String =
     perSession(dvStateDirs, s).getOrElseUpdate(d, {
-      val st = s"${System.getProperty("java.io.tmpdir")}/graft_dvstate_" +
+      // pid-tagged (like the MvStore artifact dirs): this layout
+      // deletes-then-recreates, which would tear under a concurrently
+      // reading JVM on a shared path
+      val pid = ProcessHandle.current().pid()
+      val st = s"${System.getProperty("java.io.tmpdir")}/graft_dvstate_${pid}_" +
         graft.ops.Tables.layoutTag(d)
-      val ck = s"${System.getProperty("java.io.tmpdir")}/graft_dvckpt_" +
+      val ck = s"${System.getProperty("java.io.tmpdir")}/graft_dvckpt_${pid}_" +
         graft.ops.Tables.layoutTag(d)
       exitDeleteDirs.add(st)
       exitDeleteDirs.add(ck)
@@ -1825,9 +1829,13 @@ object StreamingOps {
       case (Some(st), Some(ck)) => run(st, ck)
       case _ =>
         perSession(mvIngestStoreDirs, s).getOrElseUpdate(d, {
-          val st = s"${System.getProperty("java.io.tmpdir")}/graft_mvingstore_" +
+          // pid-tagged so two JVMs (bench + verify) never share a
+          // store/checkpoint pair mid-write; a killed run's leftovers
+          // are per-pid and self-heal via the epoch pins anyway
+          val pid = ProcessHandle.current().pid()
+          val st = s"${System.getProperty("java.io.tmpdir")}/graft_mvingstore_${pid}_" +
             graft.ops.Tables.layoutTag(d)
-          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_mvingckpt_" +
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_mvingckpt_${pid}_" +
             graft.ops.Tables.layoutTag(d)
           exitDeleteDirs.add(st)
           exitDeleteDirs.add(ck)
