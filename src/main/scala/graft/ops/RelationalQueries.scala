@@ -238,6 +238,29 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** ROLLUP with `grouping()` / `grouping_id()` — the disambiguation a
+    * reporting layer NEEDS once grouping columns can themselves be
+    * NULL: a subtotal row and a genuine null-group row render
+    * identically without the grouping flags. The flag column is
+    * PLANTED nullable (the `% 13` rule blanks the status), so both
+    * kinds of NULL genuinely occur and the flags are load-bearing —
+    * the oracle replays `GROUPING()` bit-for-bit. Expansion happens
+    * after pre-aggregation exactly as in [[q_rollup]]. */
+  val q_grouping_id: Q = (s, d) =>
+    orders(s, d)
+      .withColumn("status_n",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")))
+      .rollup(col("status_n"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("status_n")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping_id().cast("int").as("gid"))
+      .select(col("status_n"), col("o_orderpriority"), col("n"),
+        col("g_status"), col("g_prio"), col("gid"))
+      .orderBy(col("gid"), asc_nulls_first("status_n"),
+        asc_nulls_first("o_orderpriority"))
+
   // ----------------------------------------------------------------- joins
 
   /** TPC-H Q3 shape: fact-fact shuffle join + dim join + group + top-k
@@ -2404,6 +2427,7 @@ object RelationalQueries {
     "q_rollup" -> q_rollup,
     "q_cube" -> q_cube,
     "q_grouping_sets" -> q_grouping_sets,
+    "q_grouping_id" -> q_grouping_id,
     "q3_top_unshipped" -> q3_top_unshipped,
     "q5_region_revenue" -> q5_region_revenue,
     "q_semi_join" -> q_semi_join,
@@ -2934,6 +2958,18 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // grouping flags replayed bit-for-bit against planted NULL groups
+    "q_grouping_id" ->
+      """WITH o AS (SELECT
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderstatus END AS status_n,
+        |    o_orderpriority
+        |  FROM orders)
+        |SELECT status_n, o_orderpriority, COUNT(1) AS n,
+        |  CAST(GROUPING(status_n) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  CAST(GROUPING(status_n, o_orderpriority) AS INTEGER) AS gid
+        |FROM o GROUP BY ROLLUP (status_n, o_orderpriority)
+        |ORDER BY gid, status_n ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q3_top_unshipped" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
