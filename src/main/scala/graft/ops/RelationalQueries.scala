@@ -798,6 +798,27 @@ object RelationalQueries {
       .orderBy(col("op"), col("c_nationkey"))
   }
 
+  /** MULTISET set ops — `intersectAll` / `exceptAll`, ANSI bag
+    * semantics (min / truncated-difference of multiplicities), a
+    * genuinely different physical operator from the DISTINCT forms in
+    * [[q_set_ops]] (a count-carrying aggregate join instead of a
+    * dedup). The nation-key multisets carry real duplicates (many
+    * customers per nation), so multiplicities are load-bearing; the
+    * result is re-aggregated to (value, multiplicity) so the hash
+    * compare is order-free. */
+  val q_set_ops_all: Q = (s, d) => {
+    val auto = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_nationkey"))
+    val bld = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey"))
+    val i = auto.intersectAll(bld).withColumn("op", lit("intersect_all"))
+    val e = auto.exceptAll(bld).withColumn("op", lit("except_all"))
+    i.unionByName(e)
+      .groupBy(col("op"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("op"), col("c_nationkey"))
+  }
+
   // ------------------------------------------------------------ scalar fns
 
   /** String/date/math scalar functions in one projection. */
@@ -2443,6 +2464,7 @@ object RelationalQueries {
     "q_topk_per_group" -> q_topk_per_group,
     "q_sort_limit" -> q_sort_limit,
     "q_set_ops" -> q_set_ops,
+    "q_set_ops_all" -> q_set_ops_all,
     "q_scalar_fns" -> q_scalar_fns,
     "q_date_fns" -> q_date_fns,
     "q_json_events" -> q_json_events,
@@ -3071,6 +3093,18 @@ object RelationalQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
         |FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    // ANSI bag semantics on both sides: min / truncated-difference of
+    // multiplicities, re-aggregated to (value, multiplicity)
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |     b AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     i AS (SELECT c_nationkey FROM a INTERSECT ALL SELECT c_nationkey FROM b),
+        |     e AS (SELECT c_nationkey FROM a EXCEPT ALL SELECT c_nationkey FROM b)
+        |SELECT op, c_nationkey, cnt FROM (
+        |  SELECT 'intersect_all' AS op, c_nationkey, COUNT(1) AS cnt FROM i GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'except_all', c_nationkey, COUNT(1) FROM e GROUP BY 2) t
+        |ORDER BY op, c_nationkey""".stripMargin,
     "q_set_ops" ->
       """WITH auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
         |     bld  AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
