@@ -853,57 +853,11 @@ object StreamingOps {
       val schema = ss.read.parquet(src).schema
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(s"$src/part-*.parquet")
-      val lww = Seq(col("tus"), col("event_type"), col("cents"))
-      def reduceKeys(df: DataFrame): DataFrame =
-        df.groupBy(col("bucket"), col("user_id"))
-          .agg(max(struct(lww: _*)).as("m"))
-          .select(col("bucket"), col("user_id"), col("m.tus").as("tus"),
-            col("m.event_type").as("event_type"), col("m.cents").as("cents"))
       val q = stream.writeStream
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
           onBatch(id)
-          val sb = batch.sparkSession
-          val delta = reduceKeys(batch
-            .select(col("user_id"), unix_micros(col("ts")).as("tus"),
-              col("event_type"), round(col("value") * 100).cast("long").as("cents"))
-            .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int")))
-          // ≤ UpsertBuckets driver-side ints — the partition list, not data
-          val affected = delta.select("bucket").distinct().collect().map(_.getInt(0))
-          if (affected.nonEmpty) {
-            val man = readUpsertManifest(stateDir)
-            val curPaths = man.toSeq.flatMap(m =>
-              affected.toSeq.sorted.flatMap(m.buckets.get)).map(rel => s"$stateDir/$rel")
-            val cur =
-              if (curPaths.nonEmpty)
-                // the bucket column is derivable (user_id % buckets), so
-                // epoch dirs store only the data columns
-                sb.read.parquet(curPaths: _*)
-                  .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
-                  .select(col("bucket"), col("user_id"), col("tus"),
-                    col("event_type"), col("cents"))
-              else delta.limit(0)
-            // No localCheckpoint needed anymore: the merge reads OLD
-            // epoch dirs and writes NEW ones — never a read-modify-write
-            // on the same files. Commit protocol, in order:
-            //   1. stage: one job writes every affected bucket's merged
-            //      rows under .stage-eN/bucket=B/
-            //   2. publish: per-bucket rename into the immutable
-            //      bB/eN location (metadata-only moves)
-            //   3. flip: write the immutable per-epoch manifest, then
-            //      atomically replace the _manifest.json pointer
-            //   4. gc: drop manifests + epoch dirs older than the
-            //      retention horizon (epochs inside it stay readable
-            //      as snapshots via readUpsertStateAt — time travel)
-            // A crash before 3 leaves the manifest pointing at the old
-            // consistent epoch set (stale stage/epoch dirs are
-            // unreferenced garbage, overwritten by the checkpoint's
-            // idempotent batch replay); after 3 the new set is live.
-            val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
-            val merged = reduceKeys(cur.unionByName(delta))
-            commitMergedBuckets(stateDir, merged, affected.toSeq, newEpoch,
-              man.map(_.buckets).getOrElse(Map.empty), retainEpochs)
-          }
+          mergeUpsertBatch(batch.sparkSession, stateDirPath, batch, retainEpochs): Unit
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -916,6 +870,65 @@ object StreamingOps {
         .orderBy(col("user_id"))
       val (data, outSchema) = (rows.collect(), rows.schema)
       ss.createDataFrame(java.util.Arrays.asList(data: _*), outSchema)
+    }
+  }
+
+  /** ONE upsert micro-batch: LWW-reduce the batch, read back only the
+    * buckets it touches, merge, commit exactly one epoch (factored out
+    * of [[runUpsert]] so [[st_dual_sink]] can drive the same state
+    * table as one step of a cross-artifact transaction). Commit
+    * protocol, in order:
+    *   1. stage: one job writes every affected bucket's merged rows
+    *      under .stage-eN/bucket=B/
+    *   2. publish: per-bucket rename into the immutable bB/eN location
+    *      (metadata-only moves)
+    *   3. flip: write the immutable per-epoch manifest, then atomically
+    *      replace the _manifest.json pointer
+    *   4. gc: drop manifests + epoch dirs older than the retention
+    *      horizon (epochs inside it stay readable as snapshots via
+    *      readUpsertStateAt — time travel)
+    * No localCheckpoint needed: the merge reads OLD epoch dirs and
+    * writes NEW ones — never a read-modify-write on the same files. A
+    * crash before 3 leaves the manifest pointing at the old consistent
+    * epoch set (stale stage/epoch dirs are unreferenced garbage,
+    * overwritten by the checkpoint's idempotent batch replay); after 3
+    * the new set is live. Returns the committed epoch, −1 for an empty
+    * batch. */
+  private[graft] def mergeUpsertBatch(sb: SparkSession, stateDirPath: String,
+                                      batch: DataFrame,
+                                      retainEpochs: Int = UpsertRetainEpochs): Long = {
+    val stateDir = java.nio.file.Paths.get(stateDirPath)
+    val lww = Seq(col("tus"), col("event_type"), col("cents"))
+    def reduceKeys(df: DataFrame): DataFrame =
+      df.groupBy(col("bucket"), col("user_id"))
+        .agg(max(struct(lww: _*)).as("m"))
+        .select(col("bucket"), col("user_id"), col("m.tus").as("tus"),
+          col("m.event_type").as("event_type"), col("m.cents").as("cents"))
+    val delta = reduceKeys(batch
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int")))
+    // ≤ UpsertBuckets driver-side ints — the partition list, not data
+    val affected = delta.select("bucket").distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) -1L
+    else {
+      val man = readUpsertManifest(stateDir)
+      val curPaths = man.toSeq.flatMap(m =>
+        affected.toSeq.sorted.flatMap(m.buckets.get)).map(rel => s"$stateDir/$rel")
+      val cur =
+        if (curPaths.nonEmpty)
+          // the bucket column is derivable (user_id % buckets), so
+          // epoch dirs store only the data columns
+          sb.read.parquet(curPaths: _*)
+            .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
+            .select(col("bucket"), col("user_id"), col("tus"),
+              col("event_type"), col("cents"))
+        else delta.limit(0)
+      val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
+      val merged = reduceKeys(cur.unionByName(delta))
+      commitMergedBuckets(stateDir, merged, affected.toSeq, newEpoch,
+        man.map(_.buckets).getOrElse(Map.empty), retainEpochs)
+      newEpoch
     }
   }
 
@@ -949,6 +962,132 @@ object StreamingOps {
       committed.map(b => b -> s"b$b/e$newEpoch")
     writeUpsertManifest(stateDir, UpsertManifest(newEpoch, newBuckets))
     gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
+  }
+
+  // ------------------ dual-sink fan-out (one stream, two artifacts)
+
+  /** The MV leg's partial derivation for [[st_dual_sink]]: per-type
+    * event counts + cents under the schema-driven [[graft.ops.MvStore]]
+    * (month bucket key from the event time). */
+  private def dualMvPartials(batch: DataFrame): DataFrame =
+    batch.groupBy(date_format(col("ts"), "yyyy-MM").as("m"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+
+  /** Drain the event stream into TWO durable artifacts — the per-type
+    * MV and the per-user LWW state table — with each micro-batch's two
+    * commits wrapped in ONE [[graft.ArtifactTxn]] intent. Exactly-once
+    * across BOTH sinks on at-least-once delivery, via two mechanisms
+    * composed:
+    *   - each step's epoch is pinned to the BATCH ID (MV epoch
+    *     `id + 1` above the bootstrap, upsert epoch `id`), so a
+    *     full-batch replay (crash after the intent cleared but before
+    *     the checkpoint committed) skips both already-applied steps —
+    *     the additive MV merge is NOT naturally idempotent, the pin is
+    *     what makes it so;
+    *   - a crash BETWEEN the two commits leaves the intent, and the
+    *     replayed batch (same data — the file-source batch is pinned
+    *     by the checkpoint) finds its own txn pending and RECOVERS it:
+    *     the flipped store is skipped by its pin, only the missing one
+    *     commits.
+    * `crashBefore` is the spec's fault-injection seam; production
+    * callers leave it None. */
+  private[graft] def runDualSink(s: SparkSession, d: String,
+                                 mvDirPath: String, stateDirPath: String,
+                                 ckptPath: String, txnLogPath: String,
+                                 crashBefore: Option[(Long, String)] = None,
+                                 onExec: (Long, String) => Unit = (_, _) => ())
+      : Unit = {
+    val ss = streamSession(s)
+    val src = splitEventsLayout(ss, d)
+    if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(mvDirPath, "_manifest.json"))) {
+      // bootstrap: an EMPTY epoch-0 view (the stream owns all the data)
+      graft.ops.MvStore.build(dualMvPartials(ss.read.parquet(src).limit(0)),
+        mvDirPath, Seq("event_type"), Seq("n", "cents")): Unit
+    }
+    val schema = ss.read.parquet(src).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(s"$src/part-*.parquet")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckptPath)
+      .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+        val sb = batch.sparkSession
+        val log = java.nio.file.Paths.get(txnLogPath)
+        val txnId = s"b$id"
+        def exec(st: graft.ArtifactTxn.Step): Unit = {
+          crashBefore.filter(c => c._1 == id.toLong && c._2 == st.store).foreach(_ =>
+            throw new RuntimeException(s"injected crash before ${st.store} in batch $id"))
+          onExec(id.toLong, st.store)
+          st.store match {
+            case "mv" =>
+              graft.ops.MvStore.refresh(sb, mvDirPath, dualMvPartials(batch)): Unit
+            case "upsert" =>
+              mergeUpsertBatch(sb, stateDirPath, batch): Unit
+          }
+        }
+        val head: graft.ArtifactTxn.Step => Long = st => st.store match {
+          case "mv" => graft.ops.MvStore.open(mvDirPath).epoch
+          case "upsert" =>
+            readUpsertManifest(java.nio.file.Paths.get(stateDirPath))
+              .map(_.epoch).getOrElse(-1L)
+        }
+        val steps = Seq(
+          graft.ArtifactTxn.Step("mv", mvDirPath, id.toLong + 1, ""),
+          graft.ArtifactTxn.Step("upsert", stateDirPath, id.toLong, ""))
+        if (graft.ArtifactTxn.pending(log).exists(_.id == txnId))
+          graft.ArtifactTxn.recover(log, exec, head): Unit
+        else
+          graft.ArtifactTxn.run(log, txnId, steps, exec, head)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Current upsert-table head epoch, −1 when no commit landed yet
+    * (spec accessor — readUpsertManifest is file-layout-private). */
+  private[graft] def readUpsertEpochHead(stateDirPath: String): Long =
+    readUpsertManifest(java.nio.file.Paths.get(stateDirPath))
+      .map(_.epoch).getOrElse(-1L)
+
+  private val dualSinkDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String)]]()
+
+  private def dualSinkLayout(s: SparkSession, d: String): (String, String) =
+    perSession(dualSinkDirs, s).getOrElseUpdate(d, {
+      val pid = ProcessHandle.current().pid()
+      val tag = graft.ops.Tables.layoutTag(d)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val mv = s"$tmp/graft_dualmv_${pid}_$tag"
+      val st = s"$tmp/graft_dualstate_${pid}_$tag"
+      val ck = s"$tmp/graft_dualckpt_${pid}_$tag"
+      val tx = s"$tmp/graft_dualtxn_${pid}_$tag"
+      Seq(mv, st, ck, tx).foreach { p =>
+        graft.Fs.deleteRecursively(new java.io.File(p)); exitDeleteDirs.add(p)
+      }
+      runDualSink(s, d, mv, st, ck, tx)
+      (mv, st)
+    })
+
+  /** One stream, TWO artifacts, one logical commit per micro-batch:
+    * serve both sinks and join them — the per-type MV totals beside
+    * the count of users whose LAST event is that type (from the LWW
+    * state table). The oracle computes both legs directly from the
+    * event history, so one hash match certifies the fan-out converged
+    * on BOTH artifacts. */
+  val st_dual_sink: Q = (s, d) => {
+    val (mvDir, stDir) = dualSinkLayout(s, d)
+    val mv = graft.ops.MvStore.serve(s, mvDir, graft.ops.MvStore.open(mvDir))
+    val statePaths = readUpsertManifest(java.nio.file.Paths.get(stDir))
+      .toSeq.flatMap(_.buckets.values).map(rel => s"$stDir/$rel")
+    val lastCounts = s.read.parquet(statePaths: _*)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users_last"))
+    mv.join(lastCounts, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("cents"),
+        coalesce(col("n_users_last"), lit(0L)).as("n_users_last"))
+      .orderBy(col("event_type"))
   }
 
   // ---------------------------- deletion vectors (merge-on-read delete)
@@ -1850,6 +1989,7 @@ object StreamingOps {
     "st_ann_ingest" -> st_ann_ingest,
     "st_mv_ingest" -> st_mv_ingest,
     "st_upsert_dv" -> st_upsert_dv,
+    "st_dual_sink" -> st_dual_sink,
     "st_scd_join" -> st_scd_join,
     "st_tumbling" -> st_tumbling,
     "st_sliding" -> st_sliding,
@@ -2030,6 +2170,28 @@ object StreamingOps {
         |  FROM e GROUP BY 1)
         |SELECT user_id, m.tus AS last_tus, m.et AS last_type, m.c AS cents
         |FROM last ORDER BY user_id""".stripMargin,
+    // both fan-out legs recomputed directly from the event history:
+    // per-type totals (MV leg) and last-event-type user counts (state
+    // leg) — one hash certifies the dual commit converged on both
+    "st_dual_sink" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1),
+        |last AS (
+        |  SELECT user_id,
+        |    max(struct_pack(tus := tus, et := event_type, c := cents)) AS m
+        |  FROM e GROUP BY 1),
+        |lc AS (SELECT m.et AS event_type, COUNT(*) AS n_users_last
+        |       FROM last GROUP BY 1)
+        |SELECT a.event_type, a.n, a.cents,
+        |  CAST(COALESCE(lc.n_users_last, 0) AS BIGINT) AS n_users_last
+        |FROM agg a LEFT JOIN lc USING (event_type)
+        |ORDER BY a.event_type""".stripMargin,
     // the MoR-served state = the LWW arg-max minus the victim slice
     "st_upsert_dv" ->
       """WITH e AS (

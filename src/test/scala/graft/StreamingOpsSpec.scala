@@ -631,6 +631,56 @@ class StreamingOpsSpec extends AnyFunSuite {
       "pre-evolution snapshot must equal the LWW over pre-cutoff events")
   }
 
+  test("dual sink: crash between the two commits recovers exactly-once; batch pins stop re-application") {
+    def tmp(t: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_dual_$t").toString
+    val (mv, st, ck, tx) = (tmp("mv"), tmp("st"), tmp("ck"), tmp("tx"))
+    Seq(mv, st, ck, tx).foreach(p => graft.Fs.deleteRecursively(new java.io.File(p)))
+    var execs = List.empty[(Long, String)]
+    val note = (i: Long, s: String) => { execs ::= (i -> s); () }
+
+    // the process "dies" between batch 1's MV flip and its upsert flip
+    val boom = intercept[Exception](StreamingOps.runDualSink(spark, sf,
+      mv, st, ck, tx, crashBefore = Some((1L, "upsert")), onExec = note))
+    assert(boom.getMessage != null)
+    assert(graft.ArtifactTxn.pending(java.nio.file.Paths.get(tx)).map(_.id) == Seq("b1"),
+      "batch 1's intent must survive the crash")
+    assert(graft.ops.MvStore.open(mv).epoch == 2L,
+      "MV must hold bootstrap + batches 0 and 1")
+    assert(StreamingOps.readUpsertEpochHead(st) == 0L,
+      "upsert must hold only batch 0")
+
+    // restart on the same checkpoint: batch 1 replays with identical
+    // data, recovery completes ONLY the missing store
+    execs = Nil
+    StreamingOps.runDualSink(spark, sf, mv, st, ck, tx, onExec = note)
+    assert(!execs.contains(1L -> "mv"), "recovery re-applied the flipped MV leg")
+    assert(execs.contains(1L -> "upsert"), "recovery skipped the missing upsert leg")
+    assert(graft.ArtifactTxn.pending(java.nio.file.Paths.get(tx)).isEmpty)
+
+    // both artifacts converged to the direct batch computation
+    val served = StreamingOps.st_dual_sink(spark, sf) // memoized separate dirs
+    assert(served.count() > 0)
+    val ev = graft.ops.Tables.events(spark, sf)
+    val expectMv = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val gotMv = graft.ops.MvStore.serve(spark, mv, graft.ops.MvStore.open(mv))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotMv == expectMv, "MV leg drifted after crash recovery")
+
+    // a rerun over a FRESH checkpoint replays every batch: the batch
+    // pins skip every step — zero re-applications, answers unchanged
+    execs = Nil
+    StreamingOps.runDualSink(spark, sf, mv, st, tmp("ck2"), tx, onExec = note)
+    assert(execs.isEmpty, s"pinned steps re-applied on full replay: $execs")
+    val gotMv2 = graft.ops.MvStore.serve(spark, mv, graft.ops.MvStore.open(mv))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotMv2 == expectMv, "full replay changed the additive MV")
+
+    Seq(mv, st, ck, tx).foreach(p => graft.Fs.deleteRecursively(new java.io.File(p)))
+  }
+
   test("deletion vectors: zero rewrite at delete, exact MoR serve, physical compaction, stale guard") {
     val st = java.nio.file.Files.createTempDirectory("graft_dvspec_state_").toString
     val ck = java.nio.file.Files.createTempDirectory("graft_dvspec_ckpt_").toString
