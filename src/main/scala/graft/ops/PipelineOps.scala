@@ -359,6 +359,39 @@ object PipelineOps {
           .as("scrubbed_hash16"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------- golden-record survivorship
+
+  /** FIELD-LEVEL SURVIVORSHIP (the MDM golden-record merge): one
+    * record per entity where EACH FIELD follows its own rule — latest
+    * wins for the status field, latest NON-NULL wins for the amount
+    * (sparse fields must not be blanked by a recent row that lacks
+    * them — the way row-level LWW like [[p_cdc_apply]]/`st_cdc` would),
+    * min/max for the lifecycle timestamps, sum for the counter. Nulls
+    * are PLANTED (`event_id % 7` blanks the amount), so for real
+    * entities the latest row IS a null row and the two rules genuinely
+    * diverge — spec-asserted non-vacuous. Every rule is one
+    * `max(struct(ts, field))` / conditional variant inside a single
+    * per-entity aggregate: one shuffle, order-independent,
+    * batch-slicing-independent (each rule is associative+commutative),
+    * so the same merge runs incrementally at 100 TB. The oracle
+    * replays each rule with `struct_pack` arg-maxes. */
+  val p_golden_record: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"),
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        max(struct(col("tus"), col("event_type"))).getField("event_type")
+          .as("last_type"),
+        max(when(col("cents").isNotNull, struct(col("tus"), col("cents"))))
+          .getField("cents").as("last_cents"),
+        min(col("tus")).as("first_tus"),
+        max(col("tus")).as("last_tus"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   // --------------------------------------- leakage-proof dataset split
 
   /** LEAKAGE-PROOF train/val/test split — the split step of a training
@@ -1080,9 +1113,26 @@ object PipelineOps {
     "p_bpe_pair_counts" -> p_bpe_pair_counts,
     "p_leakage_split" -> p_leakage_split,
     "p_contig_pack" -> p_contig_pack,
+    "p_golden_record" -> p_golden_record,
   )
 
   val oracles: Map[String, String] = Map(
+    // per-field arg-max rules replayed with struct_pack; the planted
+    // %7 null rule mirrored so latest-non-null diverges from latest
+    "p_golden_record" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |SELECT user_id,
+        |  max(struct_pack(tus := tus, et := event_type)).et AS last_type,
+        |  max(CASE WHEN cents IS NOT NULL
+        |        THEN struct_pack(tus := tus, c := cents) END).c AS last_cents,
+        |  CAST(min(tus) AS BIGINT) AS first_tus,
+        |  CAST(max(tus) AS BIGINT) AS last_tus,
+        |  COUNT(1) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     // identical BPE counts, identical global prefix sum, identical
     // chunk arithmetic — the whole contiguous layout replayed
     "p_contig_pack" ->

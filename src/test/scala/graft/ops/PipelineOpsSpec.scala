@@ -53,6 +53,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("golden record: latest-non-null genuinely diverges from row-LWW on planted nulls") {
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // row-LWW view: each user's latest row's cents (null if planted)
+    val lastRow = ev.groupBy(_._1).map { case (u, rows) =>
+      val (_, _, eid, c) = rows.maxBy(_._2)
+      u -> (if (eid % 7 == 0) None else Some(c))
+    }
+    val got = PipelineOps.p_golden_record(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // non-vacuity: for at least one user the latest row is a planted
+    // null, so the survivorship rule must reach PAST it
+    val diverging = lastRow.filter { case (u, c) => c.isEmpty && got(u).nonEmpty }
+    assert(diverging.nonEmpty,
+      "no user whose latest row is null-amount — survivorship rule vacuous")
+    // and the reached value is that user's latest NON-NULL amount
+    diverging.keys.foreach { u =>
+      val expect = ev.filter(r => r._1 == u && r._3 % 7 != 0)
+        .sortBy(_._2).lastOption.map(_._4)
+      assert(got(u) == expect, s"user $u survivorship drifted")
+    }
+  }
+
   test("contig pack: offsets tile the stream densely; chunk spans are exact") {
     val rows = PipelineOps.p_contig_pack(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
