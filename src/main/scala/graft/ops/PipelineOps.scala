@@ -359,6 +359,33 @@ object PipelineOps {
           .as("scrubbed_hash16"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------- dataset card
+
+  /** DATASET CARD — the per-source "nutrition label" a corpus release
+    * ships: document and character counts, exact BPE token totals (the
+    * committed tokenizer — what a training-budget plan is actually
+    * priced in), min/max doc length, and the quality-gate pass rate
+    * (the [[p_curate_apply]] ≥-[[MinWords]] rule, so the card reports
+    * the same gate the pipeline enforces). One corpus pass for the
+    * token counts + one map-side-combined aggregate — the report costs
+    * what a count does at 100 TB. Exact integers everywhere; the
+    * oracle replays the BPE counts and the word-gate rule. */
+  val p_dataset_card: Q = (s, d) => {
+    val toks = TextOps.bpeSourceTokens(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (size(split(col("text"), " ")) >= MinWords).as("pass_gate"))
+    toks.join(docs, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(when(col("pass_gate"), 1L).otherwise(0L)).as("n_pass_gate"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------- golden-record survivorship
 
   /** FIELD-LEVEL SURVIVORSHIP (the MDM golden-record merge): one
@@ -1114,9 +1141,23 @@ object PipelineOps {
     "p_leakage_split" -> p_leakage_split,
     "p_contig_pack" -> p_contig_pack,
     "p_golden_record" -> p_golden_record,
+    "p_dataset_card" -> p_dataset_card,
   )
 
   val oracles: Map[String, String] = Map(
+    // BPE counts + word-gate rule replayed; all-integer card
+    "p_dataset_card" ->
+      s"""WITH ${TextOps.bpeCountCtes},
+         |c AS (SELECT d.doc_id, d.source, d.n_chars, b.n_tokens,
+         |    len(string_split(d.text, ' ')) >= $MinWords AS pass_gate
+         |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id)
+         |SELECT source, COUNT(1) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+         |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+         |  CAST(SUM(CASE WHEN pass_gate THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gate
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // per-field arg-max rules replayed with struct_pack; the planted
     // %7 null rule mirrored so latest-non-null diverges from latest
     "p_golden_record" ->
