@@ -532,6 +532,32 @@ object RelationalQueries {
     }
   }
 
+  /** ANSI aggregate FILTER clauses through the SQL front-end — the
+    * conditional-aggregation syntax (`COUNT(*) FILTER (WHERE …)`)
+    * analysts write instead of CASE pyramids; Spark compiles each to
+    * the same conditional aggregate as [[q_conditional_agg]]'s
+    * DataFrame form, one pass, map-side combined. Both engines run the
+    * literally identical statement. */
+  val q_sql_agg_filter: Q = (s, d) => {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    orders(s, d).createOrReplaceTempView(s"graft_o_$tag")
+    try s.sql(sqlAggFilter(s"graft_o_$tag"))
+    finally { s.catalog.dropTempView(s"graft_o_$tag"): Unit }
+  }
+
+  /** ONE template for both engines (identity mapping in the oracle). */
+  private def sqlAggFilter(ordersTable: String): String =
+    s"""SELECT o_orderstatus,
+       |  COUNT(*) AS n,
+       |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+       |    FILTER (WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00') AS BIGINT)
+       |    AS cents_since_95,
+       |  CAST(MIN(o_orderkey) FILTER (WHERE o_custkey % 2 = 0) AS BIGINT)
+       |    AS min_even_cust_order
+       |FROM $ordersTable
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT through the SQL
     * front-end — the "top-N related rows per outer row" idiom
     * (`FROM customer, LATERAL (SELECT … WHERE o_custkey = c_custkey
@@ -2476,6 +2502,7 @@ object RelationalQueries {
     "q_bloom_join" -> q_bloom_join,
     "q_shuffle_hash_join" -> q_shuffle_hash_join,
     "q_sql_exists" -> q_sql_exists,
+    "q_sql_agg_filter" -> q_sql_agg_filter,
     "q_sessionize" -> q_sessionize,
     "q_sessionize_skew" -> q_sessionize_skew,
     "q_funnel" -> q_funnel,
@@ -3168,6 +3195,8 @@ object RelationalQueries {
         |  COUNT(1) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the IDENTICAL statement under the identity table mapping
+    "q_sql_agg_filter" -> sqlAggFilter("orders"),
     "q_sql_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS n
         |FROM orders
