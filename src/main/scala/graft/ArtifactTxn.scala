@@ -121,12 +121,23 @@ object ArtifactTxn {
       }
     }
 
-  /** Transactions whose intent survived a crash, oldest first. */
-  def pending(logDir: Path): Seq[Txn] =
+  /** Transactions whose intent survived a crash, oldest first. Ids
+    * embed a monotone batch number (`b0`, `b1`, …), so "oldest" sorts
+    * NUMERICALLY on the trailing digit run (plain lexicographic order
+    * would replay `b10` before `b2` and fail the earlier txn's epoch
+    * pin); ids without a numeric suffix tie-break lexicographically. */
+  def pending(logDir: Path): Seq[Txn] = {
+    def key(name: String): (String, Long, String) = {
+      val id = name.stripPrefix("_txn-").stripSuffix(".json")
+      val digits = id.reverse.takeWhile(_.isDigit).reverse
+      val prefix = id.dropRight(digits.length)
+      (prefix, if (digits.isEmpty) -1L else digits.toLong, id)
+    }
     Option(logDir.toFile.listFiles()).toSeq.flatten
       .filter(f => f.getName.startsWith("_txn-") && f.getName.endsWith(".json"))
-      .sortBy(_.getName)
+      .sortBy(f => key(f.getName))
       .map(f => parse(f.toPath))
+  }
 
   /** Replay every pending transaction to completion (epoch pins make
     * each step exactly-once) and clear its intent. Returns the number

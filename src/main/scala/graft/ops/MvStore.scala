@@ -274,8 +274,23 @@ object MvStore {
     require(mf.keys == mt.keys && mf.aggs == mt.aggs,
       s"view definition drifted between epochs: ${mf.keys}/${mf.aggs} vs ${mt.keys}/${mt.aggs}")
     val changed = mt.buckets.filter { case (k, rel) => !mf.buckets.get(k).contains(rel) }
-    if (changed.isEmpty) // no refresh landed between the epochs
-      return serve(s, dir, mt).limit(0)
+    if (changed.isEmpty) { // no refresh landed between the epochs
+      // serve(...).limit(0) would still require a non-empty bucket set
+      // (reduceBuckets reads parquet for the schema) — an EMPTY view
+      // (e.g. the dual-sink's epoch-0 bootstrap) must yield an empty
+      // feed, not throw. With buckets we keep the exact stored schema;
+      // without, no schema was ever recorded, so string keys + long
+      // aggs (every agg in this store merges as a summed long).
+      if (mt.buckets.nonEmpty) return serve(s, dir, mt).limit(0)
+      val fields = mt.keys.map(k =>
+          org.apache.spark.sql.types.StructField(k,
+            org.apache.spark.sql.types.StringType)) ++
+        mt.aggs.map(a => org.apache.spark.sql.types.StructField(a,
+          org.apache.spark.sql.types.LongType))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields))
+    }
     val oldRels = changed.keys.flatMap(mf.buckets.get)
     val newAgg = reduceBuckets(s, dir, mt, changed.values)
     val oldAgg = // every changed bucket can be NEW in `to` (first write);

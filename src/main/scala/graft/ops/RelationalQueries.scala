@@ -1492,8 +1492,10 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  private val mvStoreDirs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  // weak-keyed per session (graft.SessionCache): a strong (session, dir)
+  // key would retain stopped sessions and their artifact-dir state for
+  // the JVM lifetime
+  private val mvStoreDirs = graft.SessionCache.newCache[String]()
 
   /** Write-once durable-MV artifact per (session, fixture dir) for
     * [[q_mv_served]]/[[q_mv_asof]]: [[MvStore.build]] at epoch 0 over
@@ -1505,7 +1507,7 @@ object RelationalQueries {
     * artifact out from under a concurrently-reading JVM — unlike the
     * overwrite-idempotent layout dirs, this one must not be shared. */
   private[ops] def mvStoreDir(s: SparkSession, d: String): String =
-    mvStoreDirs.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(mvStoreDirs, s).getOrElseUpdate(d, {
       val tag = Tables.layoutTag(d)
       val pid = ProcessHandle.current().pid()
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvstore_${pid}_$tag"
@@ -1566,8 +1568,7 @@ object RelationalQueries {
   private val MvRetractMod = 97
   private val MvRetractMonths = Seq("2001-09", "2001-10")
 
-  private val mvRetractDirs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val mvRetractDirs = graft.SessionCache.newCache[String]()
 
   /** Write-once RETRACTION artifact: the full-history MV at epoch 0,
     * then one refresh whose delta carries the corrections as
@@ -1577,7 +1578,7 @@ object RelationalQueries {
     * maintenance: a changelog's (before, after) images become
     * (−partial(before), +partial(after)). */
   private[ops] def mvRetractDir(s: SparkSession, d: String): String =
-    mvRetractDirs.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(mvRetractDirs, s).getOrElseUpdate(d, {
       val tag = Tables.layoutTag(d)
       val pid = ProcessHandle.current().pid()
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvretract_${pid}_$tag"
@@ -1676,8 +1677,7 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"), col("m"))
   }
 
-  private val mvJoinDirs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val mvJoinDirs = graft.SessionCache.newCache[String]()
 
   /** Write-once DURABLE join-MV: epoch 0 holds the old-quadrant view,
     * one refresh folds the three delta-join terms — possible at all
@@ -1685,7 +1685,7 @@ object RelationalQueries {
     * (keys `o_orderpriority`, aggs `rev_cents, n`) instead of
     * hardcoding the single-table view's schema. */
   private[ops] def mvJoinDir(s: SparkSession, d: String): String =
-    mvJoinDirs.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(mvJoinDirs, s).getOrElseUpdate(d, {
       val tag = Tables.layoutTag(d)
       val pid = ProcessHandle.current().pid()
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvjoin_${pid}_$tag"

@@ -133,8 +133,15 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     bands.headOption.map(buildPlan(j, _, width))
   }
 
-  private def asLong(e: Expression): Expression =
-    if (e.dataType == LongType) e else Cast(e, LongType)
+  /** DateType cannot `Cast` to LongType in Spark 4 (DATATYPE_MISMATCH at
+    * plan validation — an optimizer-built invalid cast would fail the
+    * whole query, not fall back); dates bin through `UnixDate` (days
+    * since epoch, so the bin width's unit for dates is DAYS). */
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case DateType => Cast(UnixDate(e), LongType)
+    case _        => Cast(e, LongType)
+  }
 
   /** Expressions built INSIDE the optimizer skip the analyzer, so any
     * TimeZoneAwareExpression (Cast from timestamp, Sequence) must get

@@ -109,6 +109,19 @@ class ArtifactTxnSpec extends AnyFunSuite {
     assert(head(ss(0)) == ss(0).expectedEpoch && head(ss(1)) == ss(1).expectedEpoch)
   }
 
+  test("pending replays numerically by batch id, not lexicographically") {
+    // intent files for b2 and b10: lexicographic order would replay
+    // b10 first and fail b2's epoch pin; numeric order must win
+    val log = java.nio.file.Files.createTempDirectory("graft_txn_order")
+    def plant(id: String): Unit =
+      intercept[RuntimeException](ArtifactTxn.run(log, id,
+        Seq(ArtifactTxn.Step("s", "/none", 0L, "")),
+        _ => throw new RuntimeException("crash"), _ => -1L)): Unit
+    Seq("b10", "b2", "b1", "b21").foreach(plant)
+    assert(ArtifactTxn.pending(log).map(_.id) == Seq("b1", "b2", "b10", "b21"))
+    graft.Fs.deleteRecursively(log.toFile)
+  }
+
   test("loud failures: duplicate pending id; out-of-band writer past the pin") {
     val (text, dedup, log) = fixture("guards")
     val ss = steps(text, dedup)

@@ -104,6 +104,25 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     assert(plan.contains("__graft_bin"), "rule did not fire on the negative-range fixture")
   }
 
+  test("date-typed band joins bin via unix_date (Cast date→long is invalid in Spark 4)") {
+    val s = ruleSession(7, force = true) // width = 7 DAYS for dates
+    import s.implicits._
+    val pts = Seq("2024-01-01", "2024-01-15", "2024-03-01").toDF("d")
+      .select(col("d").cast("date").as("p"))
+    val ivs = Seq(("2023-12-25", "2024-01-20", "a"), ("2024-02-20", "2024-02-28", "b"))
+      .toDF("slo", "shi", "iid")
+      .select(col("slo").cast("date").as("lo"), col("shi").cast("date").as("hi"), col("iid"))
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    // the rewrite must FIRE (dates are binnable) and the plan must
+    // survive validation — the pre-fix failure mode was an unresolvable
+    // Cast(date, long) inside the optimized plan
+    assert(joined.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+      "rule did not fire on a date-typed band")
+    val got = joined.select(col("p").cast("string"), col("iid")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("2024-01-01", "a"), ("2024-01-15", "a")), s"date band rows drifted: $got")
+  }
+
   test("strict bounds keep their strictness through the residual") {
     val s = ruleSession(10, force = true)
     import s.implicits._

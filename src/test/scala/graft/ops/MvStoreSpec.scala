@@ -191,6 +191,31 @@ class MvStoreSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("change feed over an EMPTY view yields an empty frame, not a throw") {
+    // the dual-sink bootstraps its MV with an empty epoch 0; a feed
+    // spanning two no-change epochs (or any span over a bucket-less
+    // manifest) must return zero rows with the view schema — the old
+    // serve(...).limit(0) shortcut required a non-empty bucket set
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvfeed_empty_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val partials = li
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"),
+        count(lit(1)).as("n"))
+    MvStore.build(partials.limit(0), dir, Seq("l_returnflag"), Seq("qty", "n")) // e0: EMPTY
+    MvStore.refresh(spark, dir, partials.limit(0)): Unit                        // e1: still empty
+    val feed = MvStore.changeFeed(spark, dir, 0L, 1L)
+    assert(feed.columns.toSeq == Seq("l_returnflag", "qty", "n"))
+    assert(feed.count() == 0L)
+    // and a non-empty view's no-change span still uses the stored schema
+    MvStore.refresh(spark, dir, partials.filter(col("m") === "2001-10")): Unit  // e2: data
+    MvStore.refresh(spark, dir, partials.limit(0)): Unit                        // e3: no change
+    val quiet = MvStore.changeFeed(spark, dir, 2L, 3L)
+    assert(quiet.columns.toSeq == Seq("l_returnflag", "qty", "n") && quiet.count() == 0L)
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("lease-pinned change feed survives concurrent retention GC, expires after release") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mvfeedlease_").toString
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
