@@ -230,6 +230,17 @@ object AnnIndexStore {
     * ONLY here and in [[rebalance]] (both corpus-maintenance commits,
     * by design) — [[topK]]/[[applyDelta]] read the quantizer back from
     * the manifest. */
+  /** Production sizing for `k` (the IVF cell count, FAISS's `nlist`):
+    * ~√N cells balances cells-scanned-per-probe against
+    * vectors-per-cell (probe cost ≈ nprobe·N/k + k, minimized near
+    * √N); at 10⁹ vectors that's ~32k cells. The fixture default
+    * [[SimilarityOps.NumCentroids]] only seeds tests — every probe
+    * reads the centroids FROM THE MANIFEST, so any `k` is
+    * version-safe across epochs. */
+  def suggestedNlist(nVectors: Long): Int =
+    math.max(SimilarityOps.NumCentroids,
+      math.min(1 << 20, math.ceil(math.sqrt(math.max(1L, nVectors).toDouble)).toInt))
+
   def build(corpus: DataFrame, dir: String,
             k: Int = SimilarityOps.NumCentroids,
             index: Option[DataFrame] = None,

@@ -38,8 +38,11 @@ import org.apache.spark.sql.functions._
   *     [[DedupOps.bandedKeys]] derivation as the in-session
   *     [[DedupOps.lshCandidates]]): a batch probes by computing ITS
   *     OWN band keys (a batch-sized job) and equi-joining ONLY the
-  *     [[NumBuckets]]-hashed posting buckets those keys live in
-  *     (explicit manifest paths, never listing). The over-cap skew
+  *     fan-out-hashed posting buckets those keys live in (explicit
+  *     manifest paths, never listing). Both fan-outs are [[build]]
+  *     parameters RECORDED IN THE MANIFEST — probes, deltas, and
+  *     deletes all hash under the index's own fan-out, so re-tuning
+  *     the defaults never mis-routes reads against existing epochs. The over-cap skew
   *     guard carries over: a (band, key) wider than
   *     [[DedupOps.LshBucketCap]] in the index pairs on full-signature
   *     equality (`sfull`) only — the exact-dup route, linear in true
@@ -52,7 +55,7 @@ import org.apache.spark.sql.functions._
   *     per batch would be the corpus-sized job this store exists to
   *     avoid. It is hash-partitioned by `dbucket`; serve materializes
   *     the (batch-proportional, two-longs-per-row) candidate set once
-  *     via `localCheckpoint`, collects its ≤ [[DocBuckets]] distinct
+  *     via `localCheckpoint`, collects its ≤ docBuckets distinct
   *     `dbucket` ids (a bounded driver list, same shape as the IVF
   *     cell probe), and reads ONLY those leaf partition dirs —
   *     path-level pruning that holds by construction rather than by
@@ -73,14 +76,23 @@ import org.apache.spark.sql.functions._
 object DedupIndexStore {
   import graft.Fs.deleteRecursively
 
-  /** Band-key-hash posting buckets (16 at fixture scale; thousands in
-    * production — the unit of delta-merge work and of probe-time read
-    * amplification, same dial as the text index). */
+  /** Default band-key-hash posting fan-out at fixture scale (thousands
+    * in production — the unit of delta-merge work and of probe-time
+    * read amplification, same dial as the text index). The REAL dial
+    * is a [[build]] parameter persisted in the manifest — every probe,
+    * delta, and delete hashes under the fan-out the index was built
+    * with, never under this constant, so re-tuning the default cannot
+    * silently mis-route probes against existing epochs. */
   val NumBuckets = 16
 
-  /** Registry hash partitions — the unit of verify-time partition
-    * pruning. */
+  /** Default registry hash-partition fan-out — the unit of verify-time
+    * partition pruning. Also a [[build]] parameter persisted in the
+    * manifest, for the same version-safety reason. */
   val DocBuckets = 16
+
+  /** Production sizing (same ~√nDocs power-of-two rule as
+    * [[TextIndexStore.suggestedBuckets]], same rationale). */
+  def suggestedBuckets(nDocs: Long): Int = TextIndexStore.suggestedBuckets(nDocs)
 
   /** Committed epochs kept readable as snapshots. */
   val RetainEpochs = 3
@@ -91,7 +103,9 @@ object DedupIndexStore {
 
   case class DedupManifest(epoch: Long, nDocs: Long,
                            buckets: Map[Int, String], docs: Seq[String],
-                           dels: Seq[String] = Nil)
+                           dels: Seq[String] = Nil,
+                           numBuckets: Int = NumBuckets,
+                           docBuckets: Int = DocBuckets)
 
   // ------------------------------------------------------ manifest io
 
@@ -105,7 +119,9 @@ object DedupIndexStore {
       .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
     val docs = m.docs.map(d => s""""$d"""").mkString("[", ",", "]")
     val dels = m.dels.map(d => s""""$d"""").mkString("[", ",", "]")
-    s"""{"epoch":${m.epoch},"nDocs":${m.nDocs},"buckets":$buckets,"docs":$docs,"dels":$dels}"""
+    s"""{"epoch":${m.epoch},"nDocs":${m.nDocs},""" +
+      s""""numBuckets":${m.numBuckets},"docBuckets":${m.docBuckets},""" +
+      s""""buckets":$buckets,"docs":$docs,"dels":$dels}"""
   }
 
   private def parseManifest(p: java.nio.file.Path): DedupManifest = {
@@ -129,7 +145,14 @@ object DedupIndexStore {
                                   case o => sys.error(s"bad dels entry $o") }
       case _ => Nil
     }
-    DedupManifest(num("epoch"), num("nDocs"), buckets, docs, dels)
+    // pre-parameterized manifests were all built at the old fixed
+    // fan-outs — defaulting preserves their probes exactly
+    def fan(f: String, d: Int): Int = (j \ f) match {
+      case JInt(n) => n.toInt
+      case _ => d
+    }
+    DedupManifest(num("epoch"), num("nDocs"), buckets, docs, dels,
+      fan("numBuckets", NumBuckets), fan("docBuckets", DocBuckets))
   }
 
   private def commitManifest(dir: String, m: DedupManifest): Unit =
@@ -163,30 +186,32 @@ object DedupIndexStore {
   // ----------------------------------------------------------- build
 
   private def bandBucket(band: org.apache.spark.sql.Column,
-                         key: org.apache.spark.sql.Column) =
-    pmod(xxhash64(band, key), lit(NumBuckets.toLong)).cast("int")
+                         key: org.apache.spark.sql.Column, fanOut: Int) =
+    pmod(xxhash64(band, key), lit(fanOut.toLong)).cast("int")
 
-  private def docBucket(docId: org.apache.spark.sql.Column) =
-    pmod(xxhash64(docId), lit(DocBuckets.toLong)).cast("int")
+  private def docBucket(docId: org.apache.spark.sql.Column, fanOut: Int) =
+    pmod(xxhash64(docId), lit(fanOut.toLong)).cast("int")
 
   /** (band, key, doc_id, sfull, bucket) LSH postings of pre-shingled
     * (doc_id, sh) rows — signatures via the codegen'd MinHash
     * expression, band keys via [[DedupOps.bandedKeys]], bucket as a
-    * narrow hash. */
-  private def postingsOf(sh: DataFrame): DataFrame =
+    * narrow hash at the index's OWN fan-out (build parameter /
+    * manifest field). */
+  private def postingsOf(sh: DataFrame, fanOut: Int): DataFrame =
     DedupOps.bandedKeys(DedupOps.signatureRows(sh))
-      .withColumn("bucket", bandBucket(col("band"), col("key")))
+      .withColumn("bucket", bandBucket(col("band"), col("key"), fanOut))
       .select(col("band"), col("key"), col("doc_id"), col("sfull"), col("bucket"))
 
   /** Shingle-registry rows: docs with ≥1 shingle (an empty-shingle doc
     * has no signature and can never verify at Jaccard ≥ 0.5 — the same
     * filter the signature path applies). */
-  private def registryRows(sh: DataFrame): DataFrame =
+  private def registryRows(sh: DataFrame, docFanOut: Int): DataFrame =
     sh.filter(size(col("sh")) > 0)
-      .withColumn("dbucket", docBucket(col("doc_id")))
+      .withColumn("dbucket", docBucket(col("doc_id"), docFanOut))
 
-  private def writeRegistrySegment(sh: DataFrame, dir: String, rel: String): Long = {
-    registryRows(sh).write.mode("overwrite")
+  private def writeRegistrySegment(sh: DataFrame, dir: String, rel: String,
+                                   docFanOut: Int): Long = {
+    registryRows(sh, docFanOut).write.mode("overwrite")
       .partitionBy("dbucket").parquet(s"$dir/$rel")
     // count folds the just-written parquet (metadata-sized read), not
     // a second pass over the shingling job
@@ -209,16 +234,24 @@ object DedupIndexStore {
 
   /** Build epoch 0 from `docs` (doc_id, text). The only corpus-scanning
     * jobs of the index's life happen here and in [[applyDelta]]'s
-    * batch-proportional merges. */
-  def build(docs: DataFrame, dir: String): DedupManifest = {
+    * batch-proportional merges. Both fan-outs are build parameters
+    * PERSISTED in the manifest (size with [[suggestedBuckets]] at
+    * scale); the compile-time defaults only seed new builds, never
+    * probes. */
+  def build(docs: DataFrame, dir: String,
+            numBuckets: Int = NumBuckets,
+            docBuckets: Int = DocBuckets): DedupManifest = {
+    require(numBuckets > 0 && docBuckets > 0,
+      s"fan-outs must be positive, got ($numBuckets, $docBuckets)")
     buildCount.incrementAndGet()
     val sh = DedupOps.shingled(docs).cache()
     try {
       val published = graft.ManifestIo.publishPartitions(
-        postingsOf(sh), java.nio.file.Paths.get(dir), 0L, "bucket", "b")
-      val nDocs = writeRegistrySegment(sh, dir, "docs/e0")
+        postingsOf(sh, numBuckets), java.nio.file.Paths.get(dir), 0L, "bucket", "b")
+      val nDocs = writeRegistrySegment(sh, dir, "docs/e0", docBuckets)
       val m = DedupManifest(0L, nDocs,
-        published.map(b => b -> s"b$b/e0").toMap, Seq("docs/e0"))
+        published.map(b => b -> s"b$b/e0").toMap, Seq("docs/e0"),
+        numBuckets = numBuckets, docBuckets = docBuckets)
       commitManifest(dir, m)
       m
     } finally { sh.unpersist(); () }
@@ -246,7 +279,7 @@ object DedupIndexStore {
                                   batch: DataFrame): (DataFrame, ServeDiag) = {
     val batchSh = DedupOps.shingled(batch)
     val bands = DedupOps.bandedKeys(DedupOps.signatureRows(batchSh))
-      .withColumn("bucket", bandBucket(col("band"), col("key")))
+      .withColumn("bucket", bandBucket(col("band"), col("key"), m.numBuckets))
     // bounded collect: distinct bucket ids, ≤ NumBuckets ints — the
     // same driver-side probe-list shape as the IVF cell probe
     val probed = bands.select(col("bucket")).distinct()
@@ -273,7 +306,7 @@ object DedupIndexStore {
     // bounded dbucket collect below doesn't re-run the probe join)
     val pairs = under.unionByName(over)
       .select(col("doc_new"), col("doc_id").as("doc_old")).distinct()
-      .withColumn("dbucket", docBucket(col("doc_old")))
+      .withColumn("dbucket", docBucket(col("doc_old"), m.docBuckets))
       .localCheckpoint()
 
     // exact-Jaccard verify: candidate old docs' shingles from ONLY the
@@ -317,7 +350,7 @@ object DedupIndexStore {
     val next = m.epoch + 1
     val sh = DedupOps.shingled(newDocs).cache()
     try {
-      val regPaths = registryLeafPaths(dir, m, 0 until DocBuckets)
+      val regPaths = registryLeafPaths(dir, m, 0 until m.docBuckets)
       val clash =
         if (regPaths.isEmpty) 0L
         else sh.select(col("doc_id")).distinct()
@@ -326,7 +359,7 @@ object DedupIndexStore {
       require(clash == 0L,
         s"applyDelta is append-only: batch contains doc_ids already indexed at $dir")
 
-      val rows = postingsOf(sh)
+      val rows = postingsOf(sh, m.numBuckets)
       val affected = rows.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       val readPaths = affected.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
@@ -340,12 +373,12 @@ object DedupIndexStore {
       val published = graft.ManifestIo.publishPartitions(
         merged, java.nio.file.Paths.get(dir), next, "bucket", "b")
 
-      val added = writeRegistrySegment(sh, dir, s"docs/e$next")
+      val added = writeRegistrySegment(sh, dir, s"docs/e$next", m.docBuckets)
       val buckets = m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap
       // m.dels carries forward: an insert epoch keeps pending deletes
       // pending (they resolve at compact)
       val m2 = DedupManifest(next, m.nDocs + added, buckets,
-        m.docs :+ s"docs/e$next", m.dels)
+        m.docs :+ s"docs/e$next", m.dels, m.numBuckets, m.docBuckets)
       commitManifest(dir, m2)
       gc(dir, next, retain)
       DeltaCommit(m2, affected, readPaths)
@@ -380,7 +413,7 @@ object DedupIndexStore {
     val m = open(dir)
     val next = m.epoch + 1
     val ids = delDocs.select(col("doc_id")).distinct()
-      .withColumn("dbucket", docBucket(col("doc_id")))
+      .withColumn("dbucket", docBucket(col("doc_id"), m.docBuckets))
     // victims' shingles from ONLY their registry leaf dirs (bounded
     // driver list — the same path-pruning shape as the serve verify)
     val vBuckets = ids.select(col("dbucket")).distinct()
@@ -404,7 +437,7 @@ object DedupIndexStore {
       }
       // the victims' postings, re-derived from their registered
       // shingles — identical keys to the ones build/delta placed
-      val affected = postingsOf(victims).select(col("bucket")).distinct()
+      val affected = postingsOf(victims, m.numBuckets).select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       val readPaths = affected.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
       val cleaned = s.read.parquet(readPaths: _*)
@@ -419,7 +452,7 @@ object DedupIndexStore {
       val buckets = (m.buckets -- affected) ++
         published.map(b => b -> s"b$b/e$next").toMap
       val m2 = DedupManifest(next, m.nDocs - nFound, buckets, m.docs,
-        m.dels :+ rel)
+        m.dels :+ rel, m.numBuckets, m.docBuckets)
       commitManifest(dir, m2)
       gc(dir, next, retain)
       DeleteCommit(m2, nFound, affected)
@@ -449,7 +482,7 @@ object DedupIndexStore {
               retain: Int = RetainEpochs): DedupManifest = {
     val m = open(dir)
     val next = m.epoch + 1
-    val regPaths = registryLeafPaths(dir, m, 0 until DocBuckets)
+    val regPaths = registryLeafPaths(dir, m, 0 until m.docBuckets)
     require(regPaths.nonEmpty, s"nothing to compact at $dir (empty registry)")
     val dels =
       if (m.dels.isEmpty)
@@ -462,14 +495,15 @@ object DedupIndexStore {
     val rel = s"docs/e$next"
     s.read.parquet(regPaths: _*)
       .join(broadcast(dels), Seq("doc_id"), "left_anti")
-      .withColumn("dbucket", docBucket(col("doc_id")))
+      .withColumn("dbucket", docBucket(col("doc_id"), m.docBuckets))
       .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/$rel")
     // the squashed registry must land exactly on the incrementally
     // maintained doc count — a mismatch means a commit drifted
     val n = s.read.parquet(s"$dir/$rel").count()
     require(n == m.nDocs,
       s"compaction recomputed nDocs $n != manifest ${m.nDocs} at $dir")
-    val m2 = DedupManifest(next, m.nDocs, m.buckets, Seq(rel), Nil)
+    val m2 = DedupManifest(next, m.nDocs, m.buckets, Seq(rel), Nil,
+      m.numBuckets, m.docBuckets)
     commitManifest(dir, m2)
     gc(dir, next, retain)
     m2

@@ -37,8 +37,13 @@ import org.apache.spark.sql.functions._
   *   - Postings are DENORMALIZED with the document length (`dl`) —
   *     the Lucene norm-in-posting design — so serving never joins a
   *     corpus-sized doc-length table: a query reads the vocab-sized
-  *     stats table plus ONLY the [[NumBuckets]]-hashed posting buckets
-  *     its terms live in (explicit manifest paths, never listing).
+  *     stats table plus ONLY the fan-out-hashed posting buckets its
+  *     terms live in (explicit manifest paths, never listing). The
+  *     fan-out itself is a [[build]] parameter RECORDED IN THE
+  *     MANIFEST — probes, deltas, and deletes all hash under the
+  *     index's own fan-out, so re-tuning the default (or sizing via
+  *     [[suggestedBuckets]]) never mis-routes reads against existing
+  *     epochs.
   *   - The global scalars (nDocs, sumDl) ride in the manifest and
   *     enter the scoring plan as literals — the idf/norm denominators
   *     cost zero jobs.
@@ -63,10 +68,25 @@ import org.apache.spark.sql.functions._
 object TextIndexStore {
   import graft.Fs.deleteRecursively
 
-  /** Token-hash posting buckets. 16 at fixture scale; the production
-    * dial is thousands (a bucket is the unit of posting-merge work
-    * and of serve-time read amplification). */
+  /** Default token-hash posting fan-out at fixture scale. The REAL
+    * dial is a [[build]] parameter persisted in the manifest — every
+    * probe/merge reads it from there, never from this constant, so
+    * changing the default (or sizing per corpus via
+    * [[suggestedBuckets]]) cannot silently mis-route probes against
+    * epochs built under an older fan-out. */
   val NumBuckets = 16
+
+  /** Production sizing: ~√nDocs posting buckets (rounded up to a power
+    * of two, floored at the fixture default) keeps per-bucket posting
+    * volume sublinear in corpus size while a Q-term query still reads
+    * ≤Q buckets — at 10⁹ docs that's ~32k buckets, so a 5-term probe
+    * touches ~0.015% of posting bytes instead of the fixed-fan-out
+    * 5/16 ≈ 31%. */
+  def suggestedBuckets(nDocs: Long): Int = {
+    val root = math.ceil(math.sqrt(math.max(1L, nDocs).toDouble)).toLong
+    val pow2 = java.lang.Long.highestOneBit(root * 2 - 1)
+    math.max(NumBuckets.toLong, math.min(pow2, 1L << 20)).toInt
+  }
 
   /** Committed epochs kept readable as snapshots. */
   val RetainEpochs = 3
@@ -77,7 +97,8 @@ object TextIndexStore {
 
   case class TextManifest(epoch: Long, nDocs: Long, sumDl: Long,
                           buckets: Map[Int, String], stats: String,
-                          docs: Seq[String], dels: Seq[String] = Nil)
+                          docs: Seq[String], dels: Seq[String] = Nil,
+                          numBuckets: Int = NumBuckets)
 
   // ------------------------------------------------------ manifest io
 
@@ -94,6 +115,7 @@ object TextIndexStore {
     val docs = m.docs.map(d => s""""$d"""").mkString("[", ",", "]")
     val dels = m.dels.map(d => s""""$d"""").mkString("[", ",", "]")
     s"""{"epoch":${m.epoch},"nDocs":${m.nDocs},"sumDl":${m.sumDl},""" +
+      s""""numBuckets":${m.numBuckets},""" +
       s""""buckets":$buckets,"stats":"${m.stats}","docs":$docs,"dels":$dels}"""
   }
 
@@ -120,7 +142,14 @@ object TextIndexStore {
                                   case o => sys.error(s"bad dels entry $o") }
       case _ => Nil
     }
-    TextManifest(num("epoch"), num("nDocs"), num("sumDl"), buckets, stats, docs, dels)
+    // pre-parameterized manifests were all built at the old fixed
+    // fan-out — defaulting preserves their probes exactly
+    val nb = (j \ "numBuckets") match {
+      case JInt(n) => n.toInt
+      case _ => NumBuckets
+    }
+    TextManifest(num("epoch"), num("nDocs"), num("sumDl"), buckets, stats, docs,
+      dels, nb)
   }
 
   private def commitManifest(dir: String, m: TextManifest): Unit =
@@ -154,13 +183,15 @@ object TextIndexStore {
   // ----------------------------------------------------------- build
 
   /** (doc_id, tok, tf, dl, bucket) postings of a corpus slice — tf/dl
-    * from one occurrence shuffle, bucket as a narrow hash. */
-  private def postingsOf(docs: DataFrame): DataFrame = {
+    * from one occurrence shuffle, bucket as a narrow hash at the
+    * index's OWN fan-out (build parameter / manifest field, so a delta
+    * against an old epoch always hashes the way that epoch did). */
+  private def postingsOf(docs: DataFrame, fanOut: Int): DataFrame = {
     val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     occ.join(dl, "doc_id")
-      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NumBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(fanOut.toLong)).cast("int"))
   }
 
   /** Stage posting rows partitioned by bucket, publish each staged
@@ -178,10 +209,16 @@ object TextIndexStore {
   /** Build epoch 0 from `docs` (doc_id, text): postings + stats + doc
     * registry + scalars, one manifest flip. The only corpus-scanning
     * jobs of the index's life happen here and in [[applyDelta]]'s
-    * batch-proportional merges. */
-  def build(docs: DataFrame, dir: String): TextManifest = {
+    * batch-proportional merges. `numBuckets` is the posting fan-out —
+    * PERSISTED in the manifest so every later probe, delta, and delete
+    * hashes under the fan-out this build used (size it with
+    * [[suggestedBuckets]] at scale; the compile-time default only
+    * seeds new builds, never probes). */
+  def build(docs: DataFrame, dir: String,
+            numBuckets: Int = NumBuckets): TextManifest = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     buildCount.incrementAndGet()
-    val rows = postingsOf(docs).cache()
+    val rows = postingsOf(docs, numBuckets).cache()
     try {
       val published = publishBuckets(
         rows.select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("bucket")),
@@ -196,7 +233,8 @@ object TextIndexStore {
       val scalars = docs.sparkSession.read.parquet(s"$dir/docs/e0")
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head
       val m = TextManifest(0L, scalars.getLong(0), scalars.getLong(1),
-        published.map(b => b -> s"b$b/e0").toMap, "stats/e0", Seq("docs/e0"))
+        published.map(b => b -> s"b$b/e0").toMap, "stats/e0", Seq("docs/e0"),
+        numBuckets = numBuckets)
       commitManifest(dir, m)
       m
     } finally { rows.unpersist(); () }
@@ -209,7 +247,7 @@ object TextIndexStore {
     * read from the persisted vocab stats: (tok, df, bucket). */
   private def queryTerms(s: SparkSession, dir: String, m: TextManifest): Seq[(String, Long, Int)] =
     s.read.parquet(s"$dir/${m.stats}")
-      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(NumBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(m.numBuckets.toLong)).cast("int"))
       .orderBy(desc("df"), col("tok")).limit(TextOps.BmQueryK)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
 
@@ -268,7 +306,7 @@ object TextIndexStore {
                  retain: Int = RetainEpochs): DeltaCommit = {
     val m = open(dir)
     val next = m.epoch + 1
-    val rows = postingsOf(newDocs).cache()
+    val rows = postingsOf(newDocs, m.numBuckets).cache()
     try {
       // insert-only contract, checked against the persisted registry
       val reg = s.read.parquet(m.docs.map(rel => s"$dir/$rel"): _*)
@@ -306,7 +344,7 @@ object TextIndexStore {
       // tombstoned docs
       val m2 = TextManifest(next, m.nDocs + delta.getLong(0),
         m.sumDl + delta.getLong(1), buckets, s"stats/e$next",
-        m.docs :+ s"docs/e$next", m.dels)
+        m.docs :+ s"docs/e$next", m.dels, m.numBuckets)
       commitManifest(dir, m2)
       gc(dir, next, retain)
       DeltaCommit(m2, affected, readPaths)
@@ -359,7 +397,7 @@ object TextIndexStore {
       found.select(col("doc_id")).write.mode("overwrite").parquet(s"$dir/$rel")
       val dropped = found.agg(sum(col("dl")).as("s")).head.getLong(0)
       val m2 = TextManifest(next, m.nDocs - nFound, m.sumDl - dropped,
-        m.buckets, m.stats, m.docs, m.dels :+ rel)
+        m.buckets, m.stats, m.docs, m.dels :+ rel, m.numBuckets)
       commitManifest(dir, m2)
       gc(dir, next, retain)
       DeleteCommit(m2, nFound, dropped)
@@ -406,7 +444,7 @@ object TextIndexStore {
           s"manifest (${m.nDocs}, ${m.sumDl}) at $dir")
       val m2 = TextManifest(next, m.nDocs, m.sumDl,
         published.map(b => b -> s"b$b/e$next").toMap, s"stats/e$next",
-        Seq(s"docs/e$next"), Nil)
+        Seq(s"docs/e$next"), Nil, m.numBuckets)
       commitManifest(dir, m2)
       gc(dir, next, retain)
       m2

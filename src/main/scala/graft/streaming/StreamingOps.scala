@@ -39,25 +39,14 @@ object StreamingOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Session-keyed memo hygiene: these caches used to be process-global
-    * TrieMaps keyed by (SparkSession, dir) tuples, which hold STRONG
-    * session references — a long-lived process running many sessions
-    * retained every stopped session (and its entries) forever. Weak
-    * keys let a collected session's entries vanish with it; the inner
-    * per-dir map carries no session reference. Access goes through
-    * [[perSession]], which locks only the outer map lookup, never a
-    * Spark job. */
+  /** Session-keyed memo hygiene — see [[graft.SessionCache]] (weak
+    * session keys so stopped sessions and their entries are
+    * collectable; the lock covers only the outer lookup, never a
+    * Spark job). */
   private def perSession[V](m: java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[String, V]],
       s: SparkSession): scala.collection.concurrent.TrieMap[String, V] =
-    m.synchronized {
-      val cur = m.get(s)
-      if (cur != null) cur
-      else {
-        val v = scala.collection.concurrent.TrieMap.empty[String, V]
-        m.put(s, v); v
-      }
-    }
+    graft.SessionCache.perSession(m, s)
 
   /** Source schemas per session+dir: one batch footer read each —
     * a required-by-API explicit schema for the file stream, kept
@@ -147,6 +136,29 @@ object StreamingOps {
         deleteRecursively(ckpt.toFile)
       }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private val rehomeDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val rehomeSweep: Unit = { // one hook, registered lazily
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      rehomeDirs.forEach(d => deleteRecursively(d))
+    }))
+  }
+
+  /** Re-home a DISTRIBUTED result onto the parent session without
+    * materializing it on the driver: write to a JVM-lifetime spill
+    * dir, read back. The `collect`-and-`createDataFrame` alternative
+    * is right for bounded aggregates (what [[drain]] does) but is
+    * O(result) driver memory — for a state table that's O(distinct
+    * keys), the witness OOMing on data the serve path handles
+    * distributed. The spill dir must outlive the call (the returned
+    * frame reads it lazily), so it is swept at JVM exit, not here. */
+  private def rehome(parent: SparkSession, df: DataFrame): DataFrame = {
+    rehomeSweep
+    val dir = java.nio.file.Files.createTempDirectory("graft_rehome_").toFile
+    rehomeDirs.add(dir): Unit
+    df.write.mode("overwrite").parquet(dir.toString)
+    parent.read.parquet(dir.toString)
   }
 
   /** Tumbling 1-day windows per event_type, append mode: only windows
@@ -867,9 +879,9 @@ object StreamingOps {
       val rows = ss.read.parquet(finalPaths: _*)
         .select(col("user_id"), col("tus").as("last_tus"),
           col("event_type").as("last_type"), col("cents"))
-        .orderBy(col("user_id"))
-      val (data, outSchema) = (rows.collect(), rows.schema)
-      ss.createDataFrame(java.util.Arrays.asList(data: _*), outSchema)
+      // the state table is O(distinct users) — re-home it distributed
+      // (spill + re-read), never through the driver
+      rehome(ss, rows).orderBy(col("user_id"))
     }
   }
 
@@ -892,8 +904,12 @@ object StreamingOps {
     * crash before 3 leaves the manifest pointing at the old consistent
     * epoch set (stale stage/epoch dirs are unreferenced garbage,
     * overwritten by the checkpoint's idempotent batch replay); after 3
-    * the new set is live. Returns the committed epoch, −1 for an empty
-    * batch. */
+    * the new set is live. An EMPTY batch still commits an epoch — a
+    * manifest flip with unchanged bucket pointers, zero data moved —
+    * because callers that pin epochs to batch ids ([[runDualSink]]'s
+    * exactly-once protocol) would otherwise permanently misalign every
+    * later batch's pin the first time a micro-batch delivers no rows.
+    * Returns the committed epoch. */
   private[graft] def mergeUpsertBatch(sb: SparkSession, stateDirPath: String,
                                       batch: DataFrame,
                                       retainEpochs: Int = UpsertRetainEpochs): Long = {
@@ -910,7 +926,14 @@ object StreamingOps {
       .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int")))
     // ≤ UpsertBuckets driver-side ints — the partition list, not data
     val affected = delta.select("bucket").distinct().collect().map(_.getInt(0))
-    if (affected.isEmpty) -1L
+    if (affected.isEmpty) {
+      val man = readUpsertManifest(stateDir)
+      val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
+      writeUpsertManifest(stateDir,
+        UpsertManifest(newEpoch, man.map(_.buckets).getOrElse(Map.empty)))
+      gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
+      newEpoch
+    }
     else {
       val man = readUpsertManifest(stateDir)
       val curPaths = man.toSeq.flatMap(m =>
@@ -1386,9 +1409,8 @@ object StreamingOps {
       val out = widened.select(col("user_id"), col("tus").as("last_tus"),
           col("event_type").as("last_type"), col("cents"),
           coalesce(col("prop_k"), lit(-1)).cast("int").as("prop_k"))
-        .orderBy(col("user_id"))
-      val (data, outSchema) = (out.collect(), out.schema)
-      ss.createDataFrame(java.util.Arrays.asList(data: _*), outSchema)
+      // O(distinct users) — re-home distributed, never via the driver
+      rehome(ss, out).orderBy(col("user_id"))
     } finally {
       deleteRecursively(ckpt1.toFile)
       deleteRecursively(ckpt2.toFile)

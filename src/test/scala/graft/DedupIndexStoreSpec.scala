@@ -305,6 +305,49 @@ class DedupIndexStoreSpec extends AnyFunSuite {
     assert(live != full, "delete was a no-op - the time-travel test is vacuous")
   }
 
+  test("fan-outs are persisted build parameters: non-default builds screen/delta/delete identically") {
+    // probe-time hashing (band-key buckets AND registry dbuckets) must
+    // come from the MANIFEST, never the compile-time defaults — an
+    // index built at (8, 4) has to screen exactly like the default
+    // build through every lifecycle step
+    val dir = freshDir("fan")
+    val half = oldDocs.filter(col("doc_id") % 5 < 2)
+    val rest = oldDocs.filter(col("doc_id") % 5 >= 2)
+    val m0 = DedupIndexStore.build(half, dir, numBuckets = 8, docBuckets = 4)
+    assert(m0.numBuckets == 8 && m0.docBuckets == 4,
+      "build did not record its fan-outs")
+    val mOpen = DedupIndexStore.open(dir)
+    assert(mOpen.numBuckets == 8 && mOpen.docBuckets == 4,
+      "manifest round-trip lost the fan-outs")
+    assert(m0.buckets.keySet.forall(b => b >= 0 && b < 8))
+    val c = DedupIndexStore.applyDelta(spark, dir, rest)
+    assert(pairKey(DedupIndexStore.nearDups(spark, dir, c.manifest, batchDocs)) ==
+      expectedPairs(oldDocs, batchDocs),
+      "fan-out-(8,4) index diverged from brute force after delta")
+    // exact delete re-derives victims' postings under the MANIFEST
+    // fan-out (default-hashed rederivation would miss their buckets)
+    val victims = oldDocs.filter(col("doc_id") % 7 === 3)
+    DedupIndexStore.applyDelete(spark, dir, victims.select(col("doc_id"))): Unit
+    val mC = DedupIndexStore.compact(spark, dir)
+    assert(mC.numBuckets == 8 && mC.docBuckets == 4,
+      "lifecycle steps dropped the fan-outs")
+    val survivors = oldDocs.filter(col("doc_id") % 7 =!= 3)
+    assert(pairKey(DedupIndexStore.nearDups(spark, dir, mC, batchDocs)) ==
+      expectedPairs(survivors, batchDocs),
+      "fan-out-(8,4) post-delete screen diverged from survivor brute force")
+    // legacy manifests (no fan-out fields) parse to the historical 16s
+    val legacy = freshDir("fanlegacy")
+    DedupIndexStore.build(half, legacy): Unit
+    val p = java.nio.file.Paths.get(legacy, "_manifest.json")
+    val stripped = java.nio.file.Files.readString(p)
+      .replaceFirst(""""numBuckets":\d+,"docBuckets":\d+,""", "")
+    java.nio.file.Files.writeString(p, stripped)
+    val mL = DedupIndexStore.open(legacy)
+    assert(mL.numBuckets == DedupIndexStore.NumBuckets &&
+      mL.docBuckets == DedupIndexStore.DocBuckets,
+      "legacy manifest must default to the historical fan-outs")
+  }
+
   test("an empty batch serves an empty, well-typed result") {
     val dir = freshDir("empty")
     DedupIndexStore.build(oldDocs.limit(50), dir)

@@ -248,6 +248,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == got.length, "exactly one state row per key")
   }
 
+  test("empty micro-batch commits an empty epoch: head advances, buckets untouched") {
+    // runDualSink pins the upsert step's epoch to the BATCH ID; an
+    // empty batch that skipped its commit would permanently misalign
+    // every later batch's pin — so an empty merge must flip the
+    // manifest (unchanged bucket pointers, zero data moved)
+    val state = java.nio.file.Files.createTempDirectory("graft_upsert_empty_state_")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    // first-ever batch EMPTY: epoch 0 with no buckets, not a skip
+    assert(StreamingOps.mergeUpsertBatch(spark, state.toString, ev.limit(0)) == 0L)
+    assert(StreamingOps.readUpsertEpochHead(state.toString) == 0L)
+    StreamingOps.mergeUpsertBatch(spark, state.toString, ev.limit(200)): Unit
+    val filesBefore = java.nio.file.Files.walk(state).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    val rowsBefore = StreamingOps.readUpsertStateAt(spark, state.toString, 1L)
+      .collect().map(_.toString).sorted.toSeq
+    val e = StreamingOps.mergeUpsertBatch(spark, state.toString, ev.limit(0))
+    assert(e == 2L, s"empty batch must commit the next epoch, got $e")
+    assert(StreamingOps.readUpsertEpochHead(state.toString) == 2L)
+    val filesAfter = java.nio.file.Files.walk(state).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(filesAfter == filesBefore, "empty epoch must move zero data files")
+    val rowsAfter = StreamingOps.readUpsertStateAt(spark, state.toString, 2L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "empty epoch must serve the identical state")
+    graft.Fs.deleteRecursively(state.toFile)
+  }
+
   test("upsert restart is idempotent: rerun over the same checkpoint fires zero batches") {
     val state = java.nio.file.Files.createTempDirectory("graft_upsert_restart_state_")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_restart_ckpt_")

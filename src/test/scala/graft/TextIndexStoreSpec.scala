@@ -209,6 +209,49 @@ class TextIndexStoreSpec extends AnyFunSuite {
       "delete was a no-op — the time-travel test is vacuous")
   }
 
+  test("fan-out is a persisted build parameter: non-default builds serve/delta/delete identically") {
+    // the version hazard this pins down: probe-time bucket hashing
+    // must come from the MANIFEST, never the compile-time default —
+    // an index built at fan-out 8 or 64 has to serve the exact same
+    // scores as the default build, through every lifecycle step
+    val expected = scoreKey(TextOps.bm25Scores(docs))
+    for (fanOut <- Seq(8, 64)) {
+      val dir = freshDir(s"fan$fanOut")
+      val base = docs.filter(col("doc_id") % 13 =!= 0)
+      val m0 = TextIndexStore.build(base, dir, numBuckets = fanOut)
+      assert(m0.numBuckets == fanOut, "build did not record its fan-out")
+      assert(TextIndexStore.open(dir).numBuckets == fanOut,
+        "manifest round-trip lost the fan-out")
+      assert(m0.buckets.keySet.forall(b => b >= 0 && b < fanOut))
+      // delta hashes under the MANIFEST fan-out (a default-hashed merge
+      // would scatter the batch into the wrong buckets)
+      val c = TextIndexStore.applyDelta(spark, dir, docs.filter(col("doc_id") % 13 === 0))
+      assert(scoreKey(TextIndexStore.bm25Scores(spark, dir, c.manifest)) == expected,
+        s"fan-out-$fanOut index diverged from the corpus pipeline")
+      // ...and so do delete + compact
+      TextIndexStore.applyDelete(spark, dir,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))): Unit
+      val mC = TextIndexStore.compact(spark, dir)
+      assert(mC.numBuckets == fanOut, "lifecycle steps dropped the fan-out")
+      assert(scoreKey(TextIndexStore.bm25Scores(spark, dir, mC)) ==
+        scoreKey(TextOps.bm25Scores(docs.filter(col("doc_id") % 7 =!= 3))),
+        s"fan-out-$fanOut purge diverged from the survivor pipeline")
+    }
+    // legacy manifests (no numBuckets field) parse to the historical 16
+    val legacy = freshDir("fanlegacy")
+    TextIndexStore.build(docs, legacy): Unit
+    val p = java.nio.file.Paths.get(legacy, "_manifest.json")
+    val stripped = java.nio.file.Files.readString(p)
+      .replaceFirst(""""numBuckets":\d+,""", "")
+    java.nio.file.Files.writeString(p, stripped)
+    assert(TextIndexStore.open(legacy).numBuckets == TextIndexStore.NumBuckets,
+      "legacy manifest must default to the historical fan-out")
+    // production sizing: √N rounded to a power of two, fixture-floored
+    assert(TextIndexStore.suggestedBuckets(100L) == 16)
+    assert(TextIndexStore.suggestedBuckets(1000000L) == 1024)
+    assert(TextIndexStore.suggestedBuckets(1000000000L) == 32768)
+  }
+
   test("retention GC drops old epochs' manifests and unreferenced component dirs") {
     val dir = freshDir("gc")
     // retain=1: after each delta only the newest epoch must survive
