@@ -92,4 +92,55 @@ private[graft] object ManifestIo {
       EpochGuard.guardedDelete(dir, e, () => afterIntent(e)) {
         Files.deleteIfExists(versionedPath(dir, e)): Unit
       }
+
+  /** The full retention-GC pass every durable store runs after a flip,
+    * ONCE for all of them: manifests below the horizon go through the
+    * lease handshake above, then any `<component>/e<N>` dir that no
+    * RETAINED manifest references (and that is older than the live
+    * epoch — in-flight future dirs are spared) is swept.
+    * `componentPattern` names the store's top-level component dirs
+    * (e.g. `"b\\d+|stats|docs|dels"`); `referencedOf` parses ONE
+    * retained versioned manifest into the relative component paths it
+    * pins (e.g. `"b3/e2"`). */
+  def gcEpochs(dir: Path, current: Long, retain: Int,
+               componentPattern: String,
+               referencedOf: Path => Iterable[String],
+               afterIntent: Long => Unit = _ => ()): Unit = {
+    val horizon = math.max(0L, current - retain + 1)
+    gcManifests(dir, horizon, afterIntent)
+    val referenced: Set[String] =
+      listEpochs(dir).flatMap(e => referencedOf(versionedPath(dir, e))).toSet
+    val dirs = Option(dir.toFile.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches(componentPattern))
+    for (cd <- dirs; ed <- Option(cd.listFiles()).toSeq.flatten
+           if ed.getName.matches("e\\d+")) {
+      val rel = s"${cd.getName}/${ed.getName}"
+      val epoch = ed.getName.stripPrefix("e").toLong
+      if (!referenced.contains(rel) && epoch < current)
+        Fs.deleteRecursively(ed)
+    }
+  }
+
+  /** Lease-pinned snapshot access — the [[EpochGuard.withLease]]
+    * wiring every store's `withSnapshot` shares: write the lease,
+    * wait out any in-flight GC intent, re-parse the versioned
+    * manifest (its continued existence is the liveness check), run
+    * `body` with the epoch spared from GC. */
+  def withSnapshot[T, A](dir: Path, epoch: Long, parse: Path => T)
+                        (body: T => A): A =
+    EpochGuard.withLease(dir, epoch,
+      Files.exists(versionedPath(dir, epoch)), dir.toString) {
+      body(parse(versionedPath(dir, epoch)))
+    }
+
+  /** Versioned-manifest open with the pointed not-retained failure —
+    * the shared shape of every store's `openAt` (UNPINNED: a
+    * concurrent GC can still sweep component files between this
+    * resolve and a lazy read; pin with [[withSnapshot]] for that). */
+  def openVersioned[T](dir: Path, epoch: Long, parse: Path => T): T = {
+    val p = versionedPath(dir, epoch)
+    require(Files.exists(p),
+      s"epoch $epoch is not retained (have: ${listEpochs(dir).mkString(",")})")
+    parse(p)
+  }
 }

@@ -142,12 +142,8 @@ object AnnIndexStore {
     * mid-read. A reader that must survive concurrent maintenance pins
     * the epoch with [[withSnapshot]] — the same lease contract as the
     * upsert state table's withUpsertSnapshot. */
-  def openAt(dir: String, epoch: Long): AnnManifest = {
-    val p = versionedPath(dir, epoch)
-    require(java.nio.file.Files.exists(p),
-      s"epoch $epoch is not retained (have: ${listEpochs(dir).mkString(",")})")
-    parseManifest(p)
-  }
+  def openAt(dir: String, epoch: Long): AnnManifest =
+    graft.ManifestIo.openVersioned(java.nio.file.Paths.get(dir), epoch, parseManifest)
 
   /** Pin `epoch` against retention GC for the duration of `body` —
     * the two-phase lease/intent handshake in [[graft.EpochGuard]]
@@ -157,10 +153,8 @@ object AnnIndexStore {
     * with a pointed "snapshot expired" error when GC won — never a
     * partial index. */
   def withSnapshot[A](dir: String, epoch: Long)(body: AnnManifest => A): A =
-    graft.EpochGuard.withLease(java.nio.file.Paths.get(dir), epoch,
-      java.nio.file.Files.exists(versionedPath(dir, epoch)), dir) {
-      body(parseManifest(versionedPath(dir, epoch)))
-    }
+    graft.ManifestIo.withSnapshot(java.nio.file.Paths.get(dir), epoch,
+      parseManifest)(body)
 
   /** Epochs currently readable via [[openAt]], ascending. */
   def listEpochs(dir: String): Seq[Long] =
@@ -206,21 +200,9 @@ object AnnIndexStore {
     * test seam — specs plant a racing lease at the formerly-vulnerable
     * point). */
   private[graft] def gc(dir: String, current: Long, retain: Int,
-                        afterIntent: Long => Unit = _ => ()): Unit = {
-    val horizon = math.max(0L, current - retain + 1)
-    graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
-    val referenced: Set[String] =
-      listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
-        .flatMap(_.cells.values).toSet
-    val cellDirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("c\\d+"))
-    for (cd <- cellDirs; ed <- Option(cd.listFiles()).toSeq.flatten
-           if ed.getName.matches("e\\d+")) {
-      val rel = s"${cd.getName}/${ed.getName}"
-      val epoch = ed.getName.stripPrefix("e").toLong
-      if (!referenced.contains(rel) && epoch < current) deleteRecursively(ed)
-    }
-  }
+                        afterIntent: Long => Unit = _ => ()): Unit =
+    graft.ManifestIo.gcEpochs(java.nio.file.Paths.get(dir), current, retain,
+      "c\\d+", p => parseManifest(p).cells.values, afterIntent)
 
   /** Build epoch 0: fit (or memo-hit) the coarse quantizer on
     * `corpus`, write the indexed vectors' postings (`index`, default

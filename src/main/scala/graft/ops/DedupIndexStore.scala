@@ -167,18 +167,12 @@ object DedupIndexStore {
   /** Snapshot manifest — the index AS OF a retained epoch (pin with
     * [[withSnapshot]] under concurrent maintenance, same caveat as the
     * sibling stores). */
-  def openAt(dir: String, epoch: Long): DedupManifest = {
-    val p = versionedPath(dir, epoch)
-    require(java.nio.file.Files.exists(p),
-      s"epoch $epoch is not retained (have: ${listEpochs(dir).mkString(",")})")
-    parseManifest(p)
-  }
+  def openAt(dir: String, epoch: Long): DedupManifest =
+    graft.ManifestIo.openVersioned(java.nio.file.Paths.get(dir), epoch, parseManifest)
 
   def withSnapshot[A](dir: String, epoch: Long)(body: DedupManifest => A): A =
-    graft.EpochGuard.withLease(java.nio.file.Paths.get(dir), epoch,
-      java.nio.file.Files.exists(versionedPath(dir, epoch)), dir) {
-      body(parseManifest(versionedPath(dir, epoch)))
-    }
+    graft.ManifestIo.withSnapshot(java.nio.file.Paths.get(dir), epoch,
+      parseManifest)(body)
 
   def listEpochs(dir: String): Seq[Long] =
     graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
@@ -511,31 +505,15 @@ object DedupIndexStore {
 
   // -------------------------------------------------------------- gc
 
-  /** Retention GC: versioned manifests below the horizon go through
-    * [[graft.EpochGuard.guardedDelete]] (lease handshake — same
-    * contract as every durable store), then any bucket-epoch dir no
-    * retained manifest references is swept. Registry segments are
-    * append-only and referenced by every later manifest's prefix, so a
-    * segment is deletable only when NO retained manifest lists it. */
+  /** Retention GC through the shared [[graft.ManifestIo.gcEpochs]]
+    * core (lease handshake + unreferenced-component sweep). Registry
+    * segments are append-only and referenced by every later manifest's
+    * prefix, so a segment is deletable only when NO retained manifest
+    * lists it — exactly the shared rule. */
   private[graft] def gc(dir: String, current: Long, retain: Int,
-                        afterIntent: Long => Unit = _ => ()): Unit = {
-    val horizon = math.max(0L, current - retain + 1)
-    graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
-    val retained = listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
-    val referenced: Set[String] =
-      retained.flatMap(mm => mm.buckets.values ++ mm.docs ++ mm.dels).toSet
-    def sweep(prefix: String): Unit = {
-      val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.matches(prefix))
-      for (cd <- dirs; ed <- Option(cd.listFiles()).toSeq.flatten
-             if ed.getName.matches("e\\d+")) {
-        val rel = s"${cd.getName}/${ed.getName}"
-        val epoch = ed.getName.stripPrefix("e").toLong
-        if (!referenced.contains(rel) && epoch < current) deleteRecursively(ed)
-      }
-    }
-    sweep("b\\d+")
-    sweep("docs")
-    sweep("dels")
-  }
+                        afterIntent: Long => Unit = _ => ()): Unit =
+    graft.ManifestIo.gcEpochs(java.nio.file.Paths.get(dir), current, retain,
+      "b\\d+|docs|dels",
+      p => { val mm = parseManifest(p); mm.buckets.values ++ mm.docs ++ mm.dels },
+      afterIntent)
 }

@@ -118,10 +118,8 @@ object MvStore {
     * action). Same [[graft.EpochGuard]] handshake as the sibling
     * stores. */
   def withSnapshot[A](dir: String, epoch: Long)(body: MvManifest => A): A =
-    graft.EpochGuard.withLease(java.nio.file.Paths.get(dir), epoch,
-      java.nio.file.Files.exists(versionedPath(dir, epoch)), dir) {
-      body(parseManifest(versionedPath(dir, epoch)))
-    }
+    graft.ManifestIo.withSnapshot(java.nio.file.Paths.get(dir), epoch,
+      parseManifest)(body)
 
   def listEpochs(dir: String): Seq[Long] =
     graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
@@ -311,25 +309,11 @@ object MvStore {
 
   // -------------------------------------------------------------- gc
 
-  /** Retention GC, same shape as the sibling stores: versioned
-    * manifests below the horizon go through the
-    * [[graft.EpochGuard]] lease handshake, then bucket-epoch dirs no
-    * retained manifest references are swept. */
+  /** Retention GC through the shared [[graft.ManifestIo.gcEpochs]]
+    * core (lease handshake + unreferenced-bucket sweep, same contract
+    * as every durable store). */
   private[graft] def gc(dir: String, current: Long, retain: Int,
-                        afterIntent: Long => Unit = _ => ()): Unit = {
-    val horizon = math.max(0L, current - retain + 1)
-    graft.ManifestIo.gcManifests(java.nio.file.Paths.get(dir), horizon, afterIntent)
-    val referenced: Set[String] =
-      listEpochs(dir).map(e => parseManifest(versionedPath(dir, e)))
-        .flatMap(_.buckets.values).toSet
-    val dirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-    for (cd <- dirs; ed <- Option(cd.listFiles()).toSeq.flatten
-           if ed.getName.matches("e\\d+")) {
-      val rel = s"${cd.getName}/${ed.getName}"
-      val epoch = ed.getName.stripPrefix("e").toLong
-      if (!referenced.contains(rel) && epoch < current)
-        graft.Fs.deleteRecursively(ed)
-    }
-  }
+                        afterIntent: Long => Unit = _ => ()): Unit =
+    graft.ManifestIo.gcEpochs(java.nio.file.Paths.get(dir), current, retain,
+      "b\\d+", p => parseManifest(p).buckets.values, afterIntent)
 }

@@ -138,13 +138,6 @@ object StreamingOps {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  private val rehomeDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
-  private lazy val rehomeSweep: Unit = { // one hook, registered lazily
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      rehomeDirs.forEach(d => deleteRecursively(d))
-    }))
-  }
-
   /** Re-home a DISTRIBUTED result onto the parent session without
     * materializing it on the driver: write to a JVM-lifetime spill
     * dir, read back. The `collect`-and-`createDataFrame` alternative
@@ -152,12 +145,12 @@ object StreamingOps {
     * O(result) driver memory — for a state table that's O(distinct
     * keys), the witness OOMing on data the serve path handles
     * distributed. The spill dir must outlive the call (the returned
-    * frame reads it lazily), so it is swept at JVM exit, not here. */
+    * frame reads it lazily), so it is swept at JVM exit
+    * ([[exitDeleteDirs]]), not here. */
   private def rehome(parent: SparkSession, df: DataFrame): DataFrame = {
-    rehomeSweep
-    val dir = java.nio.file.Files.createTempDirectory("graft_rehome_").toFile
-    rehomeDirs.add(dir): Unit
+    val dir = java.nio.file.Files.createTempDirectory("graft_rehome_")
     df.write.mode("overwrite").parquet(dir.toString)
+    exitDeleteDirs.add(dir.toString): Unit
     parent.read.parquet(dir.toString)
   }
 
@@ -715,14 +708,9 @@ object StreamingOps {
     * one side always sees the other. Fails with a pointed "snapshot
     * expired" error when GC won, never a partial table. */
   private[graft] def withUpsertSnapshot[A](s: SparkSession, stateDirPath: String,
-                                           epoch: Long)(body: DataFrame => A): A = {
-    val stateDir = java.nio.file.Paths.get(stateDirPath)
-    graft.EpochGuard.withLease(stateDir, epoch,
-      java.nio.file.Files.exists(versionedManifestPath(stateDir, epoch)),
-      stateDirPath) {
-      body(readUpsertStateAt(s, stateDirPath, epoch))
-    }
-  }
+                                           epoch: Long)(body: DataFrame => A): A =
+    graft.ManifestIo.withSnapshot(java.nio.file.Paths.get(stateDirPath), epoch,
+      _ => readUpsertStateAt(s, stateDirPath, epoch))(body)
 
   /** The atomic flip: write the immutable per-epoch manifest first
     * (the snapshot the epoch stays readable through), then ATOMIC_MOVE
@@ -755,27 +743,9 @@ object StreamingOps {
     * default. */
   private[graft] def gcUpsertEpochs(stateDir: java.nio.file.Path, current: Long,
                                     retain: Int,
-                                    afterIntent: Long => Unit = _ => ()): Unit = {
-    val horizon = math.max(0L, current - retain + 1)
-    // two-phase per-epoch delete (EpochGuard): publish a GC intent,
-    // re-list leases, delete only if unleased. This closes the
-    // round-10 documented residual — a lease written between this
-    // pass's lease listing and its delete is now guaranteed visible
-    // to one side or the other (argument in EpochGuard's scaladoc).
-    graft.ManifestIo.gcManifests(stateDir, horizon, afterIntent)
-    val referenced: Set[String] =
-      listUpsertEpochs(stateDir.toString)
-        .map(e => readManifestFile(versionedManifestPath(stateDir, e)))
-        .flatMap(_.buckets.values).toSet
-    val bucketDirs = Option(stateDir.toFile.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-    for (bd <- bucketDirs; ed <- Option(bd.listFiles()).toSeq.flatten
-           if ed.getName.matches("e\\d+")) {
-      val rel = s"${bd.getName}/${ed.getName}"
-      val epoch = ed.getName.stripPrefix("e").toLong
-      if (!referenced.contains(rel) && epoch < current) deleteRecursively(ed)
-    }
-  }
+                                    afterIntent: Long => Unit = _ => ()): Unit =
+    graft.ManifestIo.gcEpochs(stateDir, current, retain,
+      "b\\d+", p => readManifestFile(p).buckets.values, afterIntent)
 
   /** Write-once multi-file copy of events so the file source can
     * drain in SEVERAL micro-batches (8 files, maxFilesPerTrigger=2 →
