@@ -205,7 +205,10 @@ object DedupIndexStore {
 
   private def writeRegistrySegment(sh: DataFrame, dir: String, rel: String,
                                    docFanOut: Int): Long = {
-    registryRows(sh, docFanOut).write.mode("overwrite")
+    // repartition on the partition column: one file per leaf dir, not
+    // tasks × fan-out (same small-file argument as ManifestIo
+    // .publishPartitions)
+    registryRows(sh, docFanOut).repartition(col("dbucket")).write.mode("overwrite")
       .partitionBy("dbucket").parquet(s"$dir/$rel")
     // count folds the just-written parquet (metadata-sized read), not
     // a second pass over the shingling job
@@ -483,13 +486,14 @@ object DedupIndexStore {
         s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
       else s.read.parquet(m.dels.map(rel => s"$dir/$rel"): _*)
     // leaf-dir reads drop the dbucket partition value, so it is
-    // recomputed from doc_id (the same deterministic hash that
-    // placed the row) — no shuffle: partitioned writes fan out from
-    // each task directly
+    // recomputed from doc_id (the same deterministic hash that placed
+    // the row); the repartition keeps the rewrite at one file per
+    // leaf dir instead of tasks × fan-out
     val rel = s"docs/e$next"
     s.read.parquet(regPaths: _*)
       .join(broadcast(dels), Seq("doc_id"), "left_anti")
       .withColumn("dbucket", docBucket(col("doc_id"), m.docBuckets))
+      .repartition(col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/$rel")
     // the squashed registry must land exactly on the incrementally
     // maintained doc count — a mismatch means a commit drifted

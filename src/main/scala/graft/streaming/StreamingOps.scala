@@ -939,7 +939,11 @@ object StreamingOps {
                                   retainEpochs: Int): Unit = {
     val stage = stateDir.resolve(s".stage-e$newEpoch")
     deleteRecursively(stage.toFile)
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    // repartition on the partition column: one file per bucket dir,
+    // not tasks × buckets (same small-file argument as
+    // ManifestIo.publishPartitions)
+    merged.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
     val committed = affected.filter { b =>
       val src = stage.resolve(s"bucket=$b")
       val dst = stateDir.resolve(s"b$b").resolve(s"e$newEpoch")
