@@ -161,6 +161,53 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --------------------------------------------- containment (quotes)
+
+  /** Near-CONTAINMENT detection — the asymmetric inclusion score
+    * `|A∩B| / min(|A|,|B|) ≥ 0.8` that catches a small document living
+    * INSIDE a large one (quotes, boilerplate inclusion, excerpt
+    * pages), which symmetric Jaccard structurally misses: a 30-shingle
+    * excerpt of a 200-shingle source scores jac ≈ 0.15 but containment
+    * 1.0. The fixture corpus has no natural inclusions, so the witness
+    * PLANTS them (the [[d_dedup_embedding]] pattern): every 11th
+    * document contributes its first 30 words as a standalone "quote"
+    * doc under `doc_id + 1,000,000` — a derivation the oracle replays
+    * verbatim. Candidates come from the same df-capped inverted-index
+    * self-join as [[d_ngram_jaccard]] (one shuffle on shingle,
+    * per-bucket work ≤ cap²; a quote shares its source's non-hot
+    * shingles, so candidate recall for real inclusions is exact);
+    * only the scoring differs, and the output carries BOTH scores so
+    * the result itself shows the pairs a Jaccard gate would have
+    * dropped. The ≥ 0.8 gate is integer-exact (5c ≥ 4·min), never a
+    * rounded double. */
+  val d_containment: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val quotes = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 30)).as("text"))
+    val corpus = docs.unionByName(quotes)
+    val all = shingleIndex(corpus)
+    val keep = all.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select("s")
+    val sh = all.join(keep, "s").select("doc_id", "s")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("c") * lit(5) >= least(col("na"), col("nb")) * lit(4))
+      .select(col("doc_a"), col("doc_b"),
+        round(lit(1000000.0) * col("c") / least(col("na"), col("nb")))
+          .cast("long").as("cont_e6"),
+        round(lit(1000000.0) * col("c") / (col("na") + col("nb") - col("c")))
+          .cast("long").as("jac_e6"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------- incremental dedup
 
   /** Incremental (new-batch-vs-corpus) near-dedup — the daily-ingest
@@ -1033,6 +1080,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> d_dedup_exact,
     "d_ngram_jaccard" -> d_ngram_jaccard,
+    "d_containment" -> d_containment,
     "d_dedup_incremental" -> d_dedup_incremental,
     "d_dedup_served" -> d_dedup_served,
     "d_dedup_index_delta" -> d_dedup_index_delta,
@@ -1128,6 +1176,30 @@ object DedupOps {
         |  substr(sha256(text), 1, 16) AS hash16
         |FROM corpus GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> jaccardOracle(Some(ShingleDfCap)),
+    "d_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string((string_split(text, ' '))[1:30], ' ') AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+         |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $ShingleDfCap),
+         |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN keep ON sh0.s = keep.s),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT ia AS doc_a, ib AS doc_b,
+         |  CAST(ROUND(1000000.0 * c / least(na.n, nb.n)) AS BIGINT) AS cont_e6,
+         |  CAST(ROUND(1000000.0 * c / (na.n + nb.n - c)) AS BIGINT) AS jac_e6
+         |FROM common
+         |JOIN sizes na ON ia = na.doc_id
+         |JOIN sizes nb ON ib = nb.doc_id
+         |WHERE 5 * c >= 4 * least(na.n, nb.n)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d_dedup_served" -> servedDedupOracle,
     "d_dedup_index_delta" -> servedDedupOracle,
     "d_dedup_compacted" -> servedDedupOracle,

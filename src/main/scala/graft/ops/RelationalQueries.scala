@@ -423,6 +423,52 @@ object RelationalQueries {
       .orderBy(col("window_id"))
   }
 
+  /** The DATE-typed face of the binning rule (width 7 DAYS — dates bin
+    * via `unix_date`, since `Cast(date, long)` is invalid in Spark 4
+    * and an optimizer-built one would fail the whole query at plan
+    * validation). A 7-day session clone mirrors [[rangeJoinSession]]. */
+  private val rangeJoinDateSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]
+
+  private def rangeJoinDateSession(s0: SparkSession): SparkSession =
+    rangeJoinDateSessions.synchronized {
+      val cur = rangeJoinDateSessions.get(s0)
+      if (cur != null) cur
+      else {
+        val c = s0.newSession()
+        val cc = c.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        cc.experimental.extraOptimizations =
+          cc.experimental.extraOptimizations :+ graft.plans.RangeJoinBinning
+        c.conf.set(graft.plans.RangeJoinBinning.WidthKey, "7")
+        c.conf.set(graft.plans.RangeJoinBinning.ForceKey, "true")
+        rangeJoinDateSessions.put(s0, c)
+        c
+      }
+    }
+
+  /** Binned range join on DATE columns through the optimizer rule:
+    * promo-window impact — for each sampled order's 7-day window
+    * starting at its order date, how many lineitems (of ANY order)
+    * shipped inside it. Band-only predicate between two fact-derived
+    * sides, same two-big-sides regime as [[q_range_bin_join]], but the
+    * band columns are genuine DateType — the witness for the rule's
+    * day-unit binning path. */
+  val q_range_bin_date: Q = (s, d) => {
+    val ss = rangeJoinDateSession(s)
+    val win = orders(ss, d)
+      .filter(col("o_orderkey") % 1009 === 0)
+      .select(col("o_orderkey").as("window_id"),
+        col("o_orderdate").cast("date").as("lo"),
+        date_add(col("o_orderdate").cast("date"), 6).as("hi"))
+    val ships = lineitem(ss, d)
+      .select(col("l_shipdate").cast("date").as("ship_d"), col("l_quantity"))
+    ships.join(win, col("ship_d") >= col("lo") && col("ship_d") <= col("hi"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_ship"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .orderBy(col("window_id"))
+  }
+
   /** As-of join: for each click event, the most recent error timestamp
     * for the same user at or before it. Expressed as a running MAX over
     * a RANGE frame (tie-safe), not a self-join — one shuffle by user. */
@@ -2482,6 +2528,7 @@ object RelationalQueries {
     "q_outer_join" -> q_outer_join,
     "q_range_join" -> q_range_join,
     "q_range_bin_join" -> q_range_bin_join,
+    "q_range_bin_date" -> q_range_bin_date,
     "q_asof_join" -> q_asof_join,
     "q_nullsafe_eq" -> q_nullsafe_eq,
     "q_window_rank" -> q_window_rank,
@@ -3071,6 +3118,20 @@ object RelationalQueries {
         |JOIN (SELECT user_id, ts AS click_ts FROM events
         |      WHERE event_type = 'click') c
         |  ON c.click_ts >= w.lo AND c.click_ts <= w.hi
+        |GROUP BY w.window_id
+        |ORDER BY w.window_id""".stripMargin,
+    // the date-typed band join must equal the naive date range join
+    "q_range_bin_date" ->
+      """SELECT w.window_id,
+        |  COUNT(1) AS n_ship,
+        |  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM (SELECT o_orderkey AS window_id,
+        |        CAST(o_orderdate AS DATE) AS lo,
+        |        CAST(o_orderdate AS DATE) + 6 AS hi
+        |      FROM orders WHERE o_orderkey % 1009 = 0) w
+        |JOIN (SELECT CAST(l_shipdate AS DATE) AS ship_d, l_quantity
+        |      FROM lineitem) l
+        |  ON l.ship_d >= w.lo AND l.ship_d <= w.hi
         |GROUP BY w.window_id
         |ORDER BY w.window_id""".stripMargin,
     "q_asof_join" ->

@@ -54,6 +54,31 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"batch side should broadcast:\n$plan")
   }
 
+  test("containment finds every planted quote at cont=1.0 where jaccard would drop it") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.DedupOps.d_containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every planted quote (source's first 30 words, id+1e6) must pair
+    // with its source at containment 1.0 — its shingles are a subset
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val planted = docs.filter(col("doc_id") % 11 === 0)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairKey = got.map(p => (p._1, p._2)).toSet
+    planted.foreach { id =>
+      assert(pairKey.contains((id, id + 1000000L)),
+        s"planted quote of doc $id not detected")
+    }
+    val quotePairs = got.filter(p => p._2 == p._1 + 1000000L && planted(p._1))
+    quotePairs.foreach { p =>
+      assert(p._3 == 1000000L, s"quote pair $p not at containment 1.0")
+    }
+    // the operator's reason to exist: pairs Jaccard would DROP — at
+    // least one planted quote of a long doc scores jac < 0.5
+    assert(quotePairs.exists(_._4 < 500000L),
+      "no containment-only pair — every quote also passes Jaccard, witness vacuous")
+  }
+
   test("minhash signatures are 64 longs and deterministic across runs") {
     val sigs = DedupOps.minhashSignatures(Tables.documents(spark, sf))
     assert(sigs.select(size(col("sig"))).distinct().collect().map(_.getInt(0)).toSeq == Seq(64))

@@ -60,6 +60,29 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     assert(rows(on).nonEmpty)
   }
 
+  test("q_range_bin_date: the date-band query rewrites to an equi join and matches rule-off") {
+    val on = ops.RelationalQueries.q_range_bin_date(spark, sf)
+    val onPlan = on.queryExecution.executedPlan.toString
+    assert(onPlan.contains("__graft_bin"), "bin key absent — rule did not fire on dates")
+    assert(!onPlan.contains("BroadcastNestedLoopJoin") && !onPlan.contains("CartesianProduct"),
+      "rewritten date-band plan still nested-loops")
+    // rule-off contrast on the plain session
+    val win = ops.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 1009 === 0)
+      .select(col("o_orderkey").as("window_id"),
+        col("o_orderdate").cast("date").as("lo"),
+        date_add(col("o_orderdate").cast("date"), 6).as("hi"))
+    val ships = ops.Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("date").as("ship_d"), col("l_quantity"))
+    val off = ships.join(win, col("ship_d") >= col("lo") && col("ship_d") <= col("hi"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_ship"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .orderBy(col("window_id"))
+    assert(rows(on) == rows(off), "date-band rewrite changed the answer")
+    assert(rows(on).nonEmpty)
+  }
+
   test("no-fire guards: equi conjunct present, width unset, size guard without force") {
     // equi key present → Spark hash-joins already; the rule must stay out
     val s1 = ruleSession(1800, force = true)
