@@ -140,11 +140,10 @@ object ConverterQueries {
   /** The big rendered dump is a FIXTURE (the input a real user already
     * has on disk), not part of the operator under test — built once per
     * (session, fixture dir) like the bucketed-join layout. */
-  private val scaleDump =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Path]
+  private val scaleDump = graft.SessionCache.newCache[Path]()
 
   private[ops] def scaleDumpFile(s: SparkSession, d: String): Path =
-    scaleDump.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(scaleDump, s).getOrElseUpdate(d, {
       val in = Files.createTempDirectory("graft-dump-scale-in")
       val path = in.resolve("dump.sql")
       val w = Files.newBufferedWriter(path)
@@ -192,11 +191,10 @@ object ConverterQueries {
 
   /** Write-once layouts for the text-format round-trips, keyed like the
     * other pay-once fixtures. */
-  private val textLayouts =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+  private val textLayouts = graft.SessionCache.newCache[String]()
 
   private def layout(s: SparkSession, d: String, kind: String)(build: String => Unit): String =
-    textLayouts.getOrElseUpdate((s, d, kind), {
+    graft.SessionCache.perSession(textLayouts, s).getOrElseUpdate(s"$kind:$d", {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
         Tables.layoutTag(d)
       build(path)

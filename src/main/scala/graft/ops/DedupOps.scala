@@ -927,12 +927,11 @@ object DedupOps {
     * the OLD corpus slice (doc_id % 5 ≠ 4 — the same old/new split as
     * [[d_dedup_incremental]]). Lives under tmpdir for the session,
     * deleted on JVM exit. */
-  private val dedupIndexDirs =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val dedupIndexDirs = graft.SessionCache.newCache[String]()
 
   private[graft] def persistedDedupIndexDir(s: org.apache.spark.sql.SparkSession,
                                             d: String): String =
-    dedupIndexDirs.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(dedupIndexDirs, s).getOrElseUpdate(d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_" +
         Tables.layoutTag(d)
       DedupIndexStore.build(
@@ -949,7 +948,7 @@ object DedupOps {
     * the same OLD corpus as [[persistedDedupIndexDir]]. */
   private[graft] def deltaDedupIndexDir(s: org.apache.spark.sql.SparkSession,
                                         d: String): String =
-    dedupIndexDirs.getOrElseUpdate((s, "delta:" + d), {
+    graft.SessionCache.perSession(dedupIndexDirs, s).getOrElseUpdate("delta:" + d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidxd_" +
         Tables.layoutTag(d)
       val old = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
@@ -995,7 +994,7 @@ object DedupOps {
     * lifecycle step that bounds serve-time read amplification. */
   private[graft] def compactedDedupIndexDir(s: org.apache.spark.sql.SparkSession,
                                             d: String): String =
-    dedupIndexDirs.getOrElseUpdate((s, "compact:" + d), {
+    graft.SessionCache.perSession(dedupIndexDirs, s).getOrElseUpdate("compact:" + d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidxc_" +
         Tables.layoutTag(d)
       val old = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
@@ -1014,7 +1013,7 @@ object DedupOps {
     * no tombstone filtering. */
   private[graft] def deletedDedupIndexDir(s: org.apache.spark.sql.SparkSession,
                                           d: String): String =
-    dedupIndexDirs.getOrElseUpdate((s, "del:" + d), {
+    graft.SessionCache.perSession(dedupIndexDirs, s).getOrElseUpdate("del:" + d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidxdel_" +
         Tables.layoutTag(d)
       val old = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)

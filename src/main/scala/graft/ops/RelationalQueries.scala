@@ -1008,11 +1008,10 @@ object RelationalQueries {
     * cost (round-3 bench: 2.8 s of the query's 2.83 s was the write).
     * Table names carry a dir tag so verify/bench/tests hitting
     * different SFs in one session each get their own copies. */
-  private val bucketedPrepared =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private val bucketedPrepared = graft.SessionCache.newCache[(String, String)]()
 
   private[ops] def bucketedTables(s: SparkSession, d: String): (String, String) =
-    bucketedPrepared.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(bucketedPrepared, s).getOrElseUpdate(d, {
       val tag = Tables.layoutTag(d)
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
       val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
@@ -1045,11 +1044,10 @@ object RelationalQueries {
     * [[bucketedTables]]: `partitionBy(month)` is THE standard 100 TB
     * sink layout — every time-ranged query after it prunes to the
     * matching directories before any I/O happens. */
-  private val partitionedPrepared =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val partitionedPrepared = graft.SessionCache.newCache[String]()
 
   private[graft] def partitionedOrdersPath(s: SparkSession, d: String): String =
-    partitionedPrepared.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(partitionedPrepared, s).getOrElseUpdate(d, {
       val tag = Tables.layoutTag(d)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_$tag"
       orders(s, d)
@@ -1137,11 +1135,10 @@ object RelationalQueries {
     * tiny row groups so the clone's 32 KB input splits each carry real
     * rows — a mechanical LAYOUT change only (no values change; the
     * oracle reads the original table). */
-  private val skewPrepared =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val skewPrepared = graft.SessionCache.newCache[String]()
 
   private def skewInputPath(s: SparkSession, d: String): String =
-    skewPrepared.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(skewPrepared, s).getOrElseUpdate(d, {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_skew_li_${Tables.layoutTag(d)}"
       lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
         .write.mode("overwrite")
@@ -1483,15 +1480,14 @@ object RelationalQueries {
     * the incremental-maintenance demo (identical across all SFs). */
   private val MvCutoffMonth = "2001-11"
 
-  private val mvStatePrepared =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val mvStatePrepared = graft.SessionCache.newCache[String]()
 
   /** Write-once materialized partial-aggregate state over every month
     * BEFORE the cutoff — the stored MV a production pipeline maintains
     * instead of rescanning history. Same memoized layout pattern as
     * [[partitionedOrdersPath]]. */
   private[ops] def mvStatePath(s: SparkSession, d: String): String =
-    mvStatePrepared.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(mvStatePrepared, s).getOrElseUpdate(d, {
       val tag = Tables.layoutTag(d)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_mv_state_$tag"
       val partials = monthlyPartials(lineitem(s, d))

@@ -869,11 +869,10 @@ object SimilarityOps {
     * (vec_id ≥ 8) indexed under a quantizer trained on the full corpus
     * — the same split every other `s_ann_*` witness uses. Lives under
     * tmpdir for the session, deleted on JVM exit. */
-  private val annIndexDirs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val annIndexDirs = graft.SessionCache.newCache[String]()
 
   private[graft] def persistedIndexDir(s: SparkSession, d: String): String =
-    annIndexDirs.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(annIndexDirs, s).getOrElseUpdate(d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_" +
         Tables.layoutTag(d)
       val e = Tables.embeddings(s, d)
@@ -893,7 +892,7 @@ object SimilarityOps {
     * [[AnnIndexStore.rebalance]] refits on the current corpus and
     * re-encodes behind one manifest flip. */
   private[graft] def rebalancedIndexDir(s: SparkSession, d: String): String =
-    annIndexDirs.getOrElseUpdate((s, d + "#rebalance"), {
+    graft.SessionCache.perSession(annIndexDirs, s).getOrElseUpdate(d + "#rebalance", {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_annreb_" +
         Tables.layoutTag(d)
       val e = Tables.embeddings(s, d)
@@ -1025,10 +1024,9 @@ object SimilarityOps {
   /** Write-once durable TEXT index over the CANDIDATE corpus (docs
     * whose doc_id has a candidate embedding — the same corpus the
     * in-session hybrid's BM25 leg scores), for [[s_hybrid_served]]. */
-  private val candTextDirs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val candTextDirs = graft.SessionCache.newCache[String]()
   private[graft] def candTextIndexDir(s: SparkSession, d: String): String =
-    candTextDirs.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(candTextDirs, s).getOrElseUpdate(d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_candtextidx_" +
         Tables.layoutTag(d)
       val corpus = Tables.documents(s, d)

@@ -727,12 +727,11 @@ object TextOps {
   /** Write-once durable text index per (session, fixture dir) —
     * the lexical mirror of [[SimilarityOps.persistedIndexDir]]. Lives
     * under tmpdir for the session, deleted on JVM exit. */
-  private val textIndexDirs =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), String]
+  private val textIndexDirs = graft.SessionCache.newCache[String]()
 
   private[graft] def persistedTextIndexDir(s: org.apache.spark.sql.SparkSession,
                                            d: String): String =
-    textIndexDirs.getOrElseUpdate((s, d), {
+    graft.SessionCache.perSession(textIndexDirs, s).getOrElseUpdate(d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidx_" +
         Tables.layoutTag(d)
       TextIndexStore.build(
@@ -748,7 +747,7 @@ object TextOps {
     * exactly the full corpus. */
   private[graft] def deltaTextIndexDir(s: org.apache.spark.sql.SparkSession,
                                        d: String): String =
-    textIndexDirs.getOrElseUpdate((s, "delta:" + d), {
+    graft.SessionCache.perSession(textIndexDirs, s).getOrElseUpdate("delta:" + d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidxd_" +
         Tables.layoutTag(d)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -764,7 +763,7 @@ object TextOps {
     * the index SERVES WITH DELETES (exact N/Σdl, stale df). */
   private[graft] def deletedTextIndexDir(s: org.apache.spark.sql.SparkSession,
                                          d: String): String =
-    textIndexDirs.getOrElseUpdate((s, "del:" + d), {
+    graft.SessionCache.perSession(textIndexDirs, s).getOrElseUpdate("del:" + d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidxdel_" +
         Tables.layoutTag(d)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -781,7 +780,7 @@ object TextOps {
     * recomputed exactly over the survivors. */
   private[graft] def purgedTextIndexDir(s: org.apache.spark.sql.SparkSession,
                                         d: String): String =
-    textIndexDirs.getOrElseUpdate((s, "purge:" + d), {
+    graft.SessionCache.perSession(textIndexDirs, s).getOrElseUpdate("purge:" + d, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidxp_" +
         Tables.layoutTag(d)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
