@@ -423,6 +423,62 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib_e6")).as("score_e6"), count(lit(1)).as("n_hit"))
 
+  // ------------------------------------------------------- reranking
+
+  /** Result depth of the rerank stage. */
+  private[ops] val RerankTopK = 10
+
+  /** TWO-STAGE RETRIEVAL — the universal production shape: a cheap
+    * first stage narrows the corpus to [[BmTopK]] candidates (the
+    * exact [[t_bm25]] list), then a more expensive second-stage scorer
+    * re-reads ONLY those candidates' full text and re-ranks them. The
+    * rescorer here is a deterministic stand-in for a cross-encoder:
+    * unlike BM25's bag-of-words statistics it uses query–document
+    * INTERACTION features — term coverage (distinct query terms
+    * present, dominant) and earliest-position proximity (a term's
+    * first occurrence at position p earns 10⁶ div (10+p), integer
+    * exact) — the classic lexical features a learned reranker
+    * subsumes. A real model slots into the same plumbing as a batched
+    * `mapPartitions` over the candidate rows (the
+    * [[MultimodalOps]] pattern); everything around it — candidate cut,
+    * broadcast of the tiny candidate set back onto the corpus for
+    * text, per-pair feature extraction, final top-k — is the
+    * production plan and is what this witness pins.
+    *
+    * Scale shape: stage 1 ends in TakeOrderedAndProject (per-partition
+    * heaps); the [[BmTopK]]-row candidate set broadcasts onto the
+    * documents scan (never the reverse); the rescoring pass
+    * posexplodes exactly [[BmTopK]] documents regardless of corpus
+    * size. Rank ties break on doc_id. */
+  val t_rerank: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val cand = bm25Scores(docs)
+      .orderBy(desc("score_e6"), col("doc_id")).limit(BmTopK)
+      .select(col("doc_id"), col("score_e6").as("bm25_e6"))
+    val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val qterms = occ.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("tok")).limit(BmQueryK).select("tok")
+    val firstPos = docs.join(broadcast(cand), "doc_id")
+      .select(col("doc_id"), col("bm25_e6"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .join(broadcast(qterms), "tok")
+      .groupBy(col("doc_id"), col("bm25_e6"), col("tok"))
+      .agg(min(col("p") + 1).as("fp")) // 1-based first position
+      .withColumn("prox_e6", expr("1000000L div (10 + fp)"))
+    val rescored = firstPos
+      .groupBy(col("doc_id"), col("bm25_e6"))
+      .agg((count(lit(1)) * lit(10000000L) + sum(col("prox_e6"))).as("rerank_e6"),
+        count(lit(1)).as("coverage"))
+    rescored
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("rerank_e6"), col("doc_id"))))
+      .filter(col("rk") <= RerankTopK)
+      .select(col("rk"), col("doc_id"), col("rerank_e6"),
+        col("coverage"), col("bm25_e6"))
+      .orderBy(col("rk"))
+  }
+
   // ------------------------------------------------- inverted index
 
   /** Tokens indexed and posting-head length of [[t_inverted_index]]. */
@@ -714,6 +770,7 @@ object TextOps {
     "t_fingerprint" -> t_fingerprint,
     "t_heavy_hitters" -> t_heavy_hitters,
     "t_bm25" -> t_bm25,
+    "t_rerank" -> t_rerank,
     "t_bm25_served" -> t_bm25_served,
     "t_bm25_delta" -> t_bm25_delta,
     "t_bm25_deleted" -> t_bm25_deleted,
@@ -926,6 +983,46 @@ object TextOps {
     // identical fixed-point BM25 replay: integer idf, saturation and
     // length normalization, floor division everywhere
     "t_bm25" -> bm25Oracle,
+    // stage 1 = the t_bm25 replay verbatim; stage 2 = the coverage +
+    // first-position proximity rescoring over only the candidates
+    "t_rerank" ->
+      s"""WITH occ_all AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ_all GROUP BY tok),
+         |qt AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT $BmQueryK),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ_all GROUP BY doc_id),
+         |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl),
+         |sc AS (
+         |  SELECT o.doc_id,
+         |    ((1000000 * t.n_docs) // q.df) AS idf_e6,
+         |    o.tf,
+         |    2500 + (7500 * l.dl * t.n_docs) // t.sum_dl AS norm_e4
+         |  FROM occ_all o JOIN qt q USING (tok) JOIN dl l USING (doc_id), tot t),
+         |c AS (
+         |  SELECT doc_id,
+         |    (idf_e6 * tf * 22000) // (tf * 10000 + (120 * norm_e4) // 100) AS contrib_e6
+         |  FROM sc),
+         |agg AS (SELECT doc_id, CAST(SUM(contrib_e6) AS BIGINT) AS score_e6 FROM c GROUP BY doc_id),
+         |cand AS (SELECT doc_id, score_e6 AS bm25_e6 FROM agg
+         |         ORDER BY score_e6 DESC, doc_id LIMIT $BmTopK),
+         |words AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+         |          FROM documents d JOIN cand USING (doc_id)),
+         |pos AS (SELECT doc_id, w[i] AS tok, i FROM
+         |          (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM words)),
+         |fp AS (SELECT doc_id, tok, MIN(i) AS fp
+         |       FROM pos JOIN qt USING (tok) GROUP BY 1, 2),
+         |rs AS (SELECT doc_id,
+         |         CAST(COUNT(*) * 10000000 + SUM(1000000 // (10 + fp)) AS BIGINT) AS rerank_e6,
+         |         COUNT(*) AS coverage
+         |       FROM fp GROUP BY doc_id)
+         |SELECT rk, doc_id, rerank_e6, coverage, bm25_e6 FROM (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rerank_e6 DESC, doc_id) AS INTEGER) AS rk,
+         |    doc_id, rerank_e6, coverage, bm25_e6
+         |  FROM rs JOIN cand USING (doc_id)) t
+         |WHERE rk <= $RerankTopK ORDER BY rk""".stripMargin,
     // the served index must reproduce the from-scratch computation
     // EXACTLY — same oracle, zero allowance for drift
     "t_bm25_served" -> bm25Oracle,

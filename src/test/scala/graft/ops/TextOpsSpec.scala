@@ -106,6 +106,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p.forall(_.getBoolean(2)))
   }
 
+  test("rerank: stage-2 rescoring is consistent, bounded, and actually reorders stage 1") {
+    val got = TextOps.t_rerank(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.length <= 10)
+    // ranks contiguous from 1, strictly ordered by (rerank desc, doc_id)
+    assert(got.map(_._1).toSeq == (1 to got.length))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"rank order broken: $a vs $b")
+      case _ => ()
+    }
+    // coverage bounded by the query width; score decomposes as
+    // coverage*1e7 + proximity with proximity < coverage * 1e5
+    got.foreach { g =>
+      assert(g._4 >= 1 && g._4 <= 5)
+      val prox = g._3 - g._4 * 10000000L
+      assert(prox >= 0 && prox < g._4 * 100000L, s"score decomposition broken: $g")
+    }
+    // every reranked doc came from the BM25 top-20 candidate list
+    val bm25Top = TextOps.t_bm25(spark, sf).collect().map(_.getLong(0)).toSet
+    got.foreach(g => assert(bm25Top.contains(g._2), s"doc ${g._2} not a stage-1 candidate"))
+    // non-vacuous: the rerank ordering differs from pure BM25 ordering
+    val byBm25 = got.sortBy(g => (-g._5, g._2)).map(_._2).toSeq
+    assert(byBm25 != got.map(_._2).toSeq,
+      "rerank equals the BM25 order — stage 2 is a no-op on this corpus")
+  }
+
   test("bm25: matches driver-side integer replay, top-k by score") {
     val got = TextOps.t_bm25(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
