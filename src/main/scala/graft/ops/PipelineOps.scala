@@ -1115,11 +1115,41 @@ object PipelineOps {
       .orderBy(col("lang"))
   }
 
+  /** TEMPERATURE-SCALED mixture weights (α = ½) — the multilingual /
+    * multi-source pretraining standard (the XLM-R / mT5 recipe):
+    * sampling probability p_s ∝ c_s^α flattens the natural source
+    * distribution, up-weighting small sources without fully
+    * equalizing them. Complements [[p_mix_weights]] (which hits
+    * explicit per-source TARGETS); temperature needs no targets —
+    * one dial. Determinism note: c_s^½ is ONE double `sqrt` per
+    * SOURCE over an exact integer — integerized immediately
+    * (`floor(√c·1000)`), so no doubles are ever summed (FP addition
+    * order across engines would drift the hash); the normalization
+    * and the boost-vs-natural-frequency factor are integer div.
+    * One corpus pass + a ≤|sources|-row window — the 100 TB cost is
+    * the token count, which [[p_dataset_card]] already pays. */
+  val p_temperature_mix: Q = (s, d) => {
+    val bySrc = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source")).agg(sum(col("toks")).as("actual_tokens"))
+      .withColumn("r",
+        floor(sqrt(col("actual_tokens").cast("double")) * 1000).cast("long"))
+    bySrc
+      .withColumn("rsum", sum(col("r")).over(Window.partitionBy()))
+      .withColumn("csum", sum(col("actual_tokens")).over(Window.partitionBy()))
+      .select(col("source"), col("actual_tokens"),
+        expr("(1000000L * r) div rsum").as("p_e6"),
+        // boost vs natural frequency: (r/rsum)/(c/csum), ×10⁶
+        expr("(1000000L * r * csum) div (rsum * actual_tokens)").as("boost_e6"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "p_snapshot_diff" -> p_snapshot_diff,
     "p_mix_weights" -> p_mix_weights,
+    "p_temperature_mix" -> p_temperature_mix,
     "p_decontaminate" -> p_decontaminate,
     "p_mixture_sample" -> p_mixture_sample,
     "p_train_shuffle" -> p_train_shuffle,
@@ -1236,6 +1266,21 @@ object PipelineOps {
         |ORDER BY o_orderkey""".stripMargin,
     // exact integer/IEEE mixture-weight arithmetic: products < 2^53,
     // one division, floor — bit-identical in both engines
+    "p_temperature_mix" ->
+      """WITH lt AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS actual_tokens
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, actual_tokens,
+        |    CAST(FLOOR(SQRT(CAST(actual_tokens AS DOUBLE)) * 1000) AS BIGINT) AS r
+        |  FROM lt),
+        |t AS (SELECT source, actual_tokens, r,
+        |    SUM(r) OVER () AS rsum, SUM(actual_tokens) OVER () AS csum
+        |  FROM r)
+        |SELECT source, actual_tokens,
+        |  CAST((1000000 * r) // rsum AS BIGINT) AS p_e6,
+        |  CAST((1000000 * r * csum) // (rsum * actual_tokens) AS BIGINT) AS boost_e6
+        |FROM t ORDER BY source""".stripMargin,
     "p_mix_weights" ->
       """WITH lt AS (
         |  SELECT lang,

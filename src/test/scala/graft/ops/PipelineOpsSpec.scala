@@ -102,6 +102,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       "no doc spans a chunk boundary — witness vacuous")
   }
 
+  test("temperature mix: probabilities normalize, flatten the natural distribution, and preserve order") {
+    val got = PipelineOps.p_temperature_mix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length >= 2, "fixture must have >= 2 sources")
+    // probabilities sum to 1e6 up to the div-floor remainder
+    val pSum = got.map(_._3).sum
+    assert(pSum > 1000000L - got.length && pSum <= 1000000L, s"p_e6 sum $pSum")
+    // flattening: sampling keeps the SIZE ordering (alpha > 0) but
+    // compresses it — a smaller source's boost is >= a larger one's,
+    // and p is strictly between natural frequency and uniform for
+    // every non-boundary source
+    val bySize = got.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array(small, large) =>
+        assert(small._3 <= large._3, s"alpha>0 must keep size order: $small $large")
+        assert(small._4 >= large._4, s"smaller source must boost more: $small $large")
+      case _ => ()
+    }
+    val total = got.map(_._2).sum.toDouble
+    val uniform = 1000000.0 / got.length
+    got.foreach { case (src, c, p, boost) =>
+      val natural = 1000000.0 * c / total
+      if (math.abs(natural - uniform) > 1) {
+        val lo = math.min(natural, uniform) - 1
+        val hi = math.max(natural, uniform) + 1
+        assert(p >= lo && p <= hi, s"$src: p=$p outside ($natural, $uniform)")
+        // boost agrees with p/natural within integer-division slack
+        assert(math.abs(boost - 1000000.0 * p / natural) < 2000,
+          s"$src: boost $boost inconsistent with p=$p natural=$natural")
+      }
+    }
+  }
+
   test("mixture sample: per-source keep rates honor the quota ordering") {
     val docs = Tables.documents(spark, sf)
     val kept = PipelineOps.p_mixture_sample(spark, sf)
