@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared durable-store plumbing in isolation: the stage/rename
+  * publish (including the round-12 one-file-per-partition-dir
+  * guarantee — the fix for the tasks × fan-out small-file storm
+  * ScaleBench measured as 9× super-linear build growth), the shared
+  * retention sweep, and the lease-pinned snapshot open. Store-level
+  * behavior is pinned by each store's own spec; this file pins the
+  * CORE so a regression is caught without a corpus in the loop. */
+class ManifestIoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def freshDir(tag: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_mio_$tag")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("publishPartitions writes ~one file per partition dir, not tasks x fan-out") {
+    val dir = freshDir("pub")
+    val fanOut = 64
+    // 32 upstream partitions x 64 buckets: the pre-fix write produced
+    // up to 2048 files; the repartition-on-partition-column write must
+    // produce one per populated bucket dir
+    val rows = spark.range(0, 200000, 1, 32)
+      .select(col("id"), pmod(col("id"), lit(fanOut)).cast("int").as("bucket"))
+    val published = ManifestIo.publishPartitions(rows, dir, 0L, "bucket", "b")
+    assert(published == (0 until fanOut), "every bucket must publish")
+    val counts = published.map { b =>
+      val d = dir.resolve(s"b$b/e0").toFile
+      Option(d.listFiles()).toSeq.flatten
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    }
+    assert(counts.forall(_ == 1),
+      s"bucket dirs must hold ONE data file each, got ${counts.distinct.sorted}")
+    // the partition column survives the rename as a real data column
+    val back = spark.read.parquet(dir.resolve("b7/e0").toString)
+    assert(back.columns.contains("bucket"))
+    assert(back.select("bucket").distinct().collect().map(_.getInt(0)).toSeq == Seq(7))
+    // staged dir is gone; total row count round-trips
+    assert(!java.nio.file.Files.exists(dir.resolve(".stage-e0")))
+    val all = spark.read.parquet(published.map(b => dir.resolve(s"b$b/e0").toString): _*)
+    assert(all.count() == 200000L)
+  }
+
+  test("gcEpochs sweeps exactly the unreferenced component epochs below current") {
+    val dir = freshDir("gc")
+    def touch(rel: String): Unit = {
+      val p = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("part-0.parquet"), "x"): Unit
+    }
+    // three committed epochs, each pinning its own components
+    def manifest(e: Long, rels: Seq[String]): String =
+      s"""{"epoch":$e,"rels":[${rels.map(r => s""""$r"""").mkString(",")}]}"""
+    def relsOf(p: java.nio.file.Path): Seq[String] = {
+      import org.json4s._
+      (org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p)) \ "rels") match {
+        case JArray(xs) => xs.map { case JString(v) => v; case o => sys.error(s"$o") }
+        case o => sys.error(s"$o")
+      }
+    }
+    ManifestIo.commit(dir, 0L, manifest(0L, Seq("b0/e0", "b1/e0", "stats/e0")))
+    touch("b0/e0"); touch("b1/e0"); touch("stats/e0")
+    ManifestIo.commit(dir, 1L, manifest(1L, Seq("b0/e1", "b1/e0", "stats/e1")))
+    touch("b0/e1"); touch("stats/e1")
+    ManifestIo.commit(dir, 2L, manifest(2L, Seq("b0/e2", "b1/e0", "stats/e2")))
+    touch("b0/e2"); touch("stats/e2")
+    // orphan from a crashed future attempt: MUST survive (epoch >= current)
+    touch("b1/e9")
+
+    ManifestIo.gcEpochs(dir, current = 2L, retain = 2, "b\\d+|stats", relsOf)
+
+    assert(ManifestIo.listEpochs(dir) == Seq(1L, 2L), "horizon must keep 2 epochs")
+    def exists(rel: String) = java.nio.file.Files.exists(dir.resolve(rel))
+    assert(!exists("b0/e0"), "unreferenced old component must be swept")
+    assert(!exists("stats/e0"), "unreferenced old component must be swept")
+    assert(exists("b0/e1") && exists("stats/e1"), "retained epoch's components stay")
+    assert(exists("b0/e2") && exists("stats/e2"), "live epoch's components stay")
+    assert(exists("b1/e0"),
+      "a component referenced by a RETAINED manifest stays even if written at a dropped epoch")
+    assert(exists("b1/e9"), "in-flight future dirs are spared")
+  }
+
+  test("withSnapshot pins an epoch against gcEpochs; expired snapshots fail pointedly") {
+    val dir = freshDir("lease")
+    def touch(rel: String): Unit = {
+      val p = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("part-0.parquet"), "x"): Unit
+    }
+    ManifestIo.commit(dir, 0L, """{"epoch":0,"rels":["b0/e0"]}""")
+    touch("b0/e0")
+    ManifestIo.commit(dir, 1L, """{"epoch":1,"rels":["b0/e1"]}""")
+    touch("b0/e1")
+    val seen = ManifestIo.withSnapshot(dir, 0L,
+        p => java.nio.file.Files.readString(p)) { m0 =>
+      // retain=1 would evict epoch 0 — the lease must spare it
+      ManifestIo.gcEpochs(dir, current = 1L, retain = 1, "b\\d+",
+        _ => Seq("b0/e1"))
+      assert(java.nio.file.Files.exists(ManifestIo.versionedPath(dir, 0L)),
+        "leased epoch manifest must survive GC")
+      m0.contains(""""epoch":0""")
+    }
+    assert(seen)
+    // lease released: the next pass evicts it, and openVersioned fails loudly
+    ManifestIo.gcEpochs(dir, current = 1L, retain = 1, "b\\d+", _ => Seq("b0/e1"))
+    val gone = intercept[IllegalArgumentException](
+      ManifestIo.openVersioned(dir, 0L, p => p))
+    assert(gone.getMessage.contains("not retained"))
+  }
+}
