@@ -41,7 +41,12 @@ private[graft] object ManifestIo {
     // fan-out files (measured 9× super-linear build growth at fan-out
     // 512 in ScaleBench, and a small-file storm an object store would
     // punish harder). One extra shuffle of the posting rows buys
-    // ~one file per partition dir.
+    // ~one file per partition dir. Trade-off: a partition's rows now
+    // land on ONE task, so a pathologically hot partition writes as a
+    // straggler — acceptable because every caller sizes its fan-out
+    // ~√N (suggestedBuckets/suggestedNlist), which shrinks per-
+    // partition bytes as the corpus grows; a store that expects heavy
+    // skew should salt the partition column before calling.
     rows.withColumn("p" + partColumn, col(partColumn))
       .repartition(col("p" + partColumn))
       .write.mode("overwrite").partitionBy("p" + partColumn).parquet(stage.toString)

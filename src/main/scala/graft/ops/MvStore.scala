@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   *   b<k>/e<N>/...parquet    bucket k's partials as of epoch N (immutable)
   * }}}
   * Partial rows are `(m, keys…, aggs…)` with the view definition
-  * (key and agg column lists) recorded IN the manifest — every agg
-  * state merges by further summing (counts are sums of 1s,
-  * retractions sums of negatives): the decomposable-aggregate
+  * (key, agg, and per-agg MERGE KIND lists) recorded IN the
+  * manifest — each agg state merges under its declared monoid
+  * ("sum" longs: counts are sums of 1s, retractions sums of
+  * negatives; "hll": DataSketches HLL bytes under `hll_union_agg`,
+  * the mergeable COUNT(DISTINCT) state): the decomposable-aggregate
   * contract that makes the MV incremental, over any view shape that
-  * satisfies it (single-table or join-sourced partials alike).
+  * satisfies it (single-table, join-sourced, or sketch partials
+  * alike).
   * Buckets hash on the MONTH alone: the refresh unit is a month of
   * new base data, so a month's delta touches exactly ONE bucket and
   * a refresh commit rewrites 1/[[NumBuckets]] of the view, not all
@@ -51,15 +54,40 @@ object MvStore {
   val RetainEpochs = 3
 
   /** The manifest carries the VIEW DEFINITION alongside the pointer:
-    * `keys` (group columns beyond the month bucket key `m`) and
-    * `aggs` (partial columns, every one merged by SUM — counts are
-    * sums of 1s, retractions are sums of negatives). Refresh and
-    * serve read the schema from here, so a maintenance job or a
-    * second-session consumer needs the artifact path and NOTHING
-    * else — the production property that lets one store hold many
-    * views (single-table, join-shaped, …) without per-view code. */
+    * `keys` (group columns beyond the month bucket key `m`), `aggs`
+    * (partial columns), and each agg's MERGE KIND (`kinds`, parallel
+    * to `aggs`; empty = all-"sum"). Refresh and serve read the schema
+    * from here, so a maintenance job or a second-session consumer
+    * needs the artifact path and NOTHING else — the production
+    * property that lets one store hold many views (single-table,
+    * join-shaped, sketch-state, …) without per-view code.
+    *
+    * Merge kinds — any commutative monoid whose merge Spark can
+    * express works; two are wired:
+    *   - `"sum"`: summed longs (counts are sums of 1s, retractions
+    *     sums of negatives) — the classic decomposable aggregate.
+    *   - `"hll"`: Apache DataSketches HLL sketch BYTES, merged with
+    *     `hll_union_agg` — the mergeable-state form of
+    *     COUNT(DISTINCT), the one aggregate summed longs cannot
+    *     incrementalize. Union is exact over sketches (union of
+    *     partials ≡ one sketch over the union), so a month's refresh
+    *     stays delta-proportional for distinct counts too. No
+    *     retraction exists for HLL (sketches cannot forget), and a
+    *     change FEED has no subtraction either — [[changeFeed]]
+    *     refuses sketch views pointedly. */
   case class MvManifest(epoch: Long, keys: Seq[String], aggs: Seq[String],
-                        buckets: Map[Int, String])
+                        buckets: Map[Int, String], kinds: Seq[String] = Nil)
+
+  private def kindsOf(m: MvManifest): Seq[String] =
+    if (m.kinds.isEmpty) m.aggs.map(_ => "sum") else m.kinds
+
+  /** One merge expression per agg column, from its manifest kind. */
+  private def mergeExprs(m: MvManifest): Seq[org.apache.spark.sql.Column] =
+    m.aggs.zip(kindsOf(m)).map {
+      case (a, "sum") => sum(col(a)).as(a)
+      case (a, "hll") => hll_union_agg(col(a)).as(a)
+      case (a, k)     => sys.error(s"unknown merge kind '$k' for agg $a")
+    }
 
   // ------------------------------------------------------ manifest io
 
@@ -70,7 +98,8 @@ object MvStore {
     val buckets = m.buckets.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
-    s"""{"epoch":${m.epoch},"keys":${arr(m.keys)},"aggs":${arr(m.aggs)},"buckets":$buckets}"""
+    s"""{"epoch":${m.epoch},"keys":${arr(m.keys)},"aggs":${arr(m.aggs)},""" +
+      s""""kinds":${arr(kindsOf(m))},"buckets":$buckets}"""
   }
 
   private def parseManifest(p: java.nio.file.Path): MvManifest = {
@@ -94,7 +123,13 @@ object MvStore {
       }.toMap
       case other => sys.error(s"bad buckets $other")
     }
-    MvManifest(epoch, arr("keys"), arr("aggs"), buckets)
+    // absent in pre-kind manifests — every agg in those merged as sum
+    val kinds = (j \ "kinds") match {
+      case JArray(xs) => xs.map { case JString(x) => x
+                                  case other => sys.error(s"bad kind $other") }
+      case _ => Nil
+    }
+    MvManifest(epoch, arr("keys"), arr("aggs"), buckets, kinds)
   }
 
   def open(dir: String): MvManifest =
@@ -139,15 +174,21 @@ object MvStore {
     * definition in the manifest (one corpus-sized job, paid once,
     * ever). */
   def build(partials: DataFrame, dir: String,
-            keys: Seq[String], aggs: Seq[String]): MvManifest = {
+            keys: Seq[String], aggs: Seq[String],
+            kinds: Seq[String] = Nil): MvManifest = {
     val base = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(base)
     val expect = ("m" +: keys) ++ aggs
     require(partials.columns.toSet == expect.toSet,
       s"partials columns ${partials.columns.toSeq} != declared view $expect")
+    require(kinds.isEmpty || kinds.length == aggs.length,
+      s"kinds (${kinds.length}) must be empty or parallel to aggs (${aggs.length})")
+    require(kinds.forall(Set("sum", "hll")),
+      s"unknown merge kind in $kinds (wired: sum, hll)")
     val published = graft.ManifestIo.publishPartitions(
       withBucket(partials), base, 0L, "bucket", "b")
-    val m = MvManifest(0L, keys, aggs, published.map(b => b -> s"b$b/e0").toMap)
+    val m = MvManifest(0L, keys, aggs, published.map(b => b -> s"b$b/e0").toMap,
+      kinds)
     graft.ManifestIo.commit(base, 0L, renderManifest(m))
     m
   }
@@ -178,14 +219,14 @@ object MvStore {
       if (readPaths.nonEmpty) s.read.parquet(readPaths: _*)
       else delta.limit(0)
     val cols = partialCols(m)
+    val merges = mergeExprs(m)
     val merged = old.select(cols.map(col): _*)
       .unionByName(delta.select(cols.map(col): _*))
       .groupBy(("m" +: m.keys :+ "bucket").map(col): _*)
-      .agg(sum(col(m.aggs.head)).as(m.aggs.head),
-        m.aggs.tail.map(a => sum(col(a)).as(a)): _*)
+      .agg(merges.head, merges.tail: _*)
     val published = graft.ManifestIo.publishPartitions(merged, base, next, "bucket", "b")
     val m2 = MvManifest(next, m.keys, m.aggs,
-      m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap)
+      m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap, m.kinds)
     graft.ManifestIo.commit(base, next, renderManifest(m2))
     gc(dir, next, retain)
     RefreshCommit(m2, affected, readPaths)
@@ -219,10 +260,10 @@ object MvStore {
                             rels: Iterable[String]): DataFrame = {
     val paths = rels.toSeq.sorted.map(rel => s"$dir/$rel")
     require(paths.nonEmpty, "reduceBuckets over zero buckets")
+    val merges = mergeExprs(m)
     s.read.parquet(paths: _*)
       .groupBy(m.keys.map(col): _*)
-      .agg(sum(col(m.aggs.head)).as(m.aggs.head),
-        m.aggs.tail.map(a => sum(col(a)).as(a)): _*)
+      .agg(merges.head, merges.tail: _*)
   }
 
   /** Final per-key totals from the persisted partials — a
@@ -271,6 +312,12 @@ object MvStore {
     val mt = openAt(dir, to)
     require(mf.keys == mt.keys && mf.aggs == mt.aggs,
       s"view definition drifted between epochs: ${mf.keys}/${mf.aggs} vs ${mt.keys}/${mt.aggs}")
+    // a feed row is new MINUS old per key — sketches have no
+    // subtraction, so a sketch view has no change feed (consumers
+    // re-serve the changed keys instead); fail pointedly, never emit
+    // binary garbage
+    require(kindsOf(mt).forall(_ == "sum"),
+      s"changeFeed requires summable aggs; view at $dir has kinds ${kindsOf(mt)}")
     val changed = mt.buckets.filter { case (k, rel) => !mf.buckets.get(k).contains(rel) }
     if (changed.isEmpty) { // no refresh landed between the epochs
       // serve(...).limit(0) would still require a non-empty bucket set
@@ -278,7 +325,8 @@ object MvStore {
       // (e.g. the dual-sink's epoch-0 bootstrap) must yield an empty
       // feed, not throw. With buckets we keep the exact stored schema;
       // without, no schema was ever recorded, so string keys + long
-      // aggs (every agg in this store merges as a summed long).
+      // aggs (only all-"sum" views reach here — the kind guard above
+      // already rejected sketch views).
       if (mt.buckets.nonEmpty) return serve(s, dir, mt).limit(0)
       val fields = mt.keys.map(k =>
           org.apache.spark.sql.types.StructField(k,

@@ -1602,6 +1602,56 @@ object RelationalQueries {
     MvStore.changeFeed(s, dir, 0L, 1L)
   }
 
+  private val mvDistinctDirs = graft.SessionCache.newCache[String]()
+
+  /** Write-once SKETCH-partial MV artifact: per-(month, event_type)
+    * DataSketches HLL partials over user_id, built on pre-max months
+    * and refreshed with the last month — the mergeable-state form of
+    * COUNT(DISTINCT), the one aggregate summed longs cannot
+    * incrementalize (the classic MV limitation; this store lifts it
+    * by recording "hll" as the agg's merge kind in the manifest). */
+  private[ops] def mvDistinctDir(s: SparkSession, d: String): String =
+    graft.SessionCache.perSession(mvDistinctDirs, s).getOrElseUpdate(d, {
+      val tag = Tables.layoutTag(d)
+      val pid = ProcessHandle.current().pid()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvdistinct_${pid}_$tag"
+      graft.Fs.deleteRecursively(new java.io.File(path))
+      val partials = Tables.events(s, d)
+        .withColumn("m", date_format(col("ts"), "yyyy-MM"))
+        .groupBy(col("m"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        .cache()
+      try {
+        val maxMonth = partials.agg(max(col("m"))).head.getString(0)
+        MvStore.build(partials.filter(col("m") < maxMonth), path,
+          Seq("event_type"), Seq("sk"), kinds = Seq("hll")): Unit
+        MvStore.refresh(s, path, partials.filter(col("m") === maxMonth)): Unit
+      } finally { partials.unpersist(); () }
+      graft.Fs.deleteOnExit(path)
+    })
+
+  /** DISTINCT-COUNT MV, served: per-event-type distinct users
+    * estimated from the PERSISTED sketch partials (build + one
+    * refresh, zero base-table jobs at serve time). BOUND WITNESS —
+    * HLL is approximate, so the hash-checked output is the exact
+    * distinct count (recomputed independently by DuckDB) plus a flag
+    * asserting the sketch-MV estimate lands within ±5 % (≈3σ at
+    * lgConfigK=12); the spec additionally pins the merge law (union
+    * of monthly partials estimates EXACTLY what one sketch over all
+    * events estimates). */
+  val q_mv_distinct: Q = (s, d) => {
+    val dir = mvDistinctDir(s, d)
+    val served = MvStore.serve(s, dir, MvStore.open(dir))
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    exact.join(broadcast(served), "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * lit(100)
+          <= col("exact_users") * lit(5)).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** Correction rule for [[q_mv_retract]]: late-arriving re-statements
     * hit rows with `l_orderkey % 97 == 0` in the two months before the
     * cutoff (corrections are temporally local in production — that
@@ -2556,6 +2606,7 @@ object RelationalQueries {
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
     "q_mv_served" -> q_mv_served,
+    "q_mv_distinct" -> q_mv_distinct,
     "q_mv_asof" -> q_mv_asof,
     "q_mv_changefeed" -> q_mv_changefeed,
     "q_mv_retract" -> q_mv_retract,
@@ -2879,6 +2930,13 @@ object RelationalQueries {
         |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // bound witness: DuckDB recomputes the exact distinct counts; the
+    // sketch-MV estimate's ±5 % flag must come back all-true
+    "q_mv_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // direct aggregate over the CORRECTED base: the MV consumed the
     // corrections as (-before, +after) partials and must agree
     "q_mv_retract" ->

@@ -191,6 +191,46 @@ class MvStoreSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("hll merge kind: sketch partials refresh incrementally, merge law exact, feed refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvhll_").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val evn = graft.ops.Tables.normalizeEventTs(ev, s"$sf/events.parquet")
+    val partials = evn
+      .withColumn("m", date_format(col("ts"), "yyyy-MM"))
+      .groupBy(col("m"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val maxM = partials.agg(max(col("m"))).head.getString(0)
+    val m0 = MvStore.build(partials.filter(col("m") < maxM), dir,
+      Seq("event_type"), Seq("sk"), kinds = Seq("hll"))
+    assert(m0.kinds == Seq("hll") && MvStore.open(dir).kinds == Seq("hll"),
+      "merge kind must persist in the manifest")
+    val commit = MvStore.refresh(spark, dir, partials.filter(col("m") === maxM))
+    // delta-proportional: only the max month's bucket was touched
+    assert(commit.affected.size == 1, s"one-month delta hit ${commit.affected}")
+    // merge law EXACT for HLL union: the served union-of-partials
+    // estimates bit-identically to ONE sketch over all events
+    val served = MvStore.serve(spark, dir, MvStore.open(dir))
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = evn.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served == oneShot,
+      s"union of monthly sketches must estimate exactly like one sketch: $served vs $oneShot")
+    // ...and lands within 5% of exact
+    val exact = evn.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(served(t) - n) * 100 <= n * 5, s"$t: est ${served(t)} vs exact $n")
+    }
+    // sketches have no subtraction: the change feed refuses pointedly
+    val e = intercept[IllegalArgumentException](
+      MvStore.changeFeed(spark, dir, 0L, 1L))
+    assert(e.getMessage.contains("summable"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("change feed over an EMPTY view yields an empty frame, not a throw") {
     // the dual-sink bootstraps its MV with an empty epoch 0; a feed
     // spanning two no-change epochs (or any span over a bucket-less
