@@ -1979,11 +1979,123 @@ object StreamingOps {
     }
   }
 
+  private val mvDistLayoutDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** Per-batch sketch partials: (month, event_type) → HLL over
+    * user_id — the mergeable COUNT(DISTINCT) state
+    * ([[graft.ops.MvStore]] kind "hll"). */
+  private def mvDistinctPartials(ev: DataFrame): DataFrame =
+    ev.withColumn("m", date_format(col("ts"), "yyyy-MM"))
+      .groupBy(col("m"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+
+  /** Micro-batches of raw events for [[st_mv_distinct]]: three
+    * mtime-ordered single files (`event_id % 4 ∈ {1,2,3}`); the
+    * remaining quarter bootstraps epoch 0. */
+  private def mvDistinctLayout(s: SparkSession, d: String): String =
+    perSession(mvDistLayoutDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_mvdisting_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val ev = graft.ops.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+      val now = System.currentTimeMillis()
+      (1 to MvIngestBatches).foreach { b =>
+        writeSingleFile(ev.filter(col("event_id") % 4 === b),
+          java.nio.file.Paths.get(p, s"batch$b.parquet"),
+          now - (MvIngestBatches - b).toLong * 60000)
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** STREAMING DISTINCT-COUNT MV — the sketch-state face of
+    * [[st_mv_ingest]]: each micro-batch reduces ITSELF to (month,
+    * event_type) HLL partials (batch-sized work) and commits them as
+    * one MV epoch under the batch-id pin, so at-least-once delivery
+    * maintains an exactly-once distinct-count view — the aggregate
+    * summed-long MVs structurally cannot incrementalize, live-fed.
+    * The registered witness is the same bound shape as
+    * [[graft.ops.RelationalQueries.q_mv_distinct]]: exact per-type
+    * distinct users (DuckDB-recomputed) plus an all-true ±5 % flag
+    * for the served sketch estimate. At 100 TB: per-batch cost is one
+    * batch aggregate plus a months-touched bucket union; the sketches
+    * never rebuild, and the stream carries no state store (the
+    * artifact IS the state). */
+  val st_mv_distinct: Q = (s, d) => {
+    val dir = runMvDistinct(s, d)
+    val served = graft.ops.MvStore.serve(s, dir, graft.ops.MvStore.open(dir))
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+    val exact = graft.ops.Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    exact.join(broadcast(served), "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * lit(100)
+          <= col("exact_users") * lit(5)).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val mvDistStoreDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** Bootstrap the epoch-0 sketch view and drain the event stream into
+    * it once per (session, fixture); returns the store dir. Overrides
+    * let the spec run an un-memoized copy and restart it against its
+    * checkpoint. */
+  private[graft] def runMvDistinct(s: SparkSession, d: String,
+                                   storeOverride: Option[String] = None,
+                                   ckptOverride: Option[String] = None,
+                                   onBatch: Long => Unit = _ => ()): String = {
+    def run(storeDir: String, ckptDir: String): String = {
+      val ss = streamSession(s)
+      val src = mvDistinctLayout(ss, d)
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(storeDir, "_manifest.json"))) {
+        val boot = graft.ops.Tables.events(ss, d).filter(col("event_id") % 4 === 0)
+        graft.ops.MvStore.build(mvDistinctPartials(boot), storeDir,
+          Seq("event_type"), Seq("sk"), kinds = Seq("hll")): Unit
+      }
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          onBatch(id)
+          graft.ops.MvStore.refreshIdempotent(
+            batch.sparkSession, storeDir, mvDistinctPartials(batch), id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      storeDir
+    }
+    (storeOverride, ckptOverride) match {
+      case (Some(st), Some(ck)) => run(st, ck)
+      case _ =>
+        perSession(mvDistStoreDirs, s).getOrElseUpdate(d, {
+          val pid = ProcessHandle.current().pid()
+          val st = s"${System.getProperty("java.io.tmpdir")}/graft_mvdiststore_${pid}_" +
+            graft.ops.Tables.layoutTag(d)
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_mvdistckpt_${pid}_" +
+            graft.ops.Tables.layoutTag(d)
+          exitDeleteDirs.add(st)
+          exitDeleteDirs.add(ck)
+          run(st, ck)
+        })
+    }
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "st_ann_ingest" -> st_ann_ingest,
     "st_mv_ingest" -> st_mv_ingest,
+    "st_mv_distinct" -> st_mv_distinct,
     "st_upsert_dv" -> st_upsert_dv,
     "st_dual_sink" -> st_dual_sink,
     "st_scd_join" -> st_scd_join,
@@ -2048,6 +2160,14 @@ object StreamingOps {
         |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // the stream-maintained sketch view's bound witness: DuckDB
+    // recomputes the exact distinct counts, the ±5 % flag must come
+    // back all-true (same shape as the batch q_mv_distinct)
+    "st_mv_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // full replay of the changing-dim resolution: batch = event_id %
     // ScdBatches, version per (batch, user) = the CASE mirror of
     // scdDimVersion's coverage rules, tier = (user_id + version) % 4

@@ -757,6 +757,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(ck))
   }
 
+  test("streaming distinct MV: sketch epochs pin to batches, estimates land, restart fires nothing") {
+    val store = java.nio.file.Files.createTempDirectory("graft_mvdistspec_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mvdistspec_ck_").toString
+    var batches = List.empty[Long]
+    StreamingOps.runMvDistinct(spark, sf, Some(store), Some(ckpt), id => batches ::= id)
+    assert(batches.sorted == (0L until StreamingOps.MvIngestBatches).toList,
+      s"expected one batch per file, got $batches")
+    val head = graft.ops.MvStore.open(store)
+    assert(head.epoch == StreamingOps.MvIngestBatches.toLong,
+      "one epoch per micro-batch plus the bootstrap")
+    assert(head.kinds == Seq("hll"), "the streamed view must persist its merge kind")
+    // the stream-maintained sketch estimates land within 5% of exact
+    val est = graft.ops.MvStore.serve(spark, store, head)
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet, "streamed view missing an event type")
+    exact.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n) * 100 <= n * 5, s"$t: est ${est(t)} vs exact $n")
+    }
+    // restart over the same checkpoint fires zero batches
+    var again = 0
+    StreamingOps.runMvDistinct(spark, sf, Some(store), Some(ckpt), _ => again += 1)
+    assert(again == 0, s"restart re-fired $again batches")
+    assert(graft.ops.MvStore.open(store).epoch == head.epoch)
+    graft.Fs.deleteRecursively(new java.io.File(store))
+    graft.Fs.deleteRecursively(new java.io.File(ckpt))
+  }
+
   test("streaming MV ingest: exactly-once epochs, replay no-op, gap error, restart fires nothing") {
     val store = java.nio.file.Files.createTempDirectory("graft_mvingspec_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mvingspec_ck_").toString
