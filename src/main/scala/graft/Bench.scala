@@ -156,6 +156,28 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","load":${ms(loadAtStart)},"cpu_util":${ms(cpuUtil)},"queries":$qs,"sf":"$sfDir"$errJson}"""
     println(line)
+    // Automated solo re-times (round-12 verdict item 2): the in-suite
+    // spread band had to do load-bearing triage work two rounds in a
+    // row because movers had no committed clean-room numbers. Fork ONE
+    // fresh JVM (graft.Solo) for the top in-suite movers vs the
+    // previous committed baseline and persist their ×3 solo runs as
+    // the "solo" block in bench-latest.json — the next verdict's
+    // triage starts from solo evidence, not prose. Runs AFTER the
+    // stdout contract line (a solo failure can never lose the bench
+    // numbers) and after spark.stop() (no two active local[32]
+    // sessions contending for the cores — that would re-create the
+    // very pollution solo exists to remove).
+    spark.stop()
+    val solo: Map[String, Seq[Double]] =
+      if (sys.env.get("SPARK_GRAFT_SOLO").contains("0") || prev.isEmpty) Map.empty
+      else {
+        val movers = results
+          .collect { case (name, best) if best > 0.3 && prev.getOrElse(name, 0.0) > 0.05 =>
+            (name, best / prev(name)) }
+          .filter(_._2 >= 1.5)
+          .sortBy(-_._2).take(10).map(_._1)
+        if (movers.isEmpty) Map.empty else soloRuns(movers, sfDir, cpus)
+      }
     // the stdout line is the driver contract, but tail-capture can
     // truncate it (it did in rounds 4 and 5) — persist the JSON twice:
     // under target/ for local tooling, and at the git worktree root
@@ -171,13 +193,59 @@ object Bench {
     val runsJson = timed.map { case (k, rs) =>
       s"\"" + k + "\":[" + rs.map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val fileLine = line.dropRight(1) + s""","runs":$runsJson}"""
+    val soloJson = solo.map { case (k, rs) =>
+      s"\"" + k + "\":[" + rs.map(ms).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","runs":$runsJson,"solo":$soloJson}"""
     for (p <- Seq(root.resolve("target/bench-latest.json"),
                   root.resolve("bench-latest.json"))) {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, fileLine + "\n")
     }
-    spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** Fork ONE fresh JVM running [[Solo]] over `names` (reps = 3,
+    * 420 s self-deadline) and parse its `#SOLO#` lines back into
+    * per-query run lists. The child inherits this JVM's `--add-opens`
+    * flags and classpath (Spark 4 on JDK 17 needs the opens; `run /
+    * fork := true` guarantees java.class.path is the real app
+    * classpath, not an sbt launcher). Any failure — spawn, non-zero
+    * exit, unparseable output — degrades to an empty map: solo
+    * evidence is a diagnostic, never a reason to lose the bench. */
+  private def soloRuns(names: Seq[String], sfDir: String,
+                       cpus: String): Map[String, Seq[Double]] =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = {
+        val in = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val it = in.iterator()
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val a = it.next()
+          if (a == "--add-opens" && it.hasNext) { out += a; out += it.next() }
+          else if (a.startsWith("--add-opens=") || a.startsWith("-Xmx")) out += a
+        }
+        out.toSeq
+      }
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Solo") ++
+        names ++ Seq("3")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SOLO_SF", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_SOLO_DEADLINE_SEC", "420")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val lines = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().filter(_.startsWith("#SOLO# ")).toList
+      proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      proc.destroyForcibly(): Unit
+      val Entry = """#SOLO# (\S+) sf=\S+ runs=(\S+) best=.*""".r
+      lines.collect { case Entry(name, runs) =>
+        name -> runs.split(",").toSeq.flatMap(_.toDoubleOption)
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

@@ -32,8 +32,9 @@ private[graft] object ManifestIo {
     * published partition ids, sorted. */
   def publishPartitions(rows: org.apache.spark.sql.DataFrame, dir: Path,
                         epoch: Long, partColumn: String,
-                        dirPrefix: String): Seq[Int] = {
-    import org.apache.spark.sql.functions.col
+                        dirPrefix: String, saltTasks: Int = 1): Seq[Int] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(saltTasks >= 1, s"saltTasks must be ≥ 1, got $saltTasks")
     val stage = dir.resolve(s".stage-e$epoch")
     Fs.deleteRecursively(stage.toFile)
     // repartition ON the partition column first: without it every
@@ -43,12 +44,28 @@ private[graft] object ManifestIo {
     // punish harder). One extra shuffle of the posting rows buys
     // ~one file per partition dir. Trade-off: a partition's rows now
     // land on ONE task, so a pathologically hot partition writes as a
-    // straggler — acceptable because every caller sizes its fan-out
-    // ~√N (suggestedBuckets/suggestedNlist), which shrinks per-
-    // partition bytes as the corpus grows; a store that expects heavy
-    // skew should salt the partition column before calling.
-    rows.withColumn("p" + partColumn, col(partColumn))
-      .repartition(col("p" + partColumn))
+    // straggler — usually acceptable because every caller sizes its
+    // fan-out ~√N (suggestedBuckets/suggestedNlist), which shrinks
+    // per-partition bytes as the corpus grows. A store that EXPECTS
+    // heavy skew passes `saltTasks` > 1: the shuffle key gains a
+    // deterministic row-content salt (xxhash64 over the row, mod
+    // saltTasks — stable under task retry, unlike round-robin), so a
+    // hot partition's rows spread over up to `saltTasks` parallel
+    // writers and its dir holds ≤ saltTasks files instead of one —
+    // bounded small-file cost, no straggler.
+    val keyed = rows.withColumn("p" + partColumn, col(partColumn))
+    val parted =
+      if (saltTasks == 1) keyed.repartition(col("p" + partColumn))
+      // explicit partition count: an AQE-coalescible repartition would
+      // merge the salt groups right back into one task, silently
+      // undoing the skew spread (observed: 300k-row hot bucket → 1
+      // file at saltTasks=4 under AQE). REPARTITION_BY_NUM is exempt
+      // from AQE coalescing.
+      else keyed.repartition(
+        rows.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("p" + partColumn),
+        pmod(xxhash64(rows.columns.map(col): _*), lit(saltTasks.toLong)))
+    parted
       .write.mode("overwrite").partitionBy("p" + partColumn).parquet(stage.toString)
     val staged = Option(stage.toFile.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith(s"p$partColumn="))

@@ -204,14 +204,6 @@ object AnnIndexStore {
     graft.ManifestIo.gcEpochs(java.nio.file.Paths.get(dir), current, retain,
       "c\\d+", p => parseManifest(p).cells.values, afterIntent)
 
-  /** Build epoch 0: fit (or memo-hit) the coarse quantizer on
-    * `corpus`, write the indexed vectors' postings (`index`, default
-    * the corpus itself — kept separate so a witness can index only the
-    * candidate split while training on everything, like
-    * [[SimilarityOps.ivfTopK]]), commit the manifest. Training happens
-    * ONLY here and in [[rebalance]] (both corpus-maintenance commits,
-    * by design) — [[topK]]/[[applyDelta]] read the quantizer back from
-    * the manifest. */
   /** Production sizing for `k` (the IVF cell count, FAISS's `nlist`):
     * ~√N cells balances cells-scanned-per-probe against
     * vectors-per-cell (probe cost ≈ nprobe·N/k + k, minimized near
@@ -223,6 +215,14 @@ object AnnIndexStore {
     math.max(SimilarityOps.NumCentroids,
       math.min(1 << 20, math.ceil(math.sqrt(math.max(1L, nVectors).toDouble)).toInt))
 
+  /** Build epoch 0: fit (or memo-hit) the coarse quantizer on
+    * `corpus`, write the indexed vectors' postings (`index`, default
+    * the corpus itself — kept separate so a witness can index only the
+    * candidate split while training on everything, like
+    * [[SimilarityOps.ivfTopK]]), commit the manifest. Training happens
+    * ONLY here and in [[rebalance]] (both corpus-maintenance commits,
+    * by design) — [[topK]]/[[applyDelta]] read the quantizer back from
+    * the manifest. */
   def build(corpus: DataFrame, dir: String,
             k: Int = SimilarityOps.NumCentroids,
             index: Option[DataFrame] = None,

@@ -941,6 +941,33 @@ object DedupOps {
       p
     })
 
+  /** Write-once near-dup CLUSTER artifact per (session, fixture dir):
+    * the full LSH → exact-Jaccard verify → connected-components
+    * pipeline run ONCE and PERSISTED as a (doc_id, cluster, is_keeper)
+    * parquet table — the production shape for every consumer that
+    * needs the cluster labels but is not itself the dedup pipeline
+    * (e.g. [[PipelineOps.p_leakage_split]]'s split key). A corpus team
+    * derives clusters once per corpus version and every downstream
+    * step (splits, keeper filters, audits) joins the stored table; at
+    * 100 TB the table is pair-graph-sized (only docs in ≥1 near-dup
+    * pair appear — a tiny fraction of the corpus), so consumers
+    * BROADCAST it instead of re-running the pipeline. Lives under
+    * tmpdir for the session, deleted on JVM exit. */
+  private val clusterArtifacts = graft.SessionCache.newCache[String]()
+
+  private[graft] def clusterArtifactDir(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String =
+    graft.SessionCache.perSession(clusterArtifacts, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dupclusters_" +
+        Tables.layoutTag(d)
+      val docs = Tables.documents(s, d)
+      val pairs = exactJaccard(lshCandidates(minhashSignatures(docs)), shingled(docs))
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(pairs).write.mode("overwrite").parquet(p)
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
   /** Write-once INCREMENTALLY-ASSEMBLED dedup index per (session,
     * fixture dir): epoch 0 indexes doc_id % 5 ∈ {0, 1}, then
     * [[DedupIndexStore.applyDelta]] appends % 5 ∈ {2, 3} — real

@@ -75,8 +75,14 @@ object MvStore {
     *     retraction exists for HLL (sketches cannot forget), and a
     *     change FEED has no subtraction either — [[changeFeed]]
     *     refuses sketch views pointedly. */
+  /** `types`: Spark catalog type strings parallel to `keys ++ aggs`,
+    * recorded at [[build]] from the partials' actual schema — so an
+    * EMPTY view (zero buckets, no parquet to infer from) can still
+    * emit correctly-typed empty frames. Empty in pre-type manifests
+    * (legacy fallback: string keys, long aggs). */
   case class MvManifest(epoch: Long, keys: Seq[String], aggs: Seq[String],
-                        buckets: Map[Int, String], kinds: Seq[String] = Nil)
+                        buckets: Map[Int, String], kinds: Seq[String] = Nil,
+                        types: Seq[String] = Nil)
 
   private def kindsOf(m: MvManifest): Seq[String] =
     if (m.kinds.isEmpty) m.aggs.map(_ => "sum") else m.kinds
@@ -99,7 +105,7 @@ object MvStore {
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
     s"""{"epoch":${m.epoch},"keys":${arr(m.keys)},"aggs":${arr(m.aggs)},""" +
-      s""""kinds":${arr(kindsOf(m))},"buckets":$buckets}"""
+      s""""kinds":${arr(kindsOf(m))},"types":${arr(m.types)},"buckets":$buckets}"""
   }
 
   private def parseManifest(p: java.nio.file.Path): MvManifest = {
@@ -129,7 +135,14 @@ object MvStore {
                                   case other => sys.error(s"bad kind $other") }
       case _ => Nil
     }
-    MvManifest(epoch, arr("keys"), arr("aggs"), buckets, kinds)
+    // absent in pre-type manifests — empty-view frames fall back to
+    // string keys / long aggs there (documented legacy behavior)
+    val types = (j \ "types") match {
+      case JArray(xs) => xs.map { case JString(x) => x
+                                  case other => sys.error(s"bad type $other") }
+      case _ => Nil
+    }
+    MvManifest(epoch, arr("keys"), arr("aggs"), buckets, kinds, types)
   }
 
   def open(dir: String): MvManifest =
@@ -185,10 +198,13 @@ object MvStore {
       s"kinds (${kinds.length}) must be empty or parallel to aggs (${aggs.length})")
     require(kinds.forall(Set("sum", "hll")),
       s"unknown merge kind in $kinds (wired: sum, hll)")
+    // record the view's actual key/agg types so empty-view consumers
+    // (changeFeed's zero-bucket fallback) never have to guess a schema
+    val types = (keys ++ aggs).map(c => partials.schema(c).dataType.catalogString)
     val published = graft.ManifestIo.publishPartitions(
       withBucket(partials), base, 0L, "bucket", "b")
     val m = MvManifest(0L, keys, aggs, published.map(b => b -> s"b$b/e0").toMap,
-      kinds)
+      kinds, types)
     graft.ManifestIo.commit(base, 0L, renderManifest(m))
     m
   }
@@ -226,7 +242,7 @@ object MvStore {
       .agg(merges.head, merges.tail: _*)
     val published = graft.ManifestIo.publishPartitions(merged, base, next, "bucket", "b")
     val m2 = MvManifest(next, m.keys, m.aggs,
-      m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap, m.kinds)
+      m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap, m.kinds, m.types)
     graft.ManifestIo.commit(base, next, renderManifest(m2))
     gc(dir, next, retain)
     RefreshCommit(m2, affected, readPaths)
@@ -317,22 +333,27 @@ object MvStore {
     // re-serve the changed keys instead); fail pointedly, never emit
     // binary garbage
     require(kindsOf(mt).forall(_ == "sum"),
-      s"changeFeed requires summable aggs; view at $dir has kinds ${kindsOf(mt)}")
+      s"changeFeed requires summable aggs; view at $dir has kinds ${kindsOf(mt)}" +
+        " — sketch-view consumers follow changedKeys(from, to) and re-serve them")
     val changed = mt.buckets.filter { case (k, rel) => !mf.buckets.get(k).contains(rel) }
     if (changed.isEmpty) { // no refresh landed between the epochs
       // serve(...).limit(0) would still require a non-empty bucket set
       // (reduceBuckets reads parquet for the schema) — an EMPTY view
       // (e.g. the dual-sink's epoch-0 bootstrap) must yield an empty
       // feed, not throw. With buckets we keep the exact stored schema;
-      // without, no schema was ever recorded, so string keys + long
-      // aggs (only all-"sum" views reach here — the kind guard above
-      // already rejected sketch views).
+      // without, the manifest's recorded `types` (written at build)
+      // give the view's true key/agg types, so a later non-empty feed
+      // unions cleanly with this one. Only pre-type LEGACY manifests
+      // fall back to string keys + long aggs.
       if (mt.buckets.nonEmpty) return serve(s, dir, mt).limit(0)
-      val fields = mt.keys.map(k =>
-          org.apache.spark.sql.types.StructField(k,
-            org.apache.spark.sql.types.StringType)) ++
-        mt.aggs.map(a => org.apache.spark.sql.types.StructField(a,
-          org.apache.spark.sql.types.LongType))
+      val names = mt.keys ++ mt.aggs
+      val typed: Seq[org.apache.spark.sql.types.DataType] =
+        if (mt.types.length == names.length)
+          mt.types.map(org.apache.spark.sql.types.DataType.fromDDL)
+        else mt.keys.map(_ => org.apache.spark.sql.types.StringType) ++
+          mt.aggs.map(_ => org.apache.spark.sql.types.LongType)
+      val fields = names.zip(typed).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(fields))
@@ -353,6 +374,70 @@ object MvStore {
       .select(keyCols ++ deltaCols: _*)
       .filter(mt.aggs.map(a => col(a) =!= 0).reduce(_ || _))
       .orderBy(mt.keys.map(col): _*)
+  }
+
+  /** The KEYS whose served values MOVED between two retained epochs —
+    * the change-notification a SKETCH view's consumers use where
+    * [[changeFeed]] cannot exist (sketches have no subtraction, so
+    * per-key deltas are undefined; the consumer RE-SERVES exactly the
+    * named keys instead). Works for any merge kind — for all-sum
+    * views it names the keys a changeFeed would emit (modulo exotic
+    * cross-month cancellation, where this conservatively notifies).
+    *
+    * Cost shape: the manifests' bucket pointers identify the moved
+    * buckets (a refresh republishes only the buckets its delta
+    * touched), so ONLY those buckets are read — at both epochs — and
+    * diffed per (month, key) on each agg's SERVE-VISIBLE value (the
+    * summed long, or the HLL estimate: observable state, deliberately
+    * not sketch BYTES, which a re-merge may re-serialize without
+    * changing a single register). Keys whose every (month, value) row
+    * is unchanged are suppressed, so late data for one key names ONE
+    * key even when its month-bucket holds every other key too.
+    * Change-proportional I/O, never a view scan. */
+  def changedKeys(s: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    require(from < to, s"changedKeys wants from < to, got $from → $to")
+    val mf = openAt(dir, from)
+    val mt = openAt(dir, to)
+    require(mf.keys == mt.keys && mf.aggs == mt.aggs,
+      s"view definition drifted between epochs: ${mf.keys}/${mf.aggs} vs ${mt.keys}/${mt.aggs}")
+    // serve-visible per-(month, key) values of one epoch's copy of the
+    // changed buckets: merge partials exactly as serve would, then
+    // project sums as-is and sketches to their estimates
+    def visible(m: MvManifest, rels: Iterable[String]): DataFrame = {
+      val merges = mergeExprs(m)
+      s.read.parquet(rels.toSeq.sorted.map(rel => s"$dir/$rel"): _*)
+        .groupBy(("m" +: m.keys).map(col): _*)
+        .agg(merges.head, merges.tail: _*)
+        .select(("m" +: m.keys).map(col) ++ m.aggs.zip(kindsOf(m)).map {
+          case (a, "sum") => col(a)
+          case (a, "hll") => hll_sketch_estimate(col(a)).as(a)
+          case (a, k)     => sys.error(s"unknown merge kind '$k' for agg $a")
+        }: _*)
+    }
+    val changed = mt.buckets.filter { case (k, rel) => !mf.buckets.get(k).contains(rel) }
+    if (changed.isEmpty) {
+      val typed: Seq[org.apache.spark.sql.types.DataType] =
+        if (mt.types.length == (mt.keys ++ mt.aggs).length)
+          mt.types.take(mt.keys.length)
+            .map(org.apache.spark.sql.types.DataType.fromDDL)
+        else mt.keys.map(_ => org.apache.spark.sql.types.StringType)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(mt.keys.zip(typed).map {
+          case (n, t) => org.apache.spark.sql.types.StructField(n, t) }))
+    }
+    val newV = visible(mt, changed.values)
+    val oldRels = changed.keys.flatMap(mf.buckets.get).toSeq
+    val oldV =
+      if (oldRels.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          newV.schema)
+      else visible(mf, oldRels)
+    val on = ("m" +: mt.keys).map(c => newV(c) <=> oldV(c)).reduce(_ && _)
+    newV.join(oldV, on, "full_outer")
+      .filter(mt.aggs.map(a => !(newV(a) <=> oldV(a))).reduce(_ || _))
+      .select(mt.keys.map(k => coalesce(newV(k), oldV(k)).as(k)): _*)
+      .distinct()
   }
 
   // -------------------------------------------------------------- gc

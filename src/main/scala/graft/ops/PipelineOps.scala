@@ -424,18 +424,31 @@ object PipelineOps {
   /** LEAKAGE-PROOF train/val/test split — the split step of a training
     * pipeline, keyed so evaluation can't see training data through a
     * near-duplicate: the split key is the doc's near-dup CLUSTER label
-    * (from [[DedupOps.d_dedup_clusters]]'s connected components;
+    * (connected components over the verified near-dup pair graph;
     * singletons key on their own id), so an entire cluster lands on
     * ONE side by construction. Keying on doc_id — or even on source,
     * in this corpus — provably leaks (the spec exhibits straddling
     * near-dup pairs under both). Assignment is the same exact-integer
     * Knuth hash as every sampler here (deterministic, re-runnable,
-    * engine-exact), 8/1/1 over hash mod 10. Scale shape: the cluster
-    * labels are pair-graph-sized (tiny vs corpus), the join is a
-    * broadcast probe, and the split adds zero exchanges beyond it. */
-  val p_leakage_split: Q = (s, d) => {
-    val labels = DedupOps.d_dedup_clusters(s, d)
-      .select(col("doc_id"), col("cluster"))
+    * engine-exact), 8/1/1 over hash mod 10.
+    *
+    * Scale shape — the labels come from the PERSISTED cluster
+    * artifact ([[DedupOps.clusterArtifactDir]]), NOT an inline rerun
+    * of LSH → verify → connected components: a corpus team derives
+    * clusters once per corpus version and every consumer joins the
+    * stored table. The artifact is pair-graph-sized (tiny vs corpus),
+    * so the split is ONE broadcast probe over the corpus scan — zero
+    * exchanges beyond the final 3-row aggregate. The spec proves the
+    * artifact-backed split row-identical to an inline-derived one. */
+  val p_leakage_split: Q = (s, d) =>
+    leakageSplitFrom(s, d, s.read.parquet(DedupOps.clusterArtifactDir(s, d)))
+
+  /** The split body over an explicit (doc_id, cluster, …) label table
+    * — factored out so the spec can run the same logic over
+    * inline-derived labels and prove artifact ≡ inline. */
+  private[graft] def leakageSplitFrom(s: SparkSession, d: String,
+                                      clusterLabels: DataFrame): DataFrame = {
+    val labels = clusterLabels.select(col("doc_id"), col("cluster"))
     val keyed = Tables.documents(s, d)
       .join(broadcast(labels), Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("cluster"), col("doc_id")))
@@ -1138,9 +1151,18 @@ object PipelineOps {
       .withColumn("rsum", sum(col("r")).over(Window.partitionBy()))
       .withColumn("csum", sum(col("actual_tokens")).over(Window.partitionBy()))
       .select(col("source"), col("actual_tokens"),
+        // 10⁶·r fits Long for any Long token count (r = ⌊√c·1000⌋ ≤ 3.04e12)
         expr("(1000000L * r) div rsum").as("p_e6"),
-        // boost vs natural frequency: (r/rsum)/(c/csum), ×10⁶
-        expr("(1000000L * r * csum) div (rsum * actual_tokens)").as("boost_e6"))
+        // boost vs natural frequency: (r/rsum)/(c/csum), ×10⁶.
+        // The triple product 10⁶·r·csum tops out near 2.8e37 (r ≤
+        // 3.04e12, csum ≤ Long.Max) — past Long once corpus tokens
+        // reach ~1e10, where non-ANSI Long mult would wrap SILENTLY.
+        // decimal(38,0) intermediates keep the floor division exact at
+        // any Long-countable corpus; the oracle runs the same product
+        // in HUGEINT (int128). `div` on decimals is the same integral
+        // floor division, returned as Long.
+        expr("(1000000 * cast(r as decimal(38,0)) * csum) div " +
+          "(cast(rsum as decimal(38,0)) * actual_tokens)").as("boost_e6"))
       .orderBy(col("source"))
   }
 
@@ -1279,7 +1301,8 @@ object PipelineOps {
         |  FROM r)
         |SELECT source, actual_tokens,
         |  CAST((1000000 * r) // rsum AS BIGINT) AS p_e6,
-        |  CAST((1000000 * r * csum) // (rsum * actual_tokens) AS BIGINT) AS boost_e6
+        |  CAST((CAST(1000000 AS HUGEINT) * r * csum)
+        |       // (CAST(rsum AS HUGEINT) * actual_tokens) AS BIGINT) AS boost_e6
         |FROM t ORDER BY source""".stripMargin,
     "p_mix_weights" ->
       """WITH lt AS (

@@ -1652,6 +1652,77 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  private val mvChangedDirs = graft.SessionCache.newCache[String]()
+
+  /** Write-once sketch-MV artifact with a PLANTED one-key delta for
+    * [[q_mv_changed_keys]]: epoch 0 holds per-(month, event_type) HLL
+    * partials over ALL events EXCEPT a late slice — the min
+    * event_type's even-user events in the max month; epoch 1 refreshes
+    * exactly that slice in. The delta therefore touches ONE bucket
+    * (one month) that also carries every OTHER type's partials for
+    * the months hashing there — the non-vacuous shape for
+    * [[MvStore.changedKeys]]'s precision claim (bucket-level diffing
+    * would name every type; value-level diffing must name one). */
+  private[ops] def mvChangedDir(s: SparkSession, d: String): String =
+    graft.SessionCache.perSession(mvChangedDirs, s).getOrElseUpdate(d, {
+      val tag = Tables.layoutTag(d)
+      val pid = ProcessHandle.current().pid()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvchanged_${pid}_$tag"
+      graft.Fs.deleteRecursively(new java.io.File(path))
+      val ev = Tables.events(s, d)
+        .withColumn("m", date_format(col("ts"), "yyyy-MM"))
+      val bounds = ev.agg(max(col("m")).as("mm"), min(col("event_type")).as("ct")).head
+      val (maxM, cType) = (bounds.getString(0), bounds.getString(1))
+      val isLate = col("m") === maxM && col("event_type") === cType &&
+        col("user_id") % 2 === 0
+      def partials(rows: DataFrame): DataFrame = rows
+        .groupBy(col("m"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      MvStore.build(partials(ev.filter(!isLate)), path,
+        Seq("event_type"), Seq("sk"), kinds = Seq("hll")): Unit
+      MvStore.refresh(s, path, partials(ev.filter(isLate))): Unit
+      graft.Fs.deleteOnExit(path)
+    })
+
+  /** SKETCH-MV CHANGE CONSUMER — the stated alternative to a change
+    * feed for views whose state has no subtraction ([[MvStore
+    * .changeFeed]] refuses HLL views pointedly): a downstream copy at
+    * epoch 0 follows the view to epoch 1 by asking
+    * [[MvStore.changedKeys]] WHICH keys moved (change-bucket-pruned
+    * reads, value-level diff) and re-serving exactly those, keeping
+    * every other key's row untouched. The output certifies, per key:
+    * `is_changed` (precision — only the planted late-delta key may
+    * flag, though its month-bucket carries every key), and
+    * `followed_ok` (the followed copy's estimate equals a full epoch-1
+    * re-serve, key for key). Exact distinct counts come from DuckDB
+    * independently; the ±5 % envelope pins the estimates. */
+  val q_mv_changed_keys: Q = (s, d) => {
+    val dir = mvChangedDir(s, d)
+    val m1 = MvStore.open(dir)
+    val changed = MvStore.changedKeys(s, dir, 0L, 1L)
+    val e0 = MvStore.serve(s, dir, MvStore.openAt(dir, 0L))
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+    val reServed = MvStore.serve(s, dir, m1)
+      .join(broadcast(changed), Seq("event_type"), "left_semi")
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+    val followed = e0.join(broadcast(changed), Seq("event_type"), "left_anti")
+      .unionByName(reServed)
+    val full = MvStore.serve(s, dir, m1)
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est_full"))
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    exact
+      .join(broadcast(followed), "event_type")
+      .join(broadcast(full), "event_type")
+      .join(broadcast(changed.withColumn("hit", lit(true))), Seq("event_type"), "left")
+      .select(col("event_type"), col("exact_users"),
+        coalesce(col("hit"), lit(false)).as("is_changed"),
+        (col("est") === col("est_full")).as("followed_ok"),
+        (abs(col("est_full") - col("exact_users")) * lit(100)
+          <= col("exact_users") * lit(5)).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** Correction rule for [[q_mv_retract]]: late-arriving re-statements
     * hit rows with `l_orderkey % 97 == 0` in the two months before the
     * cutoff (corrections are temporally local in production — that
@@ -2607,6 +2678,7 @@ object RelationalQueries {
     "q_incremental_agg" -> q_incremental_agg,
     "q_mv_served" -> q_mv_served,
     "q_mv_distinct" -> q_mv_distinct,
+    "q_mv_changed_keys" -> q_mv_changed_keys,
     "q_mv_asof" -> q_mv_asof,
     "q_mv_changefeed" -> q_mv_changefeed,
     "q_mv_retract" -> q_mv_retract,
@@ -2935,6 +3007,17 @@ object RelationalQueries {
     "q_mv_distinct" ->
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the changed-key set replayed from the planted construction: the
+    // late delta hit exactly the min event_type, so is_changed flags
+    // precisely that key; the followed copy must equal the full
+    // re-serve key-for-key (followed_ok) — both engine-independent
+    "q_mv_changed_keys" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  event_type = (SELECT min(event_type) FROM events) AS is_changed,
+        |  TRUE AS followed_ok,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // direct aggregate over the CORRECTED base: the MV consumed the

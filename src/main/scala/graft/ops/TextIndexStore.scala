@@ -54,12 +54,18 @@ import org.apache.spark.sql.functions._
   *     (tombstones, batch-proportional) made physical by [[compact]]
   *     (the purge merge). Tombstones here are GLOBAL (one anti-join
   *     set), not Lucene's per-segment bitmaps, so a deleted doc_id
-  *     becomes re-insertable only after the purge: an UPDATE is
-  *     delete → compact → insert, with the compact amortized across
-  *     any number of pending updates.
+  *     becomes re-insertable only after the purge. Content UPDATE of
+  *     a LIVE doc, however, is [[applyUpdate]]: ONE epoch flip that
+  *     physically rewrites just the affected posting buckets (located
+  *     via the registry's doc→buckets map), adjusts vocab stats
+  *     exactly, and supersedes the registry row — no tombstone, no
+  *     purge in the path (the delete→compact→insert dance remains
+  *     only for resurrecting a previously DELETED id).
   *     Serving after a delta is provably identical to a fresh build
   *     over the unioned corpus — [[TextOps.t_bm25_delta]] hash-checks
-  *     exactly that against DuckDB's from-scratch replay.
+  *     exactly that against DuckDB's from-scratch replay; serving
+  *     after an update hash-checks against a from-scratch build over
+  *     the UPDATED corpus ([[TextOps.t_bm25_updated]]).
   *   - Retention GC + [[withSnapshot]] leases mirror the other two
   *     stores via [[graft.EpochGuard]]; [[openAt]] time-travels (an
   *     old epoch serves its old scores bit-identically, because its
@@ -200,6 +206,41 @@ object TextIndexStore {
   private def writeComponent(df: DataFrame, dir: String, rel: String): Unit =
     df.write.mode("overwrite").parquet(s"$dir/$rel")
 
+  /** One registry segment from a batch's posting rows: per doc its
+    * length AND the distinct posting buckets its tokens hash into —
+    * the doc→buckets map that lets [[applyUpdate]] locate a doc's old
+    * postings in batch-proportional work (without it, replacing one
+    * doc means scanning every bucket: doc_ids are scattered inside
+    * token-hashed buckets, so no pushed filter prunes). ≤ min(fan-out,
+    * distinct tokens) ints per doc — registry stays metadata-sized. */
+  private def registrySegment(rows: DataFrame): DataFrame =
+    rows.groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"), collect_set(col("bucket")).as("buckets"))
+
+  /** The EFFECTIVE doc registry under a manifest: segments are
+    * append-only, and [[applyUpdate]] appends a NEW row for an
+    * already-registered doc — so per doc the row from the LATEST
+    * segment wins (segment list order = commit order). Tombstoned
+    * docs are NOT filtered here; callers that need survivors anti-join
+    * `dels` themselves. Legacy segments (pre-update-support builds)
+    * lack the `buckets` column — they surface it as null, and
+    * [[applyUpdate]] fails pointedly on such docs ([[compact]]
+    * regenerates the column, upgrading a legacy index). */
+  private def registryView(s: SparkSession, dir: String, m: TextManifest): DataFrame = {
+    val segs = m.docs.zipWithIndex.map { case (rel, i) =>
+      val seg = s.read.parquet(s"$dir/$rel")
+      val withBuckets =
+        if (seg.columns.contains("buckets")) seg
+        else seg.withColumn("buckets", lit(null).cast("array<int>"))
+      withBuckets.select(col("doc_id"), col("dl"), col("buckets"))
+        .withColumn("seg", lit(i))
+    }
+    segs.reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("seg"), col("dl"), col("buckets"))).as("w"))
+      .select(col("doc_id"), col("w.dl").as("dl"), col("w.buckets").as("buckets"))
+  }
+
   /** Build epoch 0 from `docs` (doc_id, text): postings + stats + doc
     * registry + scalars, one manifest flip. The only corpus-scanning
     * jobs of the index's life happen here and in [[applyDelta]]'s
@@ -219,8 +260,7 @@ object TextIndexStore {
         dir, 0L)
       val stats = rows.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
       writeComponent(stats, dir, "stats/e0")
-      val reg = rows.select(col("doc_id"), col("dl")).groupBy(col("doc_id"))
-        .agg(first(col("dl")).as("dl"))
+      val reg = registrySegment(rows)
       writeComponent(reg, dir, "docs/e0")
       // scalars fold the just-written registry parquet (n_docs rows,
       // a metadata-sized read) — not a second groupBy over postings
@@ -329,7 +369,7 @@ object TextIndexStore {
         .unionByName(rows.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df")))
         .groupBy(col("tok")).agg(sum(col("df")).as("df"))
       writeComponent(statsNew, dir, s"stats/e$next")
-      val regSeg = rows.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      val regSeg = registrySegment(rows)
       writeComponent(regSeg, dir, s"docs/e$next")
       val delta = regSeg.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head
 
@@ -342,6 +382,128 @@ object TextIndexStore {
       commitManifest(dir, m2)
       gc(dir, next, retain)
       DeltaCommit(m2, affected, readPaths)
+    } finally { rows.unpersist(); () }
+  }
+
+  // --------------------------------------------------- single-flip update
+
+  /** Outcome of one update commit, with the diagnostics the spec
+    * asserts on (ONE epoch advanced; buckets rewritten; Σdl moved). */
+  case class UpdateCommit(manifest: TextManifest, affected: Seq[Int],
+                          dlBefore: Long, dlAfter: Long)
+
+  /** SINGLE-FLIP document UPDATE — replace already-indexed docs'
+    * content in ONE epoch commit (round-11 verdict item 5: the old
+    * lifecycle was delete → [[compact]] → insert, three epochs with a
+    * corpus-rewriting purge in the middle, mandatory because
+    * tombstones are global and would swallow the re-insert). An update
+    * here appends NO tombstone at all: it physically rewrites exactly
+    * the posting buckets that hold the doc's OLD postings (located via
+    * the registry's doc→buckets map — batch-proportional, never a
+    * corpus scan) plus the buckets its NEW tokens hash into.
+    *
+    * Per affected bucket: old postings minus the updated docs' rows,
+    * plus the new versions' rows. Vocab stats rewrite exactly (df
+    * decrements for the replaced postings' tokens, increments for the
+    * new — a token left with df = 0 LEAVES the vocabulary, as a fresh
+    * build over the updated corpus would have it). The registry gains
+    * one segment whose rows SUPERSEDE the docs' previous rows (last
+    * segment wins — [[registryView]]); nDocs is unchanged and Σdl
+    * moves by exactly (new − old). One atomic flip commits all of it:
+    * a reader sees entirely-old or entirely-new, never a doc half
+    * replaced. [[TextOps.t_bm25_updated]] hash-checks the whole claim
+    * — serving after applyUpdate ≡ a from-scratch build over the
+    * updated corpus, via the identical DuckDB replay.
+    *
+    * Contract: every doc_id in `updDocs` must be currently indexed
+    * and not tombstoned (updating a deleted doc is a re-insert — a
+    * different operation with different compliance semantics), and
+    * must tokenize to ≥1 token (an update-to-empty is a delete, and
+    * silently vanishing a doc's postings while its registry row stays
+    * live would corrupt the scalars). Indexes built before the
+    * doc→buckets map fail pointedly; one [[compact]] upgrades them. */
+  def applyUpdate(s: SparkSession, dir: String, updDocs: DataFrame,
+                  retain: Int = RetainEpochs): UpdateCommit = {
+    val m = open(dir)
+    val next = m.epoch + 1
+    val rows = postingsOf(updDocs, m.numBuckets).cache()
+    try {
+      val ids = updDocs.select(col("doc_id")).distinct()
+      val found = ids.join(registryView(s, dir, m), "doc_id").cache()
+      try {
+        val (nBatch, nFound) = (ids.count(), found.count())
+        require(nFound == nBatch,
+          s"update batch names ${nBatch - nFound} doc_ids never indexed at $dir")
+        if (m.dels.nonEmpty) {
+          val tombstoned = ids.join(
+            s.read.parquet(m.dels.map(rel => s"$dir/$rel"): _*), "doc_id")
+            .limit(1).count()
+          require(tombstoned == 0L,
+            s"update batch contains tombstoned doc_ids at $dir — a deleted " +
+              "doc is re-inserted (after compact), not updated")
+        }
+        val legacy = found.filter(col("buckets").isNull).limit(1).count()
+        require(legacy == 0L,
+          s"index at $dir predates the registry doc→buckets map; run " +
+            "compact once to upgrade it, then retry the update")
+        val nonEmpty = rows.select(col("doc_id")).distinct().count()
+        require(nonEmpty == nBatch,
+          s"update batch contains ${nBatch - nonEmpty} docs with no tokens " +
+            s"— an update-to-empty is a delete (applyDelete), not an update")
+
+        // ≤ fan-out driver-side ints: buckets holding OLD postings
+        // (registry map) ∪ buckets receiving NEW postings
+        val oldBuckets = found.select(explode(col("buckets")).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val newBuckets = rows.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0))
+        val affected = (oldBuckets ++ newBuckets).distinct.sorted.toSeq
+        val readPaths = affected.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+        val updIds = broadcast(found.select(col("doc_id")))
+        val oldAffected =
+          if (readPaths.nonEmpty) s.read.parquet(readPaths: _*)
+            .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+          else rows.select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+            col("bucket")).limit(0)
+        // the replaced postings — recovered from the affected buckets
+        // themselves (the registry map guarantees they all live here)
+        val replaced = oldAffected.join(updIds, Seq("doc_id"), "left_semi").cache()
+        try {
+          val kept = oldAffected.join(updIds, Seq("doc_id"), "left_anti")
+          val merged = kept.unionByName(rows
+            .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("bucket")))
+          val published = publishBuckets(merged, dir, next)
+          // a bucket whose every posting belonged to updated docs can
+          // come back EMPTY — it must leave the map (a fresh build
+          // over the updated corpus would not have it), not keep
+          // pointing at the stale pre-update epoch dir
+          val buckets = (m.buckets -- affected.toSet.diff(published.toSet)) ++
+            published.map(b => b -> s"b$b/e$next").toMap
+
+          // stats: df −(replaced postings' tokens) +(new postings');
+          // posting rows are unique per (tok, doc), so each count is
+          // exactly the df movement. df = 0 ⇒ token leaves the vocab.
+          val statsNew = s.read.parquet(s"$dir/${m.stats}")
+            .unionByName(replaced.groupBy(col("tok"))
+              .agg((-count(lit(1))).cast("long").as("df")))
+            .unionByName(rows.groupBy(col("tok"))
+              .agg(count(lit(1)).cast("long").as("df")))
+            .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+            .filter(col("df") > 0L)
+          writeComponent(statsNew, dir, s"stats/e$next")
+          val regSeg = registrySegment(rows)
+          writeComponent(regSeg, dir, s"docs/e$next")
+
+          val dlBefore = found.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0)
+          val dlAfter = regSeg.agg(coalesce(sum(col("dl")), lit(0L))).head.getLong(0)
+          val m2 = TextManifest(next, m.nDocs, m.sumDl - dlBefore + dlAfter,
+            buckets, s"stats/e$next", m.docs :+ s"docs/e$next", m.dels,
+            m.numBuckets)
+          commitManifest(dir, m2)
+          gc(dir, next, retain)
+          UpdateCommit(m2, affected, dlBefore, dlAfter)
+        } finally { replaced.unpersist(); () }
+      } finally { found.unpersist(); () }
     } finally { rows.unpersist(); () }
   }
 
@@ -374,7 +536,10 @@ object TextIndexStore {
     val m = open(dir)
     val next = m.epoch + 1
     val ids = delDocs.select(col("doc_id")).distinct()
-    val reg = s.read.parquet(m.docs.map(rel => s"$dir/$rel"): _*)
+    // the EFFECTIVE registry (last segment wins): an updated doc has
+    // one row per update epoch in the raw segments, and the delete's
+    // exact scalar decrement needs its CURRENT dl, once
+    val reg = registryView(s, dir, m)
     val found = ids.join(reg, "doc_id").cache()
     try {
       val (nBatch, nFound) = (ids.count(), found.count())
@@ -426,8 +591,11 @@ object TextIndexStore {
         dir, next)
       val stats = surviving.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
       writeComponent(stats, dir, s"stats/e$next")
-      val reg = s.read.parquet(m.docs.map(rel => s"$dir/$rel"): _*)
-        .join(broadcast(dels), Seq("doc_id"), "left_anti")
+      // registry squash, recomputed from the surviving postings (not
+      // the old segments): collapses update-epoch duplicates to the
+      // live row and REGENERATES the doc→buckets map — compacting a
+      // legacy (pre-update-support) index upgrades it in passing
+      val reg = registrySegment(surviving)
       writeComponent(reg, dir, s"docs/e$next")
       val scalars = s.read.parquet(s"$dir/docs/e$next")
         .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head

@@ -775,6 +775,7 @@ object TextOps {
     "t_bm25_delta" -> t_bm25_delta,
     "t_bm25_deleted" -> t_bm25_deleted,
     "t_bm25_purged" -> t_bm25_purged,
+    "t_bm25_updated" -> t_bm25_updated,
     "t_inverted_index" -> t_inverted_index,
     "t_trigram_search" -> t_trigram_search,
   )
@@ -810,6 +811,37 @@ object TextOps {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       TextIndexStore.build(docs.filter(col("doc_id") % 13 =!= 0), p)
       TextIndexStore.applyDelta(s, p, docs.filter(col("doc_id") % 13 === 0)): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
+  /** The updated-corpus construction for [[t_bm25_updated]], shared
+    * verbatim by the DuckDB oracle: every `doc_id % 11 = 5` doc's text
+    * is REPLACED wholesale (`updated revision notice … <doc_id % 7>`)
+    * — full token turnover, so the update path must retract every old
+    * posting (df decrements, vocab drops for tokens those docs held
+    * exclusively), insert all-new ones, and move Σdl, not merely
+    * append. */
+  private[graft] val UpdPred = "doc_id % 11 = 5"
+  private[graft] val UpdPrefix = "updated revision notice carrying replacement text "
+
+  /** Write-once UPDATED index per (session, fixture dir) for
+    * [[t_bm25_updated]]: the full corpus indexed at epoch 0, then the
+    * `% 11 = 5` docs' content replaced by ONE
+    * [[TextIndexStore.applyUpdate]] flip (no tombstone, no compact —
+    * the single-flip update lifecycle). */
+  private[graft] def updatedTextIndexDir(s: org.apache.spark.sql.SparkSession,
+                                         d: String): String =
+    graft.SessionCache.perSession(textIndexDirs, s).getOrElseUpdate("upd:" + d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidxu_" +
+        Tables.layoutTag(d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextIndexStore.build(docs, p)
+      TextIndexStore.applyUpdate(s, p,
+        docs.filter(col("doc_id") % 11 === 5)
+          .select(col("doc_id"),
+            concat(lit(UpdPrefix), (col("doc_id") % 7).cast("string"))
+              .as("text"))): Unit
       graft.Fs.deleteOnExit(p): Unit
       p
     })
@@ -871,6 +903,22 @@ object TextOps {
     * full-build answer. */
   lazy val t_bm25_delta: Q = (s, d) => {
     val dir = deltaTextIndexDir(s, d)
+    TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 after a SINGLE-FLIP content UPDATE (1/11 of the corpus
+    * replaced wholesale by one [[TextIndexStore.applyUpdate]] commit):
+    * hash-matching the from-scratch DuckDB replay over the UPDATED
+    * corpus proves the one-epoch update converges exactly to a fresh
+    * build — old postings physically gone from the rewritten buckets,
+    * df decremented (vocabulary drops tokens the updated docs held
+    * exclusively), Σdl moved, no tombstone involved. The operation the
+    * old delete→compact→insert dance made three epochs, in one. */
+  lazy val t_bm25_updated: Q = (s, d) => {
+    val dir = updatedTextIndexDir(s, d)
     TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
       .orderBy(desc("score_e6"), col("doc_id"))
       .limit(BmTopK)
@@ -1036,6 +1084,14 @@ object TextOps {
     // after the purge merge the index IS a fresh build over the
     // survivors — from-scratch replay on the surviving corpus
     "t_bm25_purged" -> bm25OracleOver("doc_id % 7 <> 3", "TRUE"),
+    // after the single-flip update the index IS a fresh build over the
+    // UPDATED corpus — the oracle recomputes from scratch over it
+    "t_bm25_updated" -> bm25OracleOver("TRUE", "TRUE",
+      s"""(SELECT doc_id,
+         |   CASE WHEN $UpdPred
+         |        THEN '$UpdPrefix' || CAST(doc_id % 7 AS VARCHAR)
+         |        ELSE text END AS text
+         | FROM documents) c""".stripMargin),
   ) ++ langOracles
 
   private lazy val bm25Oracle: String = bm25OracleOver("TRUE", "TRUE")
@@ -1050,17 +1106,18 @@ object TextOps {
     * replay; (TRUE, survivors) is Lucene's serve-with-deletes
     * (STALE df); (survivors, TRUE) is the post-[[TextIndexStore
     * .compact]] purge, a fresh build over survivors. */
-  private def bm25OracleOver(indexed: String, live: String): String =
+  private def bm25OracleOver(indexed: String, live: String,
+                             corpus: String = "documents"): String =
       s"""WITH occ_all AS (
          |  SELECT doc_id, tok, COUNT(*) AS tf FROM
-         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $corpus
          |     WHERE $indexed)
          |  GROUP BY doc_id, tok),
          |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ_all GROUP BY tok),
          |qt AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT $BmQueryK),
          |occ AS (SELECT * FROM occ_all WHERE $live),
          |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
-         |tot AS (SELECT (SELECT COUNT(*) FROM documents WHERE ($indexed) AND ($live)) AS n_docs,
+         |tot AS (SELECT (SELECT COUNT(*) FROM $corpus WHERE ($indexed) AND ($live)) AS n_docs,
          |               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl),
          |sc AS (
          |  SELECT o.doc_id,

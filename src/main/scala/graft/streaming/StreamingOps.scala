@@ -690,6 +690,20 @@ object StreamingOps {
           "pin epochs with withUpsertSnapshot or raise retainEpochs")
     val m = readManifestFile(p)
     val paths = m.buckets.values.toSeq.sorted.map(rel => s"$stateDir/$rel")
+    // A first-ever EMPTY micro-batch commits epoch 0 with zero buckets
+    // (mergeUpsertBatch's empty-batch epoch flip) — there is no parquet
+    // to read a schema from, so build the typed empty frame explicitly
+    // (the select below fixes the column shape anyway) instead of
+    // handing spark.read.parquet() an empty path list (unpointed
+    // AnalysisException).
+    if (paths.isEmpty) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("last_tus", LongType),
+          StructField("last_type", StringType),
+          StructField("cents", LongType))))
+    }
     s.read.parquet(paths: _*)
       .select(col("user_id"), col("tus").as("last_tus"),
         col("event_type").as("last_type"), col("cents"))

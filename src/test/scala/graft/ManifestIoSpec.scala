@@ -46,6 +46,42 @@ class ManifestIoSpec extends AnyFunSuite {
     assert(all.count() == 200000L)
   }
 
+  test("publishPartitions with saltTasks spreads a planted hot partition over parallel writers") {
+    val fanOut = 8
+    // planted skew: bucket 3 holds 97% of the rows (the LshBucketCap
+    // discipline's celebrity shape, applied to the WRITE path)
+    val rows = spark.range(0, 300000, 1, 32)
+      .select(col("id"),
+        when(col("id") % 100 < 97, lit(3))
+          .otherwise(pmod(col("id"), lit(fanOut))).cast("int").as("bucket"))
+    def filesIn(dir: java.nio.file.Path, b: Int): Int = {
+      val d = dir.resolve(s"b$b/e0").toFile
+      Option(d.listFiles()).toSeq.flatten
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    }
+    // default (saltTasks = 1): the hot bucket writes as ONE task/file
+    val unsalted = freshDir("hot1")
+    ManifestIo.publishPartitions(rows, unsalted, 0L, "bucket", "b")
+    assert(filesIn(unsalted, 3) == 1)
+    // salted: the hot bucket's rows spread over up to 4 writers (>1
+    // file proves parallel tasks wrote it), cold buckets stay bounded
+    // by the salt, and the rows round-trip exactly
+    val salted = freshDir("hot4")
+    val published = ManifestIo.publishPartitions(rows, salted, 0L, "bucket", "b",
+      saltTasks = 4)
+    val populated = rows.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(published == populated, "every populated bucket must publish")
+    assert(filesIn(salted, 3) > 1, "hot partition still wrote as one straggler task")
+    assert(populated.forall(b => filesIn(salted, b) <= 4),
+      "salt must bound files per dir by saltTasks")
+    val back = spark.read.parquet(
+      published.map(b => salted.resolve(s"b$b/e0").toString): _*)
+    assert(back.count() == 300000L)
+    assert(back.filter(col("bucket") === 3).count() ==
+      rows.filter(col("bucket") === 3).count())
+  }
+
   test("gcEpochs sweeps exactly the unreferenced component epochs below current") {
     val dir = freshDir("gc")
     def touch(rel: String): Unit = {

@@ -195,6 +195,88 @@ class TextIndexStoreSpec extends AnyFunSuite {
       scoreKey(TextIndexStore.bm25Scores(spark, fresh, mRef)))
   }
 
+  test("single-flip update: ONE epoch, no tombstone, old postings physically gone, equals fresh build over updated corpus") {
+    val dir = freshDir("upd")
+    val m0 = TextIndexStore.build(docs, dir)
+    def updText(tag: String) = docs.filter(col("doc_id") % 11 === 5)
+      .select(col("doc_id"),
+        concat(lit(s"$tag alpha beta "), (col("doc_id") % 7).cast("string")).as("text"))
+    val upd = updText("replacement")
+    val commit = TextIndexStore.applyUpdate(spark, dir, upd)
+    // ONE manifest flip, zero tombstones, same doc population
+    assert(commit.manifest.epoch == m0.epoch + 1, "update took more than one epoch")
+    assert(commit.manifest.dels.isEmpty, "update appended a tombstone")
+    assert(commit.manifest.nDocs == m0.nDocs)
+    assert(commit.dlBefore > commit.dlAfter, "wholesale replacement should shrink dl")
+    // the updated docs' OLD postings are physically gone from disk —
+    // every surviving posting of theirs carries only replacement tokens
+    val onDisk = spark.read.parquet(
+      commit.manifest.buckets.values.map(rel => s"$dir/$rel").toSeq: _*)
+    val updIds = upd.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(updIds.nonEmpty)
+    val survivingToks = onDisk.filter(col("doc_id").isin(updIds.toSeq: _*))
+      .select("tok").distinct().collect().map(_.getString(0)).toSet
+    val allowed = Set("replacement", "alpha", "beta") ++ (0 to 6).map(_.toString)
+    assert(survivingToks.nonEmpty && survivingToks.subsetOf(allowed),
+      s"stale pre-update postings on disk: ${survivingToks -- allowed}")
+    // the updated index IS a fresh build over the updated corpus:
+    // scalars, vocab stats (incl. tokens dropped at df=0), and scores
+    val updatedCorpus = docs.filter(col("doc_id") % 11 =!= 5).unionByName(upd)
+    val fresh = freshDir("updref")
+    val mRef = TextIndexStore.build(updatedCorpus, fresh)
+    assert(commit.manifest.nDocs == mRef.nDocs &&
+      commit.manifest.sumDl == mRef.sumDl, "scalars drifted from fresh build")
+    def statsKey(d: String, rel: String) =
+      spark.read.parquet(s"$d/$rel").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(statsKey(dir, commit.manifest.stats) == statsKey(fresh, mRef.stats),
+      "updated vocab stats drifted from the fresh-build stats")
+    assert(scoreKey(TextIndexStore.bm25Scores(spark, dir, commit.manifest)) ==
+      scoreKey(TextIndexStore.bm25Scores(spark, fresh, mRef)))
+    // the old 3-epoch dance's blocking constraint is gone: the SAME
+    // docs update again immediately — one more flip, last-wins registry
+    val again = TextIndexStore.applyUpdate(spark, dir, updText("rewritten"))
+    assert(again.manifest.epoch == commit.manifest.epoch + 1)
+    // ...and a delete AFTER two updates decrements by the CURRENT dl
+    // (the last update's), proving the registry view resolves last-wins
+    val one = upd.select(col("doc_id")).orderBy(col("doc_id")).limit(1)
+    val oneId = one.collect().head.getLong(0)
+    val curDl = spark.read.parquet(
+      again.manifest.buckets.values.map(rel => s"$dir/$rel").toSeq: _*)
+      .filter(col("doc_id") === oneId).agg(sum(col("tf"))).head.getLong(0)
+    val del = TextIndexStore.applyDelete(spark, dir, one)
+    assert(del.dlDeleted == curDl,
+      s"delete used a stale registry dl: ${del.dlDeleted} != $curDl")
+  }
+
+  test("update contract: unknown, tombstoned, and empty-text updates fail loudly") {
+    val dir = freshDir("updc")
+    TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    import spark.implicits._
+    val unknown = intercept[IllegalArgumentException] {
+      TextIndexStore.applyUpdate(spark, dir, Seq((1L, "odd doc")).toDF("doc_id", "text"))
+    }
+    assert(unknown.getMessage.contains("never indexed"))
+    val someIds = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(2)
+    TextIndexStore.applyDelete(spark, dir, someIds)
+    val tomb = intercept[IllegalArgumentException] {
+      TextIndexStore.applyUpdate(spark, dir,
+        someIds.withColumn("text", lit("resurrect attempt")))
+    }
+    assert(tomb.getMessage.contains("tombstoned"))
+    val liveId = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).orderBy(desc("doc_id")).limit(1)
+    // a null text tokenizes to ZERO posting rows (explode of null) —
+    // the one way a doc can be token-free under this tokenizer, and
+    // exactly the data bug the pointed error exists for
+    val empty = intercept[IllegalArgumentException] {
+      TextIndexStore.applyUpdate(spark, dir,
+        liveId.withColumn("text", lit(null).cast("string")))
+    }
+    assert(empty.getMessage.contains("no tokens"))
+  }
+
   test("time travel across the delete: the pre-delete epoch still serves the deleted docs") {
     val dir = freshDir("deltt")
     TextIndexStore.build(docs, dir)

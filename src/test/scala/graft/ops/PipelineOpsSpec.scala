@@ -53,6 +53,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("leakage split: artifact-backed split ≡ inline-derived split; serve plan has no CC loop") {
+    // the registered query reads the PERSISTED cluster artifact; an
+    // inline variant re-derives the labels through the full pipeline —
+    // both must produce identical rows (the artifact is a cache of the
+    // pipeline's product, nothing more)
+    val viaArtifact = PipelineOps.p_leakage_split(spark, sf).collect().toSeq
+    val inline = PipelineOps.leakageSplitFrom(spark, sf,
+      DedupOps.d_dedup_clusters(spark, sf)).collect().toSeq
+    assert(viaArtifact == inline)
+    // the artifact exists on disk as parquet (a real cross-session
+    // artifact, not a Spark-internal cache)
+    val dir = DedupOps.clusterArtifactDir(spark, sf)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .anyMatch(p => p.toString.endsWith(".parquet")))
+    // serve-path plan: one broadcast join over the corpus scan — the
+    // LSH/CC machinery (posting-list aggregate + iterative joins)
+    // must NOT appear when serving from the artifact
+    val plan = PipelineOps.p_leakage_split(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val joinCount = plan.linesIterator.count(_.contains("Join"))
+    assert(joinCount <= 2, s"expected ≤2 joins in the served split, got $joinCount")
+  }
+
   test("golden record: latest-non-null genuinely diverges from row-LWW on planted nulls") {
     val ev = Tables.events(spark, sf).select(col("user_id"),
       unix_micros(col("ts")).as("tus"), col("event_id"),

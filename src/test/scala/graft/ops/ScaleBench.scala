@@ -210,6 +210,76 @@ object ScaleBench {
     }
     q("ann_serve") = tAnn
 
+    // --- ANN serve dial: nprobe sweep with MEASURED recall ----------
+    // (round-12 verdict #8: ann_serve grew 1.7× across ×4→×50 because
+    // probed-CELL volume grows with nlist at fixed nprobe — nprobe is
+    // the serving-cost dial, so time AND recall it at three widths
+    // against the exact brute-force top-5 over the full tier corpus)
+    val brute = SimilarityOps.bruteForceTopK(queries,
+        emb.select(col("vec_id").as("cid"), col("embedding").as("ce")), 5)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 5, 15).map { np =>
+      val (got, tNp) = time {
+        AnnIndexStore.topK(s, annDir, AnnIndexStore.open(annDir), queries,
+            k = 5, nprobe = np)
+          .select(col("qid"), col("cid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      q(s"ann_serve_np$np") = tNp
+      np -> got.intersect(brute).size * 100 / brute.size
+    }
+
+    // --- hybrid retrieval served from BOTH persisted artifacts ------
+    // (round-12 verdict #4: the fused path had no growth row) —
+    // lexical leg from the text index, vector leg from the ANN index,
+    // RRF fusion in rank space over two ≤20-row lists
+    q("hybrid_served") = time {
+      import org.apache.spark.sql.expressions.Window
+      val bm = TextIndexStore.bm25Scores(s, textDir, TextIndexStore.open(textDir))
+        .orderBy(desc("score_e6"), col("doc_id")).limit(20)
+        .withColumn("r_bm25",
+          row_number().over(Window.orderBy(desc("score_e6"), col("doc_id"))))
+        .select(col("doc_id"), col("r_bm25"))
+      val vec = AnnIndexStore.topK(s, annDir, AnnIndexStore.open(annDir),
+          queries.filter(col("qid") === 0), k = 20, nprobe = 5)
+        .select(col("cid").as("doc_id"), col("rk").as("r_vec"))
+      bm.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_e12",
+          coalesce(expr("1000000000000L div (60L + r_bm25)"), lit(0L)) +
+            coalesce(expr("1000000000000L div (60L + r_vec)"), lit(0L)))
+        .orderBy(desc("rrf_e12"), col("doc_id")).limit(10)
+        .collect().length
+    }._2
+
+    // --- MV store: corpus-sized build vs DELTA-proportional refresh -
+    // (round-12 verdict #4: the "refresh never re-reads history" claim
+    // had no growth row — exactly the claim ScaleBench exists to
+    // falsify). Delta partials are materialized BEFORE the clock so
+    // the timed refresh is the store's work, not the base-table scan.
+    val mvDir = Files.createTempDirectory(s"graft_scale_mv_x$reps").toString
+    val liM = li.withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+    def mvPartials(rows: DataFrame) = rows
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val maxM = liM.agg(max(col("m"))).head.getString(0)
+    val deltaP = mvPartials(liM.filter(col("m") === maxM)).localCheckpoint()
+    q("mv_build") = time {
+      MvStore.build(mvPartials(liM.filter(col("m") < maxM)), mvDir,
+        Seq("l_returnflag"), Seq("cents"))
+    }._2
+    q("mv_refresh") = time { MvStore.refresh(s, mvDir, deltaP) }._2
+    q("mv_changefeed") = time { MvStore.changeFeed(s, mvDir, 0L, 1L).count() }._2
+    q("mv_changed_keys") = time { MvStore.changedKeys(s, mvDir, 0L, 1L).count() }._2
+
+    // --- stream-stream interval join: full drain over R× events -----
+    // (round-12 verdict #4) — watermarks bound state to 1 h per side,
+    // so the drain should scale with DATA volume, never with state
+    val (joined, tJoin) = time {
+      graft.streaming.StreamingOps.st_stream_join(s, dir).count()
+    }
+    q("stream_join") = tJoin
+
     // --- streaming upsert: 4 merge batches over R× distinct keys ----
     val upsertDir = Files.createTempDirectory(s"graft_scale_ups_x$reps").toString
     q("upsert_4batches") = time {
@@ -222,13 +292,14 @@ object ScaleBench {
     val rows = Map("documents" -> nDocs, "embeddings" -> nVec,
       "lineitem" -> li.count(), "events" -> ev.count(),
       "dedup_pairs_served" -> nServed, "bm25_docs_served" -> bmServed,
-      "ann_rows_served" -> annServed)
+      "ann_rows_served" -> annServed, "stream_join_rows" -> joined) ++
+      recalls.map { case (np, r) => s"ann_recall_np$np" -> r.toLong }
     println(s"""#SCALE# {"metric":"scale","reps":$reps,"unit":"sec",""" +
       s""""fanouts":{"dedup":$dFan,"text":$tFan,"nlist":$nlist},""" +
       s""""rows":{${rows.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
       s""""queries":{${q.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")}}}""")
 
-    Seq(dedupDir, textDir, annDir, upsertDir)
+    Seq(dedupDir, textDir, annDir, upsertDir, mvDir)
       .foreach(p => graft.Fs.deleteRecursively(new java.io.File(p)))
   }
 
