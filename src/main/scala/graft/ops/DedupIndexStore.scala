@@ -229,6 +229,41 @@ object DedupIndexStore {
       if new java.io.File(p).exists()
     } yield p
 
+  /** The EFFECTIVE registry rows for the given dbuckets — per doc the
+    * row from the LATEST segment wins: [[applyUpdate]] appends a
+    * SUPERSEDING (doc_id, sh) row for an already-registered doc, and
+    * segments are ordered by their epoch (parsed from the `docs/eN`
+    * rel). For never-updated docs there is exactly one row and the
+    * resolve short-circuits (single-segment fast path — the common
+    * case costs what the raw read did). `restrictTo` (broadcast
+    * semi-join per segment read) bounds the resolve to candidate
+    * doc_ids so serve-time work stays batch-proportional. */
+  private def latestRegistryRows(s: SparkSession, dir: String, m: DedupManifest,
+                                 buckets: Seq[Int],
+                                 restrictTo: Option[DataFrame]): DataFrame = {
+    val perSeg = for {
+      rel <- m.docs
+      paths = buckets.map(b => s"$dir/$rel/dbucket=$b")
+        .filter(p => new java.io.File(p).exists())
+      if paths.nonEmpty
+    } yield {
+      val seg = s.read.parquet(paths: _*).select(col("doc_id"), col("sh"))
+      val bounded = restrictTo.fold(seg)(ids =>
+        seg.join(broadcast(ids), Seq("doc_id"), "left_semi"))
+      bounded.withColumn("segE", lit(rel.stripPrefix("docs/e").toLong))
+    }
+    perSeg match {
+      case Seq() =>
+        s.emptyDataFrame.select(lit(0L).as("doc_id"),
+          lit(null).cast("array<string>").as("sh")).limit(0)
+      case Seq(one) => one.select(col("doc_id"), col("sh"))
+      case many => many.reduce(_ unionByName _)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("segE"), col("sh"))).as("w"))
+        .select(col("doc_id"), col("w.sh").as("sh"))
+    }
+  }
+
   /** Build epoch 0 from `docs` (doc_id, text). The only corpus-scanning
     * jobs of the index's life happen here and in [[applyDelta]]'s
     * batch-proportional merges. Both fan-outs are build parameters
@@ -313,7 +348,10 @@ object DedupIndexStore {
       .collect().map(_.getInt(0)).toSeq.sorted
     val regPaths = registryLeafPaths(dir, m, candBuckets)
     if (regPaths.isEmpty) return (empty, ServeDiag(probed, paths, regPaths))
-    val reg = s.read.parquet(regPaths: _*)
+    // last-wins registry resolve, bounded to the candidate old docs
+    // (single-segment indexes skip the resolve entirely)
+    val reg = latestRegistryRows(s, dir, m, candBuckets,
+      Some(pairs.select(col("doc_old").as("doc_id"))))
     val verified = reg.join(broadcast(pairs), reg("doc_id") === pairs("doc_old"))
       .select(col("doc_new"), col("doc_old"), reg("sh").as("sha"))
       .join(broadcast(batchSh.select(col("doc_id").as("doc_new"), col("sh").as("shb"))),
@@ -382,6 +420,89 @@ object DedupIndexStore {
     } finally { sh.unpersist(); () }
   }
 
+  // --------------------------------------------------- single-flip update
+
+  /** Outcome of one update commit (ONE epoch advanced; the posting
+    * buckets rewritten — old keys' ∪ new keys'). */
+  case class UpdateCommit(manifest: DedupManifest, affected: Seq[Int])
+
+  /** SINGLE-FLIP content UPDATE of LIVE indexed docs — the dedup twin
+    * of [[TextIndexStore.applyUpdate]], and like [[applyDelete]] it is
+    * EXACT in batch-proportional work because the registry holds each
+    * doc's shingles: the old signature re-derives from the registered
+    * shingles (the same deterministic [[postingsOf]] pipeline that
+    * placed it), locating every posting the old version owns, so ONLY
+    * the buckets under the old keys ∪ the new keys are read,
+    * anti-joined of the updated docs, merged with the new versions'
+    * postings, and republished. The registry gains one SUPERSEDING
+    * segment (last-wins — [[latestRegistryRows]] resolves every read;
+    * [[compact]] makes the supersession physical). nDocs is unchanged;
+    * one atomic flip commits, so a prober sees entirely-old or
+    * entirely-new, never a doc half replaced.
+    * [[DedupOps.d_dedup_updated]] hash-checks serve-after-update ≡ the
+    * from-scratch OLD×NEW replay over the UPDATED corpus.
+    *
+    * Contract: every doc_id must be currently indexed and not deleted
+    * (updating a deleted doc is a re-insert — after [[compact]], as
+    * before), and must shingle to ≥1 shingle (an update-to-empty is a
+    * delete). */
+  def applyUpdate(s: SparkSession, dir: String, updDocs: DataFrame,
+                  retain: Int = RetainEpochs): UpdateCommit = {
+    val m = open(dir)
+    val next = m.epoch + 1
+    val newSh = DedupOps.shingled(updDocs).cache()
+    try {
+      val ids = updDocs.select(col("doc_id")).distinct()
+        .withColumn("dbucket", docBucket(col("doc_id"), m.docBuckets))
+      val vBuckets = ids.select(col("dbucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val oldSh = latestRegistryRows(s, dir, m, vBuckets,
+        Some(ids.select(col("doc_id")))).cache()
+      try {
+        val (nBatch, nFound) =
+          (ids.count(), oldSh.select(col("doc_id")).distinct().count())
+        require(nFound == nBatch,
+          s"update batch names ${nBatch - nFound} doc_ids never indexed at $dir")
+        if (m.dels.nonEmpty) {
+          val already = ids.join(
+            s.read.parquet(m.dels.map(rel => s"$dir/$rel"): _*), "doc_id")
+            .limit(1).count()
+          require(already == 0L,
+            s"update batch contains deleted doc_ids at $dir — a deleted " +
+              "doc is re-inserted (after compact), not updated")
+        }
+        val nonEmpty = newSh.filter(size(col("sh")) > 0)
+          .select(col("doc_id")).distinct().count()
+        require(nonEmpty == nBatch,
+          s"update batch contains ${nBatch - nonEmpty} docs with no " +
+            "shingles — an update-to-empty is a delete (applyDelete), not an update")
+
+        val newPost = postingsOf(newSh, m.numBuckets)
+        val affected = postingsOf(oldSh, m.numBuckets).select(col("bucket"))
+          .unionByName(newPost.select(col("bucket")))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val readPaths = affected.flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+        val cleaned =
+          if (readPaths.nonEmpty) s.read.parquet(readPaths: _*)
+            .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+            .select(col("band"), col("key"), col("doc_id"), col("sfull"), col("bucket"))
+          else newPost.limit(0)
+        val published = graft.ManifestIo.publishPartitions(
+          cleaned.unionByName(newPost), java.nio.file.Paths.get(dir), next,
+          "bucket", "b")
+        writeRegistrySegment(newSh, dir, s"docs/e$next", m.docBuckets): Unit
+        // a bucket emptied by the update drops from the manifest
+        val buckets = (m.buckets -- affected) ++
+          published.map(b => b -> s"b$b/e$next").toMap
+        val m2 = DedupManifest(next, m.nDocs, buckets,
+          m.docs :+ s"docs/e$next", m.dels, m.numBuckets, m.docBuckets)
+        commitManifest(dir, m2)
+        gc(dir, next, retain)
+        UpdateCommit(m2, affected)
+      } finally { oldSh.unpersist(); () }
+    } finally { newSh.unpersist(); () }
+  }
+
   // --------------------------------------------------------- deletes
 
   /** Outcome of one delete commit, with the diagnostics the spec
@@ -417,9 +538,10 @@ object DedupIndexStore {
       .collect().map(_.getInt(0)).toSeq.sorted
     val regPaths = registryLeafPaths(dir, m, vBuckets)
     require(regPaths.nonEmpty, s"delete batch names doc_ids never indexed at $dir")
-    val victims = s.read.parquet(regPaths: _*)
-      .join(broadcast(ids.select(col("doc_id"))), "doc_id")
-      .select(col("doc_id"), col("sh")).cache()
+    // last-wins resolve: a doc updated since its insert re-derives its
+    // postings from the CURRENT shingles (the only postings that exist)
+    val victims = latestRegistryRows(s, dir, m, vBuckets,
+      Some(ids.select(col("doc_id")))).cache()
     try {
       val (nBatch, nFound) =
         (ids.count(), victims.select(col("doc_id")).distinct().count())
@@ -490,7 +612,10 @@ object DedupIndexStore {
     // the row); the repartition keeps the rewrite at one file per
     // leaf dir instead of tasks × fan-out
     val rel = s"docs/e$next"
-    s.read.parquet(regPaths: _*)
+    // last-wins squash: update-superseded rows die here along with the
+    // delete-marked ones — the post-compact registry is one live row
+    // per doc, exactly what a fresh build would write
+    latestRegistryRows(s, dir, m, 0 until m.docBuckets, None)
       .join(broadcast(dels), Seq("doc_id"), "left_anti")
       .withColumn("dbucket", docBucket(col("doc_id"), m.docBuckets))
       .repartition(col("dbucket"))

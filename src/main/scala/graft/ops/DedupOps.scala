@@ -1002,6 +1002,26 @@ object DedupOps {
       .orderBy(col("doc_new"), col("doc_old"))
   }
 
+  /** The daily screen served AFTER A SINGLE-FLIP CONTENT UPDATE
+    * (1/45 of the indexed corpus re-texted by one
+    * [[DedupIndexStore.applyUpdate]] commit — no tombstone, no
+    * compact): hash-matching the from-scratch OLD×NEW replay over the
+    * UPDATED corpus proves both halves at once — the updated docs'
+    * old postings are physically gone (their former pairs vanish) and
+    * the new postings serve (each updated doc pairs with its donor
+    * batch doc at jac_e6 = 1000000). The operation the
+    * delete→compact→insert dance previously made three epochs, in
+    * one — completing update symmetry across all three durable
+    * indexes (ANN deltas carry `op = "update"`; the text index got
+    * [[TextIndexStore.applyUpdate]] this round). */
+  lazy val d_dedup_updated: Q = (s, d) => {
+    val dir = updatedDedupIndexDir(s, d)
+    DedupIndexStore.nearDups(s, dir, DedupIndexStore.open(dir),
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   /** The same daily screen served from the INCREMENTALLY-assembled
     * index (build on half the old corpus, delta-append the rest):
     * hash-matching the identical from-scratch oracle proves the append
@@ -1014,6 +1034,31 @@ object DedupOps {
           .select(col("doc_id"), col("text")))
       .orderBy(col("doc_new"), col("doc_old"))
   }
+
+  /** Write-once UPDATED index per (session, fixture dir) for
+    * [[d_dedup_updated]]: the OLD corpus indexed at epoch 0, then the
+    * `doc_id ≡ 1 (mod 45)` docs' text REPLACED — by the text of doc
+    * `doc_id + 3`, which is a BATCH doc (`(id+3) % 5 = 4`) — in ONE
+    * [[DedupIndexStore.applyUpdate]] flip. The construction makes both
+    * halves of the update observable in the served screen: the updated
+    * docs' OLD near-dup pairs must vanish (old postings physically
+    * removed) and each updated doc must now pair with its donor batch
+    * doc at Jaccard 1.0 (new postings live). */
+  private[graft] def updatedDedupIndexDir(s: org.apache.spark.sql.SparkSession,
+                                          d: String): String =
+    graft.SessionCache.perSession(dedupIndexDirs, s).getOrElseUpdate("upd:" + d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidxu_" +
+        Tables.layoutTag(d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      DedupIndexStore.build(docs.filter(col("doc_id") % 5 =!= 4), p)
+      val upd = docs.filter(col("doc_id") % 45 === 1)
+        .join(docs.select((col("doc_id") - 3).as("doc_id"),
+          col("text").as("new_text")), "doc_id")
+        .select(col("doc_id"), col("new_text").as("text"))
+      DedupIndexStore.applyUpdate(s, p, upd): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
 
   /** Write-once COMPACTED index per (session, fixture dir): the
     * delta-assembled index (two registry segments) squashed to one
@@ -1083,8 +1128,9 @@ object DedupOps {
     * uncapped semantics as [[d_dedup_minhash]]). Parameterized over
     * the OLD-side predicate so the delete witness replays against the
     * surviving corpus with the same single SQL definition. */
-  private def servedDedupOracleOver(oldPred: String): String =
-    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def servedDedupOracleOver(oldPred: String,
+                                    corpus: String = "documents"): String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $corpus),
       |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1109,6 +1155,7 @@ object DedupOps {
     "d_containment" -> d_containment,
     "d_dedup_incremental" -> d_dedup_incremental,
     "d_dedup_served" -> d_dedup_served,
+    "d_dedup_updated" -> d_dedup_updated,
     "d_dedup_index_delta" -> d_dedup_index_delta,
     "d_dedup_compacted" -> d_dedup_compacted,
     "d_dedup_deleted" -> d_dedup_deleted,
@@ -1227,6 +1274,13 @@ object DedupOps {
          |WHERE 5 * c >= 4 * least(na.n, nb.n)
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d_dedup_served" -> servedDedupOracle,
+    // the from-scratch replay over the UPDATED corpus: every %45=1 old
+    // doc carries its donor batch doc's text (the same construction
+    // the Spark side applied through ONE applyUpdate flip)
+    "d_dedup_updated" -> servedDedupOracleOver("a.doc_id % 5 <> 4",
+      """(SELECT d.doc_id, COALESCE(u.text, d.text) AS text
+        | FROM documents d LEFT JOIN documents u
+        |   ON d.doc_id % 45 = 1 AND u.doc_id = d.doc_id + 3) c""".stripMargin),
     "d_dedup_index_delta" -> servedDedupOracle,
     "d_dedup_compacted" -> servedDedupOracle,
     // the delete witness replays against the SURVIVING old corpus —

@@ -255,6 +255,71 @@ class DedupIndexStoreSpec extends AnyFunSuite {
       == kept, "served pairs after delete drifted from the surviving-corpus truth")
   }
 
+  test("single-flip update: ONE epoch, old postings physically gone, equals fresh build over updated corpus") {
+    val dir = freshDir("upd")
+    val m0 = DedupIndexStore.build(oldDocs, dir)
+    def retext(tag: String) = oldDocs.filter(col("doc_id") % 9 === 2)
+      .select(col("doc_id"),
+        concat(lit(s"$tag entirely new content alpha beta gamma delta epsilon "),
+          (col("doc_id") % 5).cast("string")).as("text"))
+    val upd = retext("rewritten")
+    val updatedCorpus = oldDocs.filter(col("doc_id") % 9 =!= 2).unionByName(upd)
+    val before = expectedPairs(oldDocs, batchDocs)
+    val after = expectedPairs(updatedCorpus, batchDocs)
+    assert(before != after, "no updated doc participated in any pair - vacuous")
+    val commit = DedupIndexStore.applyUpdate(spark, dir, upd)
+    // ONE manifest flip, same doc population, no delete marker
+    assert(commit.manifest.epoch == m0.epoch + 1, "update took more than one epoch")
+    assert(commit.manifest.nDocs == m0.nDocs)
+    assert(commit.manifest.dels.isEmpty, "update recorded a delete marker")
+    // the old versions' postings are physically gone from live buckets:
+    // every surviving posting of an updated doc re-derives from its NEW
+    // shingles (checked via the from-scratch pair truth below), and the
+    // served screen equals a fresh build over the updated corpus
+    assert(pairKey(DedupIndexStore.nearDups(spark, dir, commit.manifest, batchDocs))
+      == after, "served pairs after update drifted from the updated-corpus truth")
+    // last-wins registry: updating the SAME docs again works (one more
+    // flip), and a later delete re-derives postings from the CURRENT
+    // version — both the old 3-epoch dance's blockers, lifted
+    val again = DedupIndexStore.applyUpdate(spark, dir, retext("twice"))
+    assert(again.manifest.epoch == commit.manifest.epoch + 1)
+    val del = DedupIndexStore.applyDelete(spark, dir,
+      upd.select(col("doc_id")).limit(2))
+    val liveBuckets = del.manifest.buckets.values.map(rel => s"$dir/$rel").toSeq
+    val stale = spark.read.parquet(liveBuckets: _*)
+      .join(upd.select(col("doc_id")).limit(2), "doc_id").count()
+    assert(stale == 0L, s"$stale postings of deleted-after-update docs survive")
+    // ...and compact squashes the three registry segments to one with
+    // the update supersession made physical (count check inside)
+    val mC = DedupIndexStore.compact(spark, dir)
+    assert(mC.docs.size == 1)
+  }
+
+  test("update contract: unknown, deleted, and shingle-free updates fail loudly") {
+    val dir = freshDir("updc")
+    DedupIndexStore.build(oldDocs, dir)
+    import spark.implicits._
+    val unknown = intercept[IllegalArgumentException] {
+      DedupIndexStore.applyUpdate(spark, dir,
+        Seq((4L, "a batch doc not in the index")).toDF("doc_id", "text"))
+    }
+    assert(unknown.getMessage.contains("never indexed"))
+    val someIds = oldDocs.select(col("doc_id")).orderBy(col("doc_id")).limit(2)
+    DedupIndexStore.applyDelete(spark, dir, someIds)
+    val deleted = intercept[IllegalArgumentException] {
+      DedupIndexStore.applyUpdate(spark, dir,
+        someIds.withColumn("text", lit("resurrect attempt")))
+    }
+    assert(deleted.getMessage.contains("deleted"))
+    val liveId = oldDocs.select(col("doc_id")).orderBy(desc("doc_id")).limit(1)
+    // a 2-word text has no 3-word shingle: token-free for this store
+    val empty = intercept[IllegalArgumentException] {
+      DedupIndexStore.applyUpdate(spark, dir,
+        liveId.withColumn("text", lit("too short")))
+    }
+    assert(empty.getMessage.contains("no"))
+  }
+
   test("delete contract: unknown/double deletes loud; re-insert blocked until compact purges") {
     val dir = freshDir("delc")
     DedupIndexStore.build(oldDocs, dir)

@@ -50,9 +50,15 @@ object ConvDecadeBench {
     }
     println(s"#DECADE# dump bytes = ${Files.size(dumpPath)}")
     // (minPartitions, saltsPerTable): the second dial matters at this
-    // size — a one-table dump's reduce side has exactly `salts` tasks
-    for ((parts, salts) <- Seq((8, 8), (32, 8), (64, 8), (128, 8),
-           (32, 32), (64, 32), (64, 64)); attempt <- 1 to 2) {
+    // size — a one-table dump's reduce side has exactly `salts` tasks.
+    // The ×100 (third-decade) grid runs salts into the hundreds: with
+    // ~4.5 GB of one-table SQL the question is whether route/write
+    // stays the bottleneck or statement-assembly starts to dominate,
+    // and whether the salt dial keeps scaling the reduce side.
+    val grid =
+      if (reps >= 100) Seq((64, 64), (128, 128), (256, 128), (256, 256))
+      else Seq((8, 8), (32, 8), (64, 8), (128, 8), (32, 32), (64, 32), (64, 64))
+    for ((parts, salts) <- grid; attempt <- 1 to 2) {
       val out = Files.createTempDirectory(s"decade_$parts")
       val phases = new scala.collection.mutable.LinkedHashMap[String, Double]
       val prog: String => Unit = {
