@@ -319,14 +319,39 @@ object DumpConverter {
         if (fs.exists(dir)) fs.delete(dir, true)
         Map.empty
       }
-    val lines = {
-      val files = if (isZstdName(input)) Seq(input) else expandInput(sc, input)
+    val files = if (isZstdName(input)) Seq(input) else expandInput(sc, input)
+    val lines =
       if (files.nonEmpty && files.forall(isZstdName)) zstdLines(sc, files)
       else sc.textFile(input, minPartitions)
-    }
+
+    // Storage level for the two big intermediates (assembled statements
+    // and the routed parsed rows). MEMORY_AND_DISK_SER has a scale
+    // trap: when a spilled block is read back, BlockManager
+    // `maybeCacheDiskBytesInMemory` re-materializes the WHOLE block as
+    // one contiguous heap buffer if storage memory shows room — 32
+    // concurrent tasks doing that over near-input-sized cached data
+    // OOMs the JVM (measured: the ×100 decade run, 4.5 GB of SQL, died
+    // exactly there on its second convert). Above ~¼ of the heap we
+    // therefore go DISK_ONLY: its read path never re-promotes into
+    // memory, the re-read is sequential local disk, and the cost is
+    // predictable instead of load-dependent. (On a real cluster the
+    // same rule applies per executor; 100 TB never caches in memory.)
+    val inputBytes: Long =
+      try {
+        val hc = sc.hadoopConfiguration
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(hc).getFileStatus(p).getLen
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    val bigInput = inputBytes > Runtime.getRuntime.maxMemory() / 4
+    val cacheLevel =
+      if (bigInput) StorageLevel.DISK_ONLY else StorageLevel.MEMORY_AND_DISK_SER
+    if (bigInput)
+      progress(s"[dump] input $inputBytes bytes > heap/4: caching intermediates DISK_ONLY")
 
     val segs = lines.mapPartitions(StatementReader.assemblePartition)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(cacheLevel)
     try {
       // One driver-side collect for ALL tiny metadata: partition-boundary
       // fragments (healed below) and CREATE TABLE statements with their
@@ -510,7 +535,7 @@ object DumpConverter {
       val routed = pending
         .partitionBy(new TablePartitioner(tableIndex, salts))
         .values
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(cacheLevel)
       // Live progress (reference A14, `main.rs:63-86`): a rows-written
       // ticker fed by task output metrics (throttled to 2 Hz) plus a
       // per-table line as each write commits. Listener events are
@@ -575,9 +600,13 @@ object DumpConverter {
         Result(tableOrder, rowCounts, dropped.value)
       } finally {
         sc.removeSparkListener(ticker)
-        routed.unpersist(blocking = false)
+        // blocking: back-to-back converts in one JVM (benches, batch
+        // CLIs) must not start run N+1 while run N's gigabytes are
+        // still draining asynchronously — that overlap was half the
+        // measured ×100 OOM
+        routed.unpersist(blocking = true)
       }
-    } finally segs.unpersist(blocking = false)
+    } finally segs.unpersist(blocking = true)
   }
 
   /** Join partition i's Tail lines with partition i+1's Head lines and

@@ -578,6 +578,43 @@ object DedupIndexStore {
     } finally { victims.unpersist(); () }
   }
 
+  /** RESHARD both fan-outs behind ONE flip — the grow-path sibling of
+    * [[TextIndexStore.reshard]]: posting rows re-hash from their
+    * stored (band, key) at the new posting fan-out, and the registry
+    * squashes into one segment re-partitioned at the new doc fan-out
+    * (last-wins resolve collapses update-superseded rows; rows of
+    * docs pending delete carry — they purge at [[compact]], exactly
+    * as before). Nothing re-shingles, nothing re-signs: a corpus-sized
+    * byte rewrite with zero corpus jobs, scheduled off-peak. Probes,
+    * deltas, deletes, and updates all hash under the manifest's NEW
+    * fan-outs afterwards ([[DedupOps.d_dedup_resharded]] hash-checks
+    * the served screen unchanged). */
+  def reshard(s: SparkSession, dir: String, newBuckets: Int,
+              newDocBuckets: Int, retain: Int = RetainEpochs): DedupManifest = {
+    val m = open(dir)
+    require(newBuckets > 0 && newDocBuckets > 0 &&
+      (newBuckets != m.numBuckets || newDocBuckets != m.docBuckets),
+      s"reshard wants new positive fan-outs, got ($newBuckets, $newDocBuckets) " +
+        s"(index at (${m.numBuckets}, ${m.docBuckets}))")
+    val next = m.epoch + 1
+    val rehashed = s.read.parquet(m.buckets.values.map(rel => s"$dir/$rel").toSeq: _*)
+      .select(col("band"), col("key"), col("doc_id"), col("sfull"))
+      .withColumn("bucket", bandBucket(col("band"), col("key"), newBuckets))
+    val published = graft.ManifestIo.publishPartitions(
+      rehashed, java.nio.file.Paths.get(dir), next, "bucket", "b")
+    val rel = s"docs/e$next"
+    latestRegistryRows(s, dir, m, 0 until m.docBuckets, None)
+      .withColumn("dbucket", docBucket(col("doc_id"), newDocBuckets))
+      .repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/$rel")
+    val m2 = DedupManifest(next, m.nDocs,
+      published.map(b => b -> s"b$b/e$next").toMap, Seq(rel), m.dels,
+      newBuckets, newDocBuckets)
+    commitManifest(dir, m2)
+    gc(dir, next, retain)
+    m2
+  }
+
   // ------------------------------------------------------- compaction
 
   /** Squash the registry's delta segments into ONE segment under a new

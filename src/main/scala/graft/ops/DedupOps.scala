@@ -1002,6 +1002,22 @@ object DedupOps {
       .orderBy(col("doc_new"), col("doc_old"))
   }
 
+  /** The daily screen served after a RESHARD to 4× both fan-outs (one
+    * flip; postings re-hash from their stored band keys, the registry
+    * re-partitions — zero corpus jobs, nothing re-shingled):
+    * hash-matching the SAME from-scratch oracle as [[d_dedup_served]]
+    * proves the re-layout changed nothing observable — the grow-path
+    * that keeps per-bucket posting volume ~√N as the corpus outgrows
+    * its birth sizing (the ANN store's [[graft.ops.AnnIndexStore
+    * .rebalance]] is this operation's trained-artifact sibling). */
+  lazy val d_dedup_resharded: Q = (s, d) => {
+    val dir = reshardedDedupIndexDir(s, d)
+    DedupIndexStore.nearDups(s, dir, DedupIndexStore.open(dir),
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   /** The daily screen served AFTER A SINGLE-FLIP CONTENT UPDATE
     * (1/45 of the indexed corpus re-texted by one
     * [[DedupIndexStore.applyUpdate]] commit — no tombstone, no
@@ -1056,6 +1072,24 @@ object DedupOps {
           col("text").as("new_text")), "doc_id")
         .select(col("doc_id"), col("new_text").as("text"))
       DedupIndexStore.applyUpdate(s, p, upd): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
+  /** Write-once RESHARDED index per (session, fixture dir) for
+    * [[d_dedup_resharded]]: the OLD corpus indexed at the default
+    * fan-outs (16, 16), then [[DedupIndexStore.reshard]] re-hashes
+    * postings AND registry to (64, 64) behind one flip — the grow-path
+    * a 100×-larger corpus takes instead of re-shingling everything. */
+  private[graft] def reshardedDedupIndexDir(s: org.apache.spark.sql.SparkSession,
+                                            d: String): String =
+    graft.SessionCache.perSession(dedupIndexDirs, s).getOrElseUpdate("reshard:" + d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dedupidxr_" +
+        Tables.layoutTag(d)
+      DedupIndexStore.build(
+        Tables.documents(s, d).filter(col("doc_id") % 5 =!= 4)
+          .select(col("doc_id"), col("text")), p)
+      DedupIndexStore.reshard(s, p, 64, 64): Unit
       graft.Fs.deleteOnExit(p): Unit
       p
     })
@@ -1156,6 +1190,7 @@ object DedupOps {
     "d_dedup_incremental" -> d_dedup_incremental,
     "d_dedup_served" -> d_dedup_served,
     "d_dedup_updated" -> d_dedup_updated,
+    "d_dedup_resharded" -> d_dedup_resharded,
     "d_dedup_index_delta" -> d_dedup_index_delta,
     "d_dedup_compacted" -> d_dedup_compacted,
     "d_dedup_deleted" -> d_dedup_deleted,
@@ -1274,6 +1309,8 @@ object DedupOps {
          |WHERE 5 * c >= 4 * least(na.n, nb.n)
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d_dedup_served" -> servedDedupOracle,
+    // a reshard is observationally a no-op: same from-scratch oracle
+    "d_dedup_resharded" -> servedDedupOracle,
     // the from-scratch replay over the UPDATED corpus: every %45=1 old
     // doc carries its donor batch doc's text (the same construction
     // the Spark side applied through ONE applyUpdate flip)

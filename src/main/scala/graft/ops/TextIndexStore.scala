@@ -563,6 +563,45 @@ object TextIndexStore {
     } finally { found.unpersist(); () }
   }
 
+  /** RESHARD to a new posting fan-out behind ONE flip — the grow-path
+    * the persisted-fan-out design needs: `suggestedBuckets` sizes the
+    * fan-out ~√N at build time, but a corpus that grows 100× would
+    * otherwise be stuck with its birth fan-out (per-bucket posting
+    * volume creeping linear) until a full REBUILD — a corpus re-scan +
+    * re-tokenize. Reshard instead re-hashes the EXISTING posting rows
+    * (tok → new bucket; tf/dl/df/scalars all carry — nothing is
+    * recomputed from text) and republishes: a corpus-sized byte
+    * rewrite scheduled off-peak, like [[compact]], but zero corpus
+    * jobs. The registry rewrites alongside (one squashed segment) so
+    * its doc→buckets maps point at the NEW fan-out — updates keep
+    * working across the reshard. Stats and tombstones carry forward
+    * by reference (both fan-out-independent). Serving after a reshard
+    * is bit-identical ([[TextOps.t_bm25_resharded]] hash-checks it
+    * against the same from-scratch oracle as [[TextOps.t_bm25]]). */
+  def reshard(s: SparkSession, dir: String, newBuckets: Int,
+              retain: Int = RetainEpochs): TextManifest = {
+    val m = open(dir)
+    require(newBuckets > 0 && newBuckets != m.numBuckets,
+      s"reshard wants a new positive fan-out, got $newBuckets (index at ${m.numBuckets})")
+    val next = m.epoch + 1
+    val rehashed = s.read.parquet(m.buckets.values.map(rel => s"$dir/$rel").toSeq: _*)
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("tok")), lit(newBuckets.toLong)).cast("int"))
+      .cache()
+    try {
+      val published = publishBuckets(rehashed, dir, next)
+      val reg = registrySegment(rehashed)
+      writeComponent(reg, dir, s"docs/e$next")
+      val m2 = TextManifest(next, m.nDocs, m.sumDl,
+        published.map(b => b -> s"b$b/e$next").toMap, m.stats,
+        Seq(s"docs/e$next"), m.dels, newBuckets)
+      commitManifest(dir, m2)
+      gc(dir, next, retain)
+      m2
+    } finally { rehashed.unpersist(); () }
+  }
+
   /** PURGE compaction — the segment merge that makes tombstones
     * physical: every posting bucket is re-published minus tombstoned
     * docs, vocab stats are recomputed EXACTLY from the surviving

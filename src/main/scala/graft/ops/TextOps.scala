@@ -776,6 +776,7 @@ object TextOps {
     "t_bm25_deleted" -> t_bm25_deleted,
     "t_bm25_purged" -> t_bm25_purged,
     "t_bm25_updated" -> t_bm25_updated,
+    "t_bm25_resharded" -> t_bm25_resharded,
     "t_inverted_index" -> t_inverted_index,
     "t_trigram_search" -> t_trigram_search,
   )
@@ -846,6 +847,23 @@ object TextOps {
       p
     })
 
+  /** Write-once RESHARDED index per (session, fixture dir) for
+    * [[t_bm25_resharded]]: the full corpus indexed at the default
+    * fan-out, then [[TextIndexStore.reshard]] re-hashes the postings
+    * to 4× the fan-out behind one flip — the grow-path a 100×-larger
+    * corpus takes instead of a full rebuild. */
+  private[graft] def reshardedTextIndexDir(s: org.apache.spark.sql.SparkSession,
+                                           d: String): String =
+    graft.SessionCache.perSession(textIndexDirs, s).getOrElseUpdate("reshard:" + d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidxr_" +
+        Tables.layoutTag(d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextIndexStore.build(docs, p)
+      TextIndexStore.reshard(s, p, TextIndexStore.NumBuckets * 4): Unit
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
+
   /** Write-once TOMBSTONED index per (session, fixture dir) for
     * [[t_bm25_deleted]]: the full corpus indexed at epoch 0, then
     * `doc_id % 7 = 3` tombstoned by [[TextIndexStore.applyDelete]] —
@@ -903,6 +921,21 @@ object TextOps {
     * full-build answer. */
   lazy val t_bm25_delta: Q = (s, d) => {
     val dir = deltaTextIndexDir(s, d)
+    TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 after a RESHARD to 4× the posting fan-out (one flip, posting
+    * rows re-hashed from their stored tokens — zero corpus jobs, no
+    * re-tokenize): hash-matching the SAME from-scratch oracle as
+    * [[t_bm25]] proves the re-layout changed nothing observable, while
+    * the probe-read bound (≤ query-term buckets) now holds against the
+    * new fan-out — the grow-path that keeps per-bucket posting volume
+    * ~√N as the corpus outgrows its birth sizing. */
+  lazy val t_bm25_resharded: Q = (s, d) => {
+    val dir = reshardedTextIndexDir(s, d)
     TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
       .orderBy(desc("score_e6"), col("doc_id"))
       .limit(BmTopK)
@@ -1074,6 +1107,8 @@ object TextOps {
     // the served index must reproduce the from-scratch computation
     // EXACTLY — same oracle, zero allowance for drift
     "t_bm25_served" -> bm25Oracle,
+    // a reshard is observationally a no-op: same from-scratch oracle
+    "t_bm25_resharded" -> bm25Oracle,
     // and so must the incrementally-assembled one (build ∪ delta =
     // the full corpus, so the answer is the same from-scratch replay)
     "t_bm25_delta" -> bm25Oracle,

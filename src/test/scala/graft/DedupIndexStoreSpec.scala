@@ -295,6 +295,34 @@ class DedupIndexStoreSpec extends AnyFunSuite {
     assert(mC.docs.size == 1)
   }
 
+  test("reshard: 4x both fan-outs in one flip, same pairs, probes bounded under the new fan-outs, maintenance keeps working") {
+    val dir = freshDir("reshard")
+    val m0 = DedupIndexStore.build(oldDocs, dir)
+    val before = pairKey(DedupIndexStore.nearDups(spark, dir, m0, batchDocs))
+    val m1 = DedupIndexStore.reshard(spark, dir, 64, 64)
+    assert(m1.epoch == m0.epoch + 1, "reshard took more than one epoch")
+    assert(m1.numBuckets == 64 && m1.docBuckets == 64)
+    assert(m1.nDocs == m0.nDocs)
+    assert(m1.docs.size == 1, "registry must squash to one segment")
+    // observationally a no-op, probed under the NEW fan-outs
+    val (served, diag) = DedupIndexStore.nearDupsDiag(spark, dir, m1, batchDocs)
+    assert(pairKey(served) == before, "reshard changed served pairs")
+    assert(diag.probedBuckets.forall(b => b >= 0 && b < 64))
+    // maintenance across the reshard: delta, update, delete all hash
+    // under the manifest's new fan-outs
+    import spark.implicits._
+    val delta = DedupIndexStore.applyDelta(spark, dir,
+      Seq((90000001L, "a brand new document appended after the reshard step")).toDF("doc_id", "text"))
+    assert(delta.manifest.nDocs == m1.nDocs + 1)
+    val one = oldDocs.select(col("doc_id")).orderBy(col("doc_id")).limit(1)
+    val upd = DedupIndexStore.applyUpdate(spark, dir,
+      one.withColumn("text",
+        lit("fully replaced content after reshard with enough words to shingle")))
+    assert(upd.manifest.epoch == delta.manifest.epoch + 1)
+    val del = DedupIndexStore.applyDelete(spark, dir, one)
+    assert(del.manifest.nDocs == m1.nDocs)
+  }
+
   test("update contract: unknown, deleted, and shingle-free updates fail loudly") {
     val dir = freshDir("updc")
     DedupIndexStore.build(oldDocs, dir)

@@ -249,6 +249,33 @@ class TextIndexStoreSpec extends AnyFunSuite {
       s"delete used a stale registry dl: ${del.dlDeleted} != $curDl")
   }
 
+  test("reshard: 4x fan-out in one flip, same scores, probes bounded under the new fan-out, updates keep working") {
+    val dir = freshDir("reshard")
+    val m0 = TextIndexStore.build(docs, dir)
+    val before = scoreKey(TextIndexStore.bm25Scores(spark, dir, m0))
+    val m1 = TextIndexStore.reshard(spark, dir, TextIndexStore.NumBuckets * 4)
+    assert(m1.epoch == m0.epoch + 1, "reshard took more than one epoch")
+    assert(m1.numBuckets == TextIndexStore.NumBuckets * 4)
+    assert(m1.nDocs == m0.nDocs && m1.sumDl == m0.sumDl)
+    assert(m1.stats == m0.stats, "stats are fan-out independent and must carry by reference")
+    // observationally a no-op...
+    val served = TextIndexStore.bm25Scores(spark, dir, m1)
+    assert(scoreKey(served) == before, "reshard changed served scores")
+    // ...but the probe bound now holds against the NEW fan-out
+    served.collect()
+    val bucketsRead = served.inputFiles
+      .flatMap(_.split('/').find(_.matches("b\\d+"))).distinct
+    assert(bucketsRead.length <= TextOps.BmQueryK)
+    assert(m1.buckets.size > TextIndexStore.NumBuckets,
+      s"resharded index must spread past the old fan-out (got ${m1.buckets.size})")
+    // the regenerated registry doc->buckets map points at the new
+    // fan-out: a single-flip update still locates old postings exactly
+    val one = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(1)
+    val upd = TextIndexStore.applyUpdate(spark, dir,
+      one.withColumn("text", lit("post reshard replacement text")))
+    assert(upd.manifest.epoch == m1.epoch + 1)
+  }
+
   test("update contract: unknown, tombstoned, and empty-text updates fail loudly") {
     val dir = freshDir("updc")
     TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0), dir)
