@@ -82,7 +82,8 @@ object MvStore {
     * (legacy fallback: string keys, long aggs). */
   case class MvManifest(epoch: Long, keys: Seq[String], aggs: Seq[String],
                         buckets: Map[Int, String], kinds: Seq[String] = Nil,
-                        types: Seq[String] = Nil)
+                        types: Seq[String] = Nil,
+                        numBuckets: Int = NumBuckets)
 
   private def kindsOf(m: MvManifest): Seq[String] =
     if (m.kinds.isEmpty) m.aggs.map(_ => "sum") else m.kinds
@@ -105,7 +106,8 @@ object MvStore {
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
     s"""{"epoch":${m.epoch},"keys":${arr(m.keys)},"aggs":${arr(m.aggs)},""" +
-      s""""kinds":${arr(kindsOf(m))},"types":${arr(m.types)},"buckets":$buckets}"""
+      s""""kinds":${arr(kindsOf(m))},"types":${arr(m.types)},""" +
+      s""""numBuckets":${m.numBuckets},"buckets":$buckets}"""
   }
 
   private def parseManifest(p: java.nio.file.Path): MvManifest = {
@@ -142,7 +144,13 @@ object MvStore {
                                   case other => sys.error(s"bad type $other") }
       case _ => Nil
     }
-    MvManifest(epoch, arr("keys"), arr("aggs"), buckets, kinds, types)
+    // pre-parameterized manifests were all built at the old fixed
+    // fan-out — defaulting preserves their bucket routing exactly
+    val nb = (j \ "numBuckets") match {
+      case JInt(n) => n.toInt
+      case _ => NumBuckets
+    }
+    MvManifest(epoch, arr("keys"), arr("aggs"), buckets, kinds, types, nb)
   }
 
   def open(dir: String): MvManifest =
@@ -176,8 +184,8 @@ object MvStore {
 
   /** Month → bucket routing. Stored as a real column so a refresh
     * merge never re-hashes history. */
-  private def withBucket(partials: DataFrame): DataFrame =
-    partials.withColumn("bucket", pmod(hash(col("m")), lit(NumBuckets)).cast("int"))
+  private def withBucket(partials: DataFrame, fanOut: Int): DataFrame =
+    partials.withColumn("bucket", pmod(hash(col("m")), lit(fanOut)).cast("int"))
 
   private def partialCols(m: MvManifest): Seq[String] =
     ("m" +: m.keys) ++ m.aggs :+ "bucket"
@@ -188,7 +196,9 @@ object MvStore {
     * ever). */
   def build(partials: DataFrame, dir: String,
             keys: Seq[String], aggs: Seq[String],
-            kinds: Seq[String] = Nil): MvManifest = {
+            kinds: Seq[String] = Nil,
+            numBuckets: Int = NumBuckets): MvManifest = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val base = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(base)
     val expect = ("m" +: keys) ++ aggs
@@ -202,9 +212,9 @@ object MvStore {
     // (changeFeed's zero-bucket fallback) never have to guess a schema
     val types = (keys ++ aggs).map(c => partials.schema(c).dataType.catalogString)
     val published = graft.ManifestIo.publishPartitions(
-      withBucket(partials), base, 0L, "bucket", "b")
+      withBucket(partials, numBuckets), base, 0L, "bucket", "b")
     val m = MvManifest(0L, keys, aggs, published.map(b => b -> s"b$b/e0").toMap,
-      kinds, types)
+      kinds, types, numBuckets)
     graft.ManifestIo.commit(base, 0L, renderManifest(m))
     m
   }
@@ -226,7 +236,7 @@ object MvStore {
     val base = java.nio.file.Paths.get(dir)
     val m = open(dir)
     val next = m.epoch + 1
-    val delta = withBucket(deltaPartials)
+    val delta = withBucket(deltaPartials, m.numBuckets)
     // ≤ NumBuckets driver-side ints — the partition list, not data
     val affected = delta.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -242,7 +252,8 @@ object MvStore {
       .agg(merges.head, merges.tail: _*)
     val published = graft.ManifestIo.publishPartitions(merged, base, next, "bucket", "b")
     val m2 = MvManifest(next, m.keys, m.aggs,
-      m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap, m.kinds, m.types)
+      m.buckets ++ published.map(b => b -> s"b$b/e$next").toMap, m.kinds, m.types,
+      m.numBuckets)
     graft.ManifestIo.commit(base, next, renderManifest(m2))
     gc(dir, next, retain)
     RefreshCommit(m2, affected, readPaths)
@@ -265,6 +276,34 @@ object MvStore {
       sys.error(s"mv refresh gap: head epoch $head cannot accept batch " +
         s"$batchId — batch ${head} was never committed")
     else { refresh(s, dir, deltaPartials, retain); () }
+  }
+
+  /** RESHARD to a new month-bucket fan-out behind ONE flip — the
+    * grow-path sibling of [[graft.ops.TextIndexStore.reshard]]: a view
+    * sized for a few years of months outgrows its birth fan-out as
+    * history accumulates (per-bucket partial volume creeping linear,
+    * each refresh rewriting a growing slab). The existing partial rows
+    * re-hash on their stored month (nothing re-aggregates from base
+    * tables — zero base jobs), republish, one atomic flip; every later
+    * refresh routes under the manifest's NEW fan-out.
+    * [[RelationalQueries.q_mv_resharded]] hash-checks serving
+    * unchanged across the re-layout. */
+  def reshard(s: SparkSession, dir: String, newBuckets: Int,
+              retain: Int = RetainEpochs): MvManifest = {
+    val m = open(dir)
+    require(newBuckets > 0 && newBuckets != m.numBuckets,
+      s"reshard wants a new positive fan-out, got $newBuckets (view at ${m.numBuckets})")
+    val base = java.nio.file.Paths.get(dir)
+    val next = m.epoch + 1
+    val rehashed = withBucket(
+      s.read.parquet(m.buckets.values.map(rel => s"$dir/$rel").toSeq: _*)
+        .select((("m" +: m.keys) ++ m.aggs).map(col): _*), newBuckets)
+    val published = graft.ManifestIo.publishPartitions(rehashed, base, next, "bucket", "b")
+    val m2 = MvManifest(next, m.keys, m.aggs,
+      published.map(b => b -> s"b$b/e$next").toMap, m.kinds, m.types, newBuckets)
+    graft.ManifestIo.commit(base, next, renderManifest(m2))
+    gc(dir, next, retain)
+    m2
   }
 
   // ----------------------------------------------------------- serve

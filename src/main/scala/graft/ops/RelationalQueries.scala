@@ -1602,6 +1602,44 @@ object RelationalQueries {
     MvStore.changeFeed(s, dir, 0L, 1L)
   }
 
+  private val mvReshardDirs = graft.SessionCache.newCache[String]()
+
+  /** Write-once RESHARDED MV artifact for [[q_mv_resharded]]: the full
+    * history built at the default month-bucket fan-out, one refresh
+    * (same lifecycle as [[mvStoreDir]]), then [[MvStore.reshard]]
+    * re-hashes the partials to 4× the fan-out behind one flip — the
+    * grow-path a view takes when accumulated months outgrow its birth
+    * sizing. */
+  private[ops] def mvReshardDir(s: SparkSession, d: String): String =
+    graft.SessionCache.perSession(mvReshardDirs, s).getOrElseUpdate(d, {
+      val tag = Tables.layoutTag(d)
+      val pid = ProcessHandle.current().pid()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mvreshard_${pid}_$tag"
+      graft.Fs.deleteRecursively(new java.io.File(path))
+      val partials = monthlyPartials(lineitem(s, d)).cache()
+      try {
+        val maxMonth = partials.agg(max(col("m"))).head.getString(0)
+        MvStore.build(partials.filter(col("m") < maxMonth), path,
+          Seq("l_returnflag"), Seq("rev_cents", "qty", "n")): Unit
+        MvStore.refresh(s, path, partials.filter(col("m") === maxMonth)): Unit
+        MvStore.reshard(s, path, MvStore.NumBuckets * 4): Unit
+      } finally { partials.unpersist(); () }
+      graft.Fs.deleteOnExit(path)
+    })
+
+  /** The durable MV served AFTER A RESHARD to 4× the month-bucket
+    * fan-out (one flip; partial rows re-hash on their stored month —
+    * zero base-table jobs, nothing re-aggregated): hash-matching the
+    * SAME full-table oracle as [[q_mv_served]] proves the re-layout
+    * changed nothing observable. With this, all four bucketed stores
+    * (text, dedup, ANN via rebalance, MV) carry their fan-out as a
+    * persisted manifest parameter AND have a grow-path that re-shards
+    * the artifact without recomputing it from base data. */
+  val q_mv_resharded: Q = (s, d) => {
+    val dir = mvReshardDir(s, d)
+    MvStore.serve(s, dir, MvStore.open(dir))
+  }
+
   private val mvDistinctDirs = graft.SessionCache.newCache[String]()
 
   /** Write-once SKETCH-partial MV artifact: per-(month, event_type)
@@ -2677,6 +2715,7 @@ object RelationalQueries {
     "q_gap_fill" -> q_gap_fill,
     "q_incremental_agg" -> q_incremental_agg,
     "q_mv_served" -> q_mv_served,
+    "q_mv_resharded" -> q_mv_resharded,
     "q_mv_distinct" -> q_mv_distinct,
     "q_mv_changed_keys" -> q_mv_changed_keys,
     "q_mv_asof" -> q_mv_asof,
@@ -2996,6 +3035,13 @@ object RelationalQueries {
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // the durable MV's serve path must equal the direct full-table
     // aggregate — identical oracle to q_incremental_agg by design
+    // a reshard is observationally a no-op: same full-table oracle
+    "q_mv_resharded" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q_mv_served" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,

@@ -231,6 +231,42 @@ class MvStoreSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("fan-out is a persisted build parameter; reshard re-layouts in one flip and refreshes route under it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvreshard_").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val partials = li
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("m"), col("l_returnflag"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+    val cutoff = partials.agg(max(col("m"))).head.getString(0)
+    // NON-default fan-out recorded in the manifest
+    val m0 = MvStore.build(partials.filter(col("m") < cutoff), dir,
+      Seq("l_returnflag"), Seq("rev_cents"), numBuckets = 4)
+    assert(m0.numBuckets == 4)
+    assert(MvStore.open(dir).numBuckets == 4, "fan-out must persist in the manifest")
+    def served(m: MvStore.MvManifest) =
+      MvStore.serve(spark, dir, m).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = served(m0)
+    // reshard to 16: one epoch, same answer, refreshes route at 16
+    val m1 = MvStore.reshard(spark, dir, 16)
+    assert(m1.epoch == m0.epoch + 1, "reshard took more than one epoch")
+    assert(m1.numBuckets == 16)
+    assert(m1.keys == m0.keys && m1.aggs == m0.aggs && m1.types == m0.types,
+      "view definition must carry through a reshard")
+    assert(served(m1) == before, "reshard changed served values")
+    val commit = MvStore.refresh(spark, dir, partials.filter(col("m") === cutoff))
+    assert(commit.affected.forall(b => b >= 0 && b < 16),
+      s"post-reshard refresh must route under the new fan-out, got ${commit.affected}")
+    assert(commit.affected.length == 1,
+      "one-month delta still touches one bucket after the reshard")
+    // the refreshed view equals a from-scratch aggregate over all months
+    val expect = partials.groupBy(col("l_returnflag"))
+      .agg(sum(col("rev_cents")).as("rev_cents")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served(MvStore.open(dir)) == expect)
+  }
+
   test("change feed over an EMPTY view yields an empty frame, not a throw") {
     // the dual-sink bootstraps its MV with an empty epoch 0; a feed
     // spanning two no-change epochs (or any span over a bucket-less
