@@ -614,10 +614,15 @@ object StreamingOps {
 
   // ------------------------------------------- foreachBatch MERGE sink
 
-  /** Bucket count of the upsert state table — the commit unit a
-    * micro-batch rewrites. A 100 TB deployment sizes this so a
+  /** Default bucket count of the upsert state table — the commit unit
+    * a micro-batch rewrites. A 100 TB deployment sizes this so a
     * micro-batch's affected buckets are a small fraction of the table
-    * (thousands of buckets; here 16 over the fixture's ~10³ users). */
+    * (thousands of buckets; here 16 over the fixture's ~10³ users).
+    * The REAL dial is per-table and PERSISTED in the manifest
+    * ([[UpsertManifest.numBuckets]], seeded by the first commit):
+    * every later merge, DV compaction, and evolve drain routes under
+    * the table's own recorded fan-out, so re-tuning this default can
+    * never silently mis-route merges against existing state. */
   private val UpsertBuckets = 16
 
   /** Committed snapshot of the upsert state table: `epoch` is the
@@ -632,7 +637,8 @@ object StreamingOps {
     * to a reader arriving between crash and restart). This is the
     * Delta-log shape reduced to its essential two moves: immutable
     * data versions + one atomic pointer flip. */
-  private case class UpsertManifest(epoch: Long, buckets: Map[Int, String])
+  private case class UpsertManifest(epoch: Long, buckets: Map[Int, String],
+                                    numBuckets: Int = UpsertBuckets)
 
   // path layout / atomic commit / epoch listing shared with the ANN
   // and text index stores via graft.ManifestIo
@@ -667,7 +673,13 @@ object StreamingOps {
                                    case other => sys.error(s"bad bucket entry $other") }.toMap
       case other => sys.error(s"bad buckets $other")
     }
-    UpsertManifest(epoch, buckets)
+    // pre-parameterized manifests were all written at the old fixed
+    // fan-out — defaulting preserves their bucket routing exactly
+    val nb = (j \ "numBuckets") match {
+      case JInt(n) => n.toInt
+      case _ => UpsertBuckets
+    }
+    UpsertManifest(epoch, buckets, nb)
   }
 
   /** Snapshot (time-travel) read: resolve the state table AS OF a
@@ -738,7 +750,7 @@ object StreamingOps {
     val body = m.buckets.toSeq.sortBy(_._1)
       .map { case (b, rel) => s""""$b":"$rel"""" }.mkString("{", ",", "}")
     graft.ManifestIo.commit(stateDir, m.epoch,
-      s"""{"epoch":${m.epoch},"buckets":$body}""")
+      s"""{"epoch":${m.epoch},"numBuckets":${m.numBuckets},"buckets":$body}""")
   }
 
   /** Retention GC, run after each flip: keep every epoch dir referenced
@@ -896,8 +908,16 @@ object StreamingOps {
     * Returns the committed epoch. */
   private[graft] def mergeUpsertBatch(sb: SparkSession, stateDirPath: String,
                                       batch: DataFrame,
-                                      retainEpochs: Int = UpsertRetainEpochs): Long = {
+                                      retainEpochs: Int = UpsertRetainEpochs,
+                                      numBuckets: Int = UpsertBuckets): Long = {
     val stateDir = java.nio.file.Paths.get(stateDirPath)
+    // the fan-out is a PERSISTED table parameter: the manifest's value
+    // wins over both the constant and the argument once state exists
+    // (`numBuckets` only seeds a first-ever batch), so re-tuning the
+    // default can never mis-route merges against an existing table —
+    // the same version-safety rule as every bucketed store here
+    val man = readUpsertManifest(stateDir)
+    val fanOut = man.map(_.numBuckets).getOrElse(numBuckets)
     val lww = Seq(col("tus"), col("event_type"), col("cents"))
     def reduceKeys(df: DataFrame): DataFrame =
       df.groupBy(col("bucket"), col("user_id"))
@@ -907,19 +927,17 @@ object StreamingOps {
     val delta = reduceKeys(batch
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         col("event_type"), round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int")))
-    // ≤ UpsertBuckets driver-side ints — the partition list, not data
+      .withColumn("bucket", (col("user_id") % fanOut).cast("int")))
+    // ≤ fanOut driver-side ints — the partition list, not data
     val affected = delta.select("bucket").distinct().collect().map(_.getInt(0))
     if (affected.isEmpty) {
-      val man = readUpsertManifest(stateDir)
       val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
       writeUpsertManifest(stateDir,
-        UpsertManifest(newEpoch, man.map(_.buckets).getOrElse(Map.empty)))
+        UpsertManifest(newEpoch, man.map(_.buckets).getOrElse(Map.empty), fanOut))
       gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
       newEpoch
     }
     else {
-      val man = readUpsertManifest(stateDir)
       val curPaths = man.toSeq.flatMap(m =>
         affected.toSeq.sorted.flatMap(m.buckets.get)).map(rel => s"$stateDir/$rel")
       val cur =
@@ -927,14 +945,14 @@ object StreamingOps {
           // the bucket column is derivable (user_id % buckets), so
           // epoch dirs store only the data columns
           sb.read.parquet(curPaths: _*)
-            .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
+            .withColumn("bucket", (col("user_id") % fanOut).cast("int"))
             .select(col("bucket"), col("user_id"), col("tus"),
               col("event_type"), col("cents"))
         else delta.limit(0)
       val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
       val merged = reduceKeys(cur.unionByName(delta))
       commitMergedBuckets(stateDir, merged, affected.toSeq, newEpoch,
-        man.map(_.buckets).getOrElse(Map.empty), retainEpochs)
+        man.map(_.buckets).getOrElse(Map.empty), retainEpochs, fanOut)
       newEpoch
     }
   }
@@ -950,7 +968,8 @@ object StreamingOps {
   private def commitMergedBuckets(stateDir: java.nio.file.Path, merged: DataFrame,
                                   affected: Seq[Int], newEpoch: Long,
                                   prevBuckets: Map[Int, String],
-                                  retainEpochs: Int): Unit = {
+                                  retainEpochs: Int,
+                                  numBuckets: Int = UpsertBuckets): Unit = {
     val stage = stateDir.resolve(s".stage-e$newEpoch")
     deleteRecursively(stage.toFile)
     // repartition on the partition column: one file per bucket dir,
@@ -971,7 +990,7 @@ object StreamingOps {
     deleteRecursively(stage.toFile)
     val newBuckets = (prevBuckets -- affected.toSet.diff(committed.toSet)) ++
       committed.map(b => b -> s"b$b/e$newEpoch")
-    writeUpsertManifest(stateDir, UpsertManifest(newEpoch, newBuckets))
+    writeUpsertManifest(stateDir, UpsertManifest(newEpoch, newBuckets, numBuckets))
     gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
   }
 
@@ -1205,10 +1224,10 @@ object StreamingOps {
         col("_metadata.row_index").as("idx"),
         col("user_id"), col("tus"), col("event_type"), col("cents"))
       .join(broadcast(dv), Seq("file", "idx"), "left_anti")
-      .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
+      .withColumn("bucket", (col("user_id") % man.numBuckets).cast("int"))
       .select(col("bucket"), col("user_id"), col("tus"), col("event_type"), col("cents"))
     commitMergedBuckets(stateDir, merged, affected, man.epoch + 1,
-      man.buckets, UpsertRetainEpochs)
+      man.buckets, UpsertRetainEpochs, man.numBuckets)
     java.nio.file.Files.delete(stateDir.resolve("_dv.json"))
     deleteRecursively(stateDir.resolve(rel).toFile)
   }
@@ -1307,6 +1326,8 @@ object StreamingOps {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: java.lang.Long) =>
         val sb = batch.sparkSession
+        val fanOut = readUpsertManifest(stateDir)
+          .map(_.numBuckets).getOrElse(UpsertBuckets)
         val base = batch.select(
           Seq(col("user_id"), unix_micros(col("ts")).as("tus"),
             col("event_type"), round(col("value") * 100).cast("long").as("cents"),
@@ -1314,7 +1335,7 @@ object StreamingOps {
             (if (withProp)
               Seq(get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
             else Nil): _*)
-          .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
+          .withColumn("bucket", (col("user_id") % fanOut).cast("int"))
         val delta = reduceEvolveKeys(base, dataCols)
         // ≤ UpsertBuckets driver-side ints — the partition list, not data
         val affected = delta.select("bucket").distinct().collect()
@@ -1326,13 +1347,13 @@ object StreamingOps {
           val cur =
             if (curPaths.nonEmpty)
               sb.read.option("mergeSchema", "true").parquet(curPaths: _*)
-                .withColumn("bucket", (col("user_id") % UpsertBuckets).cast("int"))
+                .withColumn("bucket", (col("user_id") % fanOut).cast("int"))
             else delta.limit(0)
           val merged = reduceEvolveKeys(
             cur.unionByName(delta, allowMissingColumns = true), dataCols)
           commitMergedBuckets(stateDir, merged, affected,
             man.map(_.epoch + 1).getOrElse(0L),
-            man.map(_.buckets).getOrElse(Map.empty), UpsertRetainEpochs)
+            man.map(_.buckets).getOrElse(Map.empty), UpsertRetainEpochs, fanOut)
         }
         ()
       }

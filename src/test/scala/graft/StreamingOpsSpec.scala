@@ -276,6 +276,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(state.toFile)
   }
 
+  test("upsert fan-out persists in the manifest: later merges route under it; zero-bucket epoch reads typed-empty") {
+    val state = java.nio.file.Files.createTempDirectory("graft_upsert_fan_state_")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    // first-ever batch EMPTY at a NON-default fan-out: epoch 0 has zero
+    // buckets — the snapshot read must return the typed empty frame,
+    // not an unpointed AnalysisException (advisor fix, round 13)
+    assert(StreamingOps.mergeUpsertBatch(spark, state.toString, ev.limit(0),
+      numBuckets = 4) == 0L)
+    val empty = StreamingOps.readUpsertStateAt(spark, state.toString, 0L)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("user_id", "last_tus", "last_type", "cents"))
+    // later merges use the MANIFEST's fan-out even though the call
+    // passes nothing (the argument only seeds a first-ever batch)
+    StreamingOps.mergeUpsertBatch(spark, state.toString, ev.limit(400)): Unit
+    StreamingOps.mergeUpsertBatch(spark, state.toString, ev.limit(800)): Unit
+    val bucketDirs = java.nio.file.Files.list(state).toArray.map(_.toString)
+      .flatMap(p => "/b(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt))
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(b => b >= 0 && b < 4),
+      s"merges must route under the persisted fan-out 4, got dirs ${bucketDirs.toSeq}")
+    // ...and the state content is the usual LWW reduce
+    val got = StreamingOps.readUpsertStateAt(spark, state.toString,
+      StreamingOps.readUpsertEpochHead(state.toString)).count()
+    assert(got > 0L)
+    graft.Fs.deleteRecursively(state.toFile)
+  }
+
   test("upsert restart is idempotent: rerun over the same checkpoint fires zero batches") {
     val state = java.nio.file.Files.createTempDirectory("graft_upsert_restart_state_")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_restart_ckpt_")
