@@ -294,8 +294,40 @@ object TextIndexStore {
     * with ZERO corpus jobs ([[TextOps.t_bm25_served]]). Returns every
     * scored doc as (doc_id, score_e6, n_hit), unranked — the same
     * contract as [[TextOps.bm25Scores]]. */
-  def bm25Scores(s: SparkSession, dir: String, m: TextManifest): DataFrame = {
-    val terms = queryTerms(s, dir, m)
+  def bm25Scores(s: SparkSession, dir: String, m: TextManifest): DataFrame =
+    scoreTerms(s, dir, m, queryTerms(s, dir, m))
+
+  /** BM25 for an ARBITRARY query-term list — the actual search-serving
+    * shape (the fixed top-df derivation above exists so witnesses are
+    * deterministic): each term's df comes from the persisted vocab
+    * stats (a pushed `tok IN (...)` filter over the vocab-sized
+    * table), unknown terms simply score nothing (df lookup misses —
+    * standard search semantics), and ONLY the present terms' posting
+    * buckets are read. Zero corpus jobs for any query.
+    * [[TextOps.t_bm25_query]] hash-checks a mid-df term list against
+    * the from-scratch replay. */
+  def bm25ScoresFor(s: SparkSession, dir: String, m: TextManifest,
+                    qTerms: Seq[String]): DataFrame = {
+    require(qTerms.nonEmpty, "bm25ScoresFor wants at least one query term")
+    val terms = s.read.parquet(s"$dir/${m.stats}")
+      .filter(col("tok").isin(qTerms: _*))
+      .withColumn("bucket",
+        pmod(xxhash64(col("tok")), lit(m.numBuckets.toLong)).cast("int"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    scoreTerms(s, dir, m, terms)
+  }
+
+  private def scoreTerms(s: SparkSession, dir: String, m: TextManifest,
+                         terms: Seq[(String, Long, Int)]): DataFrame = {
+    // a query whose every term is out-of-vocabulary scores NOTHING —
+    // the standard search answer, as a typed empty frame (no parquet
+    // exists to infer from)
+    if (terms.isEmpty) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("score_e6", LongType), StructField("n_hit", LongType))))
+    }
     val termRows = terms.map { case (t, df, _) => (t, df) }
     val termDf = s.createDataFrame(termRows).toDF("tok", "df")
     val bucketPaths = terms.map(_._3).distinct.sorted

@@ -777,6 +777,7 @@ object TextOps {
     "t_bm25_purged" -> t_bm25_purged,
     "t_bm25_updated" -> t_bm25_updated,
     "t_bm25_resharded" -> t_bm25_resharded,
+    "t_bm25_query" -> t_bm25_query,
     "t_inverted_index" -> t_inverted_index,
     "t_trigram_search" -> t_trigram_search,
   )
@@ -922,6 +923,27 @@ object TextOps {
   lazy val t_bm25_delta: Q = (s, d) => {
     val dir = deltaTextIndexDir(s, d)
     TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 for an ARBITRARY query — the actual search-serving shape:
+    * the fixed witnesses always score the corpus's top-[[BmQueryK]]
+    * df terms (determinism), but a user query is whatever terms the
+    * user typed. This witness serves the df-rank-6..10 terms (a
+    * deterministic stand-in for "terms OUTSIDE the default probe
+    * set", derived from the persisted vocab stats — zero corpus
+    * jobs): their df comes from a pushed `tok IN (...)` stats lookup
+    * and only THEIR posting buckets are read. The oracle replays the
+    * same rank-window term selection from scratch. */
+  lazy val t_bm25_query: Q = (s, d) => {
+    val dir = persistedTextIndexDir(s, d)
+    val m = TextIndexStore.open(dir)
+    val qTerms = s.read.parquet(s"$dir/${m.stats}")
+      .orderBy(desc("df"), col("tok")).limit(BmQueryK * 2)
+      .collect().map(_.getString(0)).drop(BmQueryK).toSeq
+    TextIndexStore.bm25ScoresFor(s, dir, m, qTerms)
       .orderBy(desc("score_e6"), col("doc_id"))
       .limit(BmTopK)
       .orderBy(col("doc_id"))
@@ -1109,6 +1131,13 @@ object TextOps {
     "t_bm25_served" -> bm25Oracle,
     // a reshard is observationally a no-op: same from-scratch oracle
     "t_bm25_resharded" -> bm25Oracle,
+    // arbitrary-query serving: the same replay with the query terms
+    // swapped to the df-rank-6..10 window
+    "t_bm25_query" -> bm25OracleOver("TRUE", "TRUE", "documents",
+      s"""SELECT tok, df FROM (
+         |    SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rn
+         |    FROM dfreq)
+         |  WHERE rn > $BmQueryK AND rn <= ${2 * BmQueryK}""".stripMargin),
     // and so must the incrementally-assembled one (build ∪ delta =
     // the full corpus, so the answer is the same from-scratch replay)
     "t_bm25_delta" -> bm25Oracle,
@@ -1142,14 +1171,16 @@ object TextOps {
     * (STALE df); (survivors, TRUE) is the post-[[TextIndexStore
     * .compact]] purge, a fresh build over survivors. */
   private def bm25OracleOver(indexed: String, live: String,
-                             corpus: String = "documents"): String =
+                             corpus: String = "documents",
+                             qt: String = ""): String =
       s"""WITH occ_all AS (
          |  SELECT doc_id, tok, COUNT(*) AS tf FROM
          |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $corpus
          |     WHERE $indexed)
          |  GROUP BY doc_id, tok),
          |dfreq AS (SELECT tok, COUNT(*) AS df FROM occ_all GROUP BY tok),
-         |qt AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT $BmQueryK),
+         |qt AS (${if (qt.nonEmpty) qt
+                   else s"SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT $BmQueryK"}),
          |occ AS (SELECT * FROM occ_all WHERE $live),
          |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM occ GROUP BY doc_id),
          |tot AS (SELECT (SELECT COUNT(*) FROM $corpus WHERE ($indexed) AND ($live)) AS n_docs,

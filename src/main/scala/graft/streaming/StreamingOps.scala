@@ -1075,6 +1075,41 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** RESHARD the upsert state table to a new bucket fan-out behind ONE
+    * flip — the grow-path sibling of the index stores' reshard (a
+    * state table keyed by users outgrows its birth fan-out as the user
+    * base grows, each micro-batch's affected-bucket fraction creeping
+    * toward 1): existing state rows re-bucket on their stored user_id,
+    * republish under the new fan-out, one atomic manifest flip; every
+    * later merge routes under the manifest's new value. Zero source
+    * re-reads — state is already the LWW reduce. */
+  private[graft] def reshardUpsertState(s: SparkSession, stateDirPath: String,
+                                        newBuckets: Int): Long = {
+    val stateDir = java.nio.file.Paths.get(stateDirPath)
+    val man = readUpsertManifest(stateDir)
+      .getOrElse(sys.error(s"no state table at $stateDirPath"))
+    require(newBuckets > 0 && newBuckets != man.numBuckets,
+      s"reshard wants a new positive fan-out, got $newBuckets (table at ${man.numBuckets})")
+    val newEpoch = man.epoch + 1
+    val paths = man.buckets.values.toSeq.sorted.map(rel => s"$stateDirPath/$rel")
+    if (paths.isEmpty) {
+      // empty table: nothing to move, the flip just records the new
+      // fan-out for every later merge
+      writeUpsertManifest(stateDir, UpsertManifest(newEpoch, Map.empty, newBuckets))
+      gcUpsertEpochs(stateDir, newEpoch, UpsertRetainEpochs)
+    } else {
+      val merged = s.read.parquet(paths: _*)
+        .withColumn("bucket", (col("user_id") % newBuckets).cast("int"))
+        .select(col("bucket"), col("user_id"), col("tus"),
+          col("event_type"), col("cents"))
+      // prevBuckets = empty: the OLD fan-out's bucket ids must not
+      // carry into the new map (a re-layout replaces the whole set)
+      commitMergedBuckets(stateDir, merged, 0 until newBuckets, newEpoch,
+        Map.empty, UpsertRetainEpochs, newBuckets)
+    }
+    newEpoch
+  }
+
   /** Current upsert-table head epoch, −1 when no commit landed yet
     * (spec accessor — readUpsertManifest is file-layout-private). */
   private[graft] def readUpsertEpochHead(stateDirPath: String): Long =

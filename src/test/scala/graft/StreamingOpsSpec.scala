@@ -297,9 +297,22 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(bucketDirs.nonEmpty && bucketDirs.forall(b => b >= 0 && b < 4),
       s"merges must route under the persisted fan-out 4, got dirs ${bucketDirs.toSeq}")
     // ...and the state content is the usual LWW reduce
-    val got = StreamingOps.readUpsertStateAt(spark, state.toString,
-      StreamingOps.readUpsertEpochHead(state.toString)).count()
-    assert(got > 0L)
+    val head = StreamingOps.readUpsertEpochHead(state.toString)
+    val before = StreamingOps.readUpsertStateAt(spark, state.toString, head)
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.nonEmpty)
+    // RESHARD to 8: one flip, same rows, later merges route at 8
+    val e = StreamingOps.reshardUpsertState(spark, state.toString, 8)
+    assert(e == head + 1, "reshard took more than one epoch")
+    val after = StreamingOps.readUpsertStateAt(spark, state.toString, e)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "reshard changed state rows")
+    StreamingOps.mergeUpsertBatch(spark, state.toString, ev.limit(1000)): Unit
+    val bucketDirsAfter = java.nio.file.Files.list(state).toArray.map(_.toString)
+      .flatMap(p => "/b(\\d+)$".r.findFirstMatchIn(p).map(_.group(1).toInt))
+    assert(bucketDirsAfter.exists(b => b >= 4),
+      s"post-reshard merges must use the widened fan-out, got $bucketDirsAfter")
+    assert(bucketDirsAfter.forall(b => b >= 0 && b < 8))
     graft.Fs.deleteRecursively(state.toFile)
   }
 

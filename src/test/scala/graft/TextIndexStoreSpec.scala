@@ -249,6 +249,30 @@ class TextIndexStoreSpec extends AnyFunSuite {
       s"delete used a stale registry dl: ${del.dlDeleted} != $curDl")
   }
 
+  test("arbitrary-query serving: stats-looked-up df, pruned probes, OOV terms score nothing") {
+    val dir = freshDir("query")
+    TextIndexStore.build(docs, dir)
+    val m = TextIndexStore.open(dir)
+    // a mixed query: two real vocabulary terms + one out-of-vocabulary
+    val vocab = spark.read.parquet(s"$dir/${m.stats}")
+      .orderBy(desc("df"), col("tok")).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val served = TextIndexStore.bm25ScoresFor(spark, dir, m,
+      vocab :+ "zzz-never-a-token")
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    // n_hit bounded by the PRESENT terms (the OOV term scores nothing)
+    assert(rows.forall(_.getLong(2) <= 2))
+    // probe reads ≤ present terms' buckets
+    val bucketsRead = served.inputFiles
+      .flatMap(_.split('/').find(_.matches("b\\d+"))).distinct
+    assert(bucketsRead.length <= 2)
+    // an all-OOV query returns the typed empty answer, not a throw
+    val none = TextIndexStore.bm25ScoresFor(spark, dir, m, Seq("zzz-never"))
+    assert(none.count() == 0L)
+    assert(none.columns.toSeq == Seq("doc_id", "score_e6", "n_hit"))
+  }
+
   test("reshard: 4x fan-out in one flip, same scores, probes bounded under the new fan-out, updates keep working") {
     val dir = freshDir("reshard")
     val m0 = TextIndexStore.build(docs, dir)
