@@ -173,6 +173,12 @@ object ScaleBench {
       DedupIndexStore.nearDups(s, dedupDir,
         DedupIndexStore.open(dedupDir), smallBatch).count()
     }._2
+    // grow-path: re-hash postings + squash registry at 2x the fan-outs
+    // (one flip, zero corpus jobs) - must track the build's byte
+    // volume, never exceed it
+    q("dedup_reshard") = time {
+      DedupIndexStore.reshard(s, dedupDir, dFan * 2, dFan * 2)
+    }._2
 
     // --- text: BM25 build at the suggested fan-out, serve, delta ----
     val textDir = Files.createTempDirectory(s"graft_scale_tis_x$reps").toString
@@ -193,6 +199,7 @@ object ScaleBench {
     q("bm25_delta") = time {
       TextIndexStore.applyDelta(s, textDir, batch)
     }._2
+    q("bm25_reshard") = time { TextIndexStore.reshard(s, textDir, tFan * 2) }._2
 
     // --- ANN: IVF build at the suggested nlist, serve ---------------
     val annDir = Files.createTempDirectory(s"graft_scale_ann_x$reps").toString
@@ -271,6 +278,7 @@ object ScaleBench {
     q("mv_refresh") = time { MvStore.refresh(s, mvDir, deltaP) }._2
     q("mv_changefeed") = time { MvStore.changeFeed(s, mvDir, 0L, 1L).count() }._2
     q("mv_changed_keys") = time { MvStore.changedKeys(s, mvDir, 0L, 1L).count() }._2
+    q("mv_reshard") = time { MvStore.reshard(s, mvDir, MvStore.NumBuckets * 4) }._2
 
     // --- stream-stream interval join: full drain over R× events -----
     // (round-12 verdict #4) — watermarks bound state to 1 h per side,
