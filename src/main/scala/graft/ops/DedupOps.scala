@@ -1180,7 +1180,7 @@ object DedupOps {
       |WHERE 2 * c >= (nn.n + no.n - c)
       |ORDER BY doc_new, doc_old""".stripMargin
 
-  private val servedDedupOracle: String =
+  private[graft] val servedDedupOracle: String =
     servedDedupOracleOver("a.doc_id % 5 <> 4")
 
   val queries: Map[String, Q] = Map(

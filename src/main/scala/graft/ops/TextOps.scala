@@ -357,7 +357,7 @@ object TextOps {
 
   /** Query width and result depth of the BM25 retrieval demo. */
   private[graft] val BmQueryK = 5
-  private[ops] val BmTopK = 20
+  private[graft] val BmTopK = 20
 
   /** BM25 ranked retrieval — the corpus-statistics relevance score a
     * retrieval-augmented pipeline runs over its document store. The
@@ -1158,7 +1158,7 @@ object TextOps {
          | FROM documents) c""".stripMargin),
   ) ++ langOracles
 
-  private lazy val bm25Oracle: String = bm25OracleOver("TRUE", "TRUE")
+  private[graft] lazy val bm25Oracle: String = bm25OracleOver("TRUE", "TRUE")
 
   /** THE BM25 replay template, parameterized over two corpus
     * predicates so one SQL definition also covers the tombstone

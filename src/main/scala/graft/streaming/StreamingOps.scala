@@ -2160,10 +2160,228 @@ object StreamingOps {
     }
   }
 
+  // ---------------------------- streaming text / dedup index ingest
+
+  private val textIngestDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private val textIngestIndexDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  private[graft] val TextIngestBatches = 3
+
+  /** Micro-batches of document inserts for [[st_text_ingest]]: three
+    * mtime-ordered single files, each the `doc_id % 4 = b` quarter of
+    * the corpus; the `% 4 = 0` quarter bootstraps epoch 0. Raw
+    * (doc_id, text) rows — tokenization happens inside the index's
+    * delta commit, which is the shape under test. */
+  private def textIngestLayout(s: SparkSession, d: String): String =
+    perSession(textIngestDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_texting_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val docs = graft.ops.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val now = System.currentTimeMillis()
+      (1 to TextIngestBatches).foreach { b =>
+        writeSingleFile(docs.filter(col("doc_id") % 4 === b),
+          java.nio.file.Paths.get(p, s"batch$b.parquet"),
+          now - (TextIngestBatches - b).toLong * 60000)
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** Build epoch 0 and drain the document stream into the BM25 index
+    * once per (session, fixture); returns the index dir. Overrides
+    * let the spec run an un-memoized copy and restart it against the
+    * same checkpoint. */
+  private[graft] def runTextIngest(s: SparkSession, d: String,
+                                   indexOverride: Option[String] = None,
+                                   ckptOverride: Option[String] = None,
+                                   onBatch: Long => Unit = _ => ()): String = {
+    def run(indexDir: String, ckptDir: String): String = {
+      val ss = streamSession(s)
+      val src = textIngestLayout(ss, d)
+      val docs = graft.ops.Tables.documents(ss, d).select(col("doc_id"), col("text"))
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(indexDir, "_manifest.json"))) {
+        graft.ops.TextIndexStore.build(docs.filter(col("doc_id") % 4 === 0), indexDir)
+        ()
+      }
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          onBatch(id)
+          graft.ops.TextIndexStore.applyDeltaIdempotent(
+            batch.sparkSession, indexDir, batch, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      indexDir
+    }
+    (indexOverride, ckptOverride) match {
+      case (Some(idx), Some(ck)) => run(idx, ck)
+      case _ =>
+        perSession(textIngestIndexDirs, s).getOrElseUpdate(d, {
+          val idx = s"${System.getProperty("java.io.tmpdir")}/graft_textingidx_" +
+            graft.ops.Tables.layoutTag(d)
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_textingckpt_" +
+            graft.ops.Tables.layoutTag(d)
+          exitDeleteDirs.add(idx)
+          exitDeleteDirs.add(ck)
+          run(idx, ck)
+        })
+    }
+  }
+
+  /** STREAMING INGEST INTO THE DURABLE BM25 INDEX — the text twin of
+    * [[st_ann_ingest]], closing streaming maintainability across ALL
+    * the durable artifacts (ANN and MV had live feeds; the text and
+    * dedup indexes were batch-only): a document CDC feed drains
+    * through `foreachBatch`, each micro-batch committing one index
+    * epoch via [[graft.ops.TextIndexStore.applyDeltaIdempotent]] —
+    * the same epoch-pins-batch-id contract that makes the sink
+    * EXACTLY-ONCE on at-least-once delivery (replayed batch finds its
+    * epoch flipped and no-ops; a gap fails loudly;
+    * [[graft.TextIndexStoreSpec]] proves replay, gap, and
+    * restart-fires-zero-batches).
+    *
+    * Setup: epoch 0 indexes the `doc_id % 4 = 0` quarter, three
+    * micro-batches append the rest, after which the index covers
+    * exactly the full corpus — so the registered witness serves the
+    * same top-[[graft.ops.TextOps.BmTopK]] BM25 answer as every batch
+    * `t_bm25*` twin and hash-checks against the IDENTICAL from-scratch
+    * DuckDB replay: an index assembled incrementally BY A STREAM
+    * scores exactly like one built in a batch.
+    *
+    * 100 TB notes: per-batch work is the applyDelta contract (only
+    * the buckets the batch's tokens hash into are read and merged, a
+    * vocab-sized stats rewrite, one appended registry segment, one
+    * flip) — nothing in the loop re-reads the corpus. State stores:
+    * none — the index IS the state, versioned on disk. */
+  val st_text_ingest: Q = (s, d) => {
+    val dir = runTextIngest(s, d)
+    graft.ops.TextIndexStore.bm25Scores(s, dir, graft.ops.TextIndexStore.open(dir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(graft.ops.TextOps.BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupIngestDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private val dedupIngestIndexDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  private[graft] val DedupIngestBatches = 3
+
+  /** Micro-batches of OLD-corpus document inserts for
+    * [[st_dedup_ingest]]: three mtime-ordered single files, each the
+    * `doc_id % 4 = b` quarter of the old corpus (`doc_id % 5 ≠ 4` —
+    * the same old/new split as every `d_dedup_*` index witness); the
+    * `% 4 = 0` quarter bootstraps epoch 0. */
+  private def dedupIngestLayout(s: SparkSession, d: String): String =
+    perSession(dedupIngestDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_deduping_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val old = graft.ops.Tables.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 4).select(col("doc_id"), col("text"))
+      val now = System.currentTimeMillis()
+      (1 to DedupIngestBatches).foreach { b =>
+        writeSingleFile(old.filter(col("doc_id") % 4 === b),
+          java.nio.file.Paths.get(p, s"batch$b.parquet"),
+          now - (DedupIngestBatches - b).toLong * 60000)
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** Build epoch 0 and drain the old-corpus stream into the near-dup
+    * index once per (session, fixture); returns the index dir. */
+  private[graft] def runDedupIngest(s: SparkSession, d: String,
+                                    indexOverride: Option[String] = None,
+                                    ckptOverride: Option[String] = None,
+                                    onBatch: Long => Unit = _ => ()): String = {
+    def run(indexDir: String, ckptDir: String): String = {
+      val ss = streamSession(s)
+      val src = dedupIngestLayout(ss, d)
+      val old = graft.ops.Tables.documents(ss, d)
+        .filter(col("doc_id") % 5 =!= 4).select(col("doc_id"), col("text"))
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(indexDir, "_manifest.json"))) {
+        graft.ops.DedupIndexStore.build(old.filter(col("doc_id") % 4 === 0), indexDir)
+        ()
+      }
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          onBatch(id)
+          graft.ops.DedupIndexStore.applyDeltaIdempotent(
+            batch.sparkSession, indexDir, batch, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      indexDir
+    }
+    (indexOverride, ckptOverride) match {
+      case (Some(idx), Some(ck)) => run(idx, ck)
+      case _ =>
+        perSession(dedupIngestIndexDirs, s).getOrElseUpdate(d, {
+          val idx = s"${System.getProperty("java.io.tmpdir")}/graft_dedupingidx_" +
+            graft.ops.Tables.layoutTag(d)
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_dedupingckpt_" +
+            graft.ops.Tables.layoutTag(d)
+          exitDeleteDirs.add(idx)
+          exitDeleteDirs.add(ck)
+          run(idx, ck)
+        })
+    }
+  }
+
+  /** STREAMING INGEST INTO THE DURABLE NEAR-DUP INDEX — the dedup twin
+    * of [[st_text_ingest]] (same epoch-pins-batch-id exactly-once
+    * contract, proven in [[graft.DedupIndexStoreSpec]]): the old
+    * corpus arrives as a document feed, each micro-batch committing
+    * one [[graft.ops.DedupIndexStore.applyDeltaIdempotent]] epoch —
+    * the shape a production dedup screen actually runs, where the
+    * reference corpus is never rebuilt, only appended as crawls land.
+    *
+    * The registered witness runs the daily screen: the 20 % "new day"
+    * batch (`doc_id % 5 = 4`) probes the stream-assembled index, and
+    * the result hash-matches the SAME from-scratch OLD × NEW
+    * exact-Jaccard DuckDB replay as [[graft.ops.DedupOps
+    * .d_dedup_served]] — an index fed by a stream screens exactly
+    * like one built in a batch.
+    *
+    * 100 TB notes: per-batch work is the applyDelta contract (the
+    * batch shingles itself, merges into only its band buckets' keys,
+    * appends one registry segment, one flip); the serve stays
+    * probe-proportional. */
+  val st_dedup_ingest: Q = (s, d) => {
+    val dir = runDedupIngest(s, d)
+    graft.ops.DedupIndexStore.nearDups(s, dir, graft.ops.DedupIndexStore.open(dir),
+        graft.ops.Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "st_ann_ingest" -> st_ann_ingest,
+    "st_text_ingest" -> st_text_ingest,
+    "st_dedup_ingest" -> st_dedup_ingest,
     "st_mv_ingest" -> st_mv_ingest,
     "st_mv_distinct" -> st_mv_distinct,
     "st_upsert_dv" -> st_upsert_dv,
@@ -2222,6 +2440,11 @@ object StreamingOps {
     // a stream-assembled index must search as well as a batch-built
     // one: same independently-rebuilt exact top-5, same recall floor
     "st_ann_ingest" -> graft.ops.SimilarityOps.recallWitnessSql,
+    // an index assembled incrementally BY A STREAM must score exactly
+    // like one built in a batch: the identical from-scratch BM25 /
+    // OLD×NEW exact-Jaccard replays as the batch-built twins
+    "st_text_ingest" -> graft.ops.TextOps.bm25Oracle,
+    "st_dedup_ingest" -> graft.ops.DedupOps.servedDedupOracle,
     // a view maintained by the stream must equal one computed from
     // scratch — the identical oracle to the batch MV family
     "st_mv_ingest" ->

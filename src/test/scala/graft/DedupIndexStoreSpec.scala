@@ -449,4 +449,53 @@ class DedupIndexStoreSpec extends AnyFunSuite {
     assert(served.columns.toSeq == Seq("doc_new", "doc_old", "jac_e6"))
     assert(served.count() == 0L)
   }
+
+  test("applyDeltaIdempotent: a replayed batch no-ops, a batch gap fails loudly") {
+    val dir = freshDir("idem")
+    DedupIndexStore.build(oldDocs.filter(col("doc_id") % 2 === 0), dir)
+    val delta = oldDocs.filter(col("doc_id") % 2 === 1)
+    val m1 = DedupIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 0L)
+    assert(m1.epoch == 1L)
+    val before = pairKey(
+      DedupIndexStore.nearDups(spark, dir, m1, batchDocs))
+    // the at-least-once REPLAY: same batch id again — must not
+    // double-apply (a blind applyDelta would trip its own clash check,
+    // crashing the stream; the gate no-ops instead)
+    val m1b = DedupIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 0L)
+    assert(m1b.epoch == 1L, "replayed batch must not advance the epoch")
+    assert(pairKey(DedupIndexStore.nearDups(spark, dir,
+      DedupIndexStore.open(dir), batchDocs)) == before,
+      "replayed batch must leave the served screen identical")
+    // a GAP (skipped batch) must fail pointedly, never index around a hole
+    val err = intercept[RuntimeException](
+      DedupIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 5L))
+    assert(err.getMessage.contains("gap"), err.getMessage)
+  }
+
+  test("streaming ingest: one epoch per micro-batch, restart fires zero batches, screen equals brute force") {
+    val idx = freshDir("ing_idx")
+    val ck = freshDir("ing_ck")
+    var batches = List.empty[Long]
+    streaming.StreamingOps.runDedupIngest(spark, sf,
+      indexOverride = Some(idx), ckptOverride = Some(ck),
+      onBatch = id => batches ::= id)
+    assert(batches.sorted == (0L until streaming.StreamingOps.DedupIngestBatches),
+      s"expected one micro-batch per delta file, got $batches")
+    val m = DedupIndexStore.open(idx)
+    assert(m.epoch == streaming.StreamingOps.DedupIngestBatches.toLong,
+      "each micro-batch must commit exactly one index epoch")
+    // the stream-assembled index screens exactly like brute force over
+    // the full OLD corpus (a third derivation vs store and oracle)
+    assert(pairKey(DedupIndexStore.nearDups(spark, idx, m, batchDocs)) ==
+      expectedPairs(oldDocs, batchDocs),
+      "stream-assembled index must screen like a batch build over the old corpus")
+    // RESTART against the drained checkpoint: zero batches fire, epoch unchanged
+    var restart = 0
+    streaming.StreamingOps.runDedupIngest(spark, sf,
+      indexOverride = Some(idx), ckptOverride = Some(ck),
+      onBatch = _ => restart += 1)
+    assert(restart == 0, "restart of a drained stream must fire no batches")
+    assert(DedupIndexStore.open(idx).epoch ==
+      streaming.StreamingOps.DedupIngestBatches.toLong)
+  }
 }

@@ -413,4 +413,51 @@ class TextIndexStoreSpec extends AnyFunSuite {
     assert(scoreKey(TextIndexStore.bm25Scores(spark, dir, m)) ==
       scoreKey(TextOps.bm25Scores(docs)))
   }
+
+  test("applyDeltaIdempotent: a replayed batch no-ops, a batch gap fails loudly") {
+    val dir = freshDir("idem")
+    TextIndexStore.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val m1 = TextIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 0L)
+    assert(m1.epoch == 1L)
+    val before = scoreKey(TextIndexStore.bm25Scores(spark, dir, m1))
+    // the at-least-once REPLAY: same batch id again — must not
+    // double-apply (a blind applyDelta would trip its own clash check,
+    // crashing the stream; the gate no-ops instead)
+    val m1b = TextIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 0L)
+    assert(m1b.epoch == 1L, "replayed batch must not advance the epoch")
+    assert(scoreKey(TextIndexStore.bm25Scores(spark, dir,
+      TextIndexStore.open(dir))) == before,
+      "replayed batch must leave the served scores identical")
+    // a GAP (skipped batch) must fail pointedly, never index around a hole
+    val err = intercept[RuntimeException](
+      TextIndexStore.applyDeltaIdempotent(spark, dir, delta, batchId = 5L))
+    assert(err.getMessage.contains("gap"), err.getMessage)
+  }
+
+  test("streaming ingest: one epoch per micro-batch, restart fires zero batches, scores equal from-scratch") {
+    val idx = freshDir("ing_idx")
+    val ck = freshDir("ing_ck")
+    var batches = List.empty[Long]
+    streaming.StreamingOps.runTextIngest(spark, sf,
+      indexOverride = Some(idx), ckptOverride = Some(ck),
+      onBatch = id => batches ::= id)
+    assert(batches.sorted == (0L until streaming.StreamingOps.TextIngestBatches),
+      s"expected one micro-batch per delta file, got $batches")
+    val m = TextIndexStore.open(idx)
+    assert(m.epoch == streaming.StreamingOps.TextIngestBatches.toLong,
+      "each micro-batch must commit exactly one index epoch")
+    // the stream-assembled index scores exactly like the from-scratch pipeline
+    assert(scoreKey(TextIndexStore.bm25Scores(spark, idx, m)) ==
+      scoreKey(TextOps.bm25Scores(docs)),
+      "stream-assembled index must score like a batch build over the full corpus")
+    // RESTART against the drained checkpoint: zero batches fire, epoch unchanged
+    var restart = 0
+    streaming.StreamingOps.runTextIngest(spark, sf,
+      indexOverride = Some(idx), ckptOverride = Some(ck),
+      onBatch = _ => restart += 1)
+    assert(restart == 0, "restart of a drained stream must fire no batches")
+    assert(TextIndexStore.open(idx).epoch ==
+      streaming.StreamingOps.TextIngestBatches.toLong)
+  }
 }
