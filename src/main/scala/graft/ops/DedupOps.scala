@@ -1051,6 +1051,25 @@ object DedupOps {
       .orderBy(col("doc_new"), col("doc_old"))
   }
 
+  /** The daily screen TIME-TRAVELED to the pre-delta epoch — the
+    * reproducibility read a versioned dedup index owes ("which docs
+    * would LAST WEEK's corpus have flagged?"), previously spec-pinned,
+    * now oracle-checked: [[DedupIndexStore.openAt]] resolves epoch 0
+    * of the incrementally-assembled index (built on the
+    * `doc_id % 5 < 2` half of the old corpus, before the delta
+    * appended the rest), and probing under that manifest must screen
+    * against ONLY the bootstrap corpus — its own bucket pointers, its
+    * own registry segment; the later epoch sharing the directory leaks
+    * nothing in. The DuckDB oracle replays the OLD × NEW exact-Jaccard
+    * from scratch with the old side bounded to the bootstrap docs. */
+  lazy val d_dedup_asof: Q = (s, d) => {
+    val dir = deltaDedupIndexDir(s, d)
+    DedupIndexStore.nearDups(s, dir, DedupIndexStore.openAt(dir, 0L),
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text")))
+      .orderBy(col("doc_new"), col("doc_old"))
+  }
+
   /** Write-once UPDATED index per (session, fixture dir) for
     * [[d_dedup_updated]]: the OLD corpus indexed at epoch 0, then the
     * `doc_id ≡ 1 (mod 45)` docs' text REPLACED — by the text of doc
@@ -1192,6 +1211,7 @@ object DedupOps {
     "d_dedup_updated" -> d_dedup_updated,
     "d_dedup_resharded" -> d_dedup_resharded,
     "d_dedup_index_delta" -> d_dedup_index_delta,
+    "d_dedup_asof" -> d_dedup_asof,
     "d_dedup_compacted" -> d_dedup_compacted,
     "d_dedup_deleted" -> d_dedup_deleted,
     "d_dedup_minhash" -> d_dedup_minhash,
@@ -1319,6 +1339,10 @@ object DedupOps {
         | FROM documents d LEFT JOIN documents u
         |   ON d.doc_id % 45 = 1 AND u.doc_id = d.doc_id + 3) c""".stripMargin),
     "d_dedup_index_delta" -> servedDedupOracle,
+    // time travel: epoch 0 of that same index screens against ONLY
+    // the bootstrap half of the old corpus — from-scratch replay with
+    // the old side bounded to it
+    "d_dedup_asof" -> servedDedupOracleOver("a.doc_id % 5 < 2"),
     "d_dedup_compacted" -> servedDedupOracle,
     // the delete witness replays against the SURVIVING old corpus —
     // the index must behave as if the victims were never there

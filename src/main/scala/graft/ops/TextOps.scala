@@ -778,6 +778,7 @@ object TextOps {
     "t_bm25_updated" -> t_bm25_updated,
     "t_bm25_resharded" -> t_bm25_resharded,
     "t_bm25_query" -> t_bm25_query,
+    "t_bm25_asof" -> t_bm25_asof,
     "t_inverted_index" -> t_inverted_index,
     "t_trigram_search" -> t_trigram_search,
   )
@@ -944,6 +945,25 @@ object TextOps {
       .orderBy(desc("df"), col("tok")).limit(BmQueryK * 2)
       .collect().map(_.getString(0)).drop(BmQueryK).toSeq
     TextIndexStore.bm25ScoresFor(s, dir, m, qTerms)
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 TIME-TRAVELED to the pre-delta epoch — the compliance /
+    * reproducibility read every versioned store owes ("what did the
+    * index serve LAST WEEK?"), previously spec-pinned, now
+    * oracle-checked: [[TextIndexStore.openAt]] resolves epoch 0 of the
+    * incrementally-assembled index (built on the `doc_id % 13 ≠ 0`
+    * corpus, before the delta appended the rest), and serving under
+    * that manifest must reproduce the OLD answer bit-for-bit — its own
+    * stats pick the query terms, its own N/Σdl scale the scores, its
+    * own bucket pointers bound the reads; nothing leaks in from the
+    * later epoch sharing the directory. The DuckDB oracle replays BM25
+    * from scratch over ONLY the pre-delta corpus. */
+  lazy val t_bm25_asof: Q = (s, d) => {
+    val dir = deltaTextIndexDir(s, d)
+    TextIndexStore.bm25Scores(s, dir, TextIndexStore.openAt(dir, 0L))
       .orderBy(desc("score_e6"), col("doc_id"))
       .limit(BmTopK)
       .orderBy(col("doc_id"))
@@ -1141,6 +1161,9 @@ object TextOps {
     // and so must the incrementally-assembled one (build ∪ delta =
     // the full corpus, so the answer is the same from-scratch replay)
     "t_bm25_delta" -> bm25Oracle,
+    // time travel: epoch 0 of that same index serves the PRE-delta
+    // answer — a from-scratch replay over only the bootstrap corpus
+    "t_bm25_asof" -> bm25OracleOver("doc_id % 13 <> 0", "TRUE"),
     // serve-with-tombstones: survivors score under exact N/Σdl but
     // STALE full-corpus df (the Lucene deleted-docs semantics — the
     // oracle replays the staleness, zero allowance for drift)
