@@ -1051,13 +1051,20 @@ object SimilarityOps {
     * BM25 leg served from the text index is EXACT by construction
     * (spec-pinned equal to the in-session leg) — and the witness flag
     * holds at all three SFs. */
-  val s_hybrid_served: Q = (s, d) => {
+  val s_hybrid_served: Q = (s, d) =>
+    hybridServedFrom(s, d, candTextIndexDir(s, d), persistedIndexDir(s, d))
+
+  /** The served-fusion bound witness parameterized over the two index
+    * dirs, so the batch-built ([[s_hybrid_served]]) and
+    * stream-assembled ([[graft.streaming.StreamingOps
+    * .st_hybrid_ingest]]) deployments assert the identical claim from
+    * the identical code. */
+  private[graft] def hybridServedFrom(s: SparkSession, d: String,
+                                      tDir: String, aDir: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val exact = s_hybrid_rrf(s, d).select(col("doc_id"))
-    val tDir = candTextIndexDir(s, d)
     val bmServed = bm25Ranked(
       TextIndexStore.bm25Scores(s, tDir, TextIndexStore.open(tDir)))
-    val aDir = persistedIndexDir(s, d)
     val q0 = querySide(e).filter(col("qid") === 0)
     val vecServed = AnnIndexStore
       .topK(s, aDir, AnnIndexStore.open(aDir), q0, k = HybridListK, nprobe = 5)

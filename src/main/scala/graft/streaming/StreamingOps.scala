@@ -2376,12 +2376,159 @@ object StreamingOps {
       .orderBy(col("doc_new"), col("doc_old"))
   }
 
+  // ----------------------- hybrid (text + ANN) consistent dual ingest
+
+  private val hybridIngestDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private val hybridIngestIndexDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String)]]()
+
+  private[graft] val HybridIngestBatches = 3
+
+  /** Micro-batches of FULL document records — text AND embedding in
+    * one row — for [[st_hybrid_ingest]]: three mtime-ordered single
+    * files over the candidate corpus (`vec_id ≥ 8`, the hybrid
+    * family's retrieval side), each the `doc_id % 4 = b` quarter; the
+    * `% 4 = 0` quarter bootstraps both indexes' epoch 0. One feed, two
+    * artifacts — the freshness-coupling shape under test. */
+  private def hybridIngestLayout(s: SparkSession, d: String): String =
+    perSession(hybridIngestDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_hybing_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val rows = hybridCandRecords(s, d)
+      val now = System.currentTimeMillis()
+      (1 to HybridIngestBatches).foreach { b =>
+        writeSingleFile(rows.filter(col("doc_id") % 4 === b),
+          java.nio.file.Paths.get(p, s"batch$b.parquet"),
+          now - (HybridIngestBatches - b).toLong * 60000)
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** The candidate corpus as full records: (doc_id, text, embedding)
+    * for every `vec_id ≥ 8` — both representations of one document,
+    * joined on the shared id. */
+  private def hybridCandRecords(s: SparkSession, d: String): DataFrame =
+    graft.ops.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .join(graft.ops.Tables.embeddings(s, d)
+        .filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+
+  /** Apply ONE hybrid micro-batch to BOTH stores — the text index
+    * first, then the ANN index, each through its own
+    * `applyDeltaIdempotent` epoch-pins-batch-id gate. This is the
+    * whole cross-artifact consistency story, and it needs NO
+    * distributed transaction: a crash between the two applies leaves
+    * the text index at epoch id+1 and the ANN index at epoch id, and
+    * the engine's at-least-once REPLAY of the same batch no-ops the
+    * first store (already past the pin) while applying the second —
+    * both converge to id+1. Readers that need the coupled view compare
+    * the two manifests' epochs (equal ⇔ consistent snapshot pair);
+    * [[graft.StreamingOpsSpec]] drives the crash interleaving
+    * explicitly. */
+  private[graft] def applyHybridBatch(textDir: String, annDir: String,
+                                      batch: DataFrame, id: Long): Unit = {
+    val s = batch.sparkSession
+    graft.ops.TextIndexStore.applyDeltaIdempotent(
+      s, textDir, batch.select(col("doc_id"), col("text")), id)
+    graft.ops.AnnIndexStore.applyDeltaIdempotent(
+      s, annDir, batch.select(col("doc_id").as("vec_id"), col("embedding"),
+        lit("insert").as("op"),
+        lit(null).cast(batch.schema("embedding").dataType).as("old_embedding")), id)
+    ()
+  }
+
+  /** Bootstrap both indexes' epoch 0 and drain the hybrid feed once
+    * per (session, fixture); returns (textDir, annDir). */
+  private[graft] def runHybridIngest(s: SparkSession, d: String,
+                                     dirsOverride: Option[(String, String)] = None,
+                                     ckptOverride: Option[String] = None,
+                                     onBatch: Long => Unit = _ => ()): (String, String) = {
+    def run(textDir: String, annDir: String, ckptDir: String): (String, String) = {
+      val ss = streamSession(s)
+      val src = hybridIngestLayout(ss, d)
+      val rows = hybridCandRecords(ss, d)
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(textDir, "_manifest.json"))) {
+        graft.ops.TextIndexStore.build(
+          rows.filter(col("doc_id") % 4 === 0).select(col("doc_id"), col("text")),
+          textDir)
+        ()
+      }
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(annDir, "_manifest.json"))) {
+        val e = graft.ops.Tables.embeddings(ss, d)
+        graft.ops.AnnIndexStore.build(e, annDir,
+          index = Some(e.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0)))
+        ()
+      }
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          onBatch(id)
+          applyHybridBatch(textDir, annDir, batch, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (textDir, annDir)
+    }
+    (dirsOverride, ckptOverride) match {
+      case (Some((t, a)), Some(ck)) => run(t, a, ck)
+      case _ =>
+        perSession(hybridIngestIndexDirs, s).getOrElseUpdate(d, {
+          val t = s"${System.getProperty("java.io.tmpdir")}/graft_hybingtext_" +
+            graft.ops.Tables.layoutTag(d)
+          val a = s"${System.getProperty("java.io.tmpdir")}/graft_hybingann_" +
+            graft.ops.Tables.layoutTag(d)
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_hybingckpt_" +
+            graft.ops.Tables.layoutTag(d)
+          exitDeleteDirs.add(t); exitDeleteDirs.add(a); exitDeleteDirs.add(ck)
+          run(t, a, ck)
+        })
+    }
+  }
+
+  /** CONSISTENT DUAL INGEST FOR HYBRID RETRIEVAL — one document CDC
+    * feed maintains BOTH halves of the hybrid stack (the BM25 text
+    * index and the IVF vector index) in lock-step: every micro-batch
+    * carries each document's text and embedding together, and
+    * [[applyHybridBatch]] commits one epoch in each store under the
+    * same batch id. Freshness coupling is the production requirement
+    * this models — a doc retrievable lexically but not semantically
+    * (or vice versa) skews RRF fusion toward whichever leg has seen
+    * it — and the exactly-once epoch pins make the pair converge
+    * WITHOUT a distributed transaction (crash-between-applies is
+    * healed by the replay; the spec drives that interleaving).
+    *
+    * The registered witness is the [[graft.ops.SimilarityOps
+    * .s_hybrid_served]] bound witness evaluated over the two
+    * STREAM-ASSEMBLED indexes — identical claim, identical code
+    * ([[graft.ops.SimilarityOps.hybridServedFrom]]), identical DuckDB
+    * replay of the exact fused list: a hybrid stack fed by a stream
+    * serves the same fusion as one built in a batch.
+    *
+    * 100 TB notes: per-batch work is each store's applyDelta contract
+    * (bucket-pruned posting merges on the text side, affected-cells
+    * merge on the ANN side); nothing re-reads either corpus. */
+  val st_hybrid_ingest: Q = (s, d) => {
+    val (tDir, aDir) = runHybridIngest(s, d)
+    graft.ops.SimilarityOps.hybridServedFrom(s, d, tDir, aDir)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "st_ann_ingest" -> st_ann_ingest,
     "st_text_ingest" -> st_text_ingest,
     "st_dedup_ingest" -> st_dedup_ingest,
+    "st_hybrid_ingest" -> st_hybrid_ingest,
     "st_mv_ingest" -> st_mv_ingest,
     "st_mv_distinct" -> st_mv_distinct,
     "st_upsert_dv" -> st_upsert_dv,
@@ -2445,6 +2592,9 @@ object StreamingOps {
     // OLD×NEW exact-Jaccard replays as the batch-built twins
     "st_text_ingest" -> graft.ops.TextOps.bm25Oracle,
     "st_dedup_ingest" -> graft.ops.DedupOps.servedDedupOracle,
+    // the stream-fed hybrid stack asserts the identical bound witness
+    // as the batch-built one: DuckDB rebuilds the exact fused list
+    "st_hybrid_ingest" -> graft.ops.SimilarityOps.oracles("s_hybrid_served"),
     // a view maintained by the stream must equal one computed from
     // scratch — the identical oracle to the batch MV family
     "st_mv_ingest" ->

@@ -46,6 +46,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "t_rerank",         // stage 1 embeds t_bm25 (same 1-row totals cross)
     "s_hybrid_rrf",     // BM25 leg's 1-row totals + broadcast query-vector cross
     "s_hybrid_served",  // exact leg embeds s_hybrid_rrf (same 1-row crosses)
+    "st_hybrid_ingest", // same bound witness over stream-assembled indexes
     "p_embed_decon")    // broadcast benchmark-probe cosine scan
 
   private val planCache = scala.collection.mutable.Map.empty[String, String]

@@ -919,4 +919,55 @@ class StreamingOpsSpec extends AnyFunSuite {
     val dmin = unmatched.values.map(t => math.abs(t - wm)).min
     assert(dmin > 60L * 1000000L, s"unmatched purchase within 60s of watermark ($dmin us)")
   }
+
+  test("hybrid dual ingest: crash between the two applies heals on replay, epochs stay aligned") {
+    import graft.ops.{AnnIndexStore, TextIndexStore}
+    def tmp(tag: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_hyb_$tag")
+      p.toFile.deleteOnExit(); p.toString
+    }
+    val (tDir, aDir, ck) = (tmp("text"), tmp("ann"), tmp("ck"))
+    var batches = List.empty[Long]
+    StreamingOps.runHybridIngest(spark, sf,
+      dirsOverride = Some((tDir, aDir)), ckptOverride = Some(ck),
+      onBatch = id => batches ::= id)
+    assert(batches.sorted == (0L until StreamingOps.HybridIngestBatches),
+      s"expected one micro-batch per feed file, got $batches")
+    // lock-step epochs: both stores at exactly batches-drained
+    val (tm, am) = (TextIndexStore.open(tDir), AnnIndexStore.open(aDir))
+    assert(tm.epoch == am.epoch && tm.epoch == StreamingOps.HybridIngestBatches.toLong,
+      s"stores diverged: text@${tm.epoch} ann@${am.epoch}")
+
+    // CRASH INTERLEAVING: batch N+1's text apply lands, then the
+    // process dies before the ANN apply — simulated by applying the
+    // text half alone. The stores now genuinely diverge...
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val e = Tables.embeddings(spark, sf)
+    // a fresh never-indexed record set: queries (vec_id < 8) are not
+    // in the candidate index, so reusing them as inserts is clean
+    val extra = docs
+      .join(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val nextId = StreamingOps.HybridIngestBatches.toLong
+    TextIndexStore.applyDeltaIdempotent(spark, tDir,
+      extra.select(col("doc_id"), col("text")), nextId)
+    assert(TextIndexStore.open(tDir).epoch == nextId + 1)
+    assert(AnnIndexStore.open(aDir).epoch == nextId, "ann must still be behind")
+    // ...and the engine's at-least-once REPLAY of the full batch heals
+    // the pair: text no-ops behind its pin, ANN applies, epochs align.
+    StreamingOps.applyHybridBatch(tDir, aDir, extra, nextId)
+    val (tm2, am2) = (TextIndexStore.open(tDir), AnnIndexStore.open(aDir))
+    assert(tm2.epoch == nextId + 1 && am2.epoch == nextId + 1,
+      s"replay failed to converge: text@${tm2.epoch} ann@${am2.epoch}")
+    // the healed pair serves both representations of the new docs:
+    // every replayed doc_id is in the text registry AND the ANN postings
+    val newIds = extra.select("doc_id").collect().map(_.getLong(0)).toSet
+    val annIds = AnnIndexStore.postings(spark, aDir, am2)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(newIds.subsetOf(annIds), "ANN postings missing replayed docs")
+    val clash = intercept[IllegalArgumentException](
+      TextIndexStore.applyDelta(spark, tDir, extra.select(col("doc_id"), col("text"))))
+    assert(clash.getMessage.contains("append-only"),
+      "text registry must already hold the replayed docs")
+  }
 }
