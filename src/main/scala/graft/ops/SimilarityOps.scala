@@ -925,6 +925,27 @@ object SimilarityOps {
         k = 5, nprobe = 5))
   }
 
+  /** ANN TIME TRAVEL, oracle-checked — the fourth store joins the MV /
+    * text / dedup as-of family: [[AnnIndexStore.openAt]] resolves
+    * epoch 0 of the drifted-then-rebalanced index (trained and built
+    * BEFORE the `vec_id % 3 = 0` third was inserted, two quantizer
+    * generations ago), and serving under that manifest must recover
+    * the PRE-DRIFT corpus's true neighbors — its own centroids route
+    * the probes, its own cell pointers bound the reads; neither the
+    * later inserts nor the rebalance's refit leak in (a versioned
+    * manifest carries ITS OWN quantizer, so time travel works ACROSS
+    * the retrain). DuckDB independently rebuilds the exact top-5 over
+    * only the pre-drift candidates and asserts the same recall bound
+    * as every `s_ann_*` twin. */
+  val s_ann_asof: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val dir = rebalancedIndexDir(s, d)
+    recallWitness(
+      bruteForceTopK(querySide(e), candSide(e).filter(col("cid") % 3 =!= 0), k = 5),
+      AnnIndexStore.topK(s, dir, AnnIndexStore.openAt(dir, 0L), querySide(e),
+        k = 5, nprobe = 5))
+  }
+
   /** BOUND-WITNESS for the PERSISTED index — the served face of
     * [[AnnIndexStore]] under the same recall contract as [[s_ann_ivf]]:
     * the index is built ONCE on disk (manifest + cell dirs), and the
@@ -1090,6 +1111,7 @@ object SimilarityOps {
     "s_ann_persisted" -> s_ann_persisted,
     "s_ann_pq_persisted" -> s_ann_pq_persisted,
     "s_ann_rebalance" -> s_ann_rebalance,
+    "s_ann_asof" -> s_ann_asof,
     "s_ivf_delta" -> s_ivf_delta,
     "s_gram_matrix" -> s_gram_matrix,
     "s_ann_filtered" -> s_ann_filtered,
@@ -1104,10 +1126,16 @@ object SimilarityOps {
   // helper above, so the contract has exactly one definition per
   // engine. private[graft]: the streaming ANN-ingest witness
   // ([[graft.streaming.StreamingOps]]) shares it.
-  private[graft] lazy val recallWitnessSql: String = {
+  private[graft] lazy val recallWitnessSql: String =
+    recallWitnessSqlOver("vec_id >= 8")
+
+  /** The same witness parameterized over the candidate-side predicate,
+    * for time-traveled serves whose epoch indexed only part of the
+    * corpus ([[s_ann_asof]]: the pre-drift two thirds). */
+  private def recallWitnessSqlOver(candPred: String): String = {
     val cos = oracleCosineSql("qe", "ce", Dim)
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-       |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+       |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE $candPred),
        |     s AS (SELECT qid, cid,
        |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
        |           FROM c CROSS JOIN q),
@@ -1277,6 +1305,11 @@ object SimilarityOps {
       // identical recall contract against the same exact baseline
       "s_ann_rebalance" ->
         recallWitnessSql,
+      // time travel: epoch 0 serves the PRE-drift corpus under its own
+      // (since-retrained-away) quantizer — exact top-5 rebuilt over
+      // only the pre-drift candidates, same recall bound
+      "s_ann_asof" ->
+        recallWitnessSqlOver("vec_id >= 8 AND vec_id % 3 <> 0"),
       // filtered-search witness: the exact side pairs each query ONLY
       // with candidates sharing its label (the filter is the join
       // key), independently rebuilt by DuckDB; the (cell, label)-keyed

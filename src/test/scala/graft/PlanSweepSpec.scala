@@ -40,6 +40,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "s_ann_persisted",  // bound witness (same brute-force exact side)
     "s_ann_pq_persisted", // bound witness (same brute-force exact side)
     "s_ann_rebalance",  // bound witness (same brute-force exact side)
+    "s_ann_asof",       // bound witness (pre-drift brute-force exact side)
     "st_ann_ingest",    // bound witness (same brute-force exact side)
     "s_ann_mmr",        // relevance pool comes from the same brute-force baseline
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits
