@@ -792,7 +792,7 @@ object DedupOps {
     * robust to quantizer detail. Everything is expressible in both
     * engines, so the DuckDB oracle replays the same construction
     * all-pairs. */
-  private val PlantOffset = 10000000L
+  private[ops] val PlantOffset = 10000000L
 
   private[ops] def plantedCorpus(e: DataFrame): DataFrame = {
     val base = e.select(col("vec_id"),
@@ -1202,6 +1202,31 @@ object DedupOps {
   private[graft] val servedDedupOracle: String =
     servedDedupOracleOver("a.doc_id % 5 <> 4")
 
+  /** Shared CTE prefix of the embedding-dedup oracles: the planted
+    * corpus construction + the EXHAUSTIVE all-pairs exact cosine ≥ 0.9
+    * (fixture scale only) ending at `epairs(ia, ib, cos_e6)` — ONE
+    * definition consumed by the [[d_dedup_embedding]] pair replay here
+    * and the [[PipelineOps.p_semantic_dedup]] cluster replay, so the
+    * two hash checks' pair derivations can never drift apart. */
+  private[ops] lazy val embedPairCtes: String = {
+    val cos = graft.functions.VectorFunctions
+      .oracleCosineSql("a.embedding", "b.embedding", SimilarityOps.Dim)
+    s"""corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantOffset,
+       |    list_transform(generate_series(1, ${SimilarityOps.Dim}),
+       |      i -> CAST(embedding[i] AS DOUBLE) *
+       |           (1.0 + (CAST((vec_id * 31 + i) % 7 AS DOUBLE) - 3.0) / 1000.0))
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |epairs AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+       |  WHERE CAST(ROUND($cos * 1000000) AS BIGINT) >= 900000)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> d_dedup_exact,
     "d_ngram_jaccard" -> d_ngram_jaccard,
@@ -1430,23 +1455,10 @@ object DedupOps {
          |LEFT JOIN scr ON c.doc_id = scr.doc_id
          |LEFT JOIN ns ON c.doc_id = ns.doc_id
          |ORDER BY c.doc_id""".stripMargin,
-    "d_dedup_embedding" -> {
-      val cos = oracleCosineSql("a.embedding", "b.embedding", SimilarityOps.Dim)
-      s"""WITH corpus AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-         |  FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + $PlantOffset,
-         |    list_transform(generate_series(1, ${SimilarityOps.Dim}),
-         |      i -> CAST(embedding[i] AS DOUBLE) *
-         |           (1.0 + (CAST((vec_id * 31 + i) % 7 AS DOUBLE) - 3.0) / 1000.0))
-         |  FROM embeddings WHERE vec_id % 5 = 0)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-         |WHERE CAST(ROUND($cos * 1000000) AS BIGINT) >= 900000
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "d_dedup_embedding" ->
+      s"""WITH $embedPairCtes
+         |SELECT ia AS id_a, ib AS id_b, cos_e6 FROM epairs
+         |ORDER BY id_a, id_b""".stripMargin,
     // the oracle join is EXHAUSTIVE (levenshtein over every pair — fine
     // at fixture scale); the Spark side is segment-blocked, so a hash
     // match proves the blocking recovers every qualifying pair

@@ -1003,6 +1003,39 @@ object PipelineOps {
     * (only vectors in cells near a probe) drops the constant further
     * when the probe suite grows — [[SimilarityOps.s_ann_ivf]] is that
     * machinery. */
+  /** SEMANTIC DEDUPLICATION (the SemDeDup shape): collapse groups of
+    * EMBEDDING-near-duplicate documents to one representative each —
+    * the curation step that removes paraphrases and near-copies
+    * lexical dedup cannot see. Pairs come from the cell-blocked
+    * embedding route ([[DedupOps.d_dedup_embedding]]: planted corpus,
+    * kmeans-cell blocking, exact cosine ≥ 0.9 inside cells — its own
+    * hash check proves the blocking recovers EVERY qualifying pair),
+    * the pair graph closes into clusters by the same O(log n)
+    * large/small-star [[DedupOps.connectedComponents]] the lexical
+    * pipeline uses, and each cluster keeps its min-id member. Output:
+    * one row per clustered vector — representative, cluster size, and
+    * the keep/drop decision a downstream anti-join applies.
+    *
+    * DuckDB replays the whole derivation from scratch: the planted
+    * corpus construction, the EXHAUSTIVE all-pairs cosine (fixture
+    * scale only), and the transitive closure as a recursive CTE — so
+    * the hash match proves blocking + iterative CC ≡ brute-force
+    * clustering, with zero allowance for a missed pair or a split
+    * cluster. Scale shape: nothing all-pairs (cells bound the join),
+    * CC converges in O(log n) rounds (spec-asserted on a 64-chain),
+    * and the decision table is cluster-members-sized, far below the
+    * corpus. */
+  val p_semantic_dedup: Q = (s, d) => {
+    val pairs = DedupOps.d_dedup_embedding(s, d)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = DedupOps.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
+    labels.join(sizes, "cluster")
+      .select(col("doc_id").as("vec_id"), col("cluster").as("rep_id"),
+        col("n_cluster"), col("is_keeper").as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val p_embed_decon: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val probes = e.filter(col("vec_id") % EmbedProbeMod === 0)
@@ -1188,6 +1221,7 @@ object PipelineOps {
     "p_triangle_count" -> p_triangle_count,
     "p_scd2" -> p_scd2,
     "p_embed_decon" -> p_embed_decon,
+    "p_semantic_dedup" -> p_semantic_dedup,
     "p_label_prop" -> p_label_prop,
     "p_bpe_pair_counts" -> p_bpe_pair_counts,
     "p_leakage_split" -> p_leakage_split,
@@ -1197,6 +1231,24 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // semantic dedup replayed from first principles: planted corpus +
+    // exhaustive all-pairs cosine (shared CTEs with d_dedup_embedding)
+    // + transitive closure as a recursive CTE — brute-force clustering
+    // must equal the blocked-pairs + iterative-CC pipeline exactly
+    "p_semantic_dedup" ->
+      s"""WITH RECURSIVE ${DedupOps.embedPairCtes},
+         |edges AS (SELECT ia AS a, ib AS b FROM epairs
+         |          UNION ALL SELECT ib, ia FROM epairs),
+         |walk(v, l) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, w.l FROM walk w JOIN edges e ON e.a = w.v),
+         |comp AS (SELECT v, min(l) AS rep FROM walk GROUP BY v),
+         |csz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS n FROM comp GROUP BY rep)
+         |SELECT c.v AS vec_id, c.rep AS rep_id, s.n AS n_cluster,
+         |  c.v = c.rep AS kept
+         |FROM comp c JOIN csz s ON c.rep = s.rep
+         |ORDER BY vec_id""".stripMargin,
     // BPE counts + word-gate rule replayed; all-integer card
     "p_dataset_card" ->
       s"""WITH ${TextOps.bpeCountCtes},

@@ -259,6 +259,19 @@ object ScaleBench {
         .collect().length
     }._2
 
+    // constant-size insert batch (100 fresh vectors) into the xR index:
+    // the affected-cells-only merge should stay batch-proportional as
+    // the corpus grows — the ANN half of the hybrid dual ingest's
+    // per-micro-batch cost (the text half is bm25_delta above). Runs
+    // LAST against annDir so the recall sweep and fused serve above
+    // measured the unpolluted corpus.
+    val annBatch = emb.filter(col("vec_id") % 50 === 3).limit(100)
+      .select((col("vec_id") + lit(30000000L)).as("vec_id"), col("embedding"),
+        lit("insert").as("op"),
+        lit(null).cast(emb.schema("embedding").dataType).as("old_embedding"))
+      .localCheckpoint()
+    q("ann_delta") = time { AnnIndexStore.applyDelta(s, annDir, annBatch) }._2
+
     // --- MV store: corpus-sized build vs DELTA-proportional refresh -
     // (round-12 verdict #4: the "refresh never re-reads history" claim
     // had no growth row — exactly the claim ScaleBench exists to
