@@ -832,6 +832,50 @@ object StreamingOps {
     * commit simply rewrites the same epoch dirs before re-flipping). */
   val st_upsert: Q = (s, d) => st_upsert_run(s, d, _ => ())
 
+  private val upsertAsofDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** Write-once state table for [[st_upsert_asof]]: four DETERMINISTIC
+    * merge batches (`event_id % 4 = b`, b = 0..3 — batch membership a
+    * replay can reconstruct, unlike the file-split drain whose
+    * intermediate epochs depend on how `repartition(8)` dealt the
+    * rows) committed as epochs 0..3. */
+  private[graft] def upsertAsofStateDir(s: SparkSession, d: String): String =
+    perSession(upsertAsofDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_upsasof_" +
+        graft.ops.Tables.layoutTag(d)
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(p, "_manifest.json"))) {
+        val ev = graft.ops.Tables.events(s, d)
+        (0 until 4).foreach { b =>
+          mergeUpsertBatch(s, p, ev.filter(pmod(col("event_id"), lit(4)) === b)): Unit
+        }
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** UPSERT-STATE TIME TRAVEL, oracle-checked — the FIFTH durable
+    * artifact joins the as-of family (MV `q_mv_asof`, text
+    * `t_bm25_asof`, dedup `d_dedup_asof`, ANN `s_ann_asof`): every
+    * merge epoch stays readable as a snapshot inside the retention
+    * horizon ([[readUpsertStateAt]] — the versioned manifest pins
+    * exactly the bucket-epoch dirs that epoch committed), so "what did
+    * the keyed state say after batch K?" is a manifest resolve + a
+    * bucket-pruned read, zero recompute. The witness reads epoch 1 of
+    * a four-batch table (batches 0 and 1 applied, 2 and 3 INVISIBLE
+    * even though they share every bucket directory tree); the DuckDB
+    * oracle replays the LWW arg-max over only the first two batches'
+    * rows. The deterministic `event_id % 4` batch rule is what makes
+    * an INTERMEDIATE epoch SQL-replayable at all — the registered
+    * [[st_upsert]] drain's file splits are engine-internal, so its
+    * oracle can only ever check the final state. */
+  val st_upsert_asof: Q = (s, d) => {
+    val dir = upsertAsofStateDir(s, d)
+    readUpsertStateAt(s, dir, 1L).orderBy(col("user_id"))
+  }
+
   private[graft] def st_upsert_run(s: SparkSession, d: String,
                                    onBatch: Long => Unit): DataFrame = {
     val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert_state_")
@@ -2541,6 +2585,7 @@ object StreamingOps {
     "st_custom_state" -> st_custom_state,
     "st_cdc" -> st_cdc,
     "st_upsert" -> st_upsert,
+    "st_upsert_asof" -> st_upsert_asof,
     "st_upsert_evolve" -> st_upsert_evolve,
     "st_quantile" -> st_quantile,
     "st_cdc_ttl" -> st_cdc_ttl,
@@ -2723,6 +2768,19 @@ object StreamingOps {
         |  SELECT user_id, epoch_us(ts) AS tus, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events),
+        |last AS (
+        |  SELECT user_id,
+        |    max(struct_pack(tus := tus, et := event_type, c := cents)) AS m
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, m.tus AS last_tus, m.et AS last_type, m.c AS cents
+        |FROM last ORDER BY user_id""".stripMargin,
+    // time travel: epoch 1 of the four-batch table = the LWW arg-max
+    // over ONLY the first two deterministic batches (event_id % 4 < 2)
+    "st_upsert_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_id % 4 < 2),
         |last AS (
         |  SELECT user_id,
         |    max(struct_pack(tus := tus, et := event_type, c := cents)) AS m
