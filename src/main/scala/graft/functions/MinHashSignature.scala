@@ -85,4 +85,22 @@ object MinHashSignature {
   def minhashSignature(c: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(c), a, b, p))
+
+  /** The library's CANONICAL 64-hash universal family h_i(u) =
+    * (a_i·u + b_i) mod p over the 32-bit image of xxhash64 — one
+    * deterministic derivation shared by the dedup pipeline
+    * ([[graft.ops.DedupOps]]), the durable index, and the SQL
+    * registration ([[GraftFunctions]]), so a signature computed
+    * through any surface buckets identically. p is the smallest prime
+    * > 2^32 (the modulus breaks the affine map's monotonicity —
+    * without it every h_i elects the same min-u shingle); coefficient
+    * ranges keep ANSI Long arithmetic overflow-free (a_i < 2^30,
+    * u < 2^32 ⇒ a_i·u + b_i < 2^63). */
+  val StdP = 4294967311L
+  val (stdA, stdB): (Seq[Long], Seq[Long]) = {
+    val rng = new scala.util.Random(42)
+    val a = Seq.fill(64)((rng.nextLong() & ((1L << 30) - 1)) | 1L)
+    val b = Seq.fill(64)(rng.nextLong() & ((1L << 30) - 1))
+    (a, b)
+  }
 }

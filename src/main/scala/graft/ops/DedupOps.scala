@@ -251,19 +251,16 @@ object DedupOps {
   private val NumBands = 16
   private val BandRows = 4 // NumBands * BandRows == NumHashes
 
-  /** Deterministic universal hash family h_i(u) = (a_i*u + b_i) mod p
-    * over the 32-bit image of xxhash64, p prime > 2^32. The modulus is
-    * what breaks monotonicity — WITHOUT it an affine map with positive
-    * a_i preserves the ordering of u, every h_i elects the same min-u
-    * shingle, and all 64 signature components collapse into one
-    * perfectly-correlated estimator. Ranges keep ANSI Long arithmetic
-    * overflow-free: a_i < 2^30, u < 2^32 ⇒ a_i*u + b_i < 2^63. */
-  private val HashP = 4294967311L // smallest prime > 2^32
+  /** The library's canonical universal hash family — derivation and
+    * overflow/monotonicity rationale live at
+    * [[graft.functions.MinHashSignature.stdA]] (one definition shared
+    * with the SQL registration, so signatures bucket identically
+    * through every surface). */
+  private val HashP = graft.functions.MinHashSignature.StdP
   private val (hashA, hashB): (Seq[Long], Seq[Long]) = {
-    val rng = new scala.util.Random(42)
-    val a = Seq.fill(NumHashes)((rng.nextLong() & ((1L << 30) - 1)) | 1L)
-    val b = Seq.fill(NumHashes)(rng.nextLong() & ((1L << 30) - 1))
-    (a, b)
+    require(graft.functions.MinHashSignature.stdA.length == NumHashes,
+      "canonical family width drifted from the pipeline's NumHashes")
+    (graft.functions.MinHashSignature.stdA, graft.functions.MinHashSignature.stdB)
   }
 
   /** (doc_id, sig) MinHash signatures via the native codegen'd

@@ -578,6 +578,42 @@ object RelationalQueries {
     }
   }
 
+  /** The NATIVE EXPRESSIONS through the SQL FRONT-END —
+    * [[graft.functions.GraftFunctions]] registers every custom
+    * Catalyst expression in the session's function registry (the same
+    * entries `spark.sql.extensions=graft.plans.GraftSparkExtensions`
+    * injects at session build), and this witness drives three of them
+    * from SQL TEXT over adjacent part-name pairs: the codegen'd
+    * Jaro-Winkler kernel, the distinct word-shingle pass, and the
+    * Karp-Rabin rolling hash (whose k/base/mod arrive as SQL integer
+    * literals and become expression constructor parameters — the
+    * `approx_count_distinct`-precision pattern). DuckDB recomputes all
+    * three from first principles (its own jaro_winkler_similarity; a
+    * list-comprehension shingle distinct; the polynomial replay from
+    * t_fingerprint's oracle) — so the hash match proves the SQL
+    * registration resolves, folds its literal config, and evaluates
+    * bit-identically to the Column API the rest of the library uses
+    * ([[graft.GraftFunctionsSpec]] pins SQL ≡ Column for all six
+    * registered functions, including the two with no SQL replay). */
+  val q_sql_native_fns: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    Tables.part(s, d).createOrReplaceTempView(s"graft_p_$tag")
+    try s.sql(
+      s"""SELECT p1.p_partkey,
+         |  ROUND(graft_jaro_winkler(p1.p_name, p2.p_name), 9) AS jw9,
+         |  CAST(size(graft_word_shingles(p1.p_name, 2)) AS INT) AS n_sh2,
+         |  CAST(element_at(graft_rolling_hashes(p1.p_name, 8, 257, 1000003), 1)
+         |       AS BIGINT) AS fp_first
+         |FROM graft_p_$tag p1 JOIN graft_p_$tag p2
+         |  ON p2.p_partkey = p1.p_partkey + 1
+         |WHERE length(p1.p_name) >= 8
+         |ORDER BY p1.p_partkey""".stripMargin)
+    finally {
+      s.catalog.dropTempView(s"graft_p_$tag"): Unit
+    }
+  }
+
   /** ANSI aggregate FILTER clauses through the SQL front-end — the
     * conditional-aggregation syntax (`COUNT(*) FILTER (WHERE …)`)
     * analysts write instead of CASE pyramids; Spark compiles each to
@@ -2743,6 +2779,7 @@ object RelationalQueries {
     "q_ewma_smooth" -> q_ewma_smooth,
     "q_window_cum_distinct" -> q_window_cum_distinct,
     "q_sql_lateral" -> q_sql_lateral,
+    "q_sql_native_fns" -> q_sql_native_fns,
     "q_sql_revenue_view" -> q_sql_revenue_view,
     "q_dpp" -> q_dpp,
     "q_sql_volume_shipping" -> q_sql_volume_shipping,
@@ -2955,6 +2992,26 @@ object RelationalQueries {
         |  ORDER BY total_cents DESC, o_orderkey LIMIT 3) best
         |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey, total_cents DESC, o_orderkey""".stripMargin,
+    // the three SQL-registered native expressions recomputed from
+    // first principles: DuckDB's own Jaro-Winkler, a list-comprehension
+    // distinct 2-word shingle count, and the Karp-Rabin polynomial of
+    // the first 8-byte window (t_fingerprint's replay formula)
+    "q_sql_native_fns" ->
+      """WITH pair AS (
+        |  SELECT p1.p_partkey, p1.p_name AS a, p2.p_name AS b
+        |  FROM part p1 JOIN part p2 ON p2.p_partkey = p1.p_partkey + 1
+        |  WHERE length(p1.p_name) >= 8)
+        |SELECT p_partkey,
+        |  ROUND(jaro_winkler_similarity(a, b), 9) AS jw9,
+        |  CAST(len(list_distinct(list_transform(
+        |    generate_series(1, len(string_split(a, ' ')) - 1),
+        |    i -> string_split(a, ' ')[i] || ' ' || string_split(a, ' ')[i + 1])))
+        |    AS INTEGER) AS n_sh2,
+        |  CAST(list_reduce(
+        |    list_prepend(0, list_transform(generate_series(0, 7),
+        |      j -> ascii(substr(a, 1 + j, 1)))),
+        |    (acc, x) -> (acc * 257 + x) % 1000003) AS BIGINT) AS fp_first
+        |FROM pair ORDER BY p_partkey""".stripMargin,
     "q_window_cum_distinct" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
         |  FROM events),

@@ -188,8 +188,12 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftSparkExtensions` — the
-  * cluster-deployment registration path for graft's plan extensions. */
+  * cluster-deployment registration path for graft's plan extensions:
+  * the binned-range-join optimizer rule plus the SQL registrations of
+  * every native expression ([[graft.functions.GraftFunctions]]). */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinBinning)
+    graft.functions.GraftFunctions.entries.foreach(ext.injectFunction)
+  }
 }

@@ -23,4 +23,19 @@ object GraftColumnBridge {
       : Seq[org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(s)
+
+  /** Register a SQL function on an ALREADY-BUILT session — the
+    * `sessionState.functionRegistry` handle is `private[sql]`, so the
+    * runtime half of [[graft.functions.GraftFunctions]]'s registration
+    * (the config half, `spark.sql.extensions`, needs no bridge) goes
+    * through here. Same per-session semantics as the built-ins: the
+    * registry is session-state, so a `newSession()` starts from the
+    * parent's cloned registry and later registrations don't leak
+    * across sessions. */
+  def registerFunction(s: org.apache.spark.sql.SparkSession,
+                       name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
 }
