@@ -1183,6 +1183,13 @@ object TextOps {
 
   private[graft] lazy val bm25Oracle: String = bm25OracleOver("TRUE", "TRUE")
 
+  /** The from-scratch replay over a SUBSET corpus (`indexed` bounds
+    * both the stats and the scoring set) — the oracle shape the
+    * dead-letter ingest witness needs ([[graft.streaming.StreamingOps
+    * .st_dlq_ingest]]: the index must hold exactly the VALID docs). */
+  private[graft] def bm25OracleOverIndexed(pred: String): String =
+    bm25OracleOver(pred, "TRUE")
+
   /** THE BM25 replay template, parameterized over two corpus
     * predicates so one SQL definition also covers the tombstone
     * lifecycle: `indexed` bounds the corpus whose statistics the

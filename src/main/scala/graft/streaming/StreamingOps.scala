@@ -2420,6 +2420,149 @@ object StreamingOps {
       .orderBy(col("doc_new"), col("doc_old"))
   }
 
+  // ------------------- dead-letter quarantine on the text ingest
+
+  private val dlqIngestDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private val dlqIngestIndexDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String)]]()
+
+  private[graft] val DlqBatches = 3
+
+  /** The planted-invalid predicate for the DLQ feed: streamed docs
+    * with `doc_id % 31 = 7` arrive with their text BLANKED — zero
+    * tokens, which the text index would otherwise drop SILENTLY (a
+    * no-token doc contributes no posting rows, no registry row, no
+    * scalar bump: it simply vanishes). The DLQ exists to make that
+    * loss explicit and queryable. */
+  private def dlqInvalid = col("doc_id") % 31 === 7
+
+  /** Micro-batches for [[st_dlq_ingest]]: the same three quarters as
+    * the plain text ingest, but replica rows matching [[dlqInvalid]]
+    * arrive with empty text — the malformed-record fraction every
+    * real feed carries. */
+  private def dlqIngestLayout(s: SparkSession, d: String): String =
+    perSession(dlqIngestDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dlqing_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val docs = graft.ops.Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(dlqInvalid, lit("")).otherwise(col("text")).as("text"))
+      val now = System.currentTimeMillis()
+      (1 to DlqBatches).foreach { b =>
+        writeSingleFile(docs.filter(col("doc_id") % 4 === b),
+          java.nio.file.Paths.get(p, s"batch$b.parquet"),
+          now - (DlqBatches - b).toLong * 60000)
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** Apply ONE feed micro-batch with dead-letter routing: rows that
+    * tokenize to ZERO tokens go to the quarantine table, the rest
+    * delta into the index — both exactly-once under the same batch id.
+    * The index half rides its epoch pin; the quarantine half is
+    * idempotent BY LAYOUT (each batch owns the directory
+    * `batch=<id>/`, written with overwrite — a replay rewrites the
+    * same rows in place, never appends duplicates; the dir name
+    * doubles as a queryable batch column). Validity mirrors the
+    * store's own tokenization (split on single spaces, empty tokens
+    * dropped), so "quarantined" is exactly "would have silently
+    * vanished". */
+  private[graft] def applyDlqBatch(textDir: String, qDir: String,
+                                   batch: DataFrame, id: Long): Unit = {
+    val toks = filter(split(col("text"), " "), w => length(w) > 0)
+    val bad = batch.filter(size(toks) === 0)
+      .select(col("doc_id"), lit("empty_text").as("reason"))
+    bad.coalesce(1).write.mode("overwrite").parquet(s"$qDir/batch=$id")
+    graft.ops.TextIndexStore.applyDeltaIdempotent(
+      batch.sparkSession, textDir, batch.filter(size(toks) > 0), id)
+    ()
+  }
+
+  /** Bootstrap + drain the dead-lettered feed once per (session,
+    * fixture); returns (indexDir, quarantineDir). */
+  private[graft] def runDlqIngest(s: SparkSession, d: String,
+                                  dirsOverride: Option[(String, String)] = None,
+                                  ckptOverride: Option[String] = None,
+                                  onBatch: Long => Unit = _ => ()): (String, String) = {
+    def run(textDir: String, qDir: String, ckptDir: String): (String, String) = {
+      val ss = streamSession(s)
+      val src = dlqIngestLayout(ss, d)
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(textDir, "_manifest.json"))) {
+        graft.ops.TextIndexStore.build(
+          graft.ops.Tables.documents(ss, d)
+            .filter(col("doc_id") % 4 === 0).select(col("doc_id"), col("text")),
+          textDir)
+        ()
+      }
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          onBatch(id)
+          applyDlqBatch(textDir, qDir, batch, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (textDir, qDir)
+    }
+    (dirsOverride, ckptOverride) match {
+      case (Some((t, qd)), Some(ck)) => run(t, qd, ck)
+      case _ =>
+        perSession(dlqIngestIndexDirs, s).getOrElseUpdate(d, {
+          val t = s"${System.getProperty("java.io.tmpdir")}/graft_dlqingidx_" +
+            graft.ops.Tables.layoutTag(d)
+          val qd = s"${System.getProperty("java.io.tmpdir")}/graft_dlqingq_" +
+            graft.ops.Tables.layoutTag(d)
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_dlqingckpt_" +
+            graft.ops.Tables.layoutTag(d)
+          exitDeleteDirs.add(t); exitDeleteDirs.add(qd); exitDeleteDirs.add(ck)
+          run(t, qd, ck)
+        })
+    }
+  }
+
+  /** DEAD-LETTER QUARANTINE ON A STREAMING INDEX FEED — the
+    * production-hardening shape every real ingest needs: a fraction of
+    * the feed is malformed (here: blank-text docs the index's own
+    * tokenization would drop SILENTLY — no posting, no registry row,
+    * no error), and [[applyDlqBatch]] routes exactly those rows to a
+    * quarantine table while the valid rest deltas into the index, BOTH
+    * exactly-once under the same batch id (epoch pin on the index
+    * side; overwrite-into-`batch=<id>/` layout idempotence on the
+    * quarantine side — the dual-sink principle of [[st_dual_sink]]
+    * carried to the error path). The registered witness serves BM25
+    * from the final index: hash-matching the from-scratch replay over
+    * ONLY the valid corpus proves no malformed doc leaked in AND no
+    * valid doc was lost; [[st_dlq_table]] pins the other half — the
+    * quarantine table IS the planted invalid set, row for row. */
+  val st_dlq_ingest: Q = (s, d) => {
+    val (tDir, _) = runDlqIngest(s, d)
+    graft.ops.TextIndexStore.bm25Scores(s, tDir, graft.ops.TextIndexStore.open(tDir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(graft.ops.TextOps.BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The quarantine table of [[st_dlq_ingest]]'s drain: (doc_id,
+    * reason, batch) — queryable lineage for every record the feed
+    * rejected. The oracle replays the planted-invalid rule and the
+    * batch routing (`doc_id % 4`), so a doc quarantined twice, dropped
+    * silently, or routed to the wrong batch all hash-mismatch. */
+  val st_dlq_table: Q = (s, d) => {
+    val (_, qDir) = runDlqIngest(s, d)
+    s.read.option("basePath", qDir).parquet(s"$qDir/batch=*")
+      .select(col("doc_id"), col("reason"), col("batch").cast("long").as("batch"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------- hybrid (text + ANN) consistent dual ingest
 
   private val hybridIngestDirs =
@@ -2573,6 +2716,8 @@ object StreamingOps {
     "st_text_ingest" -> st_text_ingest,
     "st_dedup_ingest" -> st_dedup_ingest,
     "st_hybrid_ingest" -> st_hybrid_ingest,
+    "st_dlq_ingest" -> st_dlq_ingest,
+    "st_dlq_table" -> st_dlq_table,
     "st_mv_ingest" -> st_mv_ingest,
     "st_mv_distinct" -> st_mv_distinct,
     "st_upsert_dv" -> st_upsert_dv,
@@ -2640,6 +2785,17 @@ object StreamingOps {
     // the stream-fed hybrid stack asserts the identical bound witness
     // as the batch-built one: DuckDB rebuilds the exact fused list
     "st_hybrid_ingest" -> graft.ops.SimilarityOps.oracles("s_hybrid_served"),
+    // the dead-lettered index must hold exactly the VALID corpus: the
+    // replay's stats and scoring set both exclude the planted blanks
+    "st_dlq_ingest" -> graft.ops.TextOps.bm25OracleOverIndexed(
+      "doc_id % 4 = 0 OR doc_id % 31 <> 7"),
+    // the quarantine table IS the planted invalid set, batch-routed by
+    // the same doc_id % 4 rule the feed files encode
+    "st_dlq_table" ->
+      """SELECT doc_id, 'empty_text' AS reason,
+        |  CAST(doc_id % 4 - 1 AS BIGINT) AS batch
+        |FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 31 = 7
+        |ORDER BY doc_id""".stripMargin,
     // a view maintained by the stream must equal one computed from
     // scratch — the identical oracle to the batch MV family
     "st_mv_ingest" ->

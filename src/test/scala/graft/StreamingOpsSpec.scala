@@ -920,6 +920,61 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(dmin > 60L * 1000000L, s"unmatched purchase within 60s of watermark ($dmin us)")
   }
 
+  test("dlq ingest: replay never double-quarantines, restart fires zero batches, index holds only valid docs") {
+    import graft.ops.TextIndexStore
+    def tmp(tag: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_dlq_$tag")
+      p.toFile.deleteOnExit(); p.toString
+    }
+    val (tDir, qDir, ck) = (tmp("idx"), tmp("q"), tmp("ck"))
+    var batches = List.empty[Long]
+    StreamingOps.runDlqIngest(spark, sf,
+      dirsOverride = Some((tDir, qDir)), ckptOverride = Some(ck),
+      onBatch = id => batches ::= id)
+    assert(batches.sorted == (0L until StreamingOps.DlqBatches),
+      s"expected one micro-batch per feed file, got $batches")
+    def quarantined() = spark.read.option("basePath", qDir)
+      .parquet(s"$qDir/batch=*")
+      .select("doc_id", "reason", "batch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val q1 = quarantined()
+    // the quarantine holds EXACTLY the planted blanks, batch-routed
+    val docs = Tables.documents(spark, sf)
+    val planted = docs
+      .filter(col("doc_id") % 4 =!= 0 && col("doc_id") % 31 === 7)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0), "empty_text", (r.getLong(0) % 4 - 1).toInt)).toSet
+    assert(q1 == planted, "quarantine table must equal the planted invalid set")
+    // CRASH REPLAY of the LAST batch (reconstructed by the same rule
+    // the feed files encode): the quarantine half must rewrite in
+    // place (same rows, no duplicates) and the index half must no-op
+    val src = docs
+      .select(col("doc_id"),
+        when(col("doc_id") % 31 === 7, lit("")).otherwise(col("text")).as("text"))
+      .filter(col("doc_id") % 4 === StreamingOps.DlqBatches)
+    val epochBefore = TextIndexStore.open(tDir).epoch
+    StreamingOps.applyDlqBatch(tDir, qDir, src, StreamingOps.DlqBatches - 1L)
+    assert(quarantined() == planted, "replay must not duplicate quarantine rows")
+    assert(TextIndexStore.open(tDir).epoch == epochBefore,
+      "replay must not advance the index epoch")
+    // the index holds exactly the valid docs (planted blanks absent)
+    val reg = {
+      val m = TextIndexStore.open(tDir)
+      spark.read.parquet(m.docs.map(rel => s"$tDir/$rel"): _*)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val blanks = planted.map(_._1)
+    assert(blanks.intersect(reg).isEmpty, "a blank doc leaked into the index")
+    val valid = docs.select("doc_id").collect().map(_.getLong(0)).toSet -- blanks
+    assert(reg == valid, "a valid doc went missing from the index")
+    // restart against the drained checkpoint: zero batches fire
+    var restart = 0
+    StreamingOps.runDlqIngest(spark, sf,
+      dirsOverride = Some((tDir, qDir)), ckptOverride = Some(ck),
+      onBatch = _ => restart += 1)
+    assert(restart == 0, "restart of a drained stream must fire no batches")
+  }
+
   test("hybrid dual ingest: crash between the two applies heals on replay, epochs stay aligned") {
     import graft.ops.{AnnIndexStore, TextIndexStore}
     def tmp(tag: String) = {
