@@ -39,6 +39,21 @@ object VectorFunctions {
 
   def oracleNormSqSql(a: String, dim: Int): String = oracleDotSql(a, a, dim)
 
+  /** Dot product of two length-`n` SLICES (`a[offA+1..offA+n]` ·
+    * `b[offB+1..offB+n]`) — the late-interaction sub-vector twin of
+    * [[oracleDotSql]], same left-assoc accumulation as Spark's
+    * `dot(slice(a, offA+1, n), slice(b, offB+1, n))`. */
+  def oracleDotSliceSql(a: String, offA: Int, b: String, offB: Int, n: Int): String =
+    (1 to n).map(k => s"CAST($a[${offA + k}] AS DOUBLE)*CAST($b[${offB + k}] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  /** Cosine of two equal-offset slices, matching the Spark-side
+    * slice-then-cosine arithmetic bit-for-bit. */
+  def oracleCosineSliceSql(a: String, offA: Int, b: String, offB: Int, n: Int): String =
+    s"(${oracleDotSliceSql(a, offA, b, offB, n)} / " +
+      s"(sqrt(${oracleDotSliceSql(a, offA, a, offA, n)}) * " +
+      s"sqrt(${oracleDotSliceSql(b, offB, b, offB, n)})))"
+
   def oracleCosineSql(a: String, b: String, dim: Int): String =
     s"(${oracleDotSql(a, b, dim)} / (sqrt(${oracleNormSqSql(a, dim)}) * sqrt(${oracleNormSqSql(b, dim)})))"
 }

@@ -12,6 +12,10 @@ import graft.functions.VectorFunctions.{dotHof, normSq, oracleNormSqSql}
   * phenomenon get it PLANTED deterministically (both engines replay the
   * construction), so every query is non-vacuous and DuckDB-hash-checked.
   *
+  *   - [[p_decon_served]]: the decontamination screen served from the
+  *     PERSISTED text index — rare-token posting probes + exact
+  *     verify over only candidate docs; identical rows to the inline
+  *     path at eval-set-proportional cost.
   *   - [[p_decontaminate]]: benchmark-overlap decontamination — count
   *     the 8-gram shingles each document shares with a probe set (the
   *     stand-in "benchmark" = the `doc_id % 97 == 0` slice of the
@@ -74,17 +78,100 @@ object PipelineOps {
     * contamination of non-probe docs comes from planted near-dups. */
   val p_decontaminate: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val sh = docs.select(col("doc_id"),
-      explode(wordShingles(col("text"), ShingleN)).as("s8"))
-    val probe = sh.filter(col("doc_id") % ProbeMod === 0).select("s8").distinct()
-    val hits = sh.join(broadcast(probe), "s8")
+    val evalSh = evalShingleSet(docs.filter(col("doc_id") % ProbeMod === 0))
+    deconTail(docs, deconHitsInline(docs, evalSh))
+  }
+
+  /** Distinct [[ShingleN]]-gram shingles of an eval corpus — the probe
+    * set both decon paths screen against. */
+  private[graft] def evalShingleSet(evalDocs: DataFrame): DataFrame =
+    evalDocs.select(explode(wordShingles(col("text"), ShingleN)).as("s8")).distinct()
+
+  /** Exact per-doc overlap via the INLINE corpus join — shingles every
+    * doc, broadcast-joins the eval set. Corpus-proportional work. */
+  private[graft] def deconHitsInline(docs: DataFrame, evalSh: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(wordShingles(col("text"), ShingleN)).as("s8"))
+      .join(broadcast(evalSh), "s8")
       .groupBy("doc_id").agg(countDistinct(col("s8")).as("n_hits"))
+
+  /** The shared output shape: every doc with its probe flag, hit
+    * count, and contamination verdict. */
+  private def deconTail(docs: DataFrame, hits: DataFrame): DataFrame =
     docs.select(col("doc_id"), (col("doc_id") % ProbeMod === 0).as("is_probe"))
       .join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("is_probe"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
+
+  /** INDEX-SERVED decontamination — [[p_decontaminate]]'s production
+    * shape at 100 TB: screening a NEW eval set must not re-shingle the
+    * corpus (the inline join's corpus-sized shuffle per eval release);
+    * it probes the PERSISTED text index instead. Three bounded steps:
+    *
+    *  1. the eval set's distinct 8-gram shingles (eval-set-sized — a
+    *     benchmark suite, not a corpus) pick each shingle's RAREST
+    *     token from the index's persisted vocab stats (min df, tok —
+    *     one broadcast join against the vocab-sized stats table);
+    *  2. ONLY those tokens' posting buckets are read (manifest bucket
+    *     pointers, the [[TextIndexStore]] serve discipline; the
+    *     in-bucket token filter is a broadcast semi-join — an eval
+    *     set's token list outgrows a pushed IN literal), yielding a
+    *     candidate doc superset: any doc containing an eval shingle
+    *     necessarily contains its rarest token;
+    *  3. exact verify re-shingles ONLY the candidate docs (semi-join
+    *     pruned corpus read) and counts distinct eval shingles per doc
+    *     — the same shingle definition as the inline path, so the
+    *     result is IDENTICAL, not approximate.
+    *
+    * Work scales with Σ posting length of the eval shingles' rare
+    * tokens + candidate-doc text, never the corpus; the SAME DuckDB
+    * oracle as [[p_decontaminate]] (the full exact-overlap replay)
+    * hash-checks that the served path loses and invents nothing. The
+    * driver-side collect is the rare-token list — bounded by the eval
+    * shingle count by construction. */
+  val p_decon_served: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val evalSh = evalShingleSet(docs.filter(col("doc_id") % ProbeMod === 0))
+    deconTail(docs,
+      deconHitsServed(s, docs, evalSh, TextOps.persistedTextIndexDir(s, d)))
+  }
+
+  /** Exact per-doc overlap SERVED from a persisted [[TextIndexStore]]
+    * over `docs` — the three bounded steps of [[p_decon_served]],
+    * parameterized over the eval set and index so the scale bench can
+    * time it against [[deconHitsInline]] on the ×R corpus. */
+  private[graft] def deconHitsServed(s: SparkSession, docs: DataFrame,
+                                     evalSh: DataFrame, dir: String): DataFrame = {
+    val m = TextIndexStore.open(dir)
+    val shTok = evalSh.select(col("s8"), explode(split(col("s8"), " ")).as("tok"))
+    val stats = s.read.parquet(s"$dir/${m.stats}")
+    val rare = shTok.join(stats, Seq("tok"))
+      .groupBy(col("s8"))
+      .agg(min(struct(col("df"), col("tok"))).getField("tok").as("rtok"))
+    val rareRows = rare.select(col("rtok")).distinct()
+      .withColumn("bucket",
+        pmod(xxhash64(col("rtok")), lit(m.numBuckets.toLong)).cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    if (rareRows.isEmpty) { // no eval shingles: nothing can contaminate
+      import org.apache.spark.sql.types._
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("n_hits", LongType))))
+    } else {
+      val bucketPaths = rareRows.map(_._2).distinct.sorted
+        .flatMap(m.buckets.get).map(rel => s"$dir/$rel")
+      val rtoks = s.createDataFrame(rareRows.toSeq).toDF("rtok", "b").select("rtok")
+      val candDocs = s.read.parquet(bucketPaths: _*)
+        .join(broadcast(rtoks), col("tok") === col("rtok"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val candSh = docs.join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(wordShingles(col("text"), ShingleN)).as("s8"))
+      candSh.join(broadcast(evalSh), "s8")
+        .groupBy(col("doc_id")).agg(countDistinct(col("s8")).as("n_hits"))
+    }
   }
 
   // -------------------------------------------------- mixture sampling
@@ -1206,6 +1293,7 @@ object PipelineOps {
     "p_mix_weights" -> p_mix_weights,
     "p_temperature_mix" -> p_temperature_mix,
     "p_decontaminate" -> p_decontaminate,
+    "p_decon_served" -> p_decon_served,
     "p_mixture_sample" -> p_mixture_sample,
     "p_train_shuffle" -> p_train_shuffle,
     "p_stratified_sample" -> p_stratified_sample,
@@ -1229,6 +1317,24 @@ object PipelineOps {
     "p_golden_record" -> p_golden_record,
     "p_dataset_card" -> p_dataset_card,
   )
+
+  /** The exact 8-gram-overlap replay — ONE definition answering for
+    * both the inline ([[p_decontaminate]]) and the index-served
+    * ([[p_decon_served]]) paths, which must agree row-for-row. */
+  private val deconOracleSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${ShingleN - 1})) AS i FROM words),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ${(0 until ShingleN).map(j => s"w[i+$j]").mkString(" || ' ' || ")} AS s8
+       |       FROM idx),
+       |probe AS (SELECT DISTINCT s8 FROM sh WHERE doc_id % $ProbeMod = 0),
+       |hits AS (SELECT doc_id, count(DISTINCT sh.s8) AS n_hits
+       |         FROM sh JOIN probe ON sh.s8 = probe.s8 GROUP BY doc_id)
+       |SELECT d.doc_id, d.doc_id % $ProbeMod = 0 AS is_probe,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // semantic dedup replayed from first principles: planted corpus +
@@ -1418,20 +1524,11 @@ object PipelineOps {
          |  CAST(SUM(CASE WHEN cos_e6 >= $EmbedDecontTauE6 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
          |  SUM(CASE WHEN cos_e6 >= $EmbedDecontTauE6 THEN 1 ELSE 0 END) > 0 AS contaminated
          |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    "p_decontaminate" ->
-      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${ShingleN - 1})) AS i FROM words),
-         |sh AS (SELECT DISTINCT doc_id,
-         |         ${(0 until ShingleN).map(j => s"w[i+$j]").mkString(" || ' ' || ")} AS s8
-         |       FROM idx),
-         |probe AS (SELECT DISTINCT s8 FROM sh WHERE doc_id % $ProbeMod = 0),
-         |hits AS (SELECT doc_id, count(DISTINCT sh.s8) AS n_hits
-         |         FROM sh JOIN probe ON sh.s8 = probe.s8 GROUP BY doc_id)
-         |SELECT d.doc_id, d.doc_id % $ProbeMod = 0 AS is_probe,
-         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
-         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "p_decontaminate" -> deconOracleSql,
+    // the served path is exact by construction (rare-token candidate
+    // superset + exact shingle verify), so it answers to the SAME
+    // full exact-overlap replay — zero allowance for index drift
+    "p_decon_served" -> deconOracleSql,
     "p_mixture_sample" ->
       s"""SELECT doc_id, source,
         |  (${knuthKeySql("doc_id")}) % 1000 AS bucket

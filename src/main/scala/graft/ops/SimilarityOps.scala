@@ -1100,6 +1100,72 @@ object SimilarityOps {
         (col("hits") * lit(100L) >= col("n_exact") * lit(90L)).as("overlap_ge_90"))
   }
 
+  // ------------------------------------------- late interaction (maxsim)
+
+  /** Sub-vector count / width of the late-interaction decomposition
+    * (64-dim vectors read as [[MaxSimSubs]] "token embeddings" of
+    * [[MaxSimSubDim]] floats each), candidate-pool depth, and result
+    * depth of [[s_maxsim]]. */
+  private[ops] val MaxSimSubs = 4
+  private[ops] val MaxSimSubDim = Dim / MaxSimSubs
+  private[ops] val MaxSimPool = 20
+  private[ops] val MaxSimK = 5
+
+  /** `slice(v, i·subDim+1, subDim)` — sub-vector `i` (0-based) of a
+    * flat multi-vector column. */
+  private def subVec(v: Column, i: Int): Column =
+    slice(v, i * MaxSimSubDim + 1, MaxSimSubDim)
+
+  /** e6-integerized cosine between query sub-vector `i` and candidate
+    * sub-vector `j` — rounded per PAIR (before the max/sum), so the
+    * fused score is exact integer arithmetic in both engines. */
+  private def subCosE6(i: Int, j: Int): Column = {
+    val qi = subVec(col("qe"), i)
+    val cj = subVec(col("ce"), j)
+    round(dot(qi, cj) / (sqrt(normSq(qi)) * sqrt(normSq(cj))) * 1e6).cast("long")
+  }
+
+  /** LATE-INTERACTION RERANK (ColBERT-style maxsim) — the modern
+    * neural-retrieval second stage: each vector is read as
+    * [[MaxSimSubs]] token embeddings and a (query, candidate) pair
+    * scores `Σ_i max_j cos(q_i, c_j)` — a query token matches its BEST
+    * candidate token, so multi-aspect documents aren't averaged away
+    * like single-vector cosine does. Two stages, the production shape:
+    * stage 1 retrieves a [[MaxSimPool]]-deep pool per query with
+    * single-vector cosine (the cheap leg — brute force here, any
+    * `s_ann_*` index probe at scale: ranks are ranks); stage 2 scores
+    * maxsim over ONLY the pool — [[MaxSimSubs]]² sub-cosines × pool ×
+    * queries, never corpus-shaped — and re-ranks. The output carries
+    * `pool_rk` next to the maxsim rank so the reorder is visible (and
+    * spec-asserted non-trivial on the fixture).
+    *
+    * Scale shape: the pool join broadcasts pool ids onto the candidate
+    * vector scan (pool is queries×20 rows); all 16 sub-cosines are
+    * native codegen'd [[graft.functions.DotProduct]] folds inside ONE
+    * projection (no explode — the corpus row count never multiplies);
+    * the final per-query top-[[MaxSimK]] is a ≤pool-row window. Every
+    * sub-cosine is e6-integerized BEFORE max/sum, so the DuckDB oracle
+    * (the same unrolled left-assoc slice arithmetic,
+    * [[graft.functions.VectorFunctions.oracleCosineSliceSql]])
+    * hash-matches exactly. */
+  val s_maxsim: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val pool = bruteForceTopK(querySide(e), candSide(e), MaxSimPool)
+      .select(col("qid"), col("cid"), col("rk").as("pool_rk"))
+    val withVecs = pool
+      .join(candSide(e), "cid")
+      .join(broadcast(querySide(e)), "qid")
+    val maxsim = (0 until MaxSimSubs)
+      .map(i => greatest((0 until MaxSimSubs).map(j => subCosE6(i, j)): _*))
+      .reduce(_ + _)
+    val scored = withVecs.withColumn("maxsim_e6", maxsim)
+    val w = Window.partitionBy(col("qid")).orderBy(desc("maxsim_e6"), col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxSimK)
+      .select(col("qid"), col("rk"), col("cid"), col("maxsim_e6"), col("pool_rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s_ann_mmr" -> s_ann_mmr,
     "s_cosine_topk" -> s_cosine_topk,
@@ -1117,6 +1183,7 @@ object SimilarityOps {
     "s_ann_filtered" -> s_ann_filtered,
     "s_hybrid_rrf" -> s_hybrid_rrf,
     "s_hybrid_served" -> s_hybrid_served,
+    "s_maxsim" -> s_maxsim,
   )
 
   // ONE witness SQL for every recall-bound ANN variant (ivf, salted,
@@ -1255,6 +1322,36 @@ object SimilarityOps {
            |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS INTEGER) AS rk
            |  FROM s) t
            |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+      // s_maxsim: full two-stage replay — the single-vector pool CTE
+      // (same arithmetic as s_cosine_topk) then the 4×4 sub-cosine
+      // maxsim, every sub-cosine e6-integerized BEFORE GREATEST/+ so
+      // the fused score is exact integer arithmetic in both engines
+      "s_maxsim" -> {
+        val maxSimSql = (0 until MaxSimSubs).map { i =>
+          "GREATEST(" + (0 until MaxSimSubs).map { j =>
+            "CAST(ROUND(" + graft.functions.VectorFunctions.oracleCosineSliceSql(
+              "qe", i * MaxSimSubDim, "ce", j * MaxSimSubDim, MaxSimSubDim) +
+              " * 1000000) AS BIGINT)"
+          }.mkString(", ") + ")"
+        }.mkString("(", " + ", ")")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+           |     s AS (SELECT qid, cid,
+           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+           |           FROM c CROSS JOIN q),
+           |     pool AS (SELECT qid, cid, pool_rk FROM (
+           |       SELECT qid, cid,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS INTEGER) AS pool_rk
+           |       FROM s) t
+           |       WHERE pool_rk <= $MaxSimPool),
+           |     mx AS (SELECT p.qid, p.cid, p.pool_rk, $maxSimSql AS maxsim_e6
+           |            FROM pool p JOIN q ON q.qid = p.qid JOIN c ON c.cid = p.cid)
+           |SELECT qid, rk, cid, maxsim_e6, pool_rk FROM (
+           |  SELECT qid, cid, pool_rk, maxsim_e6,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim_e6 DESC, cid) AS INTEGER) AS rk
+           |  FROM mx) t
+           |WHERE rk <= $MaxSimK ORDER BY qid, rk""".stripMargin
+      },
       // s_ann_ivf is a bound-witness: DuckDB independently rebuilds the
       // brute-force top-5 (the same CTE as s_cosine_topk) and asserts
       // the IVF recall flag — the quantizer has no SQL equivalent, but

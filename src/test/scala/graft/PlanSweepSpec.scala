@@ -43,6 +43,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "s_ann_asof",       // bound witness (pre-drift brute-force exact side)
     "st_ann_ingest",    // bound witness (same brute-force exact side)
     "s_ann_mmr",        // relevance pool comes from the same brute-force baseline
+    "s_maxsim",         // stage-1 pool comes from the same brute-force baseline
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits
     "t_rerank",         // stage 1 embeds t_bm25 (same 1-row totals cross)
     "s_hybrid_rrf",     // BM25 leg's 1-row totals + broadcast query-vector cross

@@ -476,4 +476,48 @@ class SimilarityOpsSpec extends AnyFunSuite {
       mmr(q).map(_.getLong(2)).toSeq != top5(q).map(_.getLong(2)).toSeq)
     assert(diverged > 0, "MMR never diverged from the plain top-5 — vacuous diversification")
   }
+
+  test("maxsim: 5 per query from the 20-pool, scores replay, reorder is real") {
+    val rows = SimilarityOps.s_maxsim(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (1 to 5), s"q$qid maxsim ranks not 1..5")
+      // every result came from the stage-1 pool, and maxsim is
+      // monotone non-increasing down the emitted ranking
+      assert(rs.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 20),
+        s"q$qid pool_rk outside the 20-pool")
+      val scores = rs.map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"q$qid maxsim not sorted desc")
+      // each sub-cosine is in [-1e6, 1e6], so 4 of them bound the sum
+      assert(scores.forall(s => s >= -4000000L && s <= 4000000L))
+    }
+    // driver-side replay of one (query, candidate) maxsim from raw
+    // vectors — pins the slice/round/max/sum arithmetic independently
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val probe = rows.head
+    val (qe, ce) = (e(probe.getLong(0)), e(probe.getLong(2)))
+    def cosE6(a: Array[Float], oa: Int, b: Array[Float], ob: Int, n: Int): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until n).foreach { k =>
+        dot += a(oa + k).toDouble * b(ob + k).toDouble
+        na += a(oa + k).toDouble * a(oa + k).toDouble
+        nb += b(ob + k).toDouble * b(ob + k).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expect = (0 until 4).map { i =>
+      (0 until 4).map(j => cosE6(qe, i * 16, ce, j * 16, 16)).max
+    }.sum
+    assert(probe.getLong(3) == expect,
+      s"maxsim_e6 ${probe.getLong(3)} != driver replay $expect")
+    // late interaction must actually REORDER the pool somewhere —
+    // if maxsim always agreed with single-vector cosine it is vacuous
+    val reordered = byQ.keys.count { q =>
+      byQ(q).map(_.getInt(4)).toSeq != byQ(q).map(_.getInt(4)).toSeq.sorted
+    }
+    assert(reordered > 0, "maxsim never reordered the cosine pool — vacuous rerank")
+  }
 }

@@ -19,6 +19,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.forall(_.getLong(2) >= 0))
   }
 
+  test("decon served: identical to the inline exact overlap; verify stage is semi-join pruned") {
+    val served = PipelineOps.p_decon_served(spark, sf).collect().toSeq
+    val inline = PipelineOps.p_decontaminate(spark, sf).collect().toSeq
+    assert(served == inline,
+      "index-served decontamination diverged from the exact inline overlap")
+    // non-vacuity: the fixture has probe docs AND contaminated docs
+    assert(served.exists(_.getBoolean(1)), "no probe docs in the slice")
+    assert(served.exists(r => r.getBoolean(3)), "nothing contaminated — witness moot")
+    // the exact-verify corpus read is candidate-pruned (a LeftSemi
+    // join against the posting-derived candidate set), never a full
+    // unconditional re-shingle of the corpus
+    val plan = PipelineOps.p_decon_served(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
   test("leakage split: no near-dup pair straddles; id- and source-keyed splits do") {
     def knuth(g: Long) = (g % 1000003L) * 2654435761L % 1000003L % 10L
     // per-doc group assignment exactly as the operator derives it

@@ -196,6 +196,28 @@ object ScaleBench {
       n
     }
     q("bm25_serve") = tBm
+
+    // --- decontamination: inline corpus join vs index-served probe --
+    // (runs BEFORE bm25_delta mutates the index). A production eval
+    // set is CONSTANT-size across corpus growth, so it is pinned to
+    // replica 0's probe docs at every tier: the inline path must
+    // re-shingle the whole xR corpus per screen, while the served
+    // path's rare-token postings stay replica-0-sized (replica-k
+    // vocabularies are ~k-suffixed) — served should stay near-flat
+    // while inline grows with the corpus. Both must agree exactly.
+    val evalSh = PipelineOps.evalShingleSet(
+      docs0.filter(col("doc_id") % 97 === 0)).localCheckpoint()
+    val (nInline, tInline) = time {
+      PipelineOps.deconHitsInline(docs, evalSh).count()
+    }
+    q("decon_inline") = tInline
+    val (nDecSrv, tDecSrv) = time {
+      PipelineOps.deconHitsServed(s, docs, evalSh, textDir).count()
+    }
+    q("decon_served") = tDecSrv
+    require(nInline == nDecSrv,
+      s"served decon diverged at x$reps: inline=$nInline served=$nDecSrv")
+
     q("bm25_delta") = time {
       TextIndexStore.applyDelta(s, textDir, batch)
     }._2
@@ -313,6 +335,7 @@ object ScaleBench {
     val rows = Map("documents" -> nDocs, "embeddings" -> nVec,
       "lineitem" -> li.count(), "events" -> ev.count(),
       "dedup_pairs_served" -> nServed, "bm25_docs_served" -> bmServed,
+      "decon_docs_hit" -> nInline,
       "ann_rows_served" -> annServed, "stream_join_rows" -> joined) ++
       recalls.map { case (np, r) => s"ann_recall_np$np" -> r.toLong }
     println(s"""#SCALE# {"metric":"scale","reps":$reps,"unit":"sec",""" +
