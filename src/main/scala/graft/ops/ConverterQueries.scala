@@ -524,6 +524,48 @@ object ConverterQueries {
       .withColumn("prune_ok", lit(pruneOk))
   }
 
+  /** Write-once PARTITION-EVOLVED orders table: pre-1998 orders
+    * published under a `partitionBy(o_month)` layout, 1998+ orders
+    * WAP-published under `partitionBy(o_month, o_orderstatus)` — the
+    * [[GovernedTable]] per-segment layouts, old files never
+    * rewritten. */
+  private[graft] def evolvedOrdersDir(s: SparkSession, d: String): String =
+    layout(s, d, "evolved_orders") { p =>
+      graft.Fs.deleteRecursively(new java.io.File(p))
+      val o = Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      GovernedTable.build(o.filter(col("o_orderdate") < cut), p,
+        partitionBy = Seq("o_month"))
+      GovernedTable.publish(s, p,
+        GovernedTable.stage(o.filter(col("o_orderdate") >= cut), p,
+          partitionBy = Seq("o_month", "o_orderstatus")))
+      graft.Fs.deleteOnExit(p): Unit
+    }
+
+  /** PARTITION EVOLUTION — the table-format capability that keeps a
+    * 100 TB table's layout current without rewriting history: the
+    * partitioning scheme CHANGES for new data (here month → month ×
+    * status, the move a team makes when status-sliced reads become
+    * hot), old segments keep their old directory layout, and reads
+    * prune EACH segment under its own scheme ([[GovernedTable]]
+    * segments load separately and union — a month filter is a
+    * PartitionFilter on BOTH layouts, a status filter additionally
+    * prunes directories only where the evolved layout covers it,
+    * spec-asserted from the executed plan). The witness scans one
+    * month from each era through the evolved table; the oracle
+    * replays the filter over the raw table, so the hash match proves
+    * the two-layout union loses and invents nothing. */
+  val src_partition_evolution: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = evolvedOrdersDir(s, d)
+    GovernedTable.read(s, dir)
+      .filter(col("o_month").isin("1995-03", "1999-03"))
+      .groupBy(col("o_month"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_month"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
@@ -537,9 +579,20 @@ object ConverterQueries {
     "src_schema_evolution" -> src_schema_evolution,
     "src_corrupt_skip" -> src_corrupt_skip,
     "src_zorder_skip" -> src_zorder_skip,
+    "src_partition_evolution" -> src_partition_evolution,
   )
 
   val oracles: Map[String, String] = Map(
+    // src_partition_evolution: the month filter replayed over the raw
+    // table — a hash match proves the two-layout union loses and
+    // invents nothing across the evolution boundary
+    "src_partition_evolution" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1999-03')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "conv_dump_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, r_name

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WRITE-AUDIT-PUBLISH governed table — the lakehouse ingestion
+  * discipline (Iceberg's WAP / staging-branch pattern): a producer
+  * STAGES a batch where no manifest points, an AUDIT runs data-quality
+  * predicates against the table as it WOULD serve, and only a clean
+  * audit flips the manifest — a dirty batch is aborted and serving
+  * never observes it. This is how a 100 TB ingest pipeline keeps a bad
+  * upstream push out of the serving path without a rollback scramble:
+  * the quarantine boundary is the manifest flip itself.
+  *
+  * Built on the shared store core: [[graft.ManifestIo.commit]] is the
+  * atomic publish (write-rename, versioned manifests retained), so the
+  * table gets time travel ([[readAt]]) for free — the audit-passed
+  * epochs ARE the version history. Segments are append-only parquet
+  * dirs; a staged dir (`stage-e<n>`) is invisible by construction
+  * because reads resolve through the manifest's segment list, never a
+  * directory listing. Crash semantics: a crash after stage leaves an
+  * orphan stage dir that the next [[stage]] of the same epoch
+  * overwrites in place (idempotent re-stage); a crash between the
+  * rename and the flip is healed by [[publish]]'s move-if-present
+  * (the rename is the only non-manifest mutation).
+  *
+  * Scale shape: stage is the batch write (batch-proportional);
+  * audit is a predicate over base ∪ staged — predicate pushdown
+  * reaches both parquet scans, and an audit that only inspects the
+  * batch (the common case) prunes to the staged segment alone;
+  * publish and abort are metadata-only (one rename + one manifest
+  * write / one recursive delete). Nothing rewrites history.
+  */
+object GovernedTable {
+
+  /** `segments` is the append-only list of published parquet dirs
+    * (relative), in publish order. */
+  case class Manifest(epoch: Long, segments: Seq[String])
+
+  private def render(m: Manifest): String =
+    s"""{"epoch":${m.epoch},"segments":${
+      m.segments.map(s => s""""$s"""").mkString("[", ",", "]")}}"""
+
+  private def parse(p: java.nio.file.Path): Manifest = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+    val e = (j \ "epoch") match {
+      case JInt(n) => n.toLong; case o => sys.error(s"bad epoch $o") }
+    val segs = (j \ "segments") match {
+      case JArray(ss) => ss.map { case JString(v) => v
+                                  case o => sys.error(s"bad segment $o") }
+      case o => sys.error(s"bad segments $o")
+    }
+    Manifest(e, segs)
+  }
+
+  private def commit(dir: String, m: Manifest): Unit =
+    graft.ManifestIo.commit(java.nio.file.Paths.get(dir), m.epoch, render(m))
+
+  def open(dir: String): Manifest =
+    parse(graft.ManifestIo.manifestPath(java.nio.file.Paths.get(dir)))
+
+  def openAt(dir: String, epoch: Long): Manifest =
+    graft.ManifestIo.openVersioned(java.nio.file.Paths.get(dir), epoch, parse)
+
+  /** Epoch 0 from the base rows — the only unaudited write (there is
+    * no serving state yet to protect). `partitionBy` is the SEGMENT's
+    * layout, not the table's: each segment carries its own directory
+    * layout, which is what makes PARTITION EVOLUTION free — a later
+    * [[stage]] may partition by different columns, old segments are
+    * never rewritten, and reads prune each segment under its own
+    * scheme. */
+  def build(rows: DataFrame, dir: String,
+            partitionBy: Seq[String] = Nil): Manifest = {
+    write(rows, s"$dir/e0", partitionBy, overwrite = false)
+    val m = Manifest(0L, Seq("e0"))
+    commit(dir, m)
+    m
+  }
+
+  private def write(rows: DataFrame, path: String, partitionBy: Seq[String],
+                    overwrite: Boolean): Unit = {
+    val w = rows.write.mode(if (overwrite) "overwrite" else "errorifexists")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .parquet(path)
+  }
+
+  /** Segments load SEPARATELY and union by name: each segment's scan
+    * discovers its OWN partition layout, so a pushed filter becomes a
+    * PartitionFilter exactly where that segment's scheme covers it
+    * (partition evolution: the old layout still prunes on its old
+    * columns, the new one on its new columns — no rewrite). Divergent
+    * DATA schemas fail loudly in the union. Segment count is epoch
+    * count — a long-lived table compacts old epochs the usual way. */
+  private def readUnder(s: SparkSession, dir: String, m: Manifest): DataFrame =
+    m.segments.map(r => s.read.parquet(s"$dir/$r")).reduce(_ unionByName _)
+
+  /** The SERVING view — resolves through the current manifest only;
+    * staged batches are invisible by construction. */
+  def read(s: SparkSession, dir: String): DataFrame =
+    readUnder(s, dir, open(dir))
+
+  /** Time travel to a published epoch (versioned manifests). */
+  def readAt(s: SparkSession, dir: String, epoch: Long): DataFrame =
+    readUnder(s, dir, openAt(dir, epoch))
+
+  /** Stage a batch WITHOUT publishing: written to `stage-e<next>`,
+    * where no manifest points. Overwrite mode makes a re-stage after
+    * a crashed audit replay in place. Returns the staged handle. */
+  def stage(rows: DataFrame, dir: String,
+            partitionBy: Seq[String] = Nil): String = {
+    val rel = s"stage-e${open(dir).epoch + 1}"
+    write(rows, s"$dir/$rel", partitionBy, overwrite = true)
+    rel
+  }
+
+  /** The AUDIT view: the table as it WOULD serve if `staged`
+    * published — current segments ∪ the staged batch (the staged scan
+    * discovers its own layout, like any published segment). */
+  def stagedView(s: SparkSession, dir: String, staged: String): DataFrame =
+    read(s, dir).unionByName(s.read.parquet(s"$dir/$staged"))
+
+  /** Publish a clean staged batch: rename into the epoch layout, ONE
+    * manifest flip. A STALE handle (the table advanced since the
+    * stage) fails pointedly — the audit's verdict no longer describes
+    * the table it would be joining. */
+  def publish(s: SparkSession, dir: String, staged: String): Manifest = {
+    val m = open(dir)
+    val e = m.epoch + 1
+    require(staged == s"stage-e$e",
+      s"stale stage '$staged': table is at epoch ${m.epoch}, expected stage-e$e")
+    val from = java.nio.file.Paths.get(dir, staged)
+    val to = java.nio.file.Paths.get(dir, s"e$e")
+    // move-if-present: a crash AFTER the rename but before the flip
+    // replays publish with the rename already done
+    if (java.nio.file.Files.exists(from))
+      java.nio.file.Files.move(from, to)
+    val m2 = Manifest(e, m.segments :+ s"e$e")
+    commit(dir, m2)
+    m2
+  }
+
+  /** Abort a dirty staged batch: delete the stage dir — serving was
+    * never affected, the manifest never moved. */
+  def abort(dir: String, staged: String): Unit = {
+    graft.Fs.deleteRecursively(new java.io.File(s"$dir/$staged"))
+    ()
+  }
+
+  /** One WAP round: stage → audit the staged view → publish iff the
+    * audit counts ZERO violations, abort otherwise. Returns the
+    * violation count and the new manifest when published. */
+  def writeAuditPublish(s: SparkSession, dir: String, rows: DataFrame,
+                        partitionBy: Seq[String] = Nil)
+                       (audit: DataFrame => Long): (Long, Option[Manifest]) = {
+    val staged = stage(rows, dir, partitionBy)
+    val violations = audit(stagedView(s, dir, staged))
+    if (violations == 0L) (0L, Some(publish(s, dir, staged)))
+    else { abort(dir, staged); (violations, None) }
+  }
+}

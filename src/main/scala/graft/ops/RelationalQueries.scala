@@ -1131,6 +1131,75 @@ object RelationalQueries {
       .orderBy(col("o_month"))
   }
 
+  // ------------------------------------------------- write-audit-publish
+
+  private val wapPrepared = graft.SessionCache.newCache[String]()
+
+  /** Write-once WAP table per (session, fixture dir): base = the
+    * `l_orderkey % 3 = 0` slice at epoch 0, then TWO audited ingest
+    * rounds through [[GovernedTable.writeAuditPublish]] — the clean
+    * `% 3 = 1` slice (publishes as epoch 1) and the `% 3 = 2` slice
+    * with PLANTED violations (`l_linenumber % 4 = 1` rows negated —
+    * the audit predicate `cents_v < 0` catches exactly those, the
+    * batch aborts, serving never sees it). Audit outcomes land in an
+    * `auditlog` parquet — governance owes an audit trail. */
+  private[graft] def wapTableDir(s: SparkSession, d: String): String =
+    graft.SessionCache.perSession(wapPrepared, s).getOrElseUpdate(d, {
+      val tag = Tables.layoutTag(d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_wap_$tag"
+      graft.Fs.deleteRecursively(new java.io.File(dir))
+      def slice(k: Int) = lineitem(s, d)
+        .filter(col("l_orderkey") % 3 === k)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents_v"))
+      GovernedTable.build(slice(0), dir)
+      def audit(v: DataFrame): Long = v.filter(col("cents_v") < 0).count()
+      val (v1, m1) = GovernedTable.writeAuditPublish(s, dir, slice(1))(audit)
+      val bad = slice(2).withColumn("cents_v",
+        when(col("l_linenumber") % 4 === 1, -col("cents_v"))
+          .otherwise(col("cents_v")))
+      val (v2, m2) = GovernedTable.writeAuditPublish(s, dir, bad)(audit)
+      val spark = s
+      import spark.implicits._
+      Seq((1L, v1, m1.nonEmpty), (2L, v2, m2.nonEmpty))
+        .toDF("attempt", "violations", "published")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/auditlog")
+      graft.Fs.deleteOnExit(dir)
+    })
+
+  /** WRITE-AUDIT-PUBLISH witness — the lakehouse ingestion gate
+    * ([[GovernedTable]]): the served table must hold EXACTLY base ∪
+    * the clean batch (the dirty batch staged, audited, and aborted
+    * without ever being visible), and the audit log must show the
+    * clean round publishing with zero violations and the dirty round
+    * refusing with the planted count. The DuckDB oracle replays the
+    * whole protocol's OBSERVABLE outcome from the raw table: served
+    * aggregate over the two clean slices, violation count from the
+    * planted rule. The audit-log read is a 2-row bounded collect;
+    * diagnostics ride as literal columns on the served aggregate.
+    *
+    * Scale shape: stage = batch write; audit = one predicate pass
+    * with pushdown; publish/abort = metadata-only (rename + manifest
+    * flip / recursive delete) — nothing rewrites or re-reads history,
+    * and a refused batch costs its own write + audit, never a
+    * rollback of serving state. */
+  val q_wap_publish: Q = (s, d) => {
+    val dir = wapTableDir(s, d)
+    val log = s.read.parquet(s"$dir/auditlog").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val (gv, gp) = log(1L)
+    val (bv, bp) = log(2L)
+    GovernedTable.read(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents_v")).as("sum_cents"))
+      .withColumn("good_violations", lit(gv))
+      .withColumn("good_published", lit(gp))
+      .withColumn("bad_violations", lit(bv))
+      .withColumn("bad_published", lit(bp))
+      .withColumn("n_epochs", lit(GovernedTable.open(dir).epoch + 1))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ------------------------------------------------------ AQE skew join
 
   /** Conf clone for the skew demo, memoized per parent session (the
@@ -2769,6 +2838,7 @@ object RelationalQueries {
     "q_pivot" -> q_pivot,
     "q_lateral_explode" -> q_lateral_explode,
     "q_partitioned_write" -> q_partitioned_write,
+    "q_wap_publish" -> q_wap_publish,
     "q_window_dist" -> q_window_dist,
     "q_window_first_last" -> q_window_first_last,
     "q_array_fns" -> q_array_fns,
@@ -3248,6 +3318,25 @@ object RelationalQueries {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q_wap_publish: the protocol's observable outcome replayed from
+    // the raw table — served = base ∪ the clean slice ONLY; the dirty
+    // slice's planted violation count (negated cents, which are < 0
+    // exactly where the pre-negation cents were > 0) is what the
+    // audit must have refused with
+    "q_wap_publish" ->
+      """WITH served AS (
+        |  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents_v
+        |  FROM lineitem WHERE l_orderkey % 3 IN (0, 1)),
+        |badv AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+        |  WHERE l_orderkey % 3 = 2 AND l_linenumber % 4 = 1
+        |    AND CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0)
+        |SELECT l_returnflag, COUNT(1) AS n_rows,
+        |  CAST(SUM(cents_v) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS good_violations, TRUE AS good_published,
+        |  (SELECT v FROM badv) AS bad_violations, FALSE AS bad_published,
+        |  CAST(2 AS BIGINT) AS n_epochs
+        |FROM served GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_dist" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,

@@ -618,13 +618,18 @@ object TextOps {
     * whatever vocabulary size outgrows broadcast; per-doc scoring is
     * one hash aggregate. Unigram counts are bigram-FIRST-position
     * counts, so c(a,b)/c(a,·) is a proper conditional MLE. */
-  val t_ngram_lm: Q = (s, d) => {
-    val bigrams = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+  /** Per-doc bigrams via the narrow in-row HOF (`zip_with` over two
+    * slices — no posexplode self-join), shared by [[t_ngram_lm]] and
+    * [[t_ccnet_bucket]]. */
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
           "(x, y) -> named_struct('a', x, 'b', y))")).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+
+  val t_ngram_lm: Q = (s, d) => {
+    val bigrams = docBigrams(Tables.documents(s, d))
     val train = bigrams.filter(col("doc_id") % 2 === 0)
     val biModel = train.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("bi_n"))
@@ -637,6 +642,58 @@ object TextOps {
         sum(when(col("bi_n").isNull, 1L).otherwise(0L)).as("n_oov"),
         sum(coalesce(col("bi_n"), lit(0L))).as("sum_bi_n"),
         sum(coalesce(col("uni_n"), lit(0L))).as("sum_uni_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-STYLE QUALITY BUCKETS — the decision step after the LM
+    * scoring ([[t_ngram_lm]]): held-out docs split into head / middle
+    * / tail by EXACT corpus-derived tertiles of an integer perplexity
+    * proxy — mean per-bigram RARITY COST, `1e6 DIV c(a,b)` for a seen
+    * bigram and a `2e6` out-of-vocabulary penalty, averaged over the
+    * doc. Monotone in the LM's surprise like perplexity (frequent
+    * bigrams ≈ 0, hapax 1e6, unseen 2e6) but closed under integer
+    * arithmetic, so it hash-matches cross-engine where a float
+    * `exp(Σln)` would be a libm coin flip. CCNet trains on
+    * head+middle and drops tail; this emits the decision per doc so a
+    * pipeline filters with one predicate.
+    *
+    * Scale shape: scoring is [[t_ngram_lm]]'s contract (narrow HOF
+    * bigrams via [[docBigrams]], broadcast-or-shuffle model join, one
+    * hash aggregate); the tertile cutoffs come from a VALUE-DOMAIN
+    * aggregate (distinct scores × counts — bounded by 2×10⁶ by
+    * construction, never corpus-sized) whose cumulative window walks
+    * value groups, the [[RelationalQueries.q_equidepth_hist]]
+    * discipline; the cutoff pair then broadcasts onto the scored scan
+    * as a 1-row cross. At 100 TB a production CCNet derives cutoffs
+    * from a sample; exact is kept so the oracle can hash-match (same
+    * trade as [[RelationalQueries.q_table_profile]]). Boundary ties
+    * bucket by VALUE (all docs with the cutoff score land on the same
+    * side) — deterministic in both engines where NTILE's tie-splitting
+    * is row-order-dependent. */
+  val t_ccnet_bucket: Q = (s, d) => {
+    val bigrams = docBigrams(Tables.documents(s, d))
+    val biModel = bigrams.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("bi_n"))
+    val scored = bigrams.filter(col("doc_id") % 2 === 1)
+      .join(biModel, Seq("a", "b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bi_n").isNull, 2000000L)
+          .otherwise(expr("1000000L DIV bi_n"))).as("rarity"))
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), expr("rarity DIV n_bigrams").as("score_e6"))
+    val g = scored.groupBy(col("score_e6")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("score_e6"))
+    val cum = g.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+    val cuts = cum.agg(
+      min(when(col("cum") >= expr("(n + 2) DIV 3"), col("score_e6"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("score_e6"))).as("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("score_e6"),
+        when(col("score_e6") <= col("t1"), "head")
+          .when(col("score_e6") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
 
@@ -757,6 +814,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "t_bpe_train" -> t_bpe_train,
     "t_ngram_lm" -> t_ngram_lm,
+    "t_ccnet_bucket" -> t_ccnet_bucket,
     "t_jaro_winkler" -> t_jaro_winkler,
     "t_text_stats" -> t_text_stats,
     "t_token_count" -> t_token_count,
@@ -1052,6 +1110,33 @@ object TextOps {
         |          LEFT JOIN uni ON g.a = uni.a
         |WHERE g.doc_id % 2 = 1
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // t_ccnet_bucket: the same LM CTEs, then the integer OOV-rate
+    // proxy, exact value-domain tertile cutoffs, and the bucket CASE
+    "t_ccnet_bucket" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS a, t[i + 1] AS b
+        |       FROM (SELECT doc_id, t,
+        |               unnest(generate_series(1, len(t) - 1)) AS i
+        |             FROM toks)),
+        |bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS bi_n
+        |       FROM bg WHERE doc_id % 2 = 0 GROUP BY a, b),
+        |lm AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(CASE WHEN bi.bi_n IS NULL THEN 2000000 ELSE 1000000 // bi.bi_n END) AS BIGINT) AS rarity
+        |       FROM bg g LEFT JOIN bi ON g.a = bi.a AND g.b = bi.b
+        |       WHERE g.doc_id % 2 = 1 GROUP BY g.doc_id),
+        |scored AS (SELECT doc_id, CAST(rarity // n_bigrams AS BIGINT) AS score_e6
+        |           FROM lm WHERE n_bigrams > 0),
+        |grp AS (SELECT score_e6, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY score_e6),
+        |cum AS (SELECT score_e6, SUM(cnt) OVER (ORDER BY score_e6) AS cum FROM grp),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+        |cuts AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN score_e6 END) AS t1,
+        |                MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_e6 END) AS t2
+        |         FROM cum CROSS JOIN tot)
+        |SELECT doc_id, score_e6,
+        |  CASE WHEN score_e6 <= t1 THEN 'head'
+        |       WHEN score_e6 <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
     "t_jaro_winkler" ->
       """SELECT p1.p_partkey,
         |  ROUND(jaro_winkler_similarity(p1.p_name, p2.p_name), 9) AS jw9,

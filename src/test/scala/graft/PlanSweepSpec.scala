@@ -45,6 +45,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "s_ann_mmr",        // relevance pool comes from the same brute-force baseline
     "s_maxsim",         // stage-1 pool comes from the same brute-force baseline
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits
+    "t_ccnet_bucket",   // 1-row tertile cutoffs crossed onto the scored scan
     "t_rerank",         // stage 1 embeds t_bm25 (same 1-row totals cross)
     "s_hybrid_rrf",     // BM25 leg's 1-row totals + broadcast query-vector cross
     "s_hybrid_served",  // exact leg embeds s_hybrid_rrf (same 1-row crosses)

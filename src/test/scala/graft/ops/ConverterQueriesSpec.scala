@@ -72,4 +72,40 @@ class ConverterQueriesSpec extends AnyFunSuite {
     assert(row.getBoolean(row.fieldIndex("prune_ok")))
     assert(row.getLong(row.fieldIndex("n")) > 0)
   }
+
+  test("partition evolution: each segment prunes under its own layout, both eras served") {
+    import org.apache.spark.sql.functions._
+    val dir = ConverterQueries.evolvedOrdersDir(spark, sf)
+    // the witness query serves rows from BOTH eras (old layout AND
+    // evolved layout) — otherwise the union is vacuous
+    val got = ConverterQueries.src_partition_evolution(spark, sf).collect()
+    val months = got.map(_.getString(0)).distinct.sorted
+    assert(months.toSeq == Seq("1995-03", "1999-03"),
+      s"expected one month from each era, got ${months.toSeq}")
+    // inspect each scan's PartitionFilters BRACKET (the scan line also
+    // mentions columns in PushedFilters/ReadSchema — don't grep those)
+    def partitionFilters(plan: String): Seq[String] =
+      "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    // month filter is a PartitionFilter on BOTH segment scans
+    val plan = ConverterQueries.src_partition_evolution(spark, sf)
+      .queryExecution.executedPlan.toString
+    val monthPruned = partitionFilters(plan).count(_.contains("o_month"))
+    assert(monthPruned >= 2, s"month must partition-prune both layouts:\n${plan.take(3000)}")
+    // a status filter partition-prunes ONLY the evolved segment: the
+    // old layout's scan carries it as a data filter
+    val statusPlan = graft.ops.GovernedTable.read(spark, dir)
+      .filter(col("o_month") === "1999-03" && col("o_orderstatus") === "O")
+      .queryExecution.executedPlan.toString
+    val statusPruned = partitionFilters(statusPlan).count(_.contains("o_orderstatus"))
+    assert(statusPruned == 1,
+      s"status must partition-prune exactly the evolved layout:\n${statusPlan.take(3000)}")
+    // directory-level proof that the evolved layout physically
+    // separates statuses (so the PartitionFilter above skips real
+    // directories, not a single degenerate one)
+    val monthDir = java.nio.file.Paths.get(dir, "e1", "o_month=1999-03")
+    val statusDirs = java.nio.file.Files.list(monthDir)
+      .filter(p => java.nio.file.Files.isDirectory(p)).count()
+    assert(statusDirs > 1,
+      s"evolved layout has $statusDirs status dirs under 1999-03 — pruning vacuous")
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the WRITE-AUDIT-PUBLISH protocol promised at
+  * GovernedTable.scala: staged batches are invisible until the
+  * manifest flips, aborts leave serving untouched, publishes are one
+  * flip with time travel, and the crash seams (re-stage, rename-then-
+  * crash) replay cleanly.
+  */
+class GovernedTableSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_wap_spec").toString
+    graft.Fs.deleteRecursively(new java.io.File(d))
+    d
+  }
+
+  private def rows(ids: Range) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, i.toLong * 100)).toDF("id", "v")
+  }
+
+  test("staged batch is invisible; publish is one flip; time travel serves the old epoch") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 10), dir)
+    val staged = GovernedTable.stage(rows(10 until 15), dir)
+    // invisible: the serving view is still exactly the base
+    assert(GovernedTable.read(spark, dir).count() == 10)
+    // the audit view is base ∪ staged
+    assert(GovernedTable.stagedView(spark, dir, staged).count() == 15)
+    val before = graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
+    GovernedTable.publish(spark, dir, staged)
+    val after = graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir))
+    assert(after.size == before.size + 1, "publish must be exactly one epoch flip")
+    assert(GovernedTable.read(spark, dir).count() == 15)
+    // time travel: epoch 0 still serves only the base
+    assert(GovernedTable.readAt(spark, dir, 0L).count() == 10)
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("abort leaves no trace; a dirty WAP round never touches serving") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 10), dir)
+    val dirty = rows(10 until 20).withColumn("v", -col("v"))
+    val (violations, published) =
+      GovernedTable.writeAuditPublish(spark, dir, dirty)(
+        _.filter(col("v") < 0).count())
+    assert(violations == 10L && published.isEmpty)
+    assert(GovernedTable.open(dir).epoch == 0L, "abort must not advance the epoch")
+    assert(GovernedTable.read(spark, dir).count() == 10)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "stage-e1")),
+      "aborted stage dir must be gone")
+    // the next clean round reuses the same epoch slot
+    val (v2, m2) = GovernedTable.writeAuditPublish(spark, dir, rows(10 until 15))(
+      _.filter(col("v") < 0).count())
+    assert(v2 == 0L && m2.exists(_.epoch == 1L))
+    assert(GovernedTable.read(spark, dir).count() == 15)
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("crash seams: re-stage overwrites in place; stale stage fails pointedly; rename-then-crash replays") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    // crashed audit → re-stage the same batch: same handle, no dup rows
+    val s1 = GovernedTable.stage(rows(5 until 8), dir)
+    val s2 = GovernedTable.stage(rows(5 until 8), dir)
+    assert(s1 == s2)
+    assert(spark.read.parquet(s"$dir/$s2").count() == 3)
+    GovernedTable.publish(spark, dir, s2)
+    // stale handle: a stage taken before the table advanced must refuse
+    val stale = intercept[IllegalArgumentException] {
+      GovernedTable.publish(spark, dir, s2)
+    }
+    assert(stale.getMessage.contains("stale stage"))
+    // rename-done-flip-missed crash: simulate by staging, renaming by
+    // hand, then calling publish — it must heal (move-if-present)
+    val s3 = GovernedTable.stage(rows(8 until 10), dir)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, s3),
+      java.nio.file.Paths.get(dir, "e2"))
+    val m = GovernedTable.publish(spark, dir, s3)
+    assert(m.epoch == 2L && m.segments.last == "e2")
+    assert(GovernedTable.read(spark, dir).count() == 10)
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+}

@@ -233,4 +233,28 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(verified == naive, "index search drifted from the naive scan")
   }
+
+  test("ccnet buckets: exact tertiles, value-consistent boundaries, all held-out docs") {
+    val rows = TextOps.t_ccnet_bucket(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // covers exactly the held-out scored docs (odd doc_ids with >= 1 bigram)
+    val lm = TextOps.t_ngram_lm(spark, sf).collect()
+      .filter(_.getLong(1) > 0).map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == lm)
+    // buckets are score-ordered: every head score <= every middle
+    // score <= every tail score (value-consistent boundaries)
+    def scores(b: String) = rows.filter(_._3 == b).map(_._2)
+    assert(Seq("head", "middle", "tail").forall(b => scores(b).nonEmpty),
+      "a tertile bucket is empty — cutoffs degenerate on this fixture")
+    assert(scores("head").max <= scores("middle").min)
+    assert(scores("middle").max <= scores("tail").min)
+    // tertile sizes: head holds >= n/3 (cum >= ceil(n/3) at the cutoff
+    // VALUE, ties included), and head+middle >= 2n/3
+    val n = rows.length
+    assert(scores("head").length * 3 >= n)
+    assert((scores("head").length + scores("middle").length) * 3 >= 2 * n)
+    // same-score docs never straddle a boundary
+    val byScore = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(byScore.forall(_._2.length == 1), "a score value straddles buckets")
+  }
 }
