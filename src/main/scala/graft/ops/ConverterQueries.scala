@@ -566,6 +566,45 @@ object ConverterQueries {
       .orderBy(col("o_month"), col("o_orderstatus"))
   }
 
+  /** Write-once COMPACTED evolved-orders table: the same two-era build
+    * as [[evolvedOrdersDir]] (separate dir — that witness needs its
+    * two-layout plan intact), then [[GovernedTable.compact]] retires
+    * the legacy month-only layout into ONE segment under the evolved
+    * (month, status) scheme. */
+  private[graft] def compactedOrdersDir(s: SparkSession, d: String): String =
+    layout(s, d, "compacted_orders") { p =>
+      graft.Fs.deleteRecursively(new java.io.File(p))
+      val o = Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      GovernedTable.build(o.filter(col("o_orderdate") < cut), p,
+        partitionBy = Seq("o_month"))
+      GovernedTable.publish(s, p,
+        GovernedTable.stage(o.filter(col("o_orderdate") >= cut), p,
+          partitionBy = Seq("o_month", "o_orderstatus")))
+      GovernedTable.compact(s, p, partitionBy = Seq("o_month", "o_orderstatus"))
+      graft.Fs.deleteOnExit(p): Unit
+    }
+
+  /** LAYOUT COMPACTION after partition evolution — retiring the legacy
+    * scheme: every live segment rewrites into ONE segment under the
+    * evolved (month, status) layout behind one manifest flip, after
+    * which BOTH eras partition-prune on both columns. Hash-matching
+    * the SAME oracle as [[src_partition_evolution]] proves the
+    * compaction is observationally a no-op (the reshard discipline);
+    * the spec additionally pins the single-segment plan, status
+    * pruning now covering the pre-1998 era, and time travel to the
+    * pre-compaction epochs across the re-layout. */
+  val src_evolution_compacted: (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = compactedOrdersDir(s, d)
+    GovernedTable.read(s, dir)
+      .filter(col("o_month").isin("1995-03", "1999-03"))
+      .groupBy(col("o_month"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_month"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
@@ -580,19 +619,27 @@ object ConverterQueries {
     "src_corrupt_skip" -> src_corrupt_skip,
     "src_zorder_skip" -> src_zorder_skip,
     "src_partition_evolution" -> src_partition_evolution,
+    "src_evolution_compacted" -> src_evolution_compacted,
   )
+
+  /** The month-filter replay over the raw table — ONE definition for
+    * the evolved and the compacted layouts, which must serve
+    * identically (compaction is observationally a no-op). */
+  private val evolvedOrdersOracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
+      |  COUNT(1) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1999-03')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // src_partition_evolution: the month filter replayed over the raw
     // table — a hash match proves the two-layout union loses and
     // invents nothing across the evolution boundary
-    "src_partition_evolution" ->
-      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus,
-        |  COUNT(1) AS n,
-        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
-        |FROM orders
-        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1999-03')
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "src_partition_evolution" -> evolvedOrdersOracle,
+    // compaction is observationally a no-op: SAME replay
+    "src_evolution_compacted" -> evolvedOrdersOracle,
     "conv_dump_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, r_name

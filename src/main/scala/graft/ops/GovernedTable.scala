@@ -147,6 +147,29 @@ object GovernedTable {
     ()
   }
 
+  /** COMPACTION: rewrite every live segment into ONE new segment under
+    * `partitionBy` (typically the current scheme — this is how a
+    * partition-evolved table retires its legacy layout once the old
+    * era's read traffic no longer justifies two schemes), behind one
+    * manifest flip. Observationally a no-op: the served rows are
+    * identical, only the layout changes — the same discipline as every
+    * store's reshard. Old epochs keep resolving through their
+    * versioned manifests (time travel across the compaction) until
+    * [[graft.ManifestIo.gcEpochs]]-style retention retires them; the
+    * superseded segment DIRS are likewise left for the retention
+    * sweep, since an older manifest still points at them. Crash
+    * replay: the rewrite targets `e<next>` in overwrite mode, so a
+    * crash between write and flip replays in place. */
+  def compact(s: SparkSession, dir: String,
+              partitionBy: Seq[String] = Nil): Manifest = {
+    val m = open(dir)
+    val e = m.epoch + 1
+    write(readUnder(s, dir, m), s"$dir/e$e", partitionBy, overwrite = true)
+    val m2 = Manifest(e, Seq(s"e$e"))
+    commit(dir, m2)
+    m2
+  }
+
   /** One WAP round: stage → audit the staged view → publish iff the
     * audit counts ZERO violations, abort otherwise. Returns the
     * violation count and the new manifest when published. */

@@ -68,7 +68,7 @@ object PipelineOps {
 
   // ---------------------------------------------------- decontamination
 
-  private val ProbeMod = 97
+  private[graft] val ProbeMod = 97
   private val ShingleN = 8
 
   /** Overlap of each doc's 8-gram shingles with the probe slice. Probe

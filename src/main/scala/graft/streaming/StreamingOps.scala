@@ -2563,6 +2563,124 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------- streaming decontamination gate (eval screen)
+
+  private val deconIngestIndexDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String)]]()
+
+  /** The FIXED eval shingle set the gate screens against — the
+    * benchmark slice's distinct 8-grams ([[graft.ops.PipelineOps
+    * .evalShingleSet]], the same probe set as `p_decontaminate`),
+    * defined corpus-wide and broadcast onto every micro-batch. */
+  private def deconEvalShingles(s: SparkSession, d: String): DataFrame =
+    graft.ops.PipelineOps.evalShingleSet(
+      graft.ops.Tables.documents(s, d)
+        .filter(col("doc_id") % graft.ops.PipelineOps.ProbeMod === 0))
+
+  /** Apply ONE feed micro-batch through the CONTAMINATION gate: docs
+    * sharing ≥1 eval 8-gram route to the quarantine table WITH their
+    * hit counts (training-data governance owes the eval team that
+    * lineage), the clean rest deltas into the index — both
+    * exactly-once under the same batch id ([[applyDlqBatch]]'s
+    * two-sink discipline: epoch pin on the index half, idempotent
+    * `batch=<id>/` overwrite layout on the quarantine half). The
+    * screen is one broadcast join per batch — batch-proportional,
+    * never corpus-shaped. */
+  private[graft] def applyDeconBatch(textDir: String, qDir: String,
+                                     evalSh: DataFrame, batch: DataFrame,
+                                     id: Long): Unit = {
+    val hits = batch.select(col("doc_id"),
+        explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("s8"))
+      .join(broadcast(evalSh), "s8")
+      .groupBy(col("doc_id")).agg(countDistinct(col("s8")).as("n_hits"))
+    hits.coalesce(1).write.mode("overwrite").parquet(s"$qDir/batch=$id")
+    graft.ops.TextIndexStore.applyDeltaIdempotent(
+      batch.sparkSession, textDir,
+      batch.join(hits, Seq("doc_id"), "left_anti"), id)
+    ()
+  }
+
+  /** Bootstrap (the pre-screened `doc_id % 4 = 0` quarter) + drain the
+    * document feed through the contamination gate once per (session,
+    * fixture); returns (indexDir, quarantineDir). The bootstrap runs
+    * the SAME screen as the stream — a contaminated doc must not
+    * enter through the batch door either. */
+  private[graft] def runDeconIngest(s: SparkSession, d: String,
+                                    dirsOverride: Option[(String, String)] = None,
+                                    ckptOverride: Option[String] = None): (String, String) = {
+    def run(textDir: String, qDir: String, ckptDir: String): (String, String) = {
+      val ss = streamSession(s)
+      val src = textIngestLayout(ss, d)
+      val evalSh = deconEvalShingles(ss, d).localCheckpoint()
+      if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(textDir, "_manifest.json"))) {
+        val boot = graft.ops.Tables.documents(ss, d)
+          .filter(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
+        val bootHits = boot.select(col("doc_id"),
+            explode(graft.functions.WordShingles.wordShingles(col("text"), 8)).as("s8"))
+          .join(broadcast(evalSh), "s8").select(col("doc_id")).distinct()
+        graft.ops.TextIndexStore.build(
+          boot.join(bootHits, Seq("doc_id"), "left_anti"), textDir)
+        ()
+      }
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+      val q = stream.writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+          applyDeconBatch(textDir, qDir, evalSh, batch, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (textDir, qDir)
+    }
+    (dirsOverride, ckptOverride) match {
+      case (Some((t, qd)), Some(ck)) => run(t, qd, ck)
+      case _ =>
+        perSession(deconIngestIndexDirs, s).getOrElseUpdate(d, {
+          val tag = graft.ops.Tables.layoutTag(d)
+          val t = s"${System.getProperty("java.io.tmpdir")}/graft_deconingidx_$tag"
+          val qd = s"${System.getProperty("java.io.tmpdir")}/graft_deconingq_$tag"
+          val ck = s"${System.getProperty("java.io.tmpdir")}/graft_deconingckpt_$tag"
+          exitDeleteDirs.add(t); exitDeleteDirs.add(qd); exitDeleteDirs.add(ck)
+          run(t, qd, ck)
+        })
+    }
+  }
+
+  /** STREAMING DECONTAMINATION GATE — benchmark screening moved to
+    * WHERE DOCUMENTS ENTER: every micro-batch is screened against the
+    * fixed eval shingle set before it may delta into the index, so
+    * the serving corpus is eval-clean BY CONSTRUCTION rather than by
+    * a periodic sweep. Served BM25 hash-matches the from-scratch
+    * DuckDB replay over ONLY the uncontaminated corpus (the replay
+    * recomputes the 8-gram overlap from first principles — nothing
+    * contaminated leaked in through either the bootstrap or the
+    * stream, nothing clean was lost). [[st_decon_table]] pins the
+    * quarantine half. */
+  val st_decon_ingest: Q = (s, d) => {
+    val (tDir, _) = runDeconIngest(s, d)
+    graft.ops.TextIndexStore.bm25Scores(s, tDir, graft.ops.TextIndexStore.open(tDir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(graft.ops.TextOps.BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The contamination-quarantine table of [[st_decon_ingest]]'s
+    * drain: (doc_id, n_hits, batch) — which docs the gate refused,
+    * how many eval shingles each shared, and which micro-batch
+    * carried them. The oracle recomputes all three from the raw
+    * corpus (overlap counts from first principles, batch routing from
+    * the `doc_id % 4` feed rule). */
+  val st_decon_table: Q = (s, d) => {
+    val (_, qDir) = runDeconIngest(s, d)
+    s.read.option("basePath", qDir).parquet(s"$qDir/batch=*")
+      .select(col("doc_id"), col("n_hits"), col("batch").cast("long").as("batch"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------- hybrid (text + ANN) consistent dual ingest
 
   private val hybridIngestDirs =
@@ -2718,6 +2836,8 @@ object StreamingOps {
     "st_hybrid_ingest" -> st_hybrid_ingest,
     "st_dlq_ingest" -> st_dlq_ingest,
     "st_dlq_table" -> st_dlq_table,
+    "st_decon_ingest" -> st_decon_ingest,
+    "st_decon_table" -> st_decon_table,
     "st_mv_ingest" -> st_mv_ingest,
     "st_mv_distinct" -> st_mv_distinct,
     "st_upsert_dv" -> st_upsert_dv,
@@ -2773,6 +2893,15 @@ object StreamingOps {
       |FROM agg, m WHERE window_end <= mx - INTERVAL 1 HOUR
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** The 8-gram expansion subquery shared by the two decon-gate
+    * oracles — same shingle definition as `p_decontaminate`'s. */
+  private val deconShingleSub: String = {
+    val s8 = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    "SELECT doc_id, " + s8 + " AS s8 " +
+      "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))"
+  }
+
   val oracles: Map[String, String] = Map(
     // a stream-assembled index must search as well as a batch-built
     // one: same independently-rebuilt exact top-5, same recall floor
@@ -2796,6 +2925,22 @@ object StreamingOps {
         |  CAST(doc_id % 4 - 1 AS BIGINT) AS batch
         |FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 31 = 7
         |ORDER BY doc_id""".stripMargin,
+    // the eval-gated index must hold exactly the UNCONTAMINATED
+    // corpus: the replay recomputes the 8-gram overlap from first
+    // principles and excludes every hit — bootstrap and stream alike
+    "st_decon_ingest" -> graft.ops.TextOps.bm25OracleOverIndexed(
+      s"doc_id NOT IN (SELECT s.doc_id FROM ($deconShingleSub) s " +
+        s"JOIN (SELECT DISTINCT s8 FROM ($deconShingleSub) p0 " +
+        "WHERE p0.doc_id % 97 = 0) p ON s.s8 = p.s8)"),
+    // the contamination quarantine: which docs the gate refused, each
+    // with its exact overlap count and its feed batch
+    "st_decon_table" ->
+      s"""WITH sh AS ($deconShingleSub),
+        |probe AS (SELECT DISTINCT s8 FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT sh.doc_id, CAST(COUNT(DISTINCT sh.s8) AS BIGINT) AS n_hits
+        |         FROM sh JOIN probe ON sh.s8 = probe.s8 GROUP BY sh.doc_id)
+        |SELECT doc_id, n_hits, CAST(doc_id % 4 - 1 AS BIGINT) AS batch
+        |FROM hits WHERE doc_id % 4 <> 0 ORDER BY doc_id""".stripMargin,
     // a view maintained by the stream must equal one computed from
     // scratch — the identical oracle to the batch MV family
     "st_mv_ingest" ->

@@ -975,6 +975,53 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(restart == 0, "restart of a drained stream must fire no batches")
   }
 
+  test("decon gate: replay never double-quarantines, clean/contaminated partition is exact") {
+    import graft.ops.{PipelineOps, TextIndexStore}
+    def tmp(tag: String) = {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_dg_$tag")
+      p.toFile.deleteOnExit(); p.toString
+    }
+    val (tDir, qDir, ck) = (tmp("idx"), tmp("q"), tmp("ck"))
+    StreamingOps.runDeconIngest(spark, sf,
+      dirsOverride = Some((tDir, qDir)), ckptOverride = Some(ck))
+    // ground truth: the exact contaminated set from the batch operator
+    val contaminated = PipelineOps.p_decontaminate(spark, sf).collect()
+      .filter(_.getBoolean(3)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(contaminated.nonEmpty, "fixture has no contamination — gate witness moot")
+    def quarantined() = spark.read.option("basePath", qDir)
+      .parquet(s"$qDir/batch=*")
+      .select("doc_id", "n_hits", "batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val q1 = quarantined()
+    // quarantine = exactly the STREAMED contaminated docs, with the
+    // same hit counts the batch operator computes, batch-routed
+    val expected = contaminated.collect {
+      case (id, hits) if id % 4 != 0 => (id, hits, (id % 4 - 1).toInt)
+    }.toSet
+    assert(q1 == expected, s"quarantine diverged: got $q1 expected $expected")
+    // crash replay of the last batch: in-place rewrite + index no-op
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val last = docs.filter(col("doc_id") % 4 === 3)
+    val epochBefore = TextIndexStore.open(tDir).epoch
+    StreamingOps.applyDeconBatch(tDir, qDir,
+      PipelineOps.evalShingleSet(
+        docs.filter(col("doc_id") % PipelineOps.ProbeMod === 0)),
+      last, 2L)
+    assert(quarantined() == q1, "replay must not duplicate quarantine rows")
+    assert(TextIndexStore.open(tDir).epoch == epochBefore,
+      "replay must not advance the index epoch")
+    // the index registry holds exactly the clean corpus — bootstrap
+    // and stream alike
+    val reg = {
+      val m = TextIndexStore.open(tDir)
+      spark.read.parquet(m.docs.map(rel => s"$tDir/$rel"): _*)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reg == all -- contaminated.keySet,
+      "index must hold exactly the uncontaminated corpus")
+  }
+
   test("hybrid dual ingest: crash between the two applies heals on replay, epochs stay aligned") {
     import graft.ops.{AnnIndexStore, TextIndexStore}
     def tmp(tag: String) = {

@@ -108,4 +108,32 @@ class ConverterQueriesSpec extends AnyFunSuite {
     assert(statusDirs > 1,
       s"evolved layout has $statusDirs status dirs under 1999-03 — pruning vacuous")
   }
+
+  test("layout compaction: one segment, both eras status-pruned, time travel intact") {
+    import org.apache.spark.sql.functions._
+    val dir = ConverterQueries.compactedOrdersDir(spark, sf)
+    val m = graft.ops.GovernedTable.open(dir)
+    assert(m.epoch == 2L && m.segments == Seq("e2"),
+      s"compaction must leave exactly one live segment, got ${m.segments}")
+    // rows identical to the two-layout table (observational no-op)
+    val compacted = ConverterQueries.src_evolution_compacted(spark, sf).collect().toSeq
+    val evolved = ConverterQueries.src_partition_evolution(spark, sf).collect().toSeq
+    assert(compacted == evolved, "compaction changed served rows")
+    // a status filter now partition-prunes the PRE-1998 era too: one
+    // scan, PartitionFilters carrying both columns
+    val plan = graft.ops.GovernedTable.read(spark, dir)
+      .filter(col("o_month") === "1995-03" && col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    assert(pf.length == 1 && pf.head.contains("o_month") &&
+      pf.head.contains("o_orderstatus"),
+      s"compacted scan must prune on both columns:\n${plan.take(3000)}")
+    // time travel: the pre-compaction epochs still serve through
+    // their own manifests — epoch 1 the full table, epoch 0 only the
+    // pre-1998 era
+    assert(graft.ops.GovernedTable.readAt(spark, dir, 1L).count() ==
+      graft.ops.GovernedTable.read(spark, dir).count())
+    val e0 = graft.ops.GovernedTable.readAt(spark, dir, 0L)
+    assert(e0.filter(col("o_month") >= "1998-01").count() == 0)
+  }
 }

@@ -315,6 +315,27 @@ object ScaleBench {
     q("mv_changed_keys") = time { MvStore.changedKeys(s, mvDir, 0L, 1L).count() }._2
     q("mv_reshard") = time { MvStore.reshard(s, mvDir, MvStore.NumBuckets * 4) }._2
 
+    // --- WAP governed table: the publish/abort must be metadata-only -
+    // stage and audit legitimately scale with the batch (one write, one
+    // predicate pass with pushdown); publish is a rename + manifest
+    // flip and must stay FLAT at any data size — that flatness is the
+    // protocol's whole value (a refused batch never costs a rollback)
+    val wapDir = Files.createTempDirectory(s"graft_scale_wap_x$reps").toString
+    val wapBase = li.select(col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents_v"))
+    q("wap_build") = time {
+      GovernedTable.build(wapBase.filter(col("l_orderkey") % 2 === 0), wapDir)
+    }._2
+    val (staged, tStage) = time {
+      GovernedTable.stage(wapBase.filter(col("l_orderkey") % 2 === 1), wapDir)
+    }
+    q("wap_stage") = tStage
+    q("wap_audit") = time {
+      GovernedTable.stagedView(s, wapDir, staged)
+        .filter(col("cents_v") < 0).count()
+    }._2
+    q("wap_publish") = time { GovernedTable.publish(s, wapDir, staged) }._2
+
     // --- stream-stream interval join: full drain over R× events -----
     // (round-12 verdict #4) — watermarks bound state to 1 h per side,
     // so the drain should scale with DATA volume, never with state
@@ -343,7 +364,7 @@ object ScaleBench {
       s""""rows":{${rows.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
       s""""queries":{${q.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")}}}""")
 
-    Seq(dedupDir, textDir, annDir, upsertDir, mvDir)
+    Seq(dedupDir, textDir, annDir, upsertDir, mvDir, wapDir)
       .foreach(p => graft.Fs.deleteRecursively(new java.io.File(p)))
   }
 
