@@ -170,6 +170,33 @@ object GovernedTable {
     m2
   }
 
+  /** Retention GC — the sweep that makes [[compact]]'s "superseded
+    * segments are left for retention" honest: manifests below
+    * `current − retain + 1` retire through the shared lease handshake
+    * ([[graft.ManifestIo.gcManifests]] — an in-flight [[readAt]]
+    * holding a lease is spared), then any segment or stage dir that NO
+    * retained manifest references is deleted. Dirs beyond the live
+    * epoch are spared (a publish's renamed-but-not-flipped segment, or
+    * the in-flight stage); stale STAGE dirs at or below the live epoch
+    * are crash leftovers and sweep with the segments. Layout differs
+    * from the five bucketed stores (segments live at the table root,
+    * not under `<component>/e<N>`), hence the table-shaped sweep here
+    * instead of [[graft.ManifestIo.gcEpochs]]. */
+  def gc(dir: String, retain: Int): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val d = java.nio.file.Paths.get(dir)
+    val live = open(dir)
+    graft.ManifestIo.gcManifests(d, math.max(0L, live.epoch - retain + 1))
+    val referenced = graft.ManifestIo.listEpochs(d)
+      .flatMap(e => parse(graft.ManifestIo.versionedPath(d, e)).segments).toSet
+    for (f <- Option(d.toFile.listFiles()).toSeq.flatten
+           if f.isDirectory && f.getName.matches("(stage-)?e\\d+")) {
+      val epoch = f.getName.stripPrefix("stage-").stripPrefix("e").toLong
+      if (!referenced.contains(f.getName) && epoch <= live.epoch)
+        graft.Fs.deleteRecursively(f)
+    }
+  }
+
   /** One WAP round: stage → audit the staged view → publish iff the
     * audit counts ZERO violations, abort otherwise. Returns the
     * violation count and the new manifest when published. */

@@ -1148,10 +1148,11 @@ object SimilarityOps {
     * (the same unrolled left-assoc slice arithmetic,
     * [[graft.functions.VectorFunctions.oracleCosineSliceSql]])
     * hash-matches exactly. */
-  val s_maxsim: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val pool = bruteForceTopK(querySide(e), candSide(e), MaxSimPool)
-      .select(col("qid"), col("cid"), col("rk").as("pool_rk"))
+  /** The maxsim second stage over an explicit (qid, cid, pool_rk)
+    * pool — factored so the exact witness ([[s_maxsim]], brute-force
+    * pool) and the served one ([[s_maxsim_served]], persisted-IVF
+    * pool) re-rank with the IDENTICAL arithmetic. */
+  private def maxsimRerank(e: DataFrame, pool: DataFrame): DataFrame = {
     val withVecs = pool
       .join(candSide(e), "cid")
       .join(broadcast(querySide(e)), "qid")
@@ -1163,7 +1164,41 @@ object SimilarityOps {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= MaxSimK)
       .select(col("qid"), col("rk"), col("cid"), col("maxsim_e6"), col("pool_rk"))
-      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s_maxsim: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val pool = bruteForceTopK(querySide(e), candSide(e), MaxSimPool)
+      .select(col("qid"), col("cid"), col("rk").as("pool_rk"))
+    maxsimRerank(e, pool).orderBy(col("qid"), col("rk"))
+  }
+
+  /** BOUND-WITNESS for the SERVED late-interaction stack — maxsim
+    * reranking a pool retrieved from the PERSISTED IVF index
+    * ([[AnnIndexStore.topK]], nprobe 5) instead of the brute-force
+    * baseline: the production deployment, where stage 1 is an index
+    * probe and only stage 2 touches vectors. The rerank arithmetic is
+    * the IDENTICAL [[maxsimRerank]]; the only approximation is pool
+    * MEMBERSHIP (IVF recall), so the witness asserts the served top-5
+    * overlaps ≥ 80 % with the exact two-stage result per the whole
+    * result set, with DuckDB independently rebuilding the exact
+    * maxsim top-5 count. Flag green at all three SFs. */
+  val s_maxsim_served: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val dir = persistedIndexDir(s, d)
+    val pool = AnnIndexStore
+      .topK(s, dir, AnnIndexStore.open(dir), querySide(e), k = MaxSimPool, nprobe = 5)
+      .select(col("qid"), col("cid"), col("rk").as("pool_rk"))
+    val served = maxsimRerank(e, pool).select(col("qid"), col("cid"))
+    val exact = s_maxsim(s, d).select(col("qid"), col("cid"))
+    exact.withColumn("ex", lit(1))
+      .join(served.withColumn("ap", lit(1)), Seq("qid", "cid"), "full_outer")
+      .agg(
+        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L))
+          .as("hits"))
+      .select(col("n_exact"),
+        (col("hits") * lit(100L) >= col("n_exact") * lit(80L)).as("overlap_ge_80"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1184,6 +1219,7 @@ object SimilarityOps {
     "s_hybrid_rrf" -> s_hybrid_rrf,
     "s_hybrid_served" -> s_hybrid_served,
     "s_maxsim" -> s_maxsim,
+    "s_maxsim_served" -> s_maxsim_served,
   )
 
   // ONE witness SQL for every recall-bound ANN variant (ivf, salted,
@@ -1211,6 +1247,35 @@ object SimilarityOps {
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS rk
        |       FROM s) x WHERE rk <= 5)
        |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS recall_ge_90 FROM t""".stripMargin
+  }
+
+  /** The exact two-stage maxsim replay — shared by the [[s_maxsim]]
+    * full-row oracle and the [[s_maxsim_served]] bound witness. */
+  private def maxsimOracleSql(cos: String): String = {
+    val maxSimSql = (0 until MaxSimSubs).map { i =>
+      "GREATEST(" + (0 until MaxSimSubs).map { j =>
+        "CAST(ROUND(" + graft.functions.VectorFunctions.oracleCosineSliceSql(
+          "qe", i * MaxSimSubDim, "ce", j * MaxSimSubDim, MaxSimSubDim) +
+          " * 1000000) AS BIGINT)"
+      }.mkString(", ") + ")"
+    }.mkString("(", " + ", ")")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
+       |     s AS (SELECT qid, cid,
+       |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
+       |           FROM c CROSS JOIN q),
+       |     pool AS (SELECT qid, cid, pool_rk FROM (
+       |       SELECT qid, cid,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS INTEGER) AS pool_rk
+       |       FROM s) t
+       |       WHERE pool_rk <= $MaxSimPool),
+       |     mx AS (SELECT p.qid, p.cid, p.pool_rk, $maxSimSql AS maxsim_e6
+       |            FROM pool p JOIN q ON q.qid = p.qid JOIN c ON c.cid = p.cid)
+       |SELECT qid, rk, cid, maxsim_e6, pool_rk FROM (
+       |  SELECT qid, cid, pool_rk, maxsim_e6,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim_e6 DESC, cid) AS INTEGER) AS rk
+       |  FROM mx) t
+       |WHERE rk <= $MaxSimK ORDER BY qid, rk""".stripMargin
   }
 
   val oracles: Map[String, String] = {
@@ -1326,32 +1391,13 @@ object SimilarityOps {
       // (same arithmetic as s_cosine_topk) then the 4×4 sub-cosine
       // maxsim, every sub-cosine e6-integerized BEFORE GREATEST/+ so
       // the fused score is exact integer arithmetic in both engines
-      "s_maxsim" -> {
-        val maxSimSql = (0 until MaxSimSubs).map { i =>
-          "GREATEST(" + (0 until MaxSimSubs).map { j =>
-            "CAST(ROUND(" + graft.functions.VectorFunctions.oracleCosineSliceSql(
-              "qe", i * MaxSimSubDim, "ce", j * MaxSimSubDim, MaxSimSubDim) +
-              " * 1000000) AS BIGINT)"
-          }.mkString(", ") + ")"
-        }.mkString("(", " + ", ")")
-        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-           |     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 8),
-           |     s AS (SELECT qid, cid,
-           |             CAST(ROUND($cos * 1000000) AS BIGINT) AS cos_e6
-           |           FROM c CROSS JOIN q),
-           |     pool AS (SELECT qid, cid, pool_rk FROM (
-           |       SELECT qid, cid,
-           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, cid) AS INTEGER) AS pool_rk
-           |       FROM s) t
-           |       WHERE pool_rk <= $MaxSimPool),
-           |     mx AS (SELECT p.qid, p.cid, p.pool_rk, $maxSimSql AS maxsim_e6
-           |            FROM pool p JOIN q ON q.qid = p.qid JOIN c ON c.cid = p.cid)
-           |SELECT qid, rk, cid, maxsim_e6, pool_rk FROM (
-           |  SELECT qid, cid, pool_rk, maxsim_e6,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim_e6 DESC, cid) AS INTEGER) AS rk
-           |  FROM mx) t
-           |WHERE rk <= $MaxSimK ORDER BY qid, rk""".stripMargin
-      },
+      "s_maxsim" -> maxsimOracleSql(cos),
+      // the served variant is a bound witness: DuckDB rebuilds the
+      // exact two-stage maxsim top-5 count; only pool MEMBERSHIP is
+      // approximate (IVF recall), and the overlap flag must be green
+      "s_maxsim_served" ->
+        s"""SELECT CAST(COUNT(1) AS BIGINT) AS n_exact, TRUE AS overlap_ge_80
+           |FROM (${maxsimOracleSql(cos)}) t""".stripMargin,
       // s_ann_ivf is a bound-witness: DuckDB independently rebuilds the
       // brute-force top-5 (the same CTE as s_cosine_topk) and asserts
       // the IVF recall flag — the quantizer has no SQL equivalent, but

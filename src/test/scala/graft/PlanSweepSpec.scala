@@ -44,6 +44,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "st_ann_ingest",    // bound witness (same brute-force exact side)
     "s_ann_mmr",        // relevance pool comes from the same brute-force baseline
     "s_maxsim",         // stage-1 pool comes from the same brute-force baseline
+    "s_maxsim_served",  // bound witness (exact side embeds s_maxsim's pool cross)
     "t_bm25",           // 1-row corpus totals (N, Σdl) crossed onto hits
     "t_ccnet_bucket",   // 1-row tertile cutoffs crossed onto the scored scan
     "t_rerank",         // stage 1 embeds t_bm25 (same 1-row totals cross)

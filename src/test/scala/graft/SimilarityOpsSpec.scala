@@ -520,4 +520,10 @@ class SimilarityOpsSpec extends AnyFunSuite {
     }
     assert(reordered > 0, "maxsim never reordered the cosine pool — vacuous rerank")
   }
+
+  test("served maxsim: witness counts the full exact set and the overlap flag is green") {
+    val row = SimilarityOps.s_maxsim_served(spark, sf).head
+    assert(row.getLong(0) == 40L, s"exact side must hold 8×5 rows, got ${row.getLong(0)}")
+    assert(row.getBoolean(1), "served maxsim top-5 overlap fell below 80%")
+  }
 }

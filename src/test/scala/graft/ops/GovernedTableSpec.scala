@@ -87,4 +87,31 @@ class GovernedTableSpec extends AnyFunSuite {
     assert(GovernedTable.read(spark, dir).count() == 10)
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
+
+  test("retention gc: sweeps unreferenced segments and stale stages, spares the live view") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    GovernedTable.publish(spark, dir, GovernedTable.stage(rows(5 until 10), dir))
+    GovernedTable.publish(spark, dir, GovernedTable.stage(rows(10 until 15), dir))
+    // compaction makes e0..e2 superseded (live manifest references e3 only)
+    GovernedTable.compact(spark, dir)
+    // a crash leftover: a stale stage at an already-published epoch
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "stage-e2"))
+    def dirNames() = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirNames() == Set("e0", "e1", "e2", "e3", "stage-e2"))
+    // retain 2: manifests e2/e3 stay — e2 still references e0..e2, so
+    // only the stale stage sweeps
+    GovernedTable.gc(dir, retain = 2)
+    assert(dirNames() == Set("e0", "e1", "e2", "e3"))
+    assert(GovernedTable.readAt(spark, dir, 2L).count() == 15)
+    // retain 1: only the live manifest remains — the superseded
+    // segments sweep, the live view is untouched
+    GovernedTable.gc(dir, retain = 1)
+    assert(dirNames() == Set("e3"))
+    assert(GovernedTable.read(spark, dir).count() == 15)
+    assert(graft.ManifestIo.listEpochs(java.nio.file.Paths.get(dir)) == Seq(3L))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
 }
