@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ArrayAggregators
 import graft.functions.VectorFunctions._
@@ -117,6 +118,51 @@ object DedupOps {
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"), substring(col("content_hash"), 1, 16).as("hash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed line width (words) for [[d_line_dedup]] — the fixture text
+    * is a flat word stream, so "lines" are deterministic 12-word
+    * windows (production corpora split on newlines; the operator is
+    * identical either way, only the segmenter differs). */
+  private[ops] val LineWords = 12
+
+  /** LINE-LEVEL EXACT DEDUP — the RefinedWeb/CCNet rule that removes
+    * boilerplate at sub-document granularity: every repeated LINE
+    * keeps only its FIRST occurrence corpus-wide (first = min
+    * (doc_id, position) — deterministic), later occurrences are cut
+    * from their documents, and each document reassembles from its
+    * surviving lines in original order. Near-dup documents thus
+    * deflate to their novel lines without being dropped wholesale —
+    * the granularity document-level dedup cannot reach.
+    *
+    * Scale shape: segmentation is a narrow in-row HOF (no join); the
+    * first-occurrence rank is ONE shuffle keyed on the line text with
+    * a per-line window whose groups are occurrence counts (boilerplate
+    * lines are the biggest groups — corpus-common lines cap out at
+    * #docs, and the window only ranks, never materializes pairs);
+    * reassembly is one shuffle back to doc_id with an in-row
+    * `array_sort` on (pos, line). Output carries the cleaned TEXT
+    * itself (hash-exact reassembly), plus kept/total line counts. The
+    * DuckDB oracle replays segmentation, ranking, and the ordered
+    * re-join from first principles. */
+  val d_line_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val lines = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(ceil(size(w) / ${LineWords}.0) AS INT) - 1), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, " +
+          s"array_join(slice(w, i * $LineWords + 1, $LineWords), ' ') AS line))")).as("pl"))
+      .select(col("doc_id"), col("pl.pos").as("pos"), col("pl.line").as("line"))
+    val w = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
+    lines.withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN rk = 1 " +
+            "THEN struct(pos, line) END)), x -> x.line)"), " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1226,6 +1272,7 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "d_dedup_exact" -> d_dedup_exact,
+    "d_line_dedup" -> d_line_dedup,
     "d_ngram_jaccard" -> d_ngram_jaccard,
     "d_containment" -> d_containment,
     "d_dedup_incremental" -> d_dedup_incremental,
@@ -1325,6 +1372,25 @@ object DedupOps {
         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
         |  substr(sha256(text), 1, 16) AS hash16
         |FROM corpus GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    // d_line_dedup: segmentation, first-occurrence ranking, and the
+    // ordered reassembly replayed from first principles; COALESCE('')
+    // matches Spark's empty array_join for an all-duplicate doc
+    "d_line_dedup" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(w[(i * $LineWords + 1):(i * $LineWords + $LineWords)], ' ') AS line
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0, CAST(ceil(len(w) / ${LineWords}.0) AS INT) - 1)) AS i
+        |        FROM words)),
+        |ranked AS (
+        |  SELECT doc_id, pos, line,
+        |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+        |  FROM chunks)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rk = 1 THEN line END, ' ' ORDER BY pos), '') AS clean_text
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> jaccardOracle(Some(ShingleDfCap)),
     "d_containment" ->
       s"""WITH corpus AS (

@@ -410,4 +410,28 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got01.exists { case (p, s) => p != s },
       "no probe matched a non-origin canonical at sf0.01")
   }
+
+  test("line dedup: first-occurrence rule replayed on the driver; real deflation; order-exact reassembly") {
+    import org.apache.spark.sql.functions._
+    val got = DedupOps.d_line_dedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // independent driver-side replay of the whole rule
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expect = texts.map { case (id, t) =>
+      val lines = t.split(" ").grouped(12).map(_.mkString(" ")).toSeq
+      val kept = lines.filter(seen.add) // add returns true on first sight
+      id -> ((lines.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    assert(got == expect, "line dedup diverged from the sequential replay")
+    // non-vacuity: some doc actually deflated, and some doc survived intact
+    assert(got.exists { case (_, (n, k, _)) => k < n }, "nothing deflated — witness moot")
+    assert(got.exists { case (id, (n, k, ct)) =>
+      k == n && ct == texts.toMap.apply(id) }, "no doc survived intact")
+    // totals: kept lines across the corpus = distinct lines across the corpus
+    val distinctLines = texts.flatMap(_._2.split(" ").grouped(12).map(_.mkString(" "))).distinct.size
+    assert(got.values.map(_._2).sum == distinctLines.toLong)
+  }
 }
