@@ -524,24 +524,34 @@ object ConverterQueries {
       .withColumn("prune_ok", lit(pruneOk))
   }
 
-  /** Write-once PARTITION-EVOLVED orders table: pre-1998 orders
-    * published under a `partitionBy(o_month)` layout, 1998+ orders
-    * WAP-published under `partitionBy(o_month, o_orderstatus)` — the
-    * [[GovernedTable]] per-segment layouts, old files never
-    * rewritten. */
+  /** The ONE two-era construction behind both evolution witnesses:
+    * pre-1998 orders published under a `partitionBy(o_month)` layout,
+    * 1998+ orders WAP-published under `partitionBy(o_month,
+    * o_orderstatus)` — the [[GovernedTable]] per-segment layouts, old
+    * files never rewritten — optionally followed by the compaction
+    * that retires the legacy layout. One definition, so the
+    * "compaction is observationally a no-op" pair can never
+    * desynchronize. */
+  private def evolvedOrdersLayout(s: SparkSession, d: String, p: String,
+                                  compactAfter: Boolean): Unit = {
+    graft.Fs.deleteRecursively(new java.io.File(p))
+    val o = Tables.orders(s, d)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    GovernedTable.build(o.filter(col("o_orderdate") < cut), p,
+      partitionBy = Seq("o_month"))
+    GovernedTable.publish(s, p,
+      GovernedTable.stage(o.filter(col("o_orderdate") >= cut), p,
+        partitionBy = Seq("o_month", "o_orderstatus")))
+    if (compactAfter)
+      GovernedTable.compact(s, p, partitionBy = Seq("o_month", "o_orderstatus"))
+    graft.Fs.deleteOnExit(p): Unit
+  }
+
+  /** Write-once PARTITION-EVOLVED orders table. */
   private[graft] def evolvedOrdersDir(s: SparkSession, d: String): String =
-    layout(s, d, "evolved_orders") { p =>
-      graft.Fs.deleteRecursively(new java.io.File(p))
-      val o = Tables.orders(s, d)
-        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      val cut = lit("1998-01-01").cast("timestamp")
-      GovernedTable.build(o.filter(col("o_orderdate") < cut), p,
-        partitionBy = Seq("o_month"))
-      GovernedTable.publish(s, p,
-        GovernedTable.stage(o.filter(col("o_orderdate") >= cut), p,
-          partitionBy = Seq("o_month", "o_orderstatus")))
-      graft.Fs.deleteOnExit(p): Unit
-    }
+    layout(s, d, "evolved_orders")(
+      p => evolvedOrdersLayout(s, d, p, compactAfter = false))
 
   /** PARTITION EVOLUTION — the table-format capability that keeps a
     * 100 TB table's layout current without rewriting history: the
@@ -556,35 +566,27 @@ object ConverterQueries {
     * month from each era through the evolved table; the oracle
     * replays the filter over the raw table, so the hash match proves
     * the two-layout union loses and invents nothing. */
-  val src_partition_evolution: (SparkSession, String) => DataFrame = (s, d) => {
-    val dir = evolvedOrdersDir(s, d)
+  val src_partition_evolution: (SparkSession, String) => DataFrame = (s, d) =>
+    servedMonthAgg(s, evolvedOrdersDir(s, d))
+
+  /** The witness aggregate both evolution queries serve — one month
+    * from each era through the governed table. */
+  private def servedMonthAgg(s: SparkSession, dir: String): DataFrame =
     GovernedTable.read(s, dir)
       .filter(col("o_month").isin("1995-03", "1999-03"))
       .groupBy(col("o_month"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy(col("o_month"), col("o_orderstatus"))
-  }
 
-  /** Write-once COMPACTED evolved-orders table: the same two-era build
-    * as [[evolvedOrdersDir]] (separate dir — that witness needs its
-    * two-layout plan intact), then [[GovernedTable.compact]] retires
-    * the legacy month-only layout into ONE segment under the evolved
-    * (month, status) scheme. */
+  /** Write-once COMPACTED evolved-orders table: the SAME two-era build
+    * ([[evolvedOrdersLayout]]; separate dir — the evolution witness
+    * needs its two-layout plan intact), then [[GovernedTable.compact]]
+    * retires the legacy month-only layout into ONE segment under the
+    * evolved (month, status) scheme. */
   private[graft] def compactedOrdersDir(s: SparkSession, d: String): String =
-    layout(s, d, "compacted_orders") { p =>
-      graft.Fs.deleteRecursively(new java.io.File(p))
-      val o = Tables.orders(s, d)
-        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      val cut = lit("1998-01-01").cast("timestamp")
-      GovernedTable.build(o.filter(col("o_orderdate") < cut), p,
-        partitionBy = Seq("o_month"))
-      GovernedTable.publish(s, p,
-        GovernedTable.stage(o.filter(col("o_orderdate") >= cut), p,
-          partitionBy = Seq("o_month", "o_orderstatus")))
-      GovernedTable.compact(s, p, partitionBy = Seq("o_month", "o_orderstatus"))
-      graft.Fs.deleteOnExit(p): Unit
-    }
+    layout(s, d, "compacted_orders")(
+      p => evolvedOrdersLayout(s, d, p, compactAfter = true))
 
   /** LAYOUT COMPACTION after partition evolution — retiring the legacy
     * scheme: every live segment rewrites into ONE segment under the
@@ -595,15 +597,8 @@ object ConverterQueries {
     * the spec additionally pins the single-segment plan, status
     * pruning now covering the pre-1998 era, and time travel to the
     * pre-compaction epochs across the re-layout. */
-  val src_evolution_compacted: (SparkSession, String) => DataFrame = (s, d) => {
-    val dir = compactedOrdersDir(s, d)
-    GovernedTable.read(s, dir)
-      .filter(col("o_month").isin("1995-03", "1999-03"))
-      .groupBy(col("o_month"), col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
-      .orderBy(col("o_month"), col("o_orderstatus"))
-  }
+  val src_evolution_compacted: (SparkSession, String) => DataFrame = (s, d) =>
+    servedMonthAgg(s, compactedOrdersDir(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,

@@ -72,7 +72,13 @@ object GovernedTable {
     * scheme. */
   def build(rows: DataFrame, dir: String,
             partitionBy: Seq[String] = Nil): Manifest = {
-    write(rows, s"$dir/e0", partitionBy, overwrite = false)
+    // refuse to clobber a LIVE table; below that bar, overwrite mode
+    // makes a crash between the e0 write and the flip replayable by
+    // simply re-running build (the same idempotence stage/compact have)
+    require(!java.nio.file.Files.exists(
+        graft.ManifestIo.manifestPath(java.nio.file.Paths.get(dir))),
+      s"table at $dir is already built (manifest exists)")
+    write(rows, s"$dir/e0", partitionBy, overwrite = true)
     val m = Manifest(0L, Seq("e0"))
     commit(dir, m)
     m
@@ -100,9 +106,23 @@ object GovernedTable {
   def read(s: SparkSession, dir: String): DataFrame =
     readUnder(s, dir, open(dir))
 
-  /** Time travel to a published epoch (versioned manifests). */
+  /** Time travel to a published epoch (versioned manifests). Takes NO
+    * retention lease — safe when no concurrent [[gc]] can run (offline
+    * audits, single-writer pipelines); a read that must survive a
+    * concurrent sweep materializes inside [[withSnapshot]] instead. */
   def readAt(s: SparkSession, dir: String, epoch: Long): DataFrame =
     readUnder(s, dir, openAt(dir, epoch))
+
+  /** Lease-pinned time travel — the [[graft.ManifestIo.withSnapshot]]
+    * handshake every durable store shares: the epoch is spared from a
+    * concurrent [[gc]] for the duration of `body`, so materialize
+    * (collect/write) INSIDE it; a lazily-returned DataFrame outlives
+    * the lease. */
+  def withSnapshot[A](s: SparkSession, dir: String, epoch: Long)
+                     (body: DataFrame => A): A =
+    graft.ManifestIo.withSnapshot(java.nio.file.Paths.get(dir), epoch, parse) {
+      m => body(readUnder(s, dir, m))
+    }
 
   /** Stage a batch WITHOUT publishing: written to `stage-e<next>`,
     * where no manifest points. Overwrite mode makes a re-stage after
@@ -123,7 +143,15 @@ object GovernedTable {
   /** Publish a clean staged batch: rename into the epoch layout, ONE
     * manifest flip. A STALE handle (the table advanced since the
     * stage) fails pointedly — the audit's verdict no longer describes
-    * the table it would be joining. */
+    * the table it would be joining.
+    *
+    * Crash seams compose: a crash AFTER the rename but BEFORE the flip
+    * may be recovered either by replaying publish directly (the
+    * renamed segment is found and the flip completes) or by replaying
+    * the WHOLE round (stage → audit → publish) — in the latter case
+    * the re-staged dir is a duplicate of the already-renamed segment
+    * (same deterministic batch) and is discarded in favor of the
+    * rename, so the two recovery paths cannot collide. */
   def publish(s: SparkSession, dir: String, staged: String): Manifest = {
     val m = open(dir)
     val e = m.epoch + 1
@@ -131,10 +159,16 @@ object GovernedTable {
       s"stale stage '$staged': table is at epoch ${m.epoch}, expected stage-e$e")
     val from = java.nio.file.Paths.get(dir, staged)
     val to = java.nio.file.Paths.get(dir, s"e$e")
-    // move-if-present: a crash AFTER the rename but before the flip
-    // replays publish with the rename already done
-    if (java.nio.file.Files.exists(from))
+    if (java.nio.file.Files.exists(to)) {
+      // rename already happened (crash before the flip); a re-staged
+      // duplicate of the same batch, if present, yields to it
+      if (java.nio.file.Files.exists(from))
+        graft.Fs.deleteRecursively(from.toFile)
+    } else {
+      require(java.nio.file.Files.exists(from),
+        s"nothing staged at '$staged' and no renamed segment 'e$e' — stage first")
       java.nio.file.Files.move(from, to)
+    }
     val m2 = Manifest(e, m.segments :+ s"e$e")
     commit(dir, m2)
     m2
@@ -173,8 +207,9 @@ object GovernedTable {
   /** Retention GC — the sweep that makes [[compact]]'s "superseded
     * segments are left for retention" honest: manifests below
     * `current − retain + 1` retire through the shared lease handshake
-    * ([[graft.ManifestIo.gcManifests]] — an in-flight [[readAt]]
-    * holding a lease is spared), then any segment or stage dir that NO
+    * ([[graft.ManifestIo.gcManifests]] — an in-flight [[withSnapshot]]
+    * holding a lease is spared; bare [[readAt]] takes no lease and is
+    * not protected), then any segment or stage dir that NO
     * retained manifest references is deleted. Dirs beyond the live
     * epoch are spared (a publish's renamed-but-not-flipped segment, or
     * the in-flight stage); stale STAGE dirs at or below the live epoch

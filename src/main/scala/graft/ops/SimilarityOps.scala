@@ -264,23 +264,34 @@ object SimilarityOps {
   /** Recall floor the registered IVF witness asserts at nprobe = 5
     * (measured 0.95 at sf0.1 with the dual-assignment index; the full
     * nprobe curve lives in SCALING.md and SimilarityOpsSpec). */
-  private val IvfRecallFloorPct = 90L
+  private val IvfRecallFloorPct = 90
 
   /** Shared recall bound-witness tail: the exact top-k's (qid, cid)
     * picks full-outer-joined against an approximate path's, reduced to
     * (n_exact, recall ≥ floor). ONE definition for every `s_ann_*`
     * witness, so the floor, join shape, and output contract can never
     * silently diverge between index variants. */
-  private[graft] def recallWitness(exact: DataFrame, approx: DataFrame): DataFrame =
-    exact.select(col("qid"), col("cid"), lit(1).as("ex"))
-      .join(approx.select(col("qid"), col("cid"), lit(1).as("ap")),
-        Seq("qid", "cid"), "full_outer")
+  /** THE exact-vs-approx overlap witness — one definition for every
+    * bound-witness flag in the library (ANN recall, served hybrid,
+    * served maxsim): full-outer on `keys`, exact-side count, and a
+    * floor-percent flag via integer comparison (floors identically in
+    * both engines). */
+  private[graft] def overlapWitness(exact: DataFrame, approx: DataFrame,
+                                    keys: Seq[String], floorPct: Int,
+                                    flagName: String): DataFrame =
+    exact.select(keys.map(col) :+ lit(1).as("ex"): _*)
+      .join(approx.select(keys.map(col) :+ lit(1).as("ap"): _*),
+        keys, "full_outer")
       .agg(
         sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
       .select(col("n_exact"),
-        (col("hits") * lit(100L) >= col("n_exact") * lit(IvfRecallFloorPct))
-          .as("recall_ge_90"))
+        (col("hits") * lit(100L) >= col("n_exact") * lit(floorPct.toLong))
+          .as(flagName))
+
+  private[graft] def recallWitness(exact: DataFrame, approx: DataFrame): DataFrame =
+    overlapWitness(exact, approx, Seq("qid", "cid"), IvfRecallFloorPct,
+      "recall_ge_90")
 
   /** BOUND-WITNESS for the IVF path — the registered, DRIVER-CHECKED
     * face of [[ivfTopK]]. The quantizer's bucket contents have no SQL
@@ -1091,13 +1102,7 @@ object SimilarityOps {
       .topK(s, aDir, AnnIndexStore.open(aDir), q0, k = HybridListK, nprobe = 5)
       .select(col("cid").as("doc_id"), col("rk").as("r_vec"))
     val served = rrfFuse(bmServed, vecServed).select(col("doc_id"))
-    exact.withColumn("ex", lit(1))
-      .join(served.withColumn("ap", lit(1)), Seq("doc_id"), "full_outer")
-      .agg(
-        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L)).as("hits"))
-      .select(col("n_exact"),
-        (col("hits") * lit(100L) >= col("n_exact") * lit(90L)).as("overlap_ge_90"))
+    overlapWitness(exact, served, Seq("doc_id"), 90, "overlap_ge_90")
   }
 
   // ------------------------------------------- late interaction (maxsim)
@@ -1191,14 +1196,7 @@ object SimilarityOps {
       .select(col("qid"), col("cid"), col("rk").as("pool_rk"))
     val served = maxsimRerank(e, pool).select(col("qid"), col("cid"))
     val exact = s_maxsim(s, d).select(col("qid"), col("cid"))
-    exact.withColumn("ex", lit(1))
-      .join(served.withColumn("ap", lit(1)), Seq("qid", "cid"), "full_outer")
-      .agg(
-        sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("ex").isNotNull && col("ap").isNotNull, 1L).otherwise(0L))
-          .as("hits"))
-      .select(col("n_exact"),
-        (col("hits") * lit(100L) >= col("n_exact") * lit(80L)).as("overlap_ge_80"))
+    overlapWitness(exact, served, Seq("qid", "cid"), 80, "overlap_ge_80")
   }
 
   val queries: Map[String, Q] = Map(

@@ -680,7 +680,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("bi_n").isNull, 2000000L)
           .otherwise(expr("1000000L DIV bi_n"))).as("rarity"))
-      .filter(col("n_bigrams") > 0)
       .select(col("doc_id"), expr("rarity DIV n_bigrams").as("score_e6"))
     val g = scored.groupBy(col("score_e6")).agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("score_e6"))
@@ -1125,7 +1124,7 @@ object TextOps {
         |       FROM bg g LEFT JOIN bi ON g.a = bi.a AND g.b = bi.b
         |       WHERE g.doc_id % 2 = 1 GROUP BY g.doc_id),
         |scored AS (SELECT doc_id, CAST(rarity // n_bigrams AS BIGINT) AS score_e6
-        |           FROM lm WHERE n_bigrams > 0),
+        |           FROM lm),
         |grp AS (SELECT score_e6, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY score_e6),
         |cum AS (SELECT score_e6, SUM(cnt) OVER (ORDER BY score_e6) AS cum FROM grp),
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),

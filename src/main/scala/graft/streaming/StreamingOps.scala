@@ -48,6 +48,26 @@ object StreamingOps {
       s: SparkSession): scala.collection.concurrent.TrieMap[String, V] =
     graft.SessionCache.perSession(m, s)
 
+  /** THE batch-feed drain harness, once for every `batch*.parquet`
+    * ingest in the library (text/ANN/dedup/MV/hybrid/DLQ/decon/SCD):
+    * explicit schema from one footer read, one mtime-ordered file per
+    * micro-batch, checkpointed `foreachBatch`, drain-and-stop trigger.
+    * A harness fix (checkpoint discipline, trigger, file ordering) is
+    * one edit here, not N synchronized ones. */
+  private def drainBatchFeed(ss: SparkSession, src: String, ckptDir: String)
+                            (apply: (DataFrame, Long) => Unit): Unit = {
+    val schema = ss.read.parquet(src).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
+        apply(batch, id.longValue())
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Source schemas per session+dir: one batch footer read each —
     * a required-by-API explicit schema for the file stream, kept
     * honest by reading it from the actual file. */
@@ -1946,19 +1966,12 @@ object StreamingOps {
           index = Some(e.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0)))
         ()
       }
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
-      val q = stream.writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-          onBatch(id)
-          graft.ops.AnnIndexStore.applyDeltaIdempotent(
-            batch.sparkSession, indexDir, batch, id)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainBatchFeed(ss, src, ckptDir) { (batch, id) =>
+        onBatch(id)
+        graft.ops.AnnIndexStore.applyDeltaIdempotent(
+          batch.sparkSession, indexDir, batch, id)
+        ()
+      }
       indexDir
     }
     (indexOverride, ckptOverride) match {
@@ -2059,19 +2072,12 @@ object StreamingOps {
         graft.ops.MvStore.build(mvIngestPartials(li), storeDir,
           Seq("l_returnflag"), Seq("rev_cents", "qty", "n")): Unit
       }
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
-      val q = stream.writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-          onBatch(id)
-          graft.ops.MvStore.refreshIdempotent(
-            batch.sparkSession, storeDir, mvIngestPartials(batch), id)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainBatchFeed(ss, src, ckptDir) { (batch, id) =>
+        onBatch(id)
+        graft.ops.MvStore.refreshIdempotent(
+          batch.sparkSession, storeDir, mvIngestPartials(batch), id)
+        ()
+      }
       storeDir
     }
     (storeOverride, ckptOverride) match {
@@ -2173,19 +2179,12 @@ object StreamingOps {
         graft.ops.MvStore.build(mvDistinctPartials(boot), storeDir,
           Seq("event_type"), Seq("sk"), kinds = Seq("hll")): Unit
       }
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
-      val q = stream.writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-          onBatch(id)
-          graft.ops.MvStore.refreshIdempotent(
-            batch.sparkSession, storeDir, mvDistinctPartials(batch), id)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainBatchFeed(ss, src, ckptDir) { (batch, id) =>
+        onBatch(id)
+        graft.ops.MvStore.refreshIdempotent(
+          batch.sparkSession, storeDir, mvDistinctPartials(batch), id)
+        ()
+      }
       storeDir
     }
     (storeOverride, ckptOverride) match {
@@ -2253,19 +2252,12 @@ object StreamingOps {
         graft.ops.TextIndexStore.build(docs.filter(col("doc_id") % 4 === 0), indexDir)
         ()
       }
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
-      val q = stream.writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-          onBatch(id)
-          graft.ops.TextIndexStore.applyDeltaIdempotent(
-            batch.sparkSession, indexDir, batch, id)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainBatchFeed(ss, src, ckptDir) { (batch, id) =>
+        onBatch(id)
+        graft.ops.TextIndexStore.applyDeltaIdempotent(
+          batch.sparkSession, indexDir, batch, id)
+        ()
+      }
       indexDir
     }
     (indexOverride, ckptOverride) match {
@@ -2363,19 +2355,12 @@ object StreamingOps {
         graft.ops.DedupIndexStore.build(old.filter(col("doc_id") % 4 === 0), indexDir)
         ()
       }
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
-      val q = stream.writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-          onBatch(id)
-          graft.ops.DedupIndexStore.applyDeltaIdempotent(
-            batch.sparkSession, indexDir, batch, id)
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainBatchFeed(ss, src, ckptDir) { (batch, id) =>
+        onBatch(id)
+        graft.ops.DedupIndexStore.applyDeltaIdempotent(
+          batch.sparkSession, indexDir, batch, id)
+        ()
+      }
       indexDir
     }
     (indexOverride, ckptOverride) match {
@@ -2500,17 +2485,10 @@ object StreamingOps {
           textDir)
         ()
       }
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
-      val q = stream.writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-          onBatch(id)
-          applyDlqBatch(textDir, qDir, batch, id)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainBatchFeed(ss, src, ckptDir) { (batch, id) =>
+        onBatch(id)
+        applyDlqBatch(textDir, qDir, batch, id)
+      }
       (textDir, qDir)
     }
     (dirsOverride, ckptOverride) match {
@@ -2595,9 +2573,15 @@ object StreamingOps {
       .join(broadcast(evalSh), "s8")
       .groupBy(col("doc_id")).agg(countDistinct(col("s8")).as("n_hits"))
     hits.coalesce(1).write.mode("overwrite").parquet(s"$qDir/batch=$id")
+    // the index half anti-joins against the JUST-WRITTEN quarantine
+    // parquet, not the live `hits` lineage — the screen (shingle
+    // explode + broadcast join + aggregate) runs exactly once per
+    // batch, and the two sinks agree by construction
+    val quarantinedIds = batch.sparkSession.read
+      .parquet(s"$qDir/batch=$id").select(col("doc_id"))
     graft.ops.TextIndexStore.applyDeltaIdempotent(
       batch.sparkSession, textDir,
-      batch.join(hits, Seq("doc_id"), "left_anti"), id)
+      batch.join(broadcast(quarantinedIds), Seq("doc_id"), "left_anti"), id)
     ()
   }
 
@@ -2624,16 +2608,9 @@ object StreamingOps {
           boot.join(bootHits, Seq("doc_id"), "left_anti"), textDir)
         ()
       }
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
-      val q = stream.writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-          applyDeconBatch(textDir, qDir, evalSh, batch, id)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainBatchFeed(ss, src, ckptDir) { (batch, id) =>
+        applyDeconBatch(textDir, qDir, evalSh, batch, id)
+      }
       (textDir, qDir)
     }
     (dirsOverride, ckptOverride) match {
@@ -2771,17 +2748,10 @@ object StreamingOps {
           index = Some(e.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0)))
         ()
       }
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$src/batch*.parquet")
-      val q = stream.writeStream
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: DataFrame, id: java.lang.Long) =>
-          onBatch(id)
-          applyHybridBatch(textDir, annDir, batch, id)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainBatchFeed(ss, src, ckptDir) { (batch, id) =>
+        onBatch(id)
+        applyHybridBatch(textDir, annDir, batch, id)
+      }
       (textDir, annDir)
     }
     (dirsOverride, ckptOverride) match {

@@ -85,6 +85,20 @@ class GovernedTableSpec extends AnyFunSuite {
     val m = GovernedTable.publish(spark, dir, s3)
     assert(m.epoch == 2L && m.segments.last == "e2")
     assert(GovernedTable.read(spark, dir).count() == 10)
+    // the OTHER recovery path for the same crash: the whole round
+    // replays (stage → publish) — the re-staged duplicate must yield
+    // to the already-renamed segment instead of colliding
+    val s4 = GovernedTable.stage(rows(10 until 12), dir)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, s4),
+      java.nio.file.Paths.get(dir, "e3"))
+    val s4b = GovernedTable.stage(rows(10 until 12), dir) // round replay
+    assert(s4b == s4)
+    val m3 = GovernedTable.publish(spark, dir, s4b)
+    assert(m3.epoch == 3L && m3.segments.last == "e3")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s4)),
+      "re-staged duplicate must be discarded in favor of the renamed segment")
+    assert(GovernedTable.read(spark, dir).count() == 12)
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
