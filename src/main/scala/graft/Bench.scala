@@ -168,6 +168,15 @@ object Bench {
     // sessions contending for the cores — that would re-create the
     // very pollution solo exists to remove).
     spark.stop()
+    // Streaming state-store maintenance runs on a scheduled thread that
+    // OUTLIVES session stop and spams "SparkEnv not active" WARN stack
+    // traces onto stderr minutes later — in rounds 12 and 13 those
+    // traces landed after the contract line inside the driver's tail
+    // window and left BENCH_r*.json with "parsed": null. Stop the
+    // maintenance task before any further output (and re-print the
+    // contract line last, below, as the second belt).
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case scala.util.control.NonFatal(_) => }
     val solo: Map[String, Seq[Double]] =
       if (sys.env.get("SPARK_GRAFT_SOLO").contains("0") || prev.isEmpty) Map.empty
       else {
@@ -202,6 +211,13 @@ object Bench {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, fileLine + "\n")
     }
+    // Re-print the contract JSON as the absolute FINAL stdout line: the
+    // solo fork and shutdown hooks can interleave late log traces after
+    // the first print, and a driver that tail-parses stdout must find
+    // the contract line last (round-13 verdict item 4). The first print
+    // stays so a solo-phase crash can never lose the numbers.
+    println(line)
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 

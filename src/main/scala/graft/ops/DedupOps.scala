@@ -136,16 +136,24 @@ object DedupOps {
     * deflate to their novel lines without being dropped wholesale —
     * the granularity document-level dedup cannot reach.
     *
-    * Scale shape: segmentation is a narrow in-row HOF (no join); the
-    * first-occurrence rank is ONE shuffle keyed on the line text with
-    * a per-line window whose groups are occurrence counts (boilerplate
-    * lines are the biggest groups — corpus-common lines cap out at
-    * #docs, and the window only ranks, never materializes pairs);
-    * reassembly is one shuffle back to doc_id with an in-row
-    * `array_sort` on (pos, line). Output carries the cleaned TEXT
-    * itself (hash-exact reassembly), plus kept/total line counts. The
-    * DuckDB oracle replays segmentation, ranking, and the ordered
-    * re-join from first principles. */
+    * Scale shape (round-13 verdict item 3 — NO per-line window, NO
+    * join keyed on line text): segmentation is a narrow in-row HOF;
+    * first-occurrence-wins needs no ranking at all, only the argmin
+    * `min(struct(doc_id, pos))` per line — a MAP-SIDE-COMBINABLE
+    * aggregate, so a boilerplate line occurring 10⁹ times corpus-wide
+    * combines to one row per map task before the shuffle instead of
+    * sorting 10⁹ rows in one window partition. The kept lines ARE
+    * exactly those argmin winners, so reassembly groups the
+    * one-row-per-distinct-line firsts by their winning doc_id (doc-
+    * bounded groups, no skew) — the raw exploded lines are never
+    * shuffled on ANY key: per-doc totals come in-row from the word
+    * count, and the final stitch is a join on doc_id. Output carries
+    * the cleaned TEXT itself (hash-exact reassembly), plus kept/total
+    * line counts; a doc whose every line first appeared elsewhere
+    * keeps an empty clean_text. The DuckDB oracle replays
+    * segmentation, ranking, and the ordered re-join from first
+    * principles (declaratively, via the window formulation — the
+    * hash match proves the aggregate plan computes the same rule). */
   val d_line_dedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val lines = docs
@@ -155,14 +163,22 @@ object DedupOps {
           s"i -> struct(CAST(i AS BIGINT) AS pos, " +
           s"array_join(slice(w, i * $LineWords + 1, $LineWords), ' ') AS line))")).as("pl"))
       .select(col("doc_id"), col("pl.pos").as("pos"), col("pl.line").as("line"))
-    val w = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
-    lines.withColumn("rk", row_number().over(w))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+    val firsts = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("line"))
+    val kept = firsts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
         array_join(expr(
-          "transform(array_sort(collect_list(CASE WHEN rk = 1 " +
-            "THEN struct(pos, line) END)), x -> x.line)"), " ").as("clean_text"))
+          "transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+          " ").as("clean_text"))
+    docs
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(LineWords.toDouble)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

@@ -434,4 +434,33 @@ class DedupOpsSpec extends AnyFunSuite {
     val distinctLines = texts.flatMap(_._2.split(" ").grouped(12).map(_.mkString(" "))).distinct.size
     assert(got.values.map(_._2).sum == distinctLines.toLong)
   }
+
+  test("line dedup: planted 10k-copy boilerplate line — combinable argmin, no per-line window") {
+    // The web-scale failure mode: ONE boilerplate line repeated across
+    // the whole corpus. A row_number window partitioned on line text
+    // sorts all copies in one task; the argmin-aggregate plan combines
+    // them map-side. Plant the hot line and pin both the result and
+    // the plan shape (round-13 verdict item 3).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hotline").toString
+    graft.Fs.deleteOnExit(tmp): Unit
+    val nDocs = 10000L
+    val hotLine = Seq.fill(12)("boilerplate").mkString(" ")
+    def uniq(id: Long): String = (0 until 12).map(j => s"u${id}w$j").mkString(" ")
+    (0L until nDocs).map(id => (id, hotLine + " " + uniq(id)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val df = DedupOps.d_line_dedup(spark, tmp)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "per-line window crept back into the line-dedup plan")
+    val byId = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId.size == nDocs)
+    // doc 0 owns the boilerplate's first occurrence: survives intact
+    assert(byId(0L) == ((2L, 2L, hotLine + " " + uniq(0L))))
+    // every other doc sheds the hot line, keeps exactly its unique line
+    assert((1L until nDocs).forall(id => byId(id) == ((2L, 1L, uniq(id)))),
+      "a later copy of the boilerplate line survived")
+  }
 }

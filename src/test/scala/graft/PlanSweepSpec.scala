@@ -49,8 +49,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "t_ccnet_bucket",   // 1-row tertile cutoffs crossed onto the scored scan
     "t_rerank",         // stage 1 embeds t_bm25 (same 1-row totals cross)
     "s_hybrid_rrf",     // BM25 leg's 1-row totals + broadcast query-vector cross
-    "s_hybrid_served",  // exact leg embeds s_hybrid_rrf (same 1-row crosses)
-    "st_hybrid_ingest", // same bound witness over stream-assembled indexes
+    // (s_hybrid_served / st_hybrid_ingest left the list in round 14:
+    // their exact leg now re-localizes the memoized fusion ids, so the
+    // witness joins two bounded lists — no BNLJ in the plan anymore)
     "p_embed_decon")    // broadcast benchmark-probe cosine scan
 
   private val planCache = scala.collection.mutable.Map.empty[String, String]
