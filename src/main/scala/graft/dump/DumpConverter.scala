@@ -536,6 +536,15 @@ object DumpConverter {
         .partitionBy(new TablePartitioner(tableIndex, salts))
         .values
         .persist(cacheLevel)
+      // Materialize the routed rows ONCE under their own phase: the
+      // decade-bench bottleneck question ("is the next wall the
+      // parse/shuffle or the parquet encode?") needs [dump-phase] to
+      // SEPARATE parse + routing shuffle + cache ("route") from each
+      // table's cache-read + parquet encode ("write:<table>") — before
+      // this split the first table's write phase bundled all three.
+      // Total work is unchanged (the reduce+persist cost moves here
+      // from the write phases); a resume run routes only pending rows.
+      phase("route")(routed.foreachPartition(_ => ()))
       // Live progress (reference A14, `main.rs:63-86`): a rows-written
       // ticker fed by task output metrics (throttled to 2 Hz) plus a
       // per-table line as each write commits. Listener events are

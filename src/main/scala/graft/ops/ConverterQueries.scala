@@ -600,6 +600,52 @@ object ConverterQueries {
   val src_evolution_compacted: (SparkSession, String) => DataFrame = (s, d) =>
     servedMonthAgg(s, compactedOrdersDir(s, d))
 
+  /** Write-once COLUMN-EVOLVED orders table: the pre-1998 era is
+    * published under the base schema; the 1998+ era goes through a
+    * FULL WAP round carrying a NEW column (`o_prio_class`, the
+    * priority's numeric prefix) — the audit inspects the widened
+    * staged view (new column non-null over the new era), and only a
+    * clean audit publishes the wider schema. History is never
+    * rewritten: the added column reads as NULL over the pre-evolution
+    * segment via the serve-side `unionByName(allowMissingColumns)`. */
+  private[graft] def columnEvolvedOrdersDir(s: SparkSession, d: String): String =
+    layout(s, d, "column_evolved_orders") { p =>
+      graft.Fs.deleteRecursively(new java.io.File(p))
+      val o = Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      GovernedTable.build(o.filter(col("o_orderdate") < cut), p,
+        partitionBy = Seq("o_month"))
+      val widened = o.filter(col("o_orderdate") >= cut)
+        .withColumn("o_prio_class", substring_index(col("o_orderpriority"), "-", 1))
+      val (viol, published) = GovernedTable.writeAuditPublish(s, p, widened,
+        partitionBy = Seq("o_month"))(
+        v => v.filter(col("o_orderdate") >= cut && col("o_prio_class").isNull)
+          .count())
+      require(viol == 0L && published.nonEmpty,
+        s"column-evolution WAP round failed audit with $viol violations")
+      graft.Fs.deleteOnExit(p): Unit
+    }
+
+  /** COLUMN (SCHEMA) EVOLUTION through the governed table — the other
+    * half of the Iceberg/Delta evolution story beside
+    * [[src_partition_evolution]]: a later WAP round ADDS a column,
+    * old segments are never rewritten, and the serve unions schemas
+    * by name so pre-evolution rows carry NULL in the added column.
+    * The witness aggregates one month from each era through the
+    * served view, grouped by the ADDED column — the legacy month
+    * groups under NULL, the evolved month under its real classes —
+    * and the oracle replays the same widening over the raw table with
+    * an era-gated CASE. Time travel to the pre-evolution epoch serves
+    * the OLD schema (spec-pinned in GovernedTableSpec). */
+  val src_column_evolution: (SparkSession, String) => DataFrame = (s, d) =>
+    GovernedTable.read(s, columnEvolvedOrdersDir(s, d))
+      .filter(col("o_month").isin("1995-03", "1999-03"))
+      .groupBy(col("o_month"), col("o_prio_class"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_month"), col("o_prio_class"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
@@ -615,6 +661,7 @@ object ConverterQueries {
     "src_zorder_skip" -> src_zorder_skip,
     "src_partition_evolution" -> src_partition_evolution,
     "src_evolution_compacted" -> src_evolution_compacted,
+    "src_column_evolution" -> src_column_evolution,
   )
 
   /** The month-filter replay over the raw table — ONE definition for
@@ -635,6 +682,18 @@ object ConverterQueries {
     "src_partition_evolution" -> evolvedOrdersOracle,
     // compaction is observationally a no-op: SAME replay
     "src_evolution_compacted" -> evolvedOrdersOracle,
+    // src_column_evolution: the era-gated widening replayed over the
+    // raw table — the NULL groups ARE the pre-evolution era; a hash
+    // match proves the schema union loses and invents nothing
+    "src_column_evolution" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |       THEN string_split(o_orderpriority, '-')[1] END AS o_prio_class,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1999-03')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "conv_dump_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, r_name

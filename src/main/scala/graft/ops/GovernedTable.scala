@@ -37,9 +37,16 @@ object GovernedTable {
     * (relative), in publish order. */
   case class Manifest(epoch: Long, segments: Seq[String])
 
-  private def render(m: Manifest): String =
+  private def render(m: Manifest): String = {
+    // Manifest is a public case class and commit() accepts any
+    // segments — a name with a quote/backslash would render
+    // unparseable JSON, so restrict to the filesystem-safe alphabet
+    // the internally generated 'e<N>' names live in.
+    m.segments.foreach(s => require(s.matches("[A-Za-z0-9._-]+"),
+      s"illegal segment name '$s' (allowed: [A-Za-z0-9._-]+)"))
     s"""{"epoch":${m.epoch},"segments":${
       m.segments.map(s => s""""$s"""").mkString("[", ",", "]")}}"""
+  }
 
   private def parse(p: java.nio.file.Path): Manifest = {
     import org.json4s._
@@ -95,11 +102,22 @@ object GovernedTable {
     * discovers its OWN partition layout, so a pushed filter becomes a
     * PartitionFilter exactly where that segment's scheme covers it
     * (partition evolution: the old layout still prunes on its old
-    * columns, the new one on its new columns — no rewrite). Divergent
-    * DATA schemas fail loudly in the union. Segment count is epoch
-    * count — a long-lived table compacts old epochs the usual way. */
+    * columns, the new one on its new columns — no rewrite).
+    *
+    * COLUMN evolution rides the same union: each segment carries its
+    * own DATA schema too, and `allowMissingColumns` makes the serve
+    * the union-by-name of all live schemas — a column added by a
+    * later WAP round reads as NULL over pre-evolution segments, with
+    * zero history rewrite (the `st_upsert_evolve` discipline applied
+    * to the governed table; Iceberg/Delta `mergeSchema` semantics).
+    * Time travel to a pre-evolution epoch serves the OLD schema —
+    * versioned manifests pin the segment list, so the added column
+    * simply isn't there. Same-name columns with INCOMPATIBLE types
+    * still fail loudly in the union. Segment count is epoch count — a
+    * long-lived table compacts old epochs the usual way. */
   private def readUnder(s: SparkSession, dir: String, m: Manifest): DataFrame =
-    m.segments.map(r => s.read.parquet(s"$dir/$r")).reduce(_ unionByName _)
+    m.segments.map(r => s.read.parquet(s"$dir/$r"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** The SERVING view — resolves through the current manifest only;
     * staged batches are invisible by construction. */
@@ -126,7 +144,14 @@ object GovernedTable {
 
   /** Stage a batch WITHOUT publishing: written to `stage-e<next>`,
     * where no manifest points. Overwrite mode makes a re-stage after
-    * a crashed audit replay in place. Returns the staged handle. */
+    * a crashed audit replay in place. Returns the staged handle.
+    *
+    * SINGLE-WRITER DISCIPLINE (shared with [[gc]]): the stage name is
+    * derived from the live epoch, so two concurrent producers would
+    * stage into the same dir, and a [[gc]] racing a concurrent
+    * publish could sweep a stage the other producer still audits.
+    * One producer at a time per table — the same contract every
+    * durable store's epoch chain carries. */
   def stage(rows: DataFrame, dir: String,
             partitionBy: Seq[String] = Nil): String = {
     val rel = s"stage-e${open(dir).epoch + 1}"
@@ -136,9 +161,12 @@ object GovernedTable {
 
   /** The AUDIT view: the table as it WOULD serve if `staged`
     * published — current segments ∪ the staged batch (the staged scan
-    * discovers its own layout, like any published segment). */
+    * discovers its own layout AND schema, like any published segment —
+    * an audit of a column-evolving batch sees the widened schema it
+    * would serve). */
   def stagedView(s: SparkSession, dir: String, staged: String): DataFrame =
-    read(s, dir).unionByName(s.read.parquet(s"$dir/$staged"))
+    read(s, dir).unionByName(s.read.parquet(s"$dir/$staged"),
+      allowMissingColumns = true)
 
   /** Publish a clean staged batch: rename into the epoch layout, ONE
     * manifest flip. A STALE handle (the table advanced since the
@@ -161,9 +189,21 @@ object GovernedTable {
     val to = java.nio.file.Paths.get(dir, s"e$e")
     if (java.nio.file.Files.exists(to)) {
       // rename already happened (crash before the flip); a re-staged
-      // duplicate of the same batch, if present, yields to it
-      if (java.nio.file.Files.exists(from))
+      // duplicate of the same batch, if present, yields to it — but
+      // ONLY if it really is a duplicate: the whole-round recovery
+      // path assumes deterministic replay, and a replay that staged
+      // DIFFERENT rows must fail loudly instead of silently losing
+      // them. Row count is the cheap witness (parquet footer counts —
+      // no data scan).
+      if (java.nio.file.Files.exists(from)) {
+        val nStaged = s.read.parquet(from.toString).count()
+        val nRenamed = s.read.parquet(to.toString).count()
+        require(nStaged == nRenamed,
+          s"re-staged '$staged' has $nStaged rows but the already-renamed " +
+            s"'e$e' has $nRenamed — non-deterministic replay; refusing to " +
+            "discard the re-staged batch")
         graft.Fs.deleteRecursively(from.toFile)
+      }
     } else {
       require(java.nio.file.Files.exists(from),
         s"nothing staged at '$staged' and no renamed segment 'e$e' — stage first")
@@ -213,7 +253,10 @@ object GovernedTable {
     * retained manifest references is deleted. Dirs beyond the live
     * epoch are spared (a publish's renamed-but-not-flipped segment, or
     * the in-flight stage); stale STAGE dirs at or below the live epoch
-    * are crash leftovers and sweep with the segments. Layout differs
+    * are crash leftovers and sweep with the segments — which is safe
+    * ONLY under the single-writer discipline documented on [[stage]]:
+    * with a second producer, a stage taken just before a concurrent
+    * publish advanced the epoch would be swept mid-audit. Layout differs
     * from the five bucketed stores (segments live at the table root,
     * not under `<component>/e<N>`), hence the table-shaped sweep here
     * instead of [[graft.ManifestIo.gcEpochs]]. */

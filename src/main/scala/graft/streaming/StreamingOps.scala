@@ -2901,12 +2901,12 @@ object StreamingOps {
     "st_decon_ingest" -> graft.ops.TextOps.bm25OracleOverIndexed(
       s"doc_id NOT IN (SELECT s.doc_id FROM ($deconShingleSub) s " +
         s"JOIN (SELECT DISTINCT s8 FROM ($deconShingleSub) p0 " +
-        "WHERE p0.doc_id % 97 = 0) p ON s.s8 = p.s8)"),
+        s"WHERE p0.doc_id % ${graft.ops.PipelineOps.ProbeMod} = 0) p ON s.s8 = p.s8)"),
     // the contamination quarantine: which docs the gate refused, each
     // with its exact overlap count and its feed batch
     "st_decon_table" ->
       s"""WITH sh AS ($deconShingleSub),
-        |probe AS (SELECT DISTINCT s8 FROM sh WHERE doc_id % 97 = 0),
+        |probe AS (SELECT DISTINCT s8 FROM sh WHERE doc_id % ${graft.ops.PipelineOps.ProbeMod} = 0),
         |hits AS (SELECT sh.doc_id, CAST(COUNT(DISTINCT sh.s8) AS BIGINT) AS n_hits
         |         FROM sh JOIN probe ON sh.s8 = probe.s8 GROUP BY sh.doc_id)
         |SELECT doc_id, n_hits, CAST(doc_id % 4 - 1 AS BIGINT) AS batch

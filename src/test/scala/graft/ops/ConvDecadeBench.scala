@@ -55,8 +55,12 @@ object ConvDecadeBench {
     // ~4.5 GB of one-table SQL the question is whether route/write
     // stays the bottleneck or statement-assembly starts to dominate,
     // and whether the salt dial keeps scaling the reduce side.
+    // Round-14 ×100 grid: the r13 verdict asked for a salts sweep at
+    // the best minPartitions (128) with the new route/write phase
+    // split — {32, 128, 512} brackets the previous sweet spot a
+    // factor of 4 in each direction.
     val grid =
-      if (reps >= 100) Seq((64, 64), (128, 128), (256, 128), (256, 256))
+      if (reps >= 100) Seq((128, 32), (128, 128), (128, 512))
       else Seq((8, 8), (32, 8), (64, 8), (128, 8), (32, 32), (64, 32), (64, 64))
     for ((parts, salts) <- grid; attempt <- 1 to 2) {
       val out = Files.createTempDirectory(s"decade_$parts")

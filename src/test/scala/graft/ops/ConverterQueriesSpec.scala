@@ -103,8 +103,8 @@ class ConverterQueriesSpec extends AnyFunSuite {
     // separates statuses (so the PartitionFilter above skips real
     // directories, not a single degenerate one)
     val monthDir = java.nio.file.Paths.get(dir, "e1", "o_month=1999-03")
-    val statusDirs = java.nio.file.Files.list(monthDir)
-      .filter(p => java.nio.file.Files.isDirectory(p)).count()
+    val statusDirs = scala.util.Using.resource(java.nio.file.Files.list(monthDir))(
+      _.filter(p => java.nio.file.Files.isDirectory(p)).count())
     assert(statusDirs > 1,
       s"evolved layout has $statusDirs status dirs under 1999-03 — pruning vacuous")
   }

@@ -102,6 +102,41 @@ class GovernedTableSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("column evolution: added column null-fills history, audit sees the widened view, time travel serves the old schema") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    GovernedTable.build(rows(0 until 5), dir)
+    val widened = (5 until 8).map(i => (i.toLong, i.toLong * 100, s"c$i"))
+      .toDF("id", "v", "tag")
+    val (viol, m) = GovernedTable.writeAuditPublish(spark, dir, widened)(
+      v => v.filter(col("id") >= 5 && col("tag").isNull).count())
+    assert(viol == 0L && m.nonEmpty)
+    val served = GovernedTable.read(spark, dir)
+    assert(served.columns.toSeq == Seq("id", "v", "tag"))
+    assert(served.filter(col("tag").isNull).count() == 5,
+      "pre-evolution rows must null-fill the added column")
+    assert(served.filter(col("tag").isNotNull).count() == 3)
+    // time travel to the pre-evolution epoch serves the OLD schema
+    assert(GovernedTable.readAt(spark, dir, 0L).columns.toSeq == Seq("id", "v"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("publish refuses to discard a re-staged batch that differs from the renamed segment") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    val s1 = GovernedTable.stage(rows(5 until 8), dir)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, s1),
+      java.nio.file.Paths.get(dir, "e1"))
+    GovernedTable.stage(rows(5 until 9), dir) // replay staged DIFFERENT rows
+    val e = intercept[IllegalArgumentException] {
+      GovernedTable.publish(spark, dir, s1)
+    }
+    assert(e.getMessage.contains("non-deterministic replay"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("retention gc: sweeps unreferenced segments and stale stages, spares the live view") {
     val dir = freshDir()
     GovernedTable.build(rows(0 until 5), dir)

@@ -180,6 +180,15 @@ object ScaleBench {
       DedupIndexStore.reshard(s, dedupDir, dFan * 2, dFan * 2)
     }._2
 
+    // --- line-level dedup: the argmin-aggregate plan (r13 item 3) ---
+    // One combinable min(struct) per distinct line + doc-bounded
+    // reassembly — growth across tiers must track corpus volume, never
+    // any single line's occurrence count (the heavy-hitter path itself
+    // is spec-pinned with a planted 10k-copy line in DedupOpsSpec).
+    q("line_dedup") = time {
+      DedupOps.d_line_dedup(s, dir).write.mode("overwrite").format("noop").save()
+    }._2
+
     // --- text: BM25 build at the suggested fan-out, serve, delta ----
     val textDir = Files.createTempDirectory(s"graft_scale_tis_x$reps").toString
     val tFan = TextIndexStore.suggestedBuckets(nDocs)
@@ -294,6 +303,21 @@ object ScaleBench {
       .localCheckpoint()
     q("ann_delta") = time { AnnIndexStore.applyDelta(s, annDir, annBatch) }._2
 
+    // --- maxsim late-interaction served from the persisted IVF ------
+    // (r13 newcomer): stage-1 pool from the persisted index, stage-2
+    // rerank pool-bounded (queries × MaxSimPool pairs — NEVER corpus-
+    // shaped), witness against the exact twin. First call pays the
+    // one-time SessionCache index build; the timed call is the
+    // steady-state serve + witness, which should grow only with the
+    // exact twin's stage-1 brute-force leg (linear scan), the served
+    // rerank staying pool-sized and near-flat.
+    SimilarityOps.s_maxsim_served(s, dir)
+      .write.mode("overwrite").format("noop").save()
+    q("maxsim_served") = time {
+      SimilarityOps.s_maxsim_served(s, dir)
+        .write.mode("overwrite").format("noop").save()
+    }._2
+
     // --- MV store: corpus-sized build vs DELTA-proportional refresh -
     // (round-12 verdict #4: the "refresh never re-reads history" claim
     // had no growth row — exactly the claim ScaleBench exists to
@@ -343,6 +367,22 @@ object ScaleBench {
       graft.streaming.StreamingOps.st_stream_join(s, dir).count()
     }
     q("stream_join") = tJoin
+
+    // --- streaming ingest gates (r13 newcomers): full 4-batch drains -
+    // through the dead-letter and decontamination gates. Batch count
+    // is FIXED (doc_id % 4 routing), data grows ×R, so the drain time
+    // decomposes as (per-batch fixed gate overhead × 4) + data-
+    // proportional work; near-tier-proportional growth here means the
+    // gate overhead is amortized, a flat floor means overhead
+    // dominates at fixture scale.
+    q("dlq_ingest_drain") = time {
+      graft.streaming.StreamingOps.st_dlq_ingest(s, dir)
+        .write.mode("overwrite").format("noop").save()
+    }._2
+    q("decon_ingest_drain") = time {
+      graft.streaming.StreamingOps.st_decon_ingest(s, dir)
+        .write.mode("overwrite").format("noop").save()
+    }._2
 
     // --- streaming upsert: 4 merge batches over R× distinct keys ----
     val upsertDir = Files.createTempDirectory(s"graft_scale_ups_x$reps").toString
