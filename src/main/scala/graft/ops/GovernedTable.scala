@@ -34,8 +34,13 @@ import org.apache.spark.sql.functions._
 object GovernedTable {
 
   /** `segments` is the append-only list of published parquet dirs
-    * (relative), in publish order. */
-  case class Manifest(epoch: Long, segments: Seq[String])
+    * (relative), in publish order. `batches` is the streaming-ingest
+    * log ([[ingestBatch]]): micro-batch id → the epoch its audit
+    * verdict landed at (an ACCEPTED batch's published epoch, or the
+    * rejection epoch of a refused one, tagged negative) — riding the
+    * manifest so the verdict and the flip are ONE atomic write. */
+  case class Manifest(epoch: Long, segments: Seq[String],
+                      batches: Map[Long, Long] = Map.empty)
 
   private def render(m: Manifest): String = {
     // Manifest is a public case class and commit() accepts any
@@ -44,8 +49,13 @@ object GovernedTable {
     // the internally generated 'e<N>' names live in.
     m.segments.foreach(s => require(s.matches("[A-Za-z0-9._-]+"),
       s"illegal segment name '$s' (allowed: [A-Za-z0-9._-]+)"))
+    val b =
+      if (m.batches.isEmpty) ""
+      else m.batches.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString(""","batches":{""", ",", "}")
     s"""{"epoch":${m.epoch},"segments":${
-      m.segments.map(s => s""""$s"""").mkString("[", ",", "]")}}"""
+      m.segments.map(s => s""""$s"""").mkString("[", ",", "]")}$b}"""
   }
 
   private def parse(p: java.nio.file.Path): Manifest = {
@@ -58,7 +68,11 @@ object GovernedTable {
                                   case o => sys.error(s"bad segment $o") }
       case o => sys.error(s"bad segments $o")
     }
-    Manifest(e, segs)
+    val batches = (j \ "batches") match {
+      case JObject(fs) => fs.collect { case (k, JInt(v)) => k.toLong -> v.toLong }.toMap
+      case _ => Map.empty[Long, Long] // pre-ingest manifests carry none
+    }
+    Manifest(e, segs, batches)
   }
 
   private def commit(dir: String, m: Manifest): Unit =
@@ -185,6 +199,18 @@ object GovernedTable {
     val e = m.epoch + 1
     require(staged == s"stage-e$e",
       s"stale stage '$staged': table is at epoch ${m.epoch}, expected stage-e$e")
+    renameStage(s, dir, staged, e)
+    val m2 = Manifest(e, m.segments :+ s"e$e", m.batches)
+    commit(dir, m2)
+    m2
+  }
+
+  /** The rename-or-heal step shared by [[publish]] and
+    * [[ingestBatch]]: move `staged` to `e<e>`, or — if a crashed
+    * prior attempt already renamed it — verify a re-staged duplicate
+    * really matches before discarding it. */
+  private def renameStage(s: SparkSession, dir: String, staged: String,
+                          e: Long): Unit = {
     val from = java.nio.file.Paths.get(dir, staged)
     val to = java.nio.file.Paths.get(dir, s"e$e")
     if (java.nio.file.Files.exists(to)) {
@@ -208,10 +234,8 @@ object GovernedTable {
       require(java.nio.file.Files.exists(from),
         s"nothing staged at '$staged' and no renamed segment 'e$e' — stage first")
       java.nio.file.Files.move(from, to)
+      ()
     }
-    val m2 = Manifest(e, m.segments :+ s"e$e")
-    commit(dir, m2)
-    m2
   }
 
   /** Abort a dirty staged batch: delete the stage dir — serving was
@@ -239,7 +263,7 @@ object GovernedTable {
     val m = open(dir)
     val e = m.epoch + 1
     write(readUnder(s, dir, m), s"$dir/e$e", partitionBy, overwrite = true)
-    val m2 = Manifest(e, Seq(s"e$e"))
+    val m2 = Manifest(e, Seq(s"e$e"), m.batches)
     commit(dir, m2)
     m2
   }
@@ -285,5 +309,50 @@ object GovernedTable {
     val violations = audit(stagedView(s, dir, staged))
     if (violations == 0L) (0L, Some(publish(s, dir, staged)))
     else { abort(dir, staged); (violations, None) }
+  }
+
+  /** EXACTLY-ONCE streaming WAP ingest — one micro-batch = one
+    * audited round, with the batch id riding the SAME atomic manifest
+    * write as the verdict (the epoch-pins-batch-id contract every
+    * durable store's streaming feed carries, applied to the governed
+    * table):
+    *
+    *   - a REPLAYED batch (at-least-once delivery) finds its id in
+    *     `batches` and no-ops — accepted or refused, the verdict
+    *     stands;
+    *   - a batch GAP fails loudly (a skipped id means lost data, not
+    *     a replay);
+    *   - an ACCEPTED batch publishes as epoch e with `batches += id → e`;
+    *   - a REFUSED batch advances to a REJECTION EPOCH: the epoch
+    *     increments with NO new segment and `batches += id → −e`, so
+    *     the refusal itself is atomic, replay-idempotent, and visible
+    *     in the version history (time travel to −(−e) shows exactly
+    *     what served while the batch was being refused).
+    *
+    * Crash seams: after stage → re-stage overwrites in place; after
+    * rename, before flip → the replay re-stages, re-audits, and
+    * [[renameStage]] heals (row-count-guarded); after flip → the
+    * replay no-ops on the batch id. Returns (violations, manifest). */
+  def ingestBatch(s: SparkSession, dir: String, rows: DataFrame, batchId: Long,
+                  partitionBy: Seq[String] = Nil)
+                 (audit: DataFrame => Long): (Long, Manifest) = {
+    val m = open(dir)
+    if (m.batches.contains(batchId)) return (0L, m)
+    val expected = if (m.batches.isEmpty) 0L else m.batches.keys.max + 1
+    require(batchId == expected,
+      s"batch gap: expected batch $expected, got $batchId — refusing to skip")
+    val staged = stage(rows, dir, partitionBy)
+    val violations = audit(stagedView(s, dir, staged))
+    val e = m.epoch + 1
+    val m2 =
+      if (violations == 0L) {
+        renameStage(s, dir, staged, e)
+        Manifest(e, m.segments :+ s"e$e", m.batches + (batchId -> e))
+      } else {
+        abort(dir, staged)
+        Manifest(e, m.segments, m.batches + (batchId -> -e))
+      }
+    commit(dir, m2)
+    (violations, m2)
   }
 }

@@ -2658,6 +2658,115 @@ object StreamingOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------- streaming WAP ingest (governed table)
+
+  private val govIngestDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private val govIngestTableDirs =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  private[graft] val GovIngestBatches = 3
+
+  /** Micro-batches for [[st_gov_ingest]]: quarters 1–3 of the
+    * documents corpus as mtime-ordered single files, with quarter 2
+    * PLANTED dirty — rows at `doc_id ≡ 2 (mod 20)` carry a NEGATED
+    * n_chars, the data-quality violation the WAP audit screens for.
+    * Unlike the DLQ feed's per-row routing, the governed gate is
+    * all-or-nothing: one bad row refuses the WHOLE batch. */
+  private def govIngestLayout(s: SparkSession, d: String): String =
+    perSession(govIngestDirs, s).getOrElseUpdate(d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_goving_" +
+        graft.ops.Tables.layoutTag(d)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val docs = graft.ops.Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val now = System.currentTimeMillis()
+      (1 to GovIngestBatches).foreach { b =>
+        val q = docs.filter(col("doc_id") % 4 === b)
+        val rows =
+          if (b == 2) q.withColumn("n_chars",
+            when(col("doc_id") % 20 === 2, -col("n_chars"))
+              .otherwise(col("n_chars")))
+          else q
+        writeSingleFile(rows, java.nio.file.Paths.get(p, s"batch$b.parquet"),
+          now - (GovIngestBatches - b).toLong * 60000)
+      }
+      exitDeleteDirs.add(p)
+      p
+    })
+
+  /** Build epoch 0 (the `doc_id % 4 = 0` quarter) and drain the feed
+    * through [[graft.ops.GovernedTable.ingestBatch]] once per
+    * (session, fixture); returns the table dir. */
+  private[graft] def runGovIngest(s: SparkSession, d: String): String =
+    perSession(govIngestTableDirs, s).getOrElseUpdate(d, {
+      val tDir = s"${System.getProperty("java.io.tmpdir")}/graft_govingtbl_" +
+        graft.ops.Tables.layoutTag(d)
+      val ck = s"${System.getProperty("java.io.tmpdir")}/graft_govingckpt_" +
+        graft.ops.Tables.layoutTag(d)
+      exitDeleteDirs.add(tDir)
+      exitDeleteDirs.add(ck)
+      val ss = streamSession(s)
+      val src = govIngestLayout(ss, d)
+      if (!java.nio.file.Files.exists(
+            graft.ManifestIo.manifestPath(java.nio.file.Paths.get(tDir)))) {
+        graft.ops.GovernedTable.build(
+          graft.ops.Tables.documents(ss, d)
+            .select(col("doc_id"), col("source"), col("n_chars"))
+            .filter(col("doc_id") % 4 === 0), tDir)
+        ()
+      }
+      drainBatchFeed(ss, src, ck) { (batch, id) =>
+        graft.ops.GovernedTable.ingestBatch(batch.sparkSession, tDir, batch, id)(
+          v => v.filter(col("n_chars") < 0).count())
+        ()
+      }
+      tDir
+    })
+
+  /** STREAMING INGEST THROUGH THE WAP GATE — the governed table joins
+    * the five durable stores in having a live feed: every micro-batch
+    * is a full stage → audit → publish round
+    * ([[graft.ops.GovernedTable.ingestBatch]]), and the batch id
+    * rides the SAME atomic manifest write as the verdict, so the sink
+    * is exactly-once on at-least-once delivery (replay no-ops on the
+    * recorded verdict, a gap fails loudly —
+    * [[graft.ops.GovernedTableSpec]] proves both). The governed gate
+    * is ALL-OR-NOTHING, the complement of the DLQ feed's per-row
+    * routing: quarter 2's single planted bad row refuses its whole
+    * batch via a REJECTION EPOCH (epoch advances, no segment), so the
+    * served table holds exactly quarters 0, 1, 3 — which is what the
+    * oracle replays from the raw corpus. At 100 TB the loop is
+    * batch-proportional: stage writes the batch, the audit predicate
+    * pushes down onto it, publish/refuse are one manifest write. */
+  val st_gov_ingest: Q = (s, d) => {
+    val tDir = runGovIngest(s, d)
+    graft.ops.GovernedTable.read(s, tDir)
+      .groupBy((col("doc_id") % 4).as("quarter"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("quarter"))
+  }
+
+  /** The ingest LOG of [[st_gov_ingest]]'s drain, read straight from
+    * the live manifest: (batch, epoch, accepted) — batch 1 (quarter
+    * 2) refused at rejection epoch 2, batches 0 and 2 published at
+    * epochs 1 and 3. The outcome is fully determined by the planted
+    * feed, so the oracle pins it as a constant table — hash-checking
+    * that the verdict log in the manifest is exactly the protocol's
+    * promised lineage. */
+  val st_gov_log: Q = (s, d) => {
+    val tDir = runGovIngest(s, d)
+    val ss = s
+    import ss.implicits._
+    graft.ops.GovernedTable.open(tDir).batches.toSeq.sortBy(_._1)
+      .map { case (b, e) => (b, math.abs(e), e > 0) }
+      .toDF("batch", "epoch", "accepted")
+  }
+
   // ----------------------- hybrid (text + ANN) consistent dual ingest
 
   private val hybridIngestDirs =
@@ -2808,6 +2917,8 @@ object StreamingOps {
     "st_dlq_table" -> st_dlq_table,
     "st_decon_ingest" -> st_decon_ingest,
     "st_decon_table" -> st_decon_table,
+    "st_gov_ingest" -> st_gov_ingest,
+    "st_gov_log" -> st_gov_log,
     "st_mv_ingest" -> st_mv_ingest,
     "st_mv_distinct" -> st_mv_distinct,
     "st_upsert_dv" -> st_upsert_dv,
@@ -2902,6 +3013,23 @@ object StreamingOps {
       s"doc_id NOT IN (SELECT s.doc_id FROM ($deconShingleSub) s " +
         s"JOIN (SELECT DISTINCT s8 FROM ($deconShingleSub) p0 " +
         s"WHERE p0.doc_id % ${graft.ops.PipelineOps.ProbeMod} = 0) p ON s.s8 = p.s8)"),
+    // the WAP-gated stream: the served table must hold exactly the
+    // bootstrap quarter plus the two CLEAN batches — quarter 2 (whose
+    // planted rows negate n_chars) was refused whole, so the replay
+    // over the raw corpus simply excludes it
+    "st_gov_ingest" ->
+      """SELECT doc_id % 4 AS quarter, COUNT(1) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents WHERE doc_id % 4 <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the manifest's verdict log: fully determined by the planted
+    // feed (batch 1 = quarter 2 refused at rejection epoch 2), pinned
+    // as a constant table
+    "st_gov_log" ->
+      """SELECT CAST(batch AS BIGINT) AS batch, CAST(epoch AS BIGINT) AS epoch, accepted
+        |FROM (VALUES (0, 1, true), (1, 2, false), (2, 3, true)) t(batch, epoch, accepted)
+        |ORDER BY batch""".stripMargin,
     // the contamination quarantine: which docs the gate refused, each
     // with its exact overlap count and its feed batch
     "st_decon_table" ->

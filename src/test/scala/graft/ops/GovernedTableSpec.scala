@@ -137,6 +137,42 @@ class GovernedTableSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("ingestBatch: exactly-once verdicts — replay no-ops, gap fails, rejection epoch time-travels") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    def noNeg(v: org.apache.spark.sql.DataFrame): Long =
+      v.filter(col("v") < 0).count()
+    // batch 0 clean: publishes epoch 1, verdict logged
+    val (v0, m0) = GovernedTable.ingestBatch(spark, dir, rows(5 until 8), 0L)(noNeg)
+    assert(v0 == 0L && m0.epoch == 1L && m0.batches == Map(0L -> 1L))
+    // batch 1 dirty: REJECTION epoch 2, no new segment, serving unchanged
+    val s = spark
+    import s.implicits._
+    val dirty = Seq((8L, -1L)).toDF("id", "v")
+    val (v1, m1) = GovernedTable.ingestBatch(spark, dir, dirty, 1L)(noNeg)
+    assert(v1 == 1L && m1.epoch == 2L && m1.segments == m0.segments)
+    assert(m1.batches(1L) == -2L)
+    assert(GovernedTable.read(spark, dir).count() == 8)
+    // time travel: the rejection epoch serves exactly what epoch 1 did
+    assert(GovernedTable.readAt(spark, dir, 2L).count() == 8)
+    // replayed batches (accepted AND refused) no-op on the logged verdict
+    val (rv0, rm0) = GovernedTable.ingestBatch(spark, dir, rows(5 until 8), 0L)(noNeg)
+    assert(rv0 == 0L && rm0 == m1)
+    val (rv1, rm1) = GovernedTable.ingestBatch(spark, dir, dirty, 1L)(noNeg)
+    assert(rv1 == 0L && rm1 == m1)
+    // a batch GAP fails loudly instead of silently skipping data
+    val gap = intercept[IllegalArgumentException] {
+      GovernedTable.ingestBatch(spark, dir, rows(9 until 10), 3L)(noNeg)
+    }
+    assert(gap.getMessage.contains("batch gap"))
+    // batch 2 clean: epoch 3, and the log survives the round-trip
+    val (v2, m2) = GovernedTable.ingestBatch(spark, dir, rows(9 until 12), 2L)(noNeg)
+    assert(v2 == 0L && m2.epoch == 3L)
+    assert(GovernedTable.open(dir).batches == Map(0L -> 1L, 1L -> -2L, 2L -> 3L))
+    assert(GovernedTable.read(spark, dir).count() == 11)
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("retention gc: sweeps unreferenced segments and stale stages, spares the live view") {
     val dir = freshDir()
     GovernedTable.build(rows(0 until 5), dir)
