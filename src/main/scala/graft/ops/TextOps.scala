@@ -70,6 +70,41 @@ object TextOps {
         regexp_count(col("text"), lit("[a-z0-9]+")).as("piece_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Chunk window (words) and stride of [[t_chunk]]; overlap =
+    * ChunkW − ChunkS words shared by consecutive chunks. */
+  private[ops] val ChunkW = 64
+  private[ops] val ChunkS = 48
+
+  /** PASSAGE CHUNKING with overlap — the RAG/embedding-pipeline
+    * segmentation every retrieval corpus is built on: each document
+    * splits into [[ChunkW]]-word windows at [[ChunkS]]-word stride,
+    * consecutive chunks sharing the ChunkW−ChunkS-word overlap so no
+    * answer span is cut at a boundary. Chunk count is the standard
+    * `n ≤ W → 1, else ceil((n−W)/S)+1` (the last chunk may be short;
+    * no degenerate tail chunk fully contained in its predecessor).
+    * Emits stable (doc_id, chunk_id) keys, the chunk's word count,
+    * and the chunk TEXT itself — hash-exact against the oracle's
+    * replay of the same windowing.
+    *
+    * Scale shape: one narrow in-row HOF pass (split → transform →
+    * explode) — NO shuffle before the presentation sort; at 100 TB
+    * this is the map stage feeding the embedding UDF, and output
+    * volume is input × W/S (~1.33× here), never quadratic. */
+  val t_chunk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        expr(s"CASE WHEN size(w) <= $ChunkW THEN 1 " +
+          s"ELSE CAST(ceil((size(w) - $ChunkW) / $ChunkS.0) AS INT) + 1 END").as("nc"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, nc - 1), i -> struct(" +
+          s"CAST(i AS BIGINT) AS chunk_id, " +
+          s"least($ChunkW, size(w) - i * $ChunkS) AS n_words, " +
+          s"array_join(slice(w, i * $ChunkS + 1, $ChunkW), ' ') AS chunk))")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.n_words").as("n_words"), col("c.chunk").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Per-doc token counts under the real byte-level BPE tokenizer
     * ([[graft.functions.BpeTokenizer]], fixed committed merge table) —
     * the unit every training-data budget is actually set in.
@@ -817,6 +852,7 @@ object TextOps {
     "t_jaro_winkler" -> t_jaro_winkler,
     "t_text_stats" -> t_text_stats,
     "t_token_count" -> t_token_count,
+    "t_chunk" -> t_chunk,
     "t_bpe_tokens" -> t_bpe_tokens,
     "t_lang_id" -> t_lang_id,
     "t_quality_score" -> t_quality_score,
@@ -1154,6 +1190,20 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS piece_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // t_chunk: the identical W/S windowing replayed from first
+    // principles — chunk count formula, short last chunk, and the
+    // overlap all pinned by the chunk-text hash
+    "t_chunk" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT doc_id, w,
+        |        CASE WHEN len(w) <= $ChunkW THEN 1
+        |             ELSE CAST(ceil((len(w) - $ChunkW) / $ChunkS.0) AS INT) + 1 END AS nc
+        |      FROM words),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(LEAST($ChunkW, len(w) - i * $ChunkS) AS INTEGER) AS n_words,
+        |  array_to_string(w[(i * $ChunkS + 1):(i * $ChunkS + $ChunkW)], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "t_bpe_tokens" ->
       s"""WITH $bpeCountCtes
          |SELECT doc_id, n_pieces, n_tokens FROM bpe ORDER BY doc_id""".stripMargin,

@@ -257,4 +257,31 @@ class TextOpsSpec extends AnyFunSuite {
     val byScore = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
     assert(byScore.forall(_._2.length == 1), "a score value straddles buckets")
   }
+
+  test("chunking: matches a sequential replay, real overlap, short last chunk, no tail dupes") {
+    val got = TextOps.t_chunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = texts.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      val nc = if (w.length <= 64) 1 else math.ceil((w.length - 64) / 48.0).toInt + 1
+      (0 until nc).map { i =>
+        (id, i.toLong) -> ((math.min(64, w.length - i * 48),
+          w.slice(i * 48, i * 48 + 64).mkString(" ")))
+      }
+    }.toMap
+    assert(got == expect, "chunking diverged from the sequential replay")
+    // the fixture must actually exercise multi-chunk docs and short tails
+    assert(expect.keys.exists(_._2 > 0), "no multi-chunk doc - overlap untested")
+    assert(expect.exists { case ((_, c), (n, _)) => c > 0 && n < 64 },
+      "no short last chunk in the fixture")
+    // overlap: consecutive chunks of one doc share exactly W-S=16 words
+    val (did, _) = expect.keys.filter(_._2 > 0).head
+    val w0 = expect((did, 0L))._2.split(" ")
+    val w1 = expect((did, 1L))._2.split(" ")
+    assert(w0.takeRight(16).sameElements(w1.take(16)),
+      s"chunk overlap broken for doc $did")
+  }
 }
