@@ -646,6 +646,21 @@ object ConverterQueries {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy(col("o_month"), col("o_prio_class"))
 
+  /** GOVERNED-TABLE CHANGE FEED — the incremental-consumer face of
+    * the WAP table ([[GovernedTable.changeFeed]]): everything epoch 1
+    * serves that epoch 0 did not, which for the column-evolved orders
+    * table is exactly the 1998+ WAP batch WITH its added column. The
+    * feed reads ONLY the fresh segment (metadata segment-list diff —
+    * the plan never touches e0), and the oracle replays the era
+    * filter over the raw table: a hash match proves the diff is the
+    * new rows, all of them, and nothing else. */
+  val src_gov_changefeed: (SparkSession, String) => DataFrame = (s, d) =>
+    GovernedTable.changeFeed(s, columnEvolvedOrdersDir(s, d), 0L, 1L)
+      .groupBy(col("o_prio_class"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy(col("o_prio_class"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conv_dump_roundtrip" -> conv_dump_roundtrip,
     "conv_scale" -> conv_scale,
@@ -662,6 +677,7 @@ object ConverterQueries {
     "src_partition_evolution" -> src_partition_evolution,
     "src_evolution_compacted" -> src_evolution_compacted,
     "src_column_evolution" -> src_column_evolution,
+    "src_gov_changefeed" -> src_gov_changefeed,
   )
 
   /** The month-filter replay over the raw table — ONE definition for
@@ -694,6 +710,14 @@ object ConverterQueries {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1999-03')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // src_gov_changefeed: the epoch-0 → epoch-1 delta IS the 1998+ WAP
+    // batch — replayed as the era filter over the raw table
+    "src_gov_changefeed" ->
+      """SELECT string_split(o_orderpriority, '-')[1] AS o_prio_class,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "conv_dump_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, r_name

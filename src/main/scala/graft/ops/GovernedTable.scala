@@ -145,6 +145,33 @@ object GovernedTable {
   def readAt(s: SparkSession, dir: String, epoch: Long): DataFrame =
     readUnder(s, dir, openAt(dir, epoch))
 
+  /** CHANGE FEED between two published epochs — the rows `to` serves
+    * that `from` did not, computed as the SEGMENT-LIST diff: segments
+    * are append-only, so the delta is exactly the segments published
+    * after `from`, and the feed reads ONLY those directories — never
+    * the base table (the [[MvStore.changeFeed]] contract on the
+    * governed table; at 100 TB an incremental consumer pays for its
+    * delta, not for history). Rejection epochs ([[ingestBatch]]) add
+    * no segment, so a feed across one is correctly empty. Fails
+    * pointedly across a [[compact]] boundary: compaction rewrites the
+    * segment list, so "new segments" would replay the whole table —
+    * the consumer must re-baseline (same rule Iceberg's incremental
+    * reads apply across rewrites). */
+  def changeFeed(s: SparkSession, dir: String,
+                 fromEpoch: Long, toEpoch: Long): DataFrame = {
+    val from = openAt(dir, fromEpoch)
+    val to = openAt(dir, toEpoch)
+    require(from.segments.forall(to.segments.contains),
+      s"epoch $fromEpoch's segments are not a prefix of epoch $toEpoch's " +
+        "(a compaction rewrote the list between them) — re-baseline the consumer")
+    val fresh = to.segments.filterNot(from.segments.contains)
+    if (fresh.isEmpty)
+      readUnder(s, dir, to).limit(0)
+    else
+      fresh.map(r => s.read.parquet(s"$dir/$r"))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Lease-pinned time travel — the [[graft.ManifestIo.withSnapshot]]
     * handshake every durable store shares: the epoch is spared from a
     * concurrent [[gc]] for the duration of `body`, so materialize

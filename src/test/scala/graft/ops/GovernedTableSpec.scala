@@ -173,6 +173,39 @@ class GovernedTableSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("change feed: segment-diff only, empty across a rejection epoch, re-baseline after compact") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    def noNeg(v: org.apache.spark.sql.DataFrame): Long =
+      v.filter(col("v") < 0).count()
+    GovernedTable.ingestBatch(spark, dir, rows(5 until 8), 0L)(noNeg)   // e1
+    val s = spark
+    import s.implicits._
+    GovernedTable.ingestBatch(spark, dir,
+      Seq((8L, -1L)).toDF("id", "v"), 1L)(noNeg)                        // e2 reject
+    GovernedTable.ingestBatch(spark, dir, rows(9 until 12), 2L)(noNeg)  // e3
+    // the 0→1 delta is batch 0, nothing else
+    assert(GovernedTable.changeFeed(spark, dir, 0L, 1L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (5L until 8L))
+    // a feed across the rejection epoch is EMPTY, not an error
+    assert(GovernedTable.changeFeed(spark, dir, 1L, 2L).count() == 0)
+    // 1→3 spans the rejection: exactly batch 2
+    assert(GovernedTable.changeFeed(spark, dir, 1L, 3L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (9L until 12L))
+    // and the feed never reads the base segments: e0 is not in the plan
+    val plan = GovernedTable.changeFeed(spark, dir, 0L, 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("e0") && plan.contains("e1"),
+      s"change feed scanned history:\n${plan.take(2000)}")
+    // compaction rewrites the segment list: the consumer must re-baseline
+    GovernedTable.compact(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      GovernedTable.changeFeed(spark, dir, 1L, 4L)
+    }
+    assert(e.getMessage.contains("re-baseline"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("retention gc: sweeps unreferenced segments and stale stages, spares the live view") {
     val dir = freshDir()
     GovernedTable.build(rows(0 until 5), dir)
