@@ -207,16 +207,43 @@ object Bench {
     }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) + s""","runs":$runsJson,"solo":$soloJson}"""
     for (p <- Seq(root.resolve("target/bench-latest.json"),
-                  root.resolve("bench-latest.json"))) {
+                  root.resolve("bench-latest.json"),
+                  // the FIXED well-known path the round-13/14 verdicts
+                  // asked for: a harness that cannot tail-parse stdout
+                  // reads the full contract here (noted in the compact
+                  // stdout line below)
+                  root.resolve("bench-contract.json"))) {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, fileLine + "\n")
     }
-    // Re-print the contract JSON as the absolute FINAL stdout line: the
+    // Re-print the contract JSON as the absolute FINAL stdout lines: the
     // solo fork and shutdown hooks can interleave late log traces after
     // the first print, and a driver that tail-parses stdout must find
     // the contract line last (round-13 verdict item 4). The first print
     // stays so a solo-phase crash can never lose the numbers.
     println(line)
+    // The driver's capture is the LAST ~2000 CHARS of combined output
+    // (BENCH_r14.json "tail"): at 245 queries the full line is ~6 KB,
+    // so its START is clipped out of that window and it has NEVER
+    // parsed — "parsed": null every round regardless of trailer
+    // hygiene. The absolute final line is therefore a COMPACT contract
+    // (same shape, same total, the slowest queries that fit in ~1700
+    // chars, a pointer to the full artifact) — short enough that a
+    // complete JSON line survives inside the tail window even with
+    // sbt's "[success] Total time" trailer after it.
+    val budget = 1700
+    val slowest = results.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""load":${ms(loadAtStart)},"cpu_util":${ms(cpuUtil)},""" +
+      s""""n_queries":${results.size},"full":"bench-contract.json","queries":{"""
+    val tailStr = s"""},"sf":"$sfDir"$errJson}"""
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = head.length + tailStr.length
+    slowest.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + ms(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + tailStr)
     System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }

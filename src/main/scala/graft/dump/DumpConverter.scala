@@ -324,8 +324,9 @@ object DumpConverter {
       if (files.nonEmpty && files.forall(isZstdName)) zstdLines(sc, files)
       else sc.textFile(input, minPartitions)
 
-    // Storage level for the two big intermediates (assembled statements
-    // and the routed parsed rows). MEMORY_AND_DISK_SER has a scale
+    // Storage level for the one big intermediate (assembled
+    // statements; the routed rows travel as shuffle files, see the
+    // route phase below). MEMORY_AND_DISK_SER has a scale
     // trap: when a spilled block is read back, BlockManager
     // `maybeCacheDiskBytesInMemory` re-materializes the WHOLE block as
     // one contiguous heap buffer if storage memory shows room — 32
@@ -348,7 +349,7 @@ object DumpConverter {
     val cacheLevel =
       if (bigInput) StorageLevel.DISK_ONLY else StorageLevel.MEMORY_AND_DISK_SER
     if (bigInput)
-      progress(s"[dump] input $inputBytes bytes > heap/4: caching intermediates DISK_ONLY")
+      progress(s"[dump] input $inputBytes bytes > heap/4: caching assembled statements DISK_ONLY")
 
     val segs = lines.mapPartitions(StatementReader.assemblePartition)
       .persist(cacheLevel)
@@ -532,19 +533,32 @@ object DumpConverter {
       val pending =
         if (completed.isEmpty) keyed
         else keyed.filter { case ((t, _), _) => !completedB.value.contains(t) }
+      // NO persist on the routed rows (round-14 verdict item 3: the
+      // measured 13.6 GB floor was disk bandwidth over ~3 passes, one
+      // of them this cache): the per-table writes below read the
+      // routing shuffle's MAP OUTPUT FILES directly — the DAGScheduler
+      // registers the map stage's outputs after the first job and
+      // SKIPS it for every later one, so the parse still runs exactly
+      // once while the rows reach the writers through lz4-compressed
+      // shuffle files instead of a second, UNCOMPRESSED DISK_ONLY
+      // copy. One full write+read of near-input-sized data leaves the
+      // pipeline; crash/eviction recompute semantics are unchanged
+      // (a lost shuffle file re-runs its map task, same as a lost
+      // cache block re-parsed).
       val routed = pending
         .partitionBy(new TablePartitioner(tableIndex, salts))
         .values
-        .persist(cacheLevel)
-      // Materialize the routed rows ONCE under their own phase: the
+      // Materialize ONLY the map side under its own phase: the
       // decade-bench bottleneck question ("is the next wall the
       // parse/shuffle or the parquet encode?") needs [dump-phase] to
-      // SEPARATE parse + routing shuffle + cache ("route") from each
-      // table's cache-read + parquet encode ("write:<table>") — before
-      // this split the first table's write phase bundled all three.
-      // Total work is unchanged (the reduce+persist cost moves here
-      // from the write phases); a resume run routes only pending rows.
-      phase("route")(routed.foreachPartition(_ => ()))
+      // SEPARATE parse + shuffle-write ("route") from each table's
+      // shuffle-read + parquet encode ("write:<table>"). A one-
+      // partition job computes every MAP task (the full parse + salt
+      // shuffle write) but reads back a single reduce partition —
+      // vs the old foreachPartition warm-up, a full pass of the
+      // routed bytes never happens.
+      phase("route")(
+        sc.runJob(routed, (_: Iterator[Row]) => (), Seq(0)))
       // Live progress (reference A14, `main.rs:63-86`): a rows-written
       // ticker fed by task output metrics (throttled to 2 Hz) plus a
       // per-table line as each write commits. Listener events are
@@ -609,13 +623,17 @@ object DumpConverter {
         Result(tableOrder, rowCounts, dropped.value)
       } finally {
         sc.removeSparkListener(ticker)
-        // blocking: back-to-back converts in one JVM (benches, batch
-        // CLIs) must not start run N+1 while run N's gigabytes are
-        // still draining asynchronously — that overlap was half the
-        // measured ×100 OOM
-        routed.unpersist(blocking = true)
+        // the routing shuffle's files are cleaned by ContextCleaner
+        // once `routed` is unreachable — nothing to unpersist here
+        // (the routed-rows CACHE it used to drain is gone, see the
+        // route phase)
       }
-    } finally segs.unpersist(blocking = true)
+    } finally
+      // blocking: back-to-back converts in one JVM (benches, batch
+      // CLIs) must not start run N+1 while run N's gigabytes are
+      // still draining asynchronously — that overlap was half the
+      // measured ×100 OOM
+      segs.unpersist(blocking = true)
   }
 
   /** Join partition i's Tail lines with partition i+1's Head lines and

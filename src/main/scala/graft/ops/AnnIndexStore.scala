@@ -215,6 +215,28 @@ object AnnIndexStore {
     math.max(SimilarityOps.NumCentroids,
       math.min(1 << 20, math.ceil(math.sqrt(math.max(1L, nVectors).toDouble)).toInt))
 
+  /** Target vectors per IVF cell for [[sizedNlist]] — the serve-side
+    * twin of [[TextIndexStore.TargetPostingRowsPerBucket]]: at a fixed
+    * `nprobe`, probe cost ≈ nprobe × (N / nlist) + nlist, so √N sizing
+    * lets the probed-cell volume grow as √N (the round-14 ×100 tier
+    * measured serve at 1.4× on 2× data for exactly this reason). */
+  val TargetCellRows = 256L
+
+  /** Size `nlist` at a TARGET CELL SIZE (nlist ≈ N / [[TargetCellRows]],
+    * √N floor, 2¹⁶ cap): the probed volume nprobe × N/nlist stays
+    * CONSTANT as the corpus grows — flat serve at a fixed nprobe —
+    * while the per-query centroid scan grows linearly in nlist, which
+    * the cap bounds at 65 536 distance evaluations per query (trivial
+    * next to the cell reads; past the cap, cells grow linearly again
+    * and `nprobe` becomes the serving dial). The √N floor keeps tiny
+    * corpora at the classical balance. [[rebalance]] is the grow path
+    * when a corpus outgrows its birth nlist. */
+  def sizedNlist(nVectors: Long): Int = {
+    val bySize = (math.max(1L, nVectors) + TargetCellRows - 1) / TargetCellRows
+    val floor = suggestedNlist(nVectors).toLong
+    math.min(1L << 16, math.max(bySize, floor)).toInt
+  }
+
   /** Build epoch 0: fit (or memo-hit) the coarse quantizer on
     * `corpus`, write the indexed vectors' postings (`index`, default
     * the corpus itself — kept separate so a witness can index only the

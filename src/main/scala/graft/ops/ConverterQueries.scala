@@ -654,6 +654,57 @@ object ConverterQueries {
     * the plan never touches e0), and the oracle replays the era
     * filter over the raw table: a hash match proves the diff is the
     * new rows, all of them, and nothing else. */
+  /** Write-once COLUMN-RENAMED orders table — three eras under the
+    * id-mapping evolution model ([[GovernedTable.enableColumnMapping]]):
+    * era 1 (pre-1996) builds and era 2 (1996–97) WAP-publishes under
+    * the ORIGINAL measure name `o_totalcents`; the mapping flips on,
+    * the column RENAMES to `o_cents` (manifest-only — zero history
+    * rewrite), and era 3 (1998+) arrives already carrying the new
+    * name. Serving resolves every era BY FIELD ID. */
+  private[graft] def renamedOrdersDir(s: SparkSession, d: String): String =
+    layout(s, d, "renamed_orders") { p =>
+      graft.Fs.deleteRecursively(new java.io.File(p))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+          round(col("o_totalprice") * 100).cast("long").as("o_totalcents"))
+      val cut1 = lit("1996-01-01").cast("timestamp")
+      val cut2 = lit("1998-01-01").cast("timestamp")
+      GovernedTable.build(
+        o.filter(col("o_orderdate") < cut1).drop("o_orderdate"), p)
+      val (v1, p1) = GovernedTable.writeAuditPublish(s, p,
+        o.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2)
+          .drop("o_orderdate"))(
+        v => v.filter(col("o_totalcents") < 0).count())
+      require(v1 == 0L && p1.nonEmpty, s"era-2 WAP round refused: $v1 violations")
+      GovernedTable.enableColumnMapping(s, p)
+      GovernedTable.renameColumn(s, p, "o_totalcents", "o_cents")
+      val (v2, p2) = GovernedTable.writeAuditPublish(s, p,
+        o.filter(col("o_orderdate") >= cut2).drop("o_orderdate")
+          .withColumnRenamed("o_totalcents", "o_cents"))(
+        v => v.filter(col("o_cents") < 0).count())
+      require(v2 == 0L && p2.nonEmpty, s"era-3 WAP round refused: $v2 violations")
+      graft.Fs.deleteOnExit(p): Unit
+    }
+
+  /** COLUMN RENAME through id-based column mapping (round-14 verdict
+    * item 4 — evolution beyond add-only): the measure renames between
+    * two WAP eras WITHOUT rewriting a byte of history; old segments'
+    * physical `o_totalcents` bytes serve under the new `o_cents` name
+    * because resolution goes name→id at the manifest and id→physical
+    * per segment (Iceberg's column-mapping model). The witness
+    * aggregates one month from EACH era through the served view under
+    * the FINAL name; the oracle replays the same months over the raw
+    * table — a hash match proves the rename lost and invented nothing
+    * across all three eras. Time travel to a pre-rename epoch serving
+    * the OLD name is spec-pinned (GovernedTableSpec). */
+  val src_column_rename: (SparkSession, String) => DataFrame = (s, d) =>
+    GovernedTable.read(s, renamedOrdersDir(s, d))
+      .filter(col("o_month").isin("1995-03", "1997-03", "1998-03"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("total_cents"))
+      .orderBy(col("o_month"))
+
   val src_gov_changefeed: (SparkSession, String) => DataFrame = (s, d) =>
     GovernedTable.changeFeed(s, columnEvolvedOrdersDir(s, d), 0L, 1L)
       .groupBy(col("o_prio_class"))
@@ -677,6 +728,7 @@ object ConverterQueries {
     "src_partition_evolution" -> src_partition_evolution,
     "src_evolution_compacted" -> src_evolution_compacted,
     "src_column_evolution" -> src_column_evolution,
+    "src_column_rename" -> src_column_rename,
     "src_gov_changefeed" -> src_gov_changefeed,
   )
 
@@ -710,6 +762,16 @@ object ConverterQueries {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1999-03')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // src_column_rename: three eras, mid-stream rename via id mapping —
+    // the oracle replays the SAME months over the raw table under the
+    // final name; a hash match proves the rename is pure metadata
+    "src_column_rename" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1997-03', '1998-03')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // src_gov_changefeed: the epoch-0 → epoch-1 delta IS the 1998+ WAP
     // batch — replayed as the era filter over the raw table
     "src_gov_changefeed" ->

@@ -113,32 +113,55 @@ object SimilarityOps {
         else vecs.filter(
           pmod(xxhash64(col("embedding")), lit(n)) < lit(fitCap))
       val width = math.max(1L, math.min(n, fitCap) >> 18).toInt
-      val feats = capped.select(array_to_vector(col("embedding")).as("features"))
-        .coalesce(width)
+      // width == 1 (every fixture scale): coalesce(1) — single-task
+      // fit, reproducible for a given upstream order. width > 1 (a
+      // capped fit over >512k vectors): the k-means|| init would
+      // otherwise depend on the UPSTREAM partition layout, so pin the
+      // layout from row CONTENT — partition membership by embedding
+      // hash, rows hash-sorted within each partition — making the fit
+      // reproducible across partition layouts (which is what the memo
+      // key, dataset content + files, assumes).
+      val feats =
+        if (width == 1)
+          capped.select(array_to_vector(col("embedding")).as("features"))
+            .coalesce(1)
+        else
+          capped.select(array_to_vector(col("embedding")).as("features"),
+              xxhash64(col("embedding")).as("_h"))
+            .repartition(width, col("_h"))
+            .sortWithinPartitions(col("_h"))
+            .select(col("features"))
       val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
       model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
     })
   }
 
-  /** Nearest-`nprobe` centroid assignment as a NARROW codegen'd map:
-    * the (tiny) centroid set is embedded as plan literals and each
-    * vector ranks it per-row — dist²(v,cᵢ) = |v|² − 2·v·cᵢ + |cᵢ|²,
-    * where v·cᵢ is the native codegen'd [[graft.functions.DotProduct]]
-    * against a literal array and |cᵢ|² folds to a constant. No join, no
-    * shuffle, no window — at 100 TB this is one codegen'd pass over the
-    * candidates. Ties break on cent_id (struct sort: dist, cent_id). */
+  /** Nearest-`nprobe` centroid assignment as a NARROW map through the
+    * native [[graft.functions.NearestCentroids]] expression: the
+    * centroid matrix enters the plan as ONE literal reference (plan
+    * size O(1) in nlist) and each row runs a tight primitive
+    * dist²(v,cᵢ) = |v|² − 2·v·cᵢ + |cᵢ|² loop with an nprobe-sized
+    * insertion selection. No join, no shuffle, no window, no per-row
+    * sort — one codegen'd pass over the candidates at ANY nlist.
+    * (History, both measured at ×100/nlist≈800 over 200k vectors: a
+    * per-centroid struct-literal array made PLAN size ∝ nlist — 632 s
+    * build, multi-second analysis per query; the higher-order
+    * `array_sort(transform(...))` rewrite fixed plan size but
+    * evaluated the sort via InterpretedOrdering per row — bimodal
+    * 30→811 s builds with all workers pinned in compare(). The native
+    * expression removes both failure modes.) Ties break on cent_id:
+    * the matrix is ordered by id, and the expression breaks distance
+    * ties by position. */
   private[graft] def assignNearest(vecs: DataFrame, cents: Seq[(Int, Array[Double])],
                                  vecCol: String, outCol: String, nprobe: Int): DataFrame = {
-    val scored = array(cents.map { case (id, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct(
-        (col("_vn2") - lit(2.0) * dot(col(vecCol), typedLit(c.toSeq)) + lit(c2)).as("dist"),
-        lit(id).as("cent_id"))
-    }: _*)
-    vecs.withColumn("_vn2", normSq(col(vecCol)))
-      .withColumn(outCol,
-        explode(transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cent_id"))))
-      .drop("_vn2")
+    // matrix ordered BY CENTROID ID so the expression's position
+    // tie-break IS the id tie-break the struct-sort form had
+    val ordered = cents.sortBy(_._1)
+    val centsLit = typedLit(ordered.map(_._2.toSeq))
+    val idsLit = typedLit(ordered.map(_._1))
+    val nearest = graft.functions.NearestCentroids.nearestCentroids(
+      col(vecCol), centsLit, lit(nprobe))
+    vecs.withColumn(outCol, explode(transform(nearest, p => get(idsLit, p))))
   }
 
   /** Candidate-side replication factor: each candidate is indexed under

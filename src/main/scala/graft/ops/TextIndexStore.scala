@@ -82,15 +82,50 @@ object TextIndexStore {
     * epochs built under an older fan-out. */
   val NumBuckets = 16
 
-  /** Production sizing: ~√nDocs posting buckets (rounded up to a power
-    * of two, floored at the fixture default) keeps per-bucket posting
-    * volume sublinear in corpus size while a Q-term query still reads
-    * ≤Q buckets — at 10⁹ docs that's ~32k buckets, so a 5-term probe
-    * touches ~0.015% of posting bytes instead of the fixed-fan-out
-    * 5/16 ≈ 31%. */
+  /** ~√nDocs posting buckets (rounded up to a power of two, floored at
+    * the fixture default): the HEURISTIC sizing when only the doc
+    * count is known. Superseded by [[sizedBuckets]] for builds — the
+    * round-14 ×100 ScaleBench tier measured this √N rule superlinear
+    * on the BUILD side (28.3 s = 2.4× on 2× data): √N fan-out over a
+    * modest corpus makes per-bucket parquet files tiny (≈150 KB at
+    * 500k docs / fan-out 1024), and the build's cost picks up a
+    * per-FILE constant (writer open/close, fs metadata, rename) that
+    * grows with fan-out — measured directly in `Bm25BuildProbe`:
+    * stage-write 2.8 s at 128 files vs 7.7 s at 4096 over the SAME
+    * 11.6M posting rows. */
   def suggestedBuckets(nDocs: Long): Int = {
     val root = math.ceil(math.sqrt(math.max(1L, nDocs).toDouble)).toLong
     val pow2 = java.lang.Long.highestOneBit(root * 2 - 1)
+    math.max(NumBuckets.toLong, math.min(pow2, 1L << 20)).toInt
+  }
+
+  /** Pass as [[build]]'s `numBuckets` to size the fan-out from the
+    * corpus's MEASURED posting volume instead of a doc-count
+    * heuristic. */
+  val SizeDerived = 0
+
+  /** Target posting rows per bucket for size-derived fan-out — ≈ a
+    * few MB of parquet per bucket file, safely above the small-file
+    * regime where the per-file constant dominates the build (measured
+    * in `Bm25BuildProbe`, see [[suggestedBuckets]]). */
+  val TargetPostingRowsPerBucket = 65536L
+
+  /** Size the posting fan-out at a TARGET FILE SIZE: one bucket ≈
+    * [[TargetPostingRowsPerBucket]] rows (rounded up to a power of
+    * two, floored at the fixture default, capped at 2²⁰ dirs). File
+    * count then grows LINEARLY with posting volume — constant
+    * per-byte build cost at every tier (the ×100 fix for the √N
+    * rule's measured superlinearity) — while the probe fraction a
+    * Q-term query reads, Q/fan-out, SHRINKS ∝ 1/N, strictly better
+    * than the √N rule's 1/√N. At 10⁹ docs × ~25 postings/doc that is
+    * ~380k buckets of ~64k rows; past the 2²⁰ cap, per-bucket bytes
+    * grow linearly again — at that point one bucket is a healthy
+    * parquet file and [[reshard]] is no longer needed for file-size
+    * reasons. */
+  def sizedBuckets(postingRows: Long): Int = {
+    val want = math.max(1L,
+      (postingRows + TargetPostingRowsPerBucket - 1) / TargetPostingRowsPerBucket)
+    val pow2 = java.lang.Long.highestOneBit(want * 2 - 1)
     math.max(NumBuckets.toLong, math.min(pow2, 1L << 20)).toInt
   }
 
@@ -182,17 +217,28 @@ object TextIndexStore {
 
   // ----------------------------------------------------------- build
 
-  /** (doc_id, tok, tf, dl, bucket) postings of a corpus slice — tf/dl
-    * from one occurrence shuffle, bucket as a narrow hash at the
-    * index's OWN fan-out (build parameter / manifest field, so a delta
-    * against an old epoch always hashes the way that epoch did). */
-  private def postingsOf(docs: DataFrame, fanOut: Int): DataFrame = {
+  /** (doc_id, tok, tf, dl) postings of a corpus slice WITHOUT the
+    * bucket column — tf/dl from one occurrence shuffle. Split out of
+    * [[postingsOf]] so [[build]]'s size-derived path can count the
+    * posting volume FIRST (over the cached base) and pick the fan-out
+    * from it; the bucket hash is a narrow projection added after. */
+  private def postingsBase(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = occ.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     occ.join(dl, "doc_id")
-      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(fanOut.toLong)).cast("int"))
   }
+
+  /** The bucket hash at the index's OWN fan-out (build parameter /
+    * manifest field, so a delta against an old epoch always hashes
+    * the way that epoch did). */
+  private def withBucket(base: DataFrame, fanOut: Int): DataFrame =
+    base.withColumn("bucket",
+      pmod(xxhash64(col("tok")), lit(fanOut.toLong)).cast("int"))
+
+  /** (doc_id, tok, tf, dl, bucket) postings of a corpus slice. */
+  private def postingsOf(docs: DataFrame, fanOut: Int): DataFrame =
+    withBucket(postingsBase(docs), fanOut)
 
   /** Stage posting rows partitioned by bucket, publish each staged
     * bucket via rename into `bK/e<epoch>` — the stage/rename publish
@@ -246,14 +292,19 @@ object TextIndexStore {
     * jobs of the index's life happen here and in [[applyDelta]]'s
     * batch-proportional merges. `numBuckets` is the posting fan-out —
     * PERSISTED in the manifest so every later probe, delta, and delete
-    * hashes under the fan-out this build used (size it with
-    * [[suggestedBuckets]] at scale; the compile-time default only
-    * seeds new builds, never probes). */
+    * hashes under the fan-out this build used. Pass [[SizeDerived]] to
+    * have the build measure its own posting volume (one count over
+    * the cached postings the publish reuses anyway) and size the
+    * fan-out at a target file size via [[sizedBuckets]] — the scale
+    * default; an explicit positive fan-out pins it (fixture specs). */
   def build(docs: DataFrame, dir: String,
             numBuckets: Int = NumBuckets): TextManifest = {
-    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(numBuckets >= 0, s"numBuckets must be ≥ 0, got $numBuckets")
     buildCount.incrementAndGet()
-    val rows = postingsOf(docs, numBuckets).cache()
+    val base = postingsBase(docs).cache()
+    val fanOut =
+      if (numBuckets == SizeDerived) sizedBuckets(base.count()) else numBuckets
+    val rows = withBucket(base, fanOut)
     try {
       val published = publishBuckets(
         rows.select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("bucket")),
@@ -268,10 +319,10 @@ object TextIndexStore {
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head
       val m = TextManifest(0L, scalars.getLong(0), scalars.getLong(1),
         published.map(b => b -> s"b$b/e0").toMap, "stats/e0", Seq("docs/e0"),
-        numBuckets = numBuckets)
+        numBuckets = fanOut)
       commitManifest(dir, m)
       m
-    } finally { rows.unpersist(); () }
+    } finally { base.unpersist(); () }
   }
 
   // ----------------------------------------------------------- serve

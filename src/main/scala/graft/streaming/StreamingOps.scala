@@ -2719,7 +2719,11 @@ object StreamingOps {
         ()
       }
       drainBatchFeed(ss, src, ck) { (batch, id) =>
-        graft.ops.GovernedTable.ingestBatch(batch.sparkSession, tDir, batch, id)(
+        // the no-negative-n_chars invariant is PER-ROW, so the audit
+        // scopes to the staged batch alone (batch-proportional by
+        // construction; GovernedTableSpec pins the inputFiles claim)
+        graft.ops.GovernedTable.ingestBatch(batch.sparkSession, tDir, batch, id,
+          auditStagedOnly = true)(
           v => v.filter(col("n_chars") < 0).count())
         ()
       }

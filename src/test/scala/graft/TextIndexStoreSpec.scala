@@ -385,6 +385,33 @@ class TextIndexStoreSpec extends AnyFunSuite {
     assert(TextIndexStore.suggestedBuckets(1000000000L) == 32768)
   }
 
+  test("size-derived fan-out targets a file size and serves bit-identically") {
+    // the arithmetic: one bucket ≈ TargetPostingRowsPerBucket rows,
+    // pow2-rounded, fixture-floored, capped — file count grows
+    // LINEARLY with posting volume (the ×100 small-file fix), unlike
+    // the √N doc-count rule
+    val t = TextIndexStore.TargetPostingRowsPerBucket
+    assert(TextIndexStore.sizedBuckets(1L) == TextIndexStore.NumBuckets)
+    assert(TextIndexStore.sizedBuckets(t * 100) == 128)
+    assert(TextIndexStore.sizedBuckets(t * 128) == 128)
+    assert(TextIndexStore.sizedBuckets(t * 129) == 256)
+    assert(TextIndexStore.sizedBuckets(Long.MaxValue / 4) == (1 << 20))
+    // a SizeDerived build measures its own posting volume, records the
+    // derived fan-out in the manifest, and serves scores identical to
+    // an explicitly-sized build (fan-out changes layout, never scores)
+    val dir = freshDir("sized")
+    val m = TextIndexStore.build(docs, dir,
+      numBuckets = TextIndexStore.SizeDerived)
+    val nPostings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select("doc_id", "tok").distinct().count()
+    assert(m.numBuckets == TextIndexStore.sizedBuckets(nPostings),
+      s"manifest fan-out ${m.numBuckets} != derived from $nPostings postings")
+    assert(scoreKey(TextIndexStore.bm25Scores(spark, dir, m)) ==
+      scoreKey(TextOps.bm25Scores(docs)),
+      "size-derived build diverged from the corpus pipeline")
+  }
+
   test("retention GC drops old epochs' manifests and unreferenced component dirs") {
     val dir = freshDir("gc")
     // retain=1: after each delta only the newest epoch must survive

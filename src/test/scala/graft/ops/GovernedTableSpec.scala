@@ -206,6 +206,215 @@ class GovernedTableSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("staged-only audit never reads published segments; verdicts match the full view for per-row invariants") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 10), dir)
+    val staged = GovernedTable.stage(rows(10 until 15), dir)
+    val so = GovernedTable.stagedOnly(spark, dir, staged)
+    assert(so.count() == 5)
+    // the batch-proportional claim, pinned at the inputFiles level:
+    // every file in the audit plan lives under the staged dir
+    val files = so.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(staged)),
+      s"staged-only audit read outside the stage: ${files.mkString(",")}")
+    GovernedTable.abort(dir, staged)
+    // and through ingestBatch: staged-only audits produce the same
+    // verdicts as full-view audits when the invariant is per-row
+    def noNeg(v: org.apache.spark.sql.DataFrame): Long =
+      v.filter(col("v") < 0).count()
+    val (v0, m0) = GovernedTable.ingestBatch(spark, dir, rows(10 until 13), 0L,
+      auditStagedOnly = true)(noNeg)
+    assert(v0 == 0L && m0.epoch == 1L)
+    val s = spark
+    import s.implicits._
+    val (v1, m1) = GovernedTable.ingestBatch(spark, dir,
+      Seq((13L, -5L)).toDF("id", "v"), 1L, auditStagedOnly = true)(noNeg)
+    assert(v1 == 1L && m1.segments == m0.segments, "dirty batch must refuse")
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("verdict log is bounded: window caps, high-water mark keeps aged-out replays idempotent") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    def noNeg(v: org.apache.spark.sql.DataFrame): Long =
+      v.filter(col("v") < 0).count()
+    GovernedTable.ingestBatch(spark, dir, rows(5 until 8), 0L)(noNeg)
+    // plant a full verdict window by hand (driving 64 real batches
+    // through the gate would test the same code 64× slower): ids
+    // 0..63 recorded, hwm 63, epoch/segments as live
+    val m = GovernedTable.open(dir)
+    val planted = (0L to 63L).map(i => s""""$i":${if (i == 0) 1 else -(i + 1)}""")
+      .mkString(",")
+    graft.ManifestIo.commit(java.nio.file.Paths.get(dir), m.epoch + 1,
+      s"""{"epoch":${m.epoch + 1},"segments":${
+        m.segments.map(x => s""""$x"""").mkString("[", ",", "]")
+      },"batches":{$planted},"batchHwm":63}""")
+    val full = GovernedTable.open(dir)
+    assert(full.batches.size == 64 && full.batchHwm == 63L)
+    // the next commit caps the window and advances the hwm
+    val (_, m2) = GovernedTable.ingestBatch(spark, dir, rows(8 until 10), 64L)(noNeg)
+    assert(m2.batches.size == GovernedTable.BatchLogWindow,
+      s"window must cap at ${GovernedTable.BatchLogWindow}, got ${m2.batches.size}")
+    assert(m2.batchHwm == 64L)
+    assert(!m2.batches.contains(0L), "oldest id must age out of the window")
+    assert(m2.batches.contains(64L))
+    // a replay of the AGED-OUT id still no-ops (hwm check, not window)
+    val (rv, rm) = GovernedTable.ingestBatch(spark, dir, rows(5 until 8), 0L)(noNeg)
+    assert(rv == 0L && rm == m2, "aged-out replay must no-op on the hwm")
+    // the gap check runs against the hwm
+    val gap = intercept[IllegalArgumentException] {
+      GovernedTable.ingestBatch(spark, dir, rows(10 until 11), 66L)(noNeg)
+    }
+    assert(gap.getMessage.contains("expected batch 65"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("crash-heal witness is content, not cardinality: same-count different rows refuse") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    val s1 = GovernedTable.stage(rows(5 until 8), dir)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, s1),
+      java.nio.file.Paths.get(dir, "e1"))
+    // replay stages the SAME cardinality but different values — the
+    // old row-count witness would silently discard it
+    GovernedTable.stage(rows(5 until 8).withColumn("v", col("v") + 1), dir)
+    val e = intercept[IllegalArgumentException] {
+      GovernedTable.publish(spark, dir, s1)
+    }
+    assert(e.getMessage.contains("non-deterministic replay"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("multi-writer: racing publishers — exactly one CAS wins, the loser restages and lands") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    // two producers stage concurrently against the same live epoch —
+    // disjoint dirs, no collision
+    val sA = GovernedTable.stageAs(rows(5 until 8), dir, "wA")
+    val sB = GovernedTable.stageAs(rows(8 until 12), dir, "wB")
+    assert(sA != sB)
+    assert(GovernedTable.read(spark, dir).count() == 5, "stages invisible")
+    // race the flips on real threads through the commit lock
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(() => GovernedTable.publishCas(spark, dir, sA))
+      val fb = pool.submit(() => GovernedTable.publishCas(spark, dir, sB))
+      val (ra, rb) = (fa.get(), fb.get())
+      assert(ra.isRight != rb.isRight, s"exactly one must win: $ra / $rb")
+      val loser = if (ra.isLeft) sA else sB
+      // the loser's rows are untouched; restage is a rename, re-audit,
+      // retry — and it lands as the NEXT epoch
+      val re = GovernedTable.restage(dir, loser)
+      assert(GovernedTable.stagedView(spark, dir, re)
+        .filter(col("v") < 0).count() == 0L) // the re-audit
+      val m2 = GovernedTable.publishCas(spark, dir, re)
+      assert(m2.isRight && m2.toOption.get.epoch == 2L)
+      assert(GovernedTable.read(spark, dir).count() == 12,
+        "both batches must serve after the retry")
+    } finally pool.shutdown()
+    // a handle staged against a long-gone epoch keeps failing the CAS
+    val old = GovernedTable.stageAs(rows(12 until 13), dir, "wC")
+    GovernedTable.publishCas(spark, dir,
+      GovernedTable.stageAs(rows(13 until 14), dir, "wD")) match {
+      case Right(_) => ()
+      case Left(e) => fail(s"unraced publish must win, got Left($e)")
+    }
+    assert(GovernedTable.publishCas(spark, dir, old).isLeft)
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("gc grace: a CAS loser's writer-suffixed stage survives the sweep inside the retention window") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    GovernedTable.publish(spark, dir, GovernedTable.stage(rows(5 until 8), dir))   // e1
+    val loser = GovernedTable.stageAs(rows(8 until 10), dir, "slow")               // stage-e2-slow
+    GovernedTable.publish(spark, dir, GovernedTable.stage(rows(10 until 12), dir)) // e2 (wins)
+    GovernedTable.publish(spark, dir, GovernedTable.stage(rows(12 until 14), dir)) // e3
+    def names() = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(names().contains(loser))
+    // retain=3: horizon 1 < stage epoch 2 — the in-flight stage is spared
+    GovernedTable.gc(dir, retain = 3)
+    assert(names().contains(loser), "in-flight stage swept inside its grace window")
+    // ...and the loser can still restage + land after the sweep
+    val re = GovernedTable.restage(dir, loser)
+    assert(GovernedTable.publishCas(spark, dir, re).isRight)
+    assert(GovernedTable.read(spark, dir).count() == 14)
+    // an ANCIENT suffixed stage (below the horizon) is a crash leftover
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "stage-e1-dead"))
+    GovernedTable.gc(dir, retain = 2)
+    assert(!names().contains("stage-e1-dead"), "stale suffixed stage must sweep")
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("column mapping: rename/drop/widen are manifest-only; ids read old bytes; time travel serves old names") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    GovernedTable.build(rows(0 until 5), dir)                                 // e0: (id, v)
+    GovernedTable.publish(spark, dir, GovernedTable.stage(rows(5 until 8), dir)) // e1
+    val mEnable = GovernedTable.enableColumnMapping(spark, dir)               // epoch 2
+    assert(mEnable.cols == Seq(0 -> "id", 1 -> "v"))
+    assert(GovernedTable.read(spark, dir).columns.toSeq == Seq("id", "v"),
+      "enabling the mapping must be observationally a no-op")
+    val preRenameEpoch = mEnable.epoch
+    // RENAME: v -> amount. No segment rewritten (same dirs on disk).
+    val dirsBefore = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(f => f.getName -> f.lastModified()).toMap
+    val mRen = GovernedTable.renameColumn(spark, dir, "v", "amount")
+    assert(mRen.cols == Seq(0 -> "id", 1 -> "amount"))
+    val served = GovernedTable.read(spark, dir)
+    assert(served.columns.toSeq == Seq("id", "amount"))
+    assert(served.agg(sum(col("amount"))).head.getLong(0) ==
+      (0 until 8).map(_ * 100L).sum, "renamed column must read the OLD bytes")
+    val dirsAfter = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(dirsAfter == dirsBefore, "rename must rewrite no segment")
+    // time travel BEFORE the rename serves the old name
+    assert(GovernedTable.readAt(spark, dir, preRenameEpoch).columns.toSeq ==
+      Seq("id", "v"))
+    // a post-rename batch writes the NEW name; old segments keep
+    // resolving by id underneath
+    val batch = (8 until 10).map(i => (i.toLong, i * 100L)).toDF("id", "amount")
+    GovernedTable.publish(spark, dir, GovernedTable.stage(batch, dir))
+    assert(GovernedTable.read(spark, dir).agg(sum(col("amount"))).head.getLong(0) ==
+      (0 until 10).map(_ * 100L).sum)
+    // ADD under mapping: a new physical column gets a FRESH id
+    val wide = (10 until 12).map(i => (i.toLong, i * 100L, s"t$i"))
+      .toDF("id", "amount", "tag")
+    val mAdd = GovernedTable.publish(spark, dir, GovernedTable.stage(wide, dir))
+    assert(mAdd.cols.map(_._2) == Seq("id", "amount", "tag"))
+    assert(GovernedTable.read(spark, dir).filter(col("tag").isNotNull).count() == 2)
+    // WIDEN: amount int->decimal served as the wider type everywhere
+    GovernedTable.widenColumn(spark, dir, "amount", "decimal(20,0)")
+    val widened = GovernedTable.read(spark, dir)
+    assert(widened.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(widened.count() == 12)
+    // DROP: tag leaves the served schema, history unrewritten
+    GovernedTable.dropColumn(spark, dir, "tag")
+    assert(GovernedTable.read(spark, dir).columns.toSeq == Seq("id", "amount"))
+    // re-ADD the same name: a NEW id — the dropped bytes stay dropped
+    val reAdd = (12 until 13).map(i => (i.toLong, i * 100L, "fresh"))
+      .toDF("id", "amount", "tag")
+    GovernedTable.publish(spark, dir, GovernedTable.stage(reAdd, dir))
+    val after = GovernedTable.read(spark, dir)
+    assert(after.filter(col("tag").isNotNull).count() == 1,
+      "re-added column must NOT resurrect the dropped column's bytes")
+    // compact makes the mapping physical and keeps serving identical
+    val mC = GovernedTable.compact(spark, dir)
+    assert(mC.colTypes.isEmpty, "compaction must clear the serve-time casts")
+    val compacted = GovernedTable.read(spark, dir)
+    assert(compacted.columns.toSeq == Seq("id", "amount", "tag"))
+    assert(compacted.count() == 13)
+    assert(compacted.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("retention gc: sweeps unreferenced segments and stale stages, spares the live view") {
     val dir = freshDir()
     GovernedTable.build(rows(0 until 5), dir)

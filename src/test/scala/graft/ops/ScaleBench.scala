@@ -191,8 +191,14 @@ object ScaleBench {
 
     // --- text: BM25 build at the suggested fan-out, serve, delta ----
     val textDir = Files.createTempDirectory(s"graft_scale_tis_x$reps").toString
-    val tFan = TextIndexStore.suggestedBuckets(nDocs)
-    q("bm25_build") = time { TextIndexStore.build(docs, textDir, numBuckets = tFan) }._2
+    // size-derived fan-out (target file size) — the round-14 ×100 fix
+    // for the √N rule's measured small-file superlinearity; the build
+    // measures its own posting volume and picks the fan-out
+    q("bm25_build") = time {
+      TextIndexStore.build(docs, textDir, numBuckets = TextIndexStore.SizeDerived)
+    }._2
+    val tFan = TextIndexStore.open(textDir).numBuckets
+    println(s"#SCALE# x$reps bm25 fanOut=$tFan (size-derived)")
     val (bmServed, tBm) = time {
       val served = TextIndexStore.bm25Scores(s, textDir, TextIndexStore.open(textDir))
       val n = served.count()
@@ -234,7 +240,11 @@ object ScaleBench {
 
     // --- ANN: IVF build at the suggested nlist, serve ---------------
     val annDir = Files.createTempDirectory(s"graft_scale_ann_x$reps").toString
-    val nlist = AnnIndexStore.suggestedNlist(nVec)
+    // size-derived nlist (target cell rows): probed-cell volume stays
+    // constant at fixed nprobe as the corpus grows (round-14 item 6);
+    // the build is nlist-robust since the native NearestCentroids
+    // assignment (plan O(1) in nlist, no per-row sort)
+    val nlist = AnnIndexStore.sizedNlist(nVec)
     // production pattern: train the quantizer on a sample, index all
     val trainSample = emb.sample(withReplacement = false, math.min(1.0, 8000.0 / nVec), 42L)
     q("ann_build") = time {
@@ -359,6 +369,28 @@ object ScaleBench {
         .filter(col("cents_v") < 0).count()
     }._2
     q("wap_publish") = time { GovernedTable.publish(s, wapDir, staged) }._2
+    // change feed must read ONLY the fresh segment — a change-
+    // proportional cost, here ~half the table because the published
+    // batch IS half; the flat-at-scale claim is the metadata diff +
+    // pruned read, checked against wap_build's full-scan shape
+    q("wap_changefeed") = time {
+      GovernedTable.changeFeed(s, wapDir, 0L, 1L).count()
+    }._2
+
+    // --- streaming WAP ingest (r14 newcomer): full 3-batch drain ----
+    // through the governed gate — fixed batch count, data grows ×R, so
+    // the drain decomposes as (per-batch stage/audit/flip overhead ×3)
+    // + data-proportional stage writes, the same amortization story as
+    // dlq/decon_ingest_drain above.
+    q("gov_ingest_drain") = time {
+      graft.streaming.StreamingOps.st_gov_ingest(s, dir)
+        .write.mode("overwrite").format("noop").save()
+    }._2
+
+    // --- passage chunking (r14 newcomer): one pass over ×R docs -----
+    q("t_chunk_q") = time {
+      TextOps.t_chunk(s, dir).write.mode("overwrite").format("noop").save()
+    }._2
 
     // --- stream-stream interval join: full drain over R× events -----
     // (round-12 verdict #4) — watermarks bound state to 1 h per side,
