@@ -687,6 +687,55 @@ object ConverterQueries {
       graft.Fs.deleteOnExit(p): Unit
     }
 
+  /** Write-once MULTI-WRITER orders table: two producers stage
+    * DISJOINT thirds of the corpus against the SAME live epoch
+    * ([[GovernedTable.stageAs]] — writer-suffixed stage dirs, no
+    * collision), audit their own batches, and race the flip through
+    * [[GovernedTable.publishCas]]: exactly one CAS wins, the loser
+    * re-audits against the advanced table and lands via
+    * [[GovernedTable.restage]] (a rename — its staged bytes are never
+    * rewritten). The optimistic-commit protocol every Iceberg/Delta
+    * multi-writer deployment runs, end-to-end at the oracle gate. */
+  private[graft] def multiWriterOrdersDir(s: SparkSession, d: String): String =
+    layout(s, d, "multiwriter_orders") { p =>
+      graft.Fs.deleteRecursively(new java.io.File(p))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      GovernedTable.build(o.filter(col("o_orderkey") % 3 === 0), p)
+      val a = GovernedTable.stageAs(o.filter(col("o_orderkey") % 3 === 1), p, "wA")
+      val b = GovernedTable.stageAs(o.filter(col("o_orderkey") % 3 === 2), p, "wB")
+      def audit(staged: String): Long =
+        GovernedTable.stagedOnly(s, p, staged).filter(col("o_cents") < 0).count()
+      require(audit(a) == 0L && audit(b) == 0L, "multi-writer audits must pass")
+      val ra = GovernedTable.publishCas(s, p, a)
+      require(ra.isRight, s"first CAS must win, got $ra")
+      val rb = GovernedTable.publishCas(s, p, b)
+      require(rb.isLeft, s"stale CAS must lose, got $rb")
+      val re = GovernedTable.restage(p, b)
+      require(audit(re) == 0L, "loser must re-audit before retrying")
+      val rb2 = GovernedTable.publishCas(s, p, re)
+      require(rb2.isRight, s"restaged CAS must land, got $rb2")
+      graft.Fs.deleteOnExit(p): Unit
+    }
+
+  /** MULTI-WRITER WAP through optimistic CAS (round-14 verdict item 5
+    * — replacing the documented single-writer discipline with a
+    * mechanism): the served table after a lost-and-retried commit
+    * race must hold EXACTLY the union of the base and both writers'
+    * batches — nothing lost in the loser's restage, nothing doubled
+    * by the winner. The witness aggregates per writer lane
+    * (orderkey mod 3); the oracle replays the same lanes over the
+    * raw table, so a hash match proves the race protocol preserved
+    * every row. The true thread-level race (two concurrent
+    * publishers, exactly one Right) is spec-pinned in
+    * GovernedTableSpec. */
+  val src_multiwriter: (SparkSession, String) => DataFrame = (s, d) =>
+    GovernedTable.read(s, multiWriterOrdersDir(s, d))
+      .groupBy((col("o_orderkey") % 3).as("lane"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("total_cents"))
+      .orderBy(col("lane"))
+
   /** COLUMN RENAME through id-based column mapping (round-14 verdict
     * item 4 — evolution beyond add-only): the measure renames between
     * two WAP eras WITHOUT rewriting a byte of history; old segments'
@@ -729,6 +778,7 @@ object ConverterQueries {
     "src_evolution_compacted" -> src_evolution_compacted,
     "src_column_evolution" -> src_column_evolution,
     "src_column_rename" -> src_column_rename,
+    "src_multiwriter" -> src_multiwriter,
     "src_gov_changefeed" -> src_gov_changefeed,
   )
 
@@ -772,6 +822,13 @@ object ConverterQueries {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1997-03', '1998-03')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // src_multiwriter: after a lost-and-retried CAS race the table is
+    // exactly base ∪ both writers' batches — replayed as the full
+    // table grouped by writer lane
+    "src_multiwriter" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS lane, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // src_gov_changefeed: the epoch-0 → epoch-1 delta IS the 1998+ WAP
     // batch — replayed as the era filter over the raw table
     "src_gov_changefeed" ->

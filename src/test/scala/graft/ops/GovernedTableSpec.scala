@@ -187,8 +187,17 @@ class GovernedTableSpec extends AnyFunSuite {
     // the 0→1 delta is batch 0, nothing else
     assert(GovernedTable.changeFeed(spark, dir, 0L, 1L)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == (5L until 8L))
-    // a feed across the rejection epoch is EMPTY, not an error
-    assert(GovernedTable.changeFeed(spark, dir, 1L, 2L).count() == 0)
+    // a feed across the rejection epoch is EMPTY, not an error — and
+    // the returned PLAN holds no parquet scan at all (the documented
+    // "never touches history" contract covers the empty path too:
+    // the schema resolve reads footers once, the plan is a local
+    // empty relation)
+    val emptyFeed = GovernedTable.changeFeed(spark, dir, 1L, 2L)
+    assert(emptyFeed.count() == 0)
+    assert(emptyFeed.inputFiles.isEmpty,
+      "empty change feed must plan no file scan")
+    assert(!emptyFeed.queryExecution.executedPlan.toString.contains("FileScan"),
+      "empty change feed must not plan a parquet scan over history")
     // 1→3 spans the rejection: exactly batch 2
     assert(GovernedTable.changeFeed(spark, dir, 1L, 3L)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == (9L until 12L))
