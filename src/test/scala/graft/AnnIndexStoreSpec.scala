@@ -334,6 +334,19 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(r.getBoolean(1), "persisted-index recall@5 must be >= 0.9")
   }
 
+  test("nlist sizing: sizedNlist targets constant cell rows with a sqrt floor and a cap") {
+    // tiny corpora keep the classical sqrt balance (the floor)
+    assert(AnnIndexStore.sizedNlist(100L) == AnnIndexStore.suggestedNlist(100L))
+    // past the floor, cells hold ~TargetCellRows — nlist ∝ N, so the
+    // probed volume nprobe × N/nlist is CONSTANT as the corpus grows
+    val t = AnnIndexStore.TargetCellRows
+    assert(AnnIndexStore.sizedNlist(t * 1000) == 1000)
+    assert(AnnIndexStore.sizedNlist(t * 2000) == 2000,
+      "nlist must double when the corpus doubles (constant cell rows)")
+    // the centroid-scan cap: past 2^16 cells, nprobe becomes the dial
+    assert(AnnIndexStore.sizedNlist(Long.MaxValue / 4) == (1 << 16))
+  }
+
   private def deleteDir(d: String): Unit =
     graft.Fs.deleteRecursively(new java.io.File(d))
 }
