@@ -865,6 +865,7 @@ object TextOps {
     "t_bm25" -> t_bm25,
     "t_rerank" -> t_rerank,
     "t_bm25_served" -> t_bm25_served,
+    "t_bm25_sized" -> t_bm25_sized,
     "t_bm25_delta" -> t_bm25_delta,
     "t_bm25_deleted" -> t_bm25_deleted,
     "t_bm25_purged" -> t_bm25_purged,
@@ -1008,6 +1009,40 @@ object TextOps {
       .limit(BmTopK)
       .orderBy(col("doc_id"))
   }
+
+  /** BM25 served from an index whose posting fan-out was SIZE-DERIVED
+    * from the measured posting volume ([[TextIndexStore.SizeDerived]]
+    * — the round-15 production sizing that keeps bucket files at a
+    * target size and the build linear in data): hash-matching the
+    * identical from-scratch oracle proves the fan-out is pure LAYOUT —
+    * scores are bit-identical at whatever bucket count the volume
+    * dictates. At fixture scale the derived fan-out lands on the
+    * floor (16), so this witness proves the DERIVATION path end to
+    * end (posting count → fan-out → manifest → probe); serve
+    * equivalence ACROSS fan-outs is separately spec-pinned by
+    * TextIndexStoreSpec's fan-out sweep, and the ×100 ScaleBench tier
+    * builds at the genuinely different derived value (256). */
+  lazy val t_bm25_sized: Q = (s, d) => {
+    val dir = sizedTextIndexDir(s, d)
+    TextIndexStore.bm25Scores(s, dir, TextIndexStore.open(dir))
+      .orderBy(desc("score_e6"), col("doc_id"))
+      .limit(BmTopK)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Write-once SIZE-DERIVED-fan-out index per (session, fixture) for
+    * [[t_bm25_sized]]. */
+  private[graft] def sizedTextIndexDir(s: org.apache.spark.sql.SparkSession,
+                                       d: String): String =
+    graft.SessionCache.perSession(textIndexDirs, s).getOrElseUpdate("sized:" + d, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_textidxs_" +
+        Tables.layoutTag(d)
+      TextIndexStore.build(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), p,
+        numBuckets = TextIndexStore.SizeDerived)
+      graft.Fs.deleteOnExit(p): Unit
+      p
+    })
 
   /** BM25 served from the INCREMENTALLY-assembled index (build on
     * 12/13 of the corpus, delta-append the rest): hash-matching the
@@ -1283,6 +1318,8 @@ object TextOps {
     // the served index must reproduce the from-scratch computation
     // EXACTLY — same oracle, zero allowance for drift
     "t_bm25_served" -> bm25Oracle,
+    // the size-derived fan-out is pure layout: SAME oracle
+    "t_bm25_sized" -> bm25Oracle,
     // a reshard is observationally a no-op: same from-scratch oracle
     "t_bm25_resharded" -> bm25Oracle,
     // arbitrary-query serving: the same replay with the query terms
