@@ -719,6 +719,50 @@ object ConverterQueries {
       graft.Fs.deleteOnExit(p): Unit
     }
 
+  /** The round-16 lock-coverage witness: a streaming WAP ingest whose
+    * AUDIT window is raced by a concurrent [[GovernedTable.publishCas]]
+    * — the exact interleaving that silently lost the CAS writer's
+    * segment before every manifest commit went through the shared
+    * commit lock. The CAS batch publishes FROM INSIDE the ingest's
+    * first audit pass (deterministic seam — the thread-level race is
+    * spec-pinned); the ingest must detect the advanced epoch under the
+    * lock, RE-STAGE, RE-AUDIT (its first verdict described a table
+    * that no longer exists), and land as the next epoch with the
+    * verdict riding the final flip. */
+  private[graft] def ingestRebaseOrdersDir(s: SparkSession, d: String): String =
+    layout(s, d, "ingest_rebase_orders") { p =>
+      graft.Fs.deleteRecursively(new java.io.File(p))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      GovernedTable.build(o.filter(col("o_orderkey") % 3 === 0), p)
+      val w = GovernedTable.stageAs(o.filter(col("o_orderkey") % 3 === 1), p, "wCas")
+      var audits = 0
+      val (viol, m) = GovernedTable.ingestBatch(s, p,
+        o.filter(col("o_orderkey") % 3 === 2), batchId = 0L) { view =>
+        audits += 1
+        if (audits == 1)
+          require(GovernedTable.publishCas(s, p, w).isRight,
+            "the mid-audit CAS publish must land")
+        view.filter(col("o_cents") < 0).count()
+      }
+      require(viol == 0L && audits == 2 && m.epoch == 2L && m.segments.size == 3,
+        s"optimistic rebase must re-audit and land: audits=$audits manifest=$m")
+      require(m.batches.get(0L).contains(2L),
+        s"the batch verdict must ride the FINAL flip, got ${m.batches}")
+      graft.Fs.deleteOnExit(p): Unit
+    }
+
+  /** Served rows after the contested ingest: exactly base ∪ the CAS
+    * writer's batch ∪ the ingested batch — nothing lost to the race,
+    * nothing doubled by the rebase. Same lane aggregation and oracle
+    * shape as [[src_multiwriter]], different contention mechanism. */
+  val src_ingest_rebase: (SparkSession, String) => DataFrame = (s, d) =>
+    GovernedTable.read(s, ingestRebaseOrdersDir(s, d))
+      .groupBy((col("o_orderkey") % 3).as("lane"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("total_cents"))
+      .orderBy(col("lane"))
+
   /** MULTI-WRITER WAP through optimistic CAS (round-14 verdict item 5
     * — replacing the documented single-writer discipline with a
     * mechanism): the served table after a lost-and-retried commit
@@ -779,6 +823,7 @@ object ConverterQueries {
     "src_column_evolution" -> src_column_evolution,
     "src_column_rename" -> src_column_rename,
     "src_multiwriter" -> src_multiwriter,
+    "src_ingest_rebase" -> src_ingest_rebase,
     "src_gov_changefeed" -> src_gov_changefeed,
   )
 
@@ -826,6 +871,15 @@ object ConverterQueries {
     // exactly base ∪ both writers' batches — replayed as the full
     // table grouped by writer lane
     "src_multiwriter" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS lane, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // src_ingest_rebase: a CAS publish landing INSIDE the ingest's
+    // audit window forces the optimistic rebase — the final table is
+    // still exactly base ∪ CAS batch ∪ ingested batch, replayed as
+    // the full table grouped by lane (same replay as src_multiwriter:
+    // a different contention mechanism must preserve the same rows)
+    "src_ingest_rebase" ->
       """SELECT CAST(o_orderkey % 3 AS BIGINT) AS lane, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

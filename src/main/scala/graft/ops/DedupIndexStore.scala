@@ -158,6 +158,17 @@ object DedupIndexStore {
   private def commitManifest(dir: String, m: DedupManifest): Unit =
     graft.ManifestIo.commit(java.nio.file.Paths.get(dir), m.epoch, renderManifest(m))
 
+  /** Whole-operation commit lock shared by every durable store
+    * ([[graft.ManifestIo.withCommitLock]] — owner token, heartbeat,
+    * verified steal, reentrant through to [[graft.ManifestIo.commit]]):
+    * MUTATORS serialize per index dir, so two racing committers can
+    * no longer stomp each other's same-epoch component dirs — the
+    * loser simply runs second against the winner's state (round-15
+    * verdict item 3: CAS lifted out of the governed table so all five
+    * stores inherit it). Readers never take the lock. */
+  private def locked[A](dir: String)(body: => A): A =
+    graft.ManifestIo.withCommitLock(java.nio.file.Paths.get(dir))(body)
+
   def open(dir: String): DedupManifest = {
     val p = manifestPath(dir)
     require(java.nio.file.Files.exists(p), s"no dedup index at $dir")
@@ -272,7 +283,7 @@ object DedupIndexStore {
     * probes. */
   def build(docs: DataFrame, dir: String,
             numBuckets: Int = NumBuckets,
-            docBuckets: Int = DocBuckets): DedupManifest = {
+            docBuckets: Int = DocBuckets): DedupManifest = locked(dir) {
     require(numBuckets > 0 && docBuckets > 0,
       s"fan-outs must be positive, got ($numBuckets, $docBuckets)")
     buildCount.incrementAndGet()
@@ -380,7 +391,7 @@ object DedupIndexStore {
     * into are read and merged, the registry gains one APPENDED
     * segment, one atomic flip commits, retention GC runs. */
   def applyDelta(s: SparkSession, dir: String, newDocs: DataFrame,
-                 retain: Int = RetainEpochs): DeltaCommit = {
+                 retain: Int = RetainEpochs): DeltaCommit = locked(dir) {
     val m = open(dir)
     val next = m.epoch + 1
     val sh = DedupOps.shingled(newDocs).cache()
@@ -431,7 +442,7 @@ object DedupIndexStore {
     * because the replayed batch is gated out BEFORE the apply. */
   def applyDeltaIdempotent(s: SparkSession, dir: String, newDocs: DataFrame,
                            batchId: Long,
-                           retain: Int = RetainEpochs): DedupManifest = {
+                           retain: Int = RetainEpochs): DedupManifest = locked(dir) {
     val m = open(dir)
     if (m.epoch > batchId) m
     else if (m.epoch < batchId)
@@ -467,7 +478,7 @@ object DedupIndexStore {
     * before), and must shingle to ≥1 shingle (an update-to-empty is a
     * delete). */
   def applyUpdate(s: SparkSession, dir: String, updDocs: DataFrame,
-                  retain: Int = RetainEpochs): UpdateCommit = {
+                  retain: Int = RetainEpochs): UpdateCommit = locked(dir) {
     val m = open(dir)
     val next = m.epoch + 1
     val newSh = DedupOps.shingled(updDocs).cache()
@@ -547,7 +558,7 @@ object DedupIndexStore {
     * (the same delete → compact → insert update lifecycle as the text
     * index). Unknown or already-deleted doc_ids fail loudly. */
   def applyDelete(s: SparkSession, dir: String, delDocs: DataFrame,
-                  retain: Int = RetainEpochs): DeleteCommit = {
+                  retain: Int = RetainEpochs): DeleteCommit = locked(dir) {
     val m = open(dir)
     val next = m.epoch + 1
     val ids = delDocs.select(col("doc_id")).distinct()
@@ -610,7 +621,7 @@ object DedupIndexStore {
     * fan-outs afterwards ([[DedupOps.d_dedup_resharded]] hash-checks
     * the served screen unchanged). */
   def reshard(s: SparkSession, dir: String, newBuckets: Int,
-              newDocBuckets: Int, retain: Int = RetainEpochs): DedupManifest = {
+              newDocBuckets: Int, retain: Int = RetainEpochs): DedupManifest = locked(dir) {
     val m = open(dir)
     require(newBuckets > 0 && newDocBuckets > 0 &&
       (newBuckets != m.numBuckets || newDocBuckets != m.docBuckets),
@@ -655,7 +666,7 @@ object DedupIndexStore {
     * hash-checks it against the same from-scratch DuckDB replay as the
     * other two witnesses). */
   def compact(s: SparkSession, dir: String,
-              retain: Int = RetainEpochs): DedupManifest = {
+              retain: Int = RetainEpochs): DedupManifest = locked(dir) {
     val m = open(dir)
     val next = m.epoch + 1
     val regPaths = registryLeafPaths(dir, m, 0 until m.docBuckets)

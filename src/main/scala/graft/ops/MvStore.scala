@@ -153,6 +153,17 @@ object MvStore {
     MvManifest(epoch, arr("keys"), arr("aggs"), buckets, kinds, types, nb)
   }
 
+  /** Whole-operation commit lock shared by every durable store
+    * ([[graft.ManifestIo.withCommitLock]] — owner token, heartbeat,
+    * verified steal, reentrant through to [[graft.ManifestIo.commit]]):
+    * MUTATORS serialize per index dir, so two racing committers can
+    * no longer stomp each other's same-epoch component dirs — the
+    * loser simply runs second against the winner's state (round-15
+    * verdict item 3: CAS lifted out of the governed table so all five
+    * stores inherit it). Readers never take the lock. */
+  private def locked[A](dir: String)(body: => A): A =
+    graft.ManifestIo.withCommitLock(java.nio.file.Paths.get(dir))(body)
+
   def open(dir: String): MvManifest =
     parseManifest(graft.ManifestIo.manifestPath(java.nio.file.Paths.get(dir)))
 
@@ -197,7 +208,7 @@ object MvStore {
   def build(partials: DataFrame, dir: String,
             keys: Seq[String], aggs: Seq[String],
             kinds: Seq[String] = Nil,
-            numBuckets: Int = NumBuckets): MvManifest = {
+            numBuckets: Int = NumBuckets): MvManifest = locked(dir) {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val base = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(base)
@@ -232,7 +243,7 @@ object MvStore {
     * Work is delta-proportional + the affected buckets' size — never
     * the history. */
   def refresh(s: SparkSession, dir: String, deltaPartials: DataFrame,
-              retain: Int = RetainEpochs): RefreshCommit = {
+              retain: Int = RetainEpochs): RefreshCommit = locked(dir) {
     val base = java.nio.file.Paths.get(dir)
     val m = open(dir)
     val next = m.epoch + 1
@@ -268,7 +279,7 @@ object MvStore {
     * delta — the same epoch-pinning contract as
     * [[graft.ops.AnnIndexStore.applyDeltaIdempotent]]. */
   def refreshIdempotent(s: SparkSession, dir: String, deltaPartials: DataFrame,
-                        batchId: Long, retain: Int = RetainEpochs): Unit = {
+                        batchId: Long, retain: Int = RetainEpochs): Unit = locked(dir) {
     val head = open(dir).epoch
     val want = batchId + 1
     if (head >= want) () // replayed batch: epoch already committed
@@ -289,7 +300,7 @@ object MvStore {
     * [[RelationalQueries.q_mv_resharded]] hash-checks serving
     * unchanged across the re-layout. */
   def reshard(s: SparkSession, dir: String, newBuckets: Int,
-              retain: Int = RetainEpochs): MvManifest = {
+              retain: Int = RetainEpochs): MvManifest = locked(dir) {
     val m = open(dir)
     require(newBuckets > 0 && newBuckets != m.numBuckets,
       s"reshard wants a new positive fan-out, got $newBuckets (view at ${m.numBuckets})")

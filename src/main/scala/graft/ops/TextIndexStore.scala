@@ -196,6 +196,17 @@ object TextIndexStore {
   private def commitManifest(dir: String, m: TextManifest): Unit =
     graft.ManifestIo.commit(java.nio.file.Paths.get(dir), m.epoch, renderManifest(m))
 
+  /** Whole-operation commit lock shared by every durable store
+    * ([[graft.ManifestIo.withCommitLock]] — owner token, heartbeat,
+    * verified steal, reentrant through to [[graft.ManifestIo.commit]]):
+    * MUTATORS serialize per index dir, so two racing committers can
+    * no longer stomp each other's same-epoch component dirs — the
+    * loser simply runs second against the winner's state (round-15
+    * verdict item 3: CAS lifted out of the governed table so all five
+    * stores inherit it). Readers never take the lock. */
+  private def locked[A](dir: String)(body: => A): A =
+    graft.ManifestIo.withCommitLock(java.nio.file.Paths.get(dir))(body)
+
   def open(dir: String): TextManifest = {
     val p = manifestPath(dir)
     require(java.nio.file.Files.exists(p), s"no text index at $dir")
@@ -298,7 +309,7 @@ object TextIndexStore {
     * fan-out at a target file size via [[sizedBuckets]] — the scale
     * default; an explicit positive fan-out pins it (fixture specs). */
   def build(docs: DataFrame, dir: String,
-            numBuckets: Int = NumBuckets): TextManifest = {
+            numBuckets: Int = NumBuckets): TextManifest = locked(dir) {
     require(numBuckets >= 0, s"numBuckets must be ≥ 0, got $numBuckets")
     buildCount.incrementAndGet()
     val base = postingsBase(docs).cache()
@@ -420,7 +431,7 @@ object TextIndexStore {
     * stats rewrite; the doc registry gains one APPENDED segment, the
     * scalars bump, one atomic flip commits, retention GC runs. */
   def applyDelta(s: SparkSession, dir: String, newDocs: DataFrame,
-                 retain: Int = RetainEpochs): DeltaCommit = {
+                 retain: Int = RetainEpochs): DeltaCommit = locked(dir) {
     val m = open(dir)
     val next = m.epoch + 1
     val rows = postingsOf(newDocs, m.numBuckets).cache()
@@ -480,7 +491,7 @@ object TextIndexStore {
     * because the replayed batch is gated out BEFORE the apply. */
   def applyDeltaIdempotent(s: SparkSession, dir: String, newDocs: DataFrame,
                            batchId: Long,
-                           retain: Int = RetainEpochs): TextManifest = {
+                           retain: Int = RetainEpochs): TextManifest = locked(dir) {
     val m = open(dir)
     if (m.epoch > batchId) m
     else if (m.epoch < batchId)
@@ -527,7 +538,7 @@ object TextIndexStore {
     * live would corrupt the scalars). Indexes built before the
     * doc→buckets map fail pointedly; one [[compact]] upgrades them. */
   def applyUpdate(s: SparkSession, dir: String, updDocs: DataFrame,
-                  retain: Int = RetainEpochs): UpdateCommit = {
+                  retain: Int = RetainEpochs): UpdateCommit = locked(dir) {
     val m = open(dir)
     val next = m.epoch + 1
     val rows = postingsOf(updDocs, m.numBuckets).cache()
@@ -636,7 +647,7 @@ object TextIndexStore {
     * compliance pipeline believe data was removed when it never
     * existed under that id. */
   def applyDelete(s: SparkSession, dir: String, delDocs: DataFrame,
-                  retain: Int = RetainEpochs): DeleteCommit = {
+                  retain: Int = RetainEpochs): DeleteCommit = locked(dir) {
     val m = open(dir)
     val next = m.epoch + 1
     val ids = delDocs.select(col("doc_id")).distinct()
@@ -683,7 +694,7 @@ object TextIndexStore {
     * is bit-identical ([[TextOps.t_bm25_resharded]] hash-checks it
     * against the same from-scratch oracle as [[TextOps.t_bm25]]). */
   def reshard(s: SparkSession, dir: String, newBuckets: Int,
-              retain: Int = RetainEpochs): TextManifest = {
+              retain: Int = RetainEpochs): TextManifest = locked(dir) {
     val m = open(dir)
     require(newBuckets > 0 && newBuckets != m.numBuckets,
       s"reshard wants a new positive fan-out, got $newBuckets (index at ${m.numBuckets})")
@@ -718,7 +729,7 @@ object TextIndexStore {
     * Old epochs keep their own manifests, so retained snapshots still
     * time-travel across the purge. */
   def compact(s: SparkSession, dir: String,
-              retain: Int = RetainEpochs): TextManifest = {
+              retain: Int = RetainEpochs): TextManifest = locked(dir) {
     val m = open(dir)
     val next = m.epoch + 1
     val dels =

@@ -334,6 +334,92 @@ class GovernedTableSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("ingestBatch racing publishCas: both land serialized — no lost segment, re-audited rebase") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    // a CAS producer stages against the live epoch BEFORE the ingest
+    val sW = GovernedTable.stageAs(rows(20 until 24), dir, "w1")
+    var audits = 0
+    val (viol, m) = GovernedTable.ingestBatch(spark, dir, rows(5 until 10),
+      batchId = 0L) { view =>
+      audits += 1
+      // the historically lost-update interleaving: a CAS publish lands
+      // WHILE the ingest's audit is still running (pre-round-16, the
+      // ingest's unlocked commit then silently overwrote this epoch)
+      if (audits == 1)
+        assert(GovernedTable.publishCas(spark, dir, sW).isRight)
+      view.filter(col("v") < 0).count()
+    }
+    assert(viol == 0L)
+    assert(audits == 2,
+      "the ingest must re-audit after losing the race — its first verdict " +
+        "described a table that no longer exists")
+    assert(m.epoch == 2L && m.segments.size == 3, s"no lost segment: $m")
+    assert(m.batches.get(0L).contains(2L), "verdict must ride the final flip")
+    assert(GovernedTable.read(spark, dir).count() == 14,
+      "both the CAS batch and the ingested batch must serve")
+    // replay of the same batch id still no-ops after the contested land
+    val (v2, m2) = GovernedTable.ingestBatch(spark, dir, rows(5 until 10),
+      batchId = 0L)(_ => fail("replay must not re-audit"))
+    assert(v2 == 0L && m2.epoch == 2L)
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("compact racing publishCas: the stale rewrite is discarded and compaction retries against the advanced table") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    GovernedTable.publish(spark, dir, GovernedTable.stage(rows(5 until 8), dir)) // e1
+    // plant a competing publish that lands between compact's open and
+    // its flip, via the racing thread pool (compact's rewrite runs
+    // outside the lock, so a real race window exists every run)
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val sW = GovernedTable.stageAs(rows(8 until 12), dir, "rc")
+      val fCas = pool.submit(() => GovernedTable.publishCas(spark, dir, sW))
+      val fCompact = pool.submit(() => GovernedTable.compact(spark, dir))
+      val (cas, compacted) = (fCas.get(), fCompact.get())
+      // whichever order the race resolved, nothing may be lost: the
+      // compacted table serves every row of every batch that landed
+      val served = GovernedTable.read(spark, dir).count()
+      val casLanded = cas.isRight
+      assert(compacted.segments.size == 1, "compact must leave ONE segment")
+      if (casLanded) assert(served == 12, s"CAS batch lost by compaction: $served")
+      else assert(served == 8)
+      // a CAS loser (if the compact flip beat it) still lands afterwards
+      if (!casLanded) {
+        assert(GovernedTable.publishCas(spark, dir,
+          GovernedTable.restage(dir, sW)).isRight)
+        assert(GovernedTable.read(spark, dir).count() == 12)
+      }
+    } finally pool.shutdown()
+    // no orphaned rewrite images survive
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(".compact-"))
+    assert(leftovers.isEmpty, s"orphaned compact image: ${leftovers.mkString(",")}")
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("column mapping rejects an unmappable physical name at STAGE time, pre-mutation") {
+    val dir = freshDir()
+    GovernedTable.build(rows(0 until 5), dir)
+    GovernedTable.enableColumnMapping(spark, dir)
+    val weird = rows(5 until 8).withColumnRenamed("v", "v value") // space: parquet-legal, manifest-illegal
+    val e = intercept[IllegalArgumentException](
+      GovernedTable.stage(weird, dir))
+    assert(e.getMessage.contains("v value") &&
+      e.getMessage.contains("column mapping"))
+    // pre-mutation: nothing staged, nothing renamed, epoch unchanged
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.startsWith("stage-")), "stage dir must not exist")
+    assert(GovernedTable.open(dir).epoch == 1L)
+    // and the same guard covers the multi-writer stage path
+    val e2 = intercept[IllegalArgumentException](
+      GovernedTable.stageAs(weird, dir, "w9"))
+    assert(e2.getMessage.contains("column mapping"))
+    graft.Fs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("gc grace: a CAS loser's writer-suffixed stage survives the sweep inside the retention window") {
     val dir = freshDir()
     GovernedTable.build(rows(0 until 5), dir)

@@ -377,6 +377,55 @@ object ScaleBench {
       GovernedTable.changeFeed(s, wapDir, 0L, 1L).count()
     }._2
 
+    // --- multi-writer CAS publish under contention (r15 newcomer,
+    // r16 verdict item 7): two producers' stages are written OUTSIDE
+    // the clock (stage cost is the batch write, already measured by
+    // wap_stage); the timed section is the CONTENDED flip sequence —
+    // two publishCas racing on real threads through the commit lock,
+    // then the loser's restage (one rename) + re-publish. All three
+    // commits are metadata-only, so this row must stay FLAT across
+    // tiers; growth here would mean the lock is serializing data work.
+    val casA = GovernedTable.stageAs(
+      wapBase.filter(col("l_orderkey") % 1000 === 2).limit(500)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(900000000L)),
+      wapDir, "wA")
+    val casB = GovernedTable.stageAs(
+      wapBase.filter(col("l_orderkey") % 1000 === 3).limit(500)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(910000000L)),
+      wapDir, "wB")
+    q("wap_cas_contention") = time {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(() => GovernedTable.publishCas(s, wapDir, casA))
+        val fb = pool.submit(() => GovernedTable.publishCas(s, wapDir, casB))
+        val (ra, rb) = (fa.get(), fb.get())
+        require(ra.isRight != rb.isRight, s"exactly one CAS must win: $ra / $rb")
+        val loser = if (ra.isLeft) casA else casB
+        val retried = GovernedTable.publishCas(s, wapDir,
+          GovernedTable.restage(wapDir, loser))
+        require(retried.isRight, s"CAS retry must land, got $retried")
+      } finally pool.shutdown()
+    }._2
+
+    // --- column-mapped serve overhead (r16 verdict item 7): the id-
+    // based resolution (per-segment projection + rename indirection)
+    // against the same table's plain union-by-name read at this tier.
+    // The mapping is manifest-only, so the delta must be plan-build
+    // constants, never a data-proportional cost.
+    val (nPlain, tPlain) = time {
+      GovernedTable.read(s, wapDir).agg(count(lit(1))).head.getLong(0)
+    }
+    q("wap_read_plain") = tPlain
+    GovernedTable.enableColumnMapping(s, wapDir)
+    GovernedTable.renameColumn(s, wapDir, "cents_v", "cents_w")
+    val (nMapped, tMapped) = time {
+      GovernedTable.read(s, wapDir)
+        .filter(col("cents_w").isNotNull).agg(count(lit(1))).head.getLong(0)
+    }
+    q("wap_read_mapped") = tMapped
+    require(nPlain == nMapped,
+      s"column-mapped read diverged: plain=$nPlain mapped=$nMapped")
+
     // --- streaming WAP ingest (r14 newcomer): full 3-batch drain ----
     // through the governed gate — fixed batch count, data grows ×R, so
     // the drain decomposes as (per-batch stage/audit/flip overhead ×3)
