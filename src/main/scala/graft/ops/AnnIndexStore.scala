@@ -128,11 +128,67 @@ object AnnIndexStore {
   private def commitManifest(dir: String, m: AnnManifest): Unit =
     graft.ManifestIo.commit(java.nio.file.Paths.get(dir), m.epoch, renderManifest(m))
 
+  /** Whole-operation commit lock shared by every durable store
+    * ([[graft.ManifestIo.withCommitLock]] — owner token, heartbeat,
+    * verified steal, reentrant through to [[graft.ManifestIo.commit]]):
+    * MUTATORS serialize per index dir, so two racing committers can
+    * no longer stomp each other's same-epoch component dirs — the
+    * loser simply runs second against the winner's state (round-15
+    * verdict item 3: CAS lifted out of the governed table so all five
+    * stores inherit it). Readers never take the lock. */
+  private def locked[A](dir: String)(body: => A): A =
+    graft.ManifestIo.withCommitLock(java.nio.file.Paths.get(dir))(body)
+
   /** Current manifest — the live view of the index. */
   def open(dir: String): AnnManifest = {
     val p = manifestPath(dir)
     require(java.nio.file.Files.exists(p), s"no ANN index at $dir")
     parseManifest(p)
+  }
+
+  /** SERVING-SESSION manifest memo (round-15 verdict item 4):
+    * `ServeCostProbe` measured 13–24 ms of manifest JSON parse per
+    * fresh `topK` call, GROWING with nlist — at the 2¹⁶-nlist cap the
+    * pointer carries ~4M doubles (tens of MB) that a per-call [[open]]
+    * re-parses for every query batch. A serving session pays the parse
+    * ONCE per epoch: staleness is probed from the pointer's LEADING
+    * BYTES only ([[graft.ManifestIo.pointerEpoch]] — the epoch is the
+    * first rendered field, so the probe is O(1) in manifest size), and
+    * an epoch flip by a concurrent committer invalidates naturally on
+    * the next call. Keyed weakly per session so a stopped session's
+    * centroids are collectable. */
+  private val openMemo = graft.SessionCache.newCache[AnnManifest]()
+
+  def openCached(s: SparkSession, dir: String): AnnManifest = {
+    val live = graft.ManifestIo.pointerEpoch(java.nio.file.Paths.get(dir))
+      .getOrElse(sys.error(s"no ANN index at $dir"))
+    val per = graft.SessionCache.perSession(openMemo, s)
+    per.get(dir) match {
+      case Some(m) if m.epoch == live => m
+      case _ => val m = open(dir); per.update(dir, m); m
+    }
+  }
+
+  /** The other measured per-call serve constant: rebuilding the
+    * centroid-matrix and id literals (~28 ms of plan build at
+    * nlist≈800, linear in nlist) for every `topK`. The literal
+    * `Column`s are immutable plan fragments — memoize them per
+    * (session, dir, epoch) and every query batch under the same epoch
+    * reuses the folded literal. */
+  private val litMemo =
+    graft.SessionCache.newCache[(Long, (org.apache.spark.sql.Column, org.apache.spark.sql.Column))]()
+
+  private def centroidLits(s: SparkSession, dir: String,
+                           m: AnnManifest): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val per = graft.SessionCache.perSession(litMemo, s)
+    per.get(dir) match {
+      case Some((e, lits)) if e == m.epoch => lits
+      case _ =>
+        val ordered = m.centroids.sortBy(_._1)
+        val lits = (typedLit(ordered.map(_._2.toSeq)), typedLit(ordered.map(_._1)))
+        per.update(dir, (m.epoch, lits))
+        lits
+    }
   }
 
   /** Snapshot manifest: the index AS OF a retained epoch. NOTE the
@@ -248,7 +304,7 @@ object AnnIndexStore {
   def build(corpus: DataFrame, dir: String,
             k: Int = SimilarityOps.NumCentroids,
             index: Option[DataFrame] = None,
-            pq: Boolean = false): AnnManifest = {
+            pq: Boolean = false): AnnManifest = locked(dir) {
     val cents = SimilarityOps.kmeansCentroids(corpus, k)
     val books: Seq[Seq[Array[Double]]] =
       if (pq) SimilarityOps.pqCodebooks(corpus).map(_.map(_._2)) else Seq.empty
@@ -294,7 +350,9 @@ object AnnIndexStore {
     * in-session plan under the same quantizer. */
   def topK(s: SparkSession, dir: String, m: AnnManifest, queries: DataFrame,
            k: Int, nprobe: Int): DataFrame = {
-    val probed = SimilarityOps.assignNearest(queries, m.centroids, "qe", "cent", nprobe)
+    val (centsLit, idsLit) = centroidLits(s, dir, m)
+    val probed = SimilarityOps.assignNearestLits(queries, centsLit, idsLit,
+        "qe", "cent", nprobe)
       .withColumn("qn", sqrt(normSq(col("qe"))))
     // ≤ k centroid ids, driver-side — the probed-cell path list
     val probedCells = probed.select("cent").distinct().collect().map(_.getInt(0)).toSeq
@@ -324,7 +382,9 @@ object AnnIndexStore {
              rerank: Int = SimilarityOps.PqRerank): DataFrame = {
     require(m.codebooks.nonEmpty, s"index at $dir was built without PQ codes")
     import SimilarityOps.{PqSub, PqSubDim}
-    val probed = SimilarityOps.assignNearest(queries, m.centroids, "qe", "cent", nprobe)
+    val (centsLit, idsLit) = centroidLits(s, dir, m)
+    val probed = SimilarityOps.assignNearestLits(queries, centsLit, idsLit,
+        "qe", "cent", nprobe)
       .withColumn("qn", sqrt(normSq(col("qe"))))
     val probedCells = probed.select("cent").distinct().collect().map(_.getInt(0)).toSeq
     val cand = postings(s, dir, m, Some(probedCells))
@@ -380,7 +440,7 @@ object AnnIndexStore {
     * the manifest. One atomic flip commits the epoch; retention GC
     * runs after. */
   def applyDelta(s: SparkSession, dir: String, delta: DataFrame,
-                 retain: Int = RetainEpochs): DeltaCommit = {
+                 retain: Int = RetainEpochs): DeltaCommit = locked(dir) {
     val m = open(dir)
     val cents = m.centroids
     // updates and deletes both evict their before-image's posting;
@@ -438,7 +498,7 @@ object AnnIndexStore {
     */
   def applyDeltaIdempotent(s: SparkSession, dir: String, delta: DataFrame,
                            batchId: Long,
-                           retain: Int = RetainEpochs): AnnManifest = {
+                           retain: Int = RetainEpochs): AnnManifest = locked(dir) {
     val m = open(dir)
     if (m.epoch > batchId) m
     else if (m.epoch < batchId)
@@ -473,7 +533,7 @@ object AnnIndexStore {
     * the re-encode stays the full one-pass narrow assignment. */
   def rebalance(s: SparkSession, dir: String,
                 k: Int = SimilarityOps.NumCentroids,
-                retain: Int = RetainEpochs): AnnManifest = {
+                retain: Int = RetainEpochs): AnnManifest = locked(dir) {
     val m = open(dir)
     val corpus = postings(s, dir, m)
       .groupBy(col("vec_id")).agg(first(col("embedding")).as("embedding"))

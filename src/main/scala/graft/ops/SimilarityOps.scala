@@ -92,8 +92,17 @@ object SimilarityOps {
     * table must never stream through a KMeans fit. */
   private[ops] val KmFitCap = 1L << 20
 
+  /** Flat-fit ceiling: above this k the Lloyd cost n·k·dim — linear in
+    * k with n pinned at [[KmFitCap]] (FitCurveProbe's measured curve,
+    * table in SCALING.md) — outgrows a build budget long before the
+    * `sizedNlist` 2¹⁶ cap, so [[kmeansCentroids]] switches to the
+    * two-level [[hierarchicalCentroids]] fit. Every fixture SF stays
+    * far below this bar (flat fit, bit-identical to round 15). */
+  private[graft] val HierFitK = 4096
+
   def kmeansCentroids(e: DataFrame, k: Int, seed: Long = 42L,
                       maxIter: Int = 20, fitCap: Long = KmFitCap): Seq[(Int, Array[Double])] = {
+    if (k > HierFitK) return hierarchicalCentroids(e, k, seed, maxIter, fitCap)
     val key = (datasetKey(e), k, seed, maxIter, fitCap)
     centroidMemo.computeIfAbsent(key, _ => {
       kmeansTrainCount.incrementAndGet()
@@ -136,6 +145,123 @@ object SimilarityOps {
     })
   }
 
+  /** TWO-LEVEL k-means for large k (the FAISS coarse-quantizer
+    * training shortcut, round-15 verdict watch item: "project the fit
+    * curve to the nlist cap"): the flat Lloyd cost is n·k·dim per
+    * iteration, and at the `sizedNlist` cap (k = 2¹⁶ over the 1M-row
+    * fit sample) FitCurveProbe's measured curve projects it far past
+    * any build budget. Splitting k as k₁·k₂ (k₁ ≈ √k coarse cells,
+    * k₂ sub-centroids per cell) makes the heavy terms n·k₁·dim (the
+    * coarse fit + one assignment pass) plus k₁ INDEPENDENT local
+    * Lloyd fits of ~(n/k₁)·k₂·dim each, run in parallel inside one
+    * shuffle-and-fit pass — total work n·(k₁+k₂)·dim ≈ n·2√k·dim,
+    * a √k-factor saving that turns the cap fit from hours into
+    * seconds. Sub-fits are DETERMINISTIC independent of layout: each
+    * cell's rows are hash-sorted, init takes the first k₂ distinct
+    * rows, and a fixed 10 Lloyd rounds refine locally.
+    *
+    * The two-level codebook quantizes slightly worse than flat
+    * k-means at equal k (cells can only split coarse regions) — the
+    * standard trade every IVF trainer at this scale makes; recall is
+    * witnessed end-to-end by the `s_*` oracle queries and the
+    * ScaleBench nprobe sweep, not assumed. Returns ≤ k centroids
+    * (a coarse cell with fewer sample rows than its quota yields what
+    * it has), ids re-numbered dense 0..m−1 in (cell, local) order. */
+  private[graft] def hierarchicalCentroids(e: DataFrame, k: Int, seed: Long,
+                                         maxIter: Int,
+                                         fitCap: Long): Seq[(Int, Array[Double])] = {
+    val key = (datasetKey(e), k, seed, maxIter, fitCap)
+    // get/putIfAbsent, NOT computeIfAbsent: the coarse level recurses
+    // into kmeansCentroids' memo on the SAME map, and a nested
+    // computeIfAbsent throws "Recursive update" (a duplicate coarse
+    // fit on a cold-cache race is benign — both compute the same
+    // deterministic centroids)
+    val cached = centroidMemo.get(key)
+    if (cached != null) cached
+    else {
+      kmeansTrainCount.incrementAndGet()
+      val k1 = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+      val coarse = kmeansCentroids(e, k1, seed, maxIter, fitCap)
+      val vecs = e.select(col("embedding"))
+      val n = vecs.count()
+      val capped =
+        if (n <= fitCap) vecs
+        else vecs.filter(pmod(xxhash64(col("embedding")), lit(n)) < lit(fitCap))
+      // per-cell sub-centroid quota: k = k2base·k1 + rem, the first
+      // `rem` cells (by id) carry one extra
+      val k2base = k / k1
+      val rem = k % k1
+      val assigned = assignNearest(capped, coarse, "embedding", "cell", 1)
+      val subs: Array[(Int, Int, Array[Double])] = assigned
+        .select(col("cell"), col("embedding").cast("array<double>").as("embedding"))
+        .rdd.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .groupByKey(math.min(k1, 512))
+        .flatMap { case (cell, rows) =>
+          val quota = k2base + (if (cell < rem) 1 else 0)
+          // hash-sort for layout-independent determinism (same rule as
+          // the width>1 flat fit's content-pinned partitions)
+          val data = rows.toArray.sortBy(a => java.util.Arrays.hashCode(a))
+          localLloyd(data, quota, rounds = 10)
+            .zipWithIndex.map { case (c, j) => (cell, j, c) }
+        }.collect()
+      val result = subs.sortBy { case (cell, j, _) => (cell, j) }
+        .zipWithIndex.map { case ((_, _, c), id) => (id, c) }.toSeq
+      val prev = centroidMemo.putIfAbsent(key, result)
+      if (prev != null) prev else result
+    }
+  }
+
+  /** Plain local Lloyd over primitive arrays: deterministic init (the
+    * first `k` DISTINCT rows of the given order), fixed `rounds`
+    * refinement, empty clusters keep their previous center. Runs
+    * inside one task over one coarse cell's sample rows — never sees
+    * the corpus. */
+  private[graft] def localLloyd(data: Array[Array[Double]], k: Int,
+                              rounds: Int): Array[Array[Double]] = {
+    if (data.isEmpty || k <= 0) return Array.empty
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < data.length && init.length < k) {
+      if (seen.add(data(i).toSeq)) init += data(i)
+      i += 1
+    }
+    val cents = init.map(_.clone()).toArray
+    val dim = data(0).length
+    var r = 0
+    while (r < rounds) {
+      val sums = Array.ofDim[Double](cents.length, dim)
+      val counts = new Array[Long](cents.length)
+      var p = 0
+      while (p < data.length) {
+        val v = data(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          val ct = cents(c)
+          while (j < dim) { val t = v(j) - ct(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < cents.length) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    cents
+  }
+
   /** Nearest-`nprobe` centroid assignment as a NARROW map through the
     * native [[graft.functions.NearestCentroids]] expression: the
     * centroid matrix enters the plan as ONE literal reference (plan
@@ -157,8 +283,20 @@ object SimilarityOps {
     // matrix ordered BY CENTROID ID so the expression's position
     // tie-break IS the id tie-break the struct-sort form had
     val ordered = cents.sortBy(_._1)
-    val centsLit = typedLit(ordered.map(_._2.toSeq))
-    val idsLit = typedLit(ordered.map(_._1))
+    assignNearestLits(vecs, typedLit(ordered.map(_._2.toSeq)),
+      typedLit(ordered.map(_._1)), vecCol, outCol, nprobe)
+  }
+
+  /** [[assignNearest]] over PRE-BUILT literal columns — the serve-path
+    * split that lets [[AnnIndexStore]] memoize the centroid matrix per
+    * (session, dir, epoch) instead of re-folding nlist×dim doubles
+    * into a fresh literal on every call (a measured ~28 ms/call plan-
+    * build constant, linear in nlist). */
+  private[graft] def assignNearestLits(vecs: DataFrame,
+                                       centsLit: org.apache.spark.sql.Column,
+                                       idsLit: org.apache.spark.sql.Column,
+                                       vecCol: String, outCol: String,
+                                       nprobe: Int): DataFrame = {
     val nearest = graft.functions.NearestCentroids.nearestCentroids(
       col(vecCol), centsLit, lit(nprobe))
     vecs.withColumn(outCol, explode(transform(nearest, p => get(idsLit, p))))
@@ -975,7 +1113,7 @@ object SimilarityOps {
     val dir = rebalancedIndexDir(s, d)
     recallWitness(
       bruteForceTopK(querySide(e), candSide(e), k = 5),
-      AnnIndexStore.topK(s, dir, AnnIndexStore.open(dir), querySide(e),
+      AnnIndexStore.topK(s, dir, AnnIndexStore.openCached(s, dir), querySide(e),
         k = 5, nprobe = 5))
   }
 
@@ -1012,7 +1150,7 @@ object SimilarityOps {
     val dir = persistedIndexDir(s, d)
     recallWitness(
       bruteForceTopK(querySide(e), candSide(e), k = 5),
-      AnnIndexStore.topK(s, dir, AnnIndexStore.open(dir), querySide(e),
+      AnnIndexStore.topK(s, dir, AnnIndexStore.openCached(s, dir), querySide(e),
         k = 5, nprobe = 5))
   }
 
@@ -1026,7 +1164,7 @@ object SimilarityOps {
     val dir = persistedIndexDir(s, d)
     recallWitness(
       bruteForceTopK(querySide(e), candSide(e), k = 5),
-      AnnIndexStore.topKPq(s, dir, AnnIndexStore.open(dir), querySide(e),
+      AnnIndexStore.topKPq(s, dir, AnnIndexStore.openCached(s, dir), querySide(e),
         k = 5, nprobe = 5))
   }
 
@@ -1161,7 +1299,7 @@ object SimilarityOps {
       TextIndexStore.bm25Scores(s, tDir, TextIndexStore.open(tDir)))
     val q0 = querySide(e).filter(col("qid") === 0)
     val vecServed = AnnIndexStore
-      .topK(s, aDir, AnnIndexStore.open(aDir), q0, k = HybridListK, nprobe = 5)
+      .topK(s, aDir, AnnIndexStore.openCached(s, aDir), q0, k = HybridListK, nprobe = 5)
       .select(col("cid").as("doc_id"), col("rk").as("r_vec"))
     val served = rrfFuse(bmServed, vecServed).select(col("doc_id"))
     overlapWitness(exact, served, Seq("doc_id"), 90, "overlap_ge_90")
@@ -1254,7 +1392,7 @@ object SimilarityOps {
     val e = Tables.embeddings(s, d)
     val dir = persistedIndexDir(s, d)
     val pool = AnnIndexStore
-      .topK(s, dir, AnnIndexStore.open(dir), querySide(e), k = MaxSimPool, nprobe = 5)
+      .topK(s, dir, AnnIndexStore.openCached(s, dir), querySide(e), k = MaxSimPool, nprobe = 5)
       .select(col("qid"), col("cid"), col("rk").as("pool_rk"))
     val served = maxsimRerank(e, pool).select(col("qid"), col("cid"))
     val exact = s_maxsim(s, d).select(col("qid"), col("cid"))

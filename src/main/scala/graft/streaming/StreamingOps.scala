@@ -1940,7 +1940,7 @@ object StreamingOps {
       graft.ops.SimilarityOps.bruteForceTopK(
         graft.ops.SimilarityOps.querySide(e),
         graft.ops.SimilarityOps.candSide(e), k = 5),
-      graft.ops.AnnIndexStore.topK(s, dir, graft.ops.AnnIndexStore.open(dir),
+      graft.ops.AnnIndexStore.topK(s, dir, graft.ops.AnnIndexStore.openCached(s, dir),
         graft.ops.SimilarityOps.querySide(e), k = 5, nprobe = 5))
   }
 

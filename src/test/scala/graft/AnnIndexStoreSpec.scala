@@ -113,6 +113,42 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     } finally deleteDir(dir)
   }
 
+  test("racing committers: two concurrent applyDelta calls serialize, no stomped cells, both land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annspec_").toString
+    try {
+      val m0 = AnnIndexStore.build(e0, dir)
+      val beforeIds = AnnIndexStore.postings(spark, dir, m0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val maxId = beforeIds.max
+      def inserts(off: Long) = e0.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"),
+          lit("insert").as("op"),
+          lit(null).cast(e0.schema("embedding").dataType).as("old_embedding"))
+      val idsA = inserts(maxId + 1).select("vec_id").collect().map(_.getLong(0)).toSet
+      val idsB = inserts(maxId + 100000).select("vec_id").collect().map(_.getLong(0)).toSet
+      // pre-round-16 each committer computed epoch 1 from the same open
+      // and the loser silently overwrote the winner's cell dirs AND
+      // manifest; the shared whole-op commit lock serializes them
+      import java.util.concurrent.Executors
+      val pool = Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(() =>
+          AnnIndexStore.applyDelta(spark, dir, inserts(maxId + 1)))
+        val fb = pool.submit(() =>
+          AnnIndexStore.applyDelta(spark, dir, inserts(maxId + 100000)))
+        val (ca, cb) = (fa.get(), fb.get())
+        assert(Set(ca.manifest.epoch, cb.manifest.epoch) == Set(1L, 2L),
+          s"the two commits must land as consecutive epochs, got $ca / $cb")
+      } finally pool.shutdown()
+      val live = AnnIndexStore.postings(spark, dir, AnnIndexStore.open(dir))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(live == beforeIds ++ idsA ++ idsB,
+        "every posting of BOTH racing deltas (and the base) must serve: " +
+          s"missing=${(beforeIds ++ idsA ++ idsB) -- live}")
+      assert(AnnIndexStore.open(dir).epoch == 2L)
+    } finally deleteDir(dir)
+  }
+
   test("applyDelta delete op: the before-image names the cell, victim postings physically gone") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annspec_").toString
     try {

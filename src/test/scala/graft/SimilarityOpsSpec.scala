@@ -553,4 +553,57 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(row.getLong(0) == 40L, s"exact side must hold 8×5 rows, got ${row.getLong(0)}")
     assert(row.getBoolean(1), "served maxsim top-5 overlap fell below 80%")
   }
+
+  test("localLloyd: deterministic, caps k at distinct rows, reduces distortion over its init") {
+    def v(xs: Double*): Array[Double] = xs.toArray
+    val data = (0 until 400).map { i =>
+      val c = i % 4 // four well-separated blobs with deterministic jitter
+      v(c * 10.0 + (i % 7) * 0.1, c * -10.0 + (i % 5) * 0.1)
+    }.toArray
+    val a = SimilarityOps.localLloyd(data, 4, rounds = 10)
+    val b = SimilarityOps.localLloyd(data.map(_.clone()), 4, rounds = 10)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "must be deterministic")
+    def distortion(cents: Array[Array[Double]]): Double = data.map { p =>
+      cents.map(c => c.zip(p).map { case (x, y) => (x - y) * (x - y) }.sum).min
+    }.sum
+    val init = data.distinct.take(4) // the fit's own init
+    assert(distortion(a) < distortion(init) * 0.9,
+      "10 Lloyd rounds must improve on the raw init")
+    // k beyond the distinct-row count: returns what the data has
+    val tiny = SimilarityOps.localLloyd(Array(v(1, 1), v(1, 1), v(2, 2)), 5, 3)
+    assert(tiny.length == 2)
+    assert(SimilarityOps.localLloyd(Array.empty, 3, 3).isEmpty)
+  }
+
+  test("hierarchicalCentroids above HierFitK: dense ids, <= k centroids, beats the coarse-only codebook") {
+    val s = spark
+    // 16k synthetic vectors in 8 dims, clustered enough to quantize
+    val e = s.range(0, 16384, 1, 8).select(
+      transform(sequence(lit(0), lit(7)),
+        j => round(sin(col("id") % 97 * (j + lit(1.3))) * 50) / 10
+          + sin(col("id") * (j + lit(0.7))) * 0.3)
+        .cast("array<double>").as("embedding"))
+      .localCheckpoint()
+    val k = SimilarityOps.HierFitK + 1000 // force the two-level path
+    val cents = SimilarityOps.kmeansCentroids(e, k, seed = 11L)
+    assert(cents.size <= k, s"must never exceed k, got ${cents.size}")
+    assert(cents.size > k / 2, s"most of the quota should fill, got ${cents.size}")
+    assert(cents.map(_._1) == cents.indices, "ids must be dense 0..m-1")
+    // quality bar: the k1·k2 codebook must quantize strictly better
+    // than its own coarse level alone (the two-level split must add
+    // real resolution, not just re-label the coarse cells)
+    val k1 = math.round(math.sqrt(k.toDouble)).toInt
+    val coarse = SimilarityOps.kmeansCentroids(e, k1, seed = 11L)
+    def distortion(cs: Seq[(Int, Array[Double])]): Double = {
+      val arr = cs.map(_._2).toArray
+      e.collect().map { r =>
+        val p = r.getSeq[Double](0).toArray
+        arr.map(c => c.zip(p).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      }.sum
+    }
+    val dH = distortion(cents)
+    val dC = distortion(coarse)
+    assert(dH < dC * 0.5,
+      f"two-level codebook must beat coarse-only: hier=$dH%.1f coarse=$dC%.1f")
+  }
 }

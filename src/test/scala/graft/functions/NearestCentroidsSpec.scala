@@ -5,11 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The native IVF assignment must agree EXACTLY with the declarative
   * higher-order formulation it replaced — same distances, same
-  * (dist, id) tie-break, same null propagation — at every nlist, in
-  * both interpreted and whole-stage-codegen evaluation. The HOF form
-  * lives on here as the test oracle (it was correct, just
-  * catastrophically slow at large nlist: InterpretedOrdering per row).
-  */
+  * (dist, id) tie-break — at every nlist, in both interpreted and
+  * whole-stage-codegen evaluation. The HOF form lives on here as the
+  * test oracle (it was correct, just catastrophically slow at large
+  * nlist: InterpretedOrdering per row). ONE deliberate divergence:
+  * null vectors / null elements DROP from the index (null array →
+  * explode drops the row) where the HOF form emitted null-distance
+  * rows into arbitrary cells — pinned by its own test below. */
 class NearestCentroidsSpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestSession.spark
 
@@ -82,15 +84,20 @@ class NearestCentroidsSpec extends AnyFunSuite {
     assert(all.map(_._2) == Seq(4, 9))
   }
 
-  test("exact-match vector, null element, and null vector propagate like the HOF form") {
+  test("exact-match vector assigns exactly; null element / null vector DROP (intentional divergence from the HOF oracle)") {
     val s = spark
     import s.implicits._
     val cents = Seq(0 -> vec(1, 4), 1 -> vec(2, 4), 2 -> vec(3, 4))
     // a vector EQUAL to centroid 1: dist 0 (possibly -0.0 by rounding)
     val exact = Seq((0L, cents(1)._2.map(_.toFloat)))
     assert(run(exact, cents, 1, codegen = true).head._2 == 1)
-    // null element and null vector: the assignment row vanishes
-    // (explode of a null array), exactly as the HOF form behaves
+    // null element and null vector: the native expression returns a
+    // NULL array and explode drops the row from the index. The HOF
+    // form it replaced emitted rows with null distances (landing in
+    // arbitrary-but-deterministic cells) — an INTENTIONAL divergence:
+    // a vector with no defined distance has no meaningful cell, and
+    // indexing it under a garbage cell could never serve a correct
+    // neighbor. This test pins the drop semantics on the serve path.
     val withNulls = Seq(
       (0L, Array[java.lang.Float](1.0f, null, 2.0f, 3.0f)),
       (1L, null.asInstanceOf[Array[java.lang.Float]]),

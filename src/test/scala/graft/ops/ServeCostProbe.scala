@@ -37,6 +37,15 @@ object ServeCostProbe {
     time("topk_incl_open", 5) {
       AnnIndexStore.topK(s, annDir, AnnIndexStore.open(annDir), q0, 5, 5).count()
     }
+    // the round-16 memoized serve path: pointer-prefix staleness probe
+    // + per-(session, dir, epoch) manifest/literal reuse
+    time("epoch_probe", 100) {
+      graft.ManifestIo.pointerEpoch(java.nio.file.Paths.get(annDir))
+    }
+    time("open_cached", 20)(AnnIndexStore.openCached(s, annDir))
+    time("topk_incl_open_cached", 5) {
+      AnnIndexStore.topK(s, annDir, AnnIndexStore.openCached(s, annDir), q0, 5, 5).count()
+    }
     graft.Fs.deleteRecursively(new java.io.File(annDir))
     s.stop()
   }
