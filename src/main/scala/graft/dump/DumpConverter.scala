@@ -326,8 +326,16 @@ object DumpConverter {
 
     // Storage level for the one big intermediate (assembled
     // statements; the routed rows travel as shuffle files, see the
-    // route phase below). MEMORY_AND_DISK_SER has a scale
-    // trap: when a spilled block is read back, BlockManager
+    // route phase below). The statements are cached as LZ4-PACKED
+    // blocks ([[packSegs]]): `spark.rdd.compress` is a static conf the
+    // library cannot set on a caller's live session, and an
+    // uncompressed statements cache writes-then-reads near-input-sized
+    // text TWICE (the round-15 verdict's "last extra pass" — the same
+    // lever that bought 2.9× when the routed-rows cache moved to lz4
+    // shuffle files). SQL text packs ~4-6× and LZ4 runs at GB/s, so
+    // the cache traffic drops by that factor for two decode passes
+    // that were already CPU-cheap. MEMORY_AND_DISK_SER additionally
+    // has a scale trap: when a spilled block is read back, BlockManager
     // `maybeCacheDiskBytesInMemory` re-materializes the WHOLE block as
     // one contiguous heap buffer if storage memory shows room — 32
     // concurrent tasks doing that over near-input-sized cached data
@@ -336,7 +344,9 @@ object DumpConverter {
     // therefore go DISK_ONLY: its read path never re-promotes into
     // memory, the re-read is sequential local disk, and the cost is
     // predictable instead of load-dependent. (On a real cluster the
-    // same rule applies per executor; 100 TB never caches in memory.)
+    // same rule applies per executor; 100 TB never caches in memory.
+    // The heap/4 bar is on RAW input bytes — conservative by the pack
+    // ratio.)
     val inputBytes: Long =
       try {
         val hc = sc.hadoopConfiguration
@@ -351,16 +361,17 @@ object DumpConverter {
     if (bigInput)
       progress(s"[dump] input $inputBytes bytes > heap/4: caching assembled statements DISK_ONLY")
 
-    val segs = lines.mapPartitions(StatementReader.assemblePartition)
+    val segs = lines.mapPartitions(it =>
+        packSegs(StatementReader.assemblePartition(it)))
       .persist(cacheLevel)
     try {
       // One driver-side collect for ALL tiny metadata: partition-boundary
       // fragments (healed below) and CREATE TABLE statements with their
       // positions. Both are O(#partitions + #tables), never O(rows).
       val small: Array[(Int, Either[StatementReader.Seg, (Pos, String)])] =
-        phase("assemble")(segs.mapPartitionsWithIndex { (pid, it) =>
+        phase("assemble")(segs.mapPartitionsWithIndex { (pid, packed) =>
           var seq = -1L
-          it.flatMap {
+          unpackSegs(packed).flatMap {
             case h: StatementReader.Head => Iterator((pid, Left(h: StatementReader.Seg)))
             case t: StatementReader.Tail => Iterator((pid, Left(t: StatementReader.Seg)))
             case StatementReader.Stmt(s) =>
@@ -416,9 +427,9 @@ object DumpConverter {
         if (quarantine) (tableOrder :+ QuarantineTable).zipWithIndex.toMap
         else tableOrder.zipWithIndex.toMap
 
-      val body: RDD[(Pos, String)] = segs.mapPartitionsWithIndex { (pid, it) =>
+      val body: RDD[(Pos, String)] = segs.mapPartitionsWithIndex { (pid, packed) =>
         var seq = -1L
-        it.collect { case StatementReader.Stmt(s) =>
+        unpackSegs(packed).collect { case StatementReader.Stmt(s) =>
           seq += 1
           ((2L * pid + 1, seq): Pos, s)
         }
@@ -635,6 +646,75 @@ object DumpConverter {
       // measured ×100 OOM
       segs.unpersist(blocking = true)
   }
+
+  /** Raw statement bytes per packed block: large enough that LZ4's
+    * per-block overhead vanishes, small enough that a task never holds
+    * more than ~2 blocks of raw text (32 tasks × 4 MB ≪ heap). */
+  private val PackBlockBytes = 4 << 20
+
+  /** LZ4-pack an assembled-statement stream into ~[[PackBlockBytes]]
+    * blocks. The statements cache is the converter's one big
+    * intermediate — packing it trades GB/s-cheap LZ4 CPU for a ~4-6×
+    * cut of the cache's disk write + two reads (the remaining
+    * near-input-sized pass the round-15 verdict flagged;
+    * `spark.rdd.compress` would do the same but is a static conf this
+    * library cannot set on a caller's session). Encoding per Seg: one
+    * tag byte (0=Head, 1=Stmt, 2=Tail), then length-prefixed UTF-8 —
+    * `writeUTF` is NOT used (64 KB cap; extended INSERTs run to MBs).
+    * Head/Tail carry a line count then per-line payloads. */
+  private[dump] def packSegs(it: Iterator[StatementReader.Seg]): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream(PackBlockBytes / 4)
+        val out = new java.io.DataOutputStream(
+          new net.jpountz.lz4.LZ4BlockOutputStream(bos, 1 << 16))
+        var raw = 0
+        def str(s: String): Unit = {
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.writeInt(b.length); out.write(b); raw += b.length + 4
+        }
+        while (it.hasNext && raw < PackBlockBytes) {
+          it.next() match {
+            case StatementReader.Head(ls) =>
+              out.writeByte(0); out.writeInt(ls.size); ls.foreach(str)
+            case StatementReader.Stmt(s) => out.writeByte(1); str(s)
+            case StatementReader.Tail(ls) =>
+              out.writeByte(2); out.writeInt(ls.size); ls.foreach(str)
+          }
+          raw += 1
+        }
+        out.close()
+        bos.toByteArray
+      }
+    }
+
+  /** Streaming inverse of [[packSegs]] — blocks decode lazily, one Seg
+    * at a time, so neither decode pass materializes a partition. */
+  private[dump] def unpackSegs(blocks: Iterator[Array[Byte]]): Iterator[StatementReader.Seg] =
+    blocks.flatMap { bytes =>
+      val in = new java.io.DataInputStream(
+        new net.jpountz.lz4.LZ4BlockInputStream(new java.io.ByteArrayInputStream(bytes)))
+      def str(): String = {
+        val b = new Array[Byte](in.readInt()); in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      new Iterator[StatementReader.Seg] {
+        private var nextTag = in.read() // -1 at EOF
+        def hasNext: Boolean = nextTag >= 0
+        def next(): StatementReader.Seg = {
+          val seg = nextTag match {
+            case 0 => StatementReader.Head(Vector.fill(in.readInt())(str()))
+            case 1 => StatementReader.Stmt(str())
+            case 2 => StatementReader.Tail(Vector.fill(in.readInt())(str()))
+            case t => sys.error(s"corrupt packed statement block: tag $t")
+          }
+          nextTag = in.read()
+          if (nextTag < 0) in.close()
+          seg
+        }
+      }
+    }
 
   /** Join partition i's Tail lines with partition i+1's Head lines and
     * re-run the statement assembler over the concatenation. Statements

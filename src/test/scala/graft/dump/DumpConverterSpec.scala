@@ -587,4 +587,21 @@ class DumpConverterSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.SparkException](
       DumpConverter.convert(spark, s"$in/dump.sql", tmpDir("dump-typed-plain")))
   }
+
+  test("packSegs/unpackSegs: LZ4 statement blocks round-trip exactly, stream in order, and actually compress") {
+    val segs: Seq[StatementReader.Seg] =
+      Seq(StatementReader.Head(Vector("CREATE TABLE `t` (", "  `a` int"))) ++
+        (0 until 5000).map(i => StatementReader.Stmt(
+          s"INSERT INTO `t` VALUES ($i,'v$i','${"x" * 200}');")) ++
+        Seq(StatementReader.Stmt("INSERT INTO `t` VALUES (9,'π — ünïcode ☃');"),
+          StatementReader.Stmt("big:" + "y" * (80 * 1024)), // past writeUTF's 64 KB cap
+          StatementReader.Tail(Vector("INSERT INTO `t` VAL")))
+    val blocks = DumpConverter.packSegs(segs.iterator).toVector
+    assert(blocks.nonEmpty)
+    val packed = blocks.map(_.length.toLong).sum
+    val raw = segs.collect { case StatementReader.Stmt(s) => s.length.toLong }.sum
+    assert(packed < raw / 3, s"expected ≥3x pack ratio, got $raw -> $packed")
+    val back = DumpConverter.unpackSegs(blocks.iterator).toSeq
+    assert(back == segs, "packed statement stream must round-trip in order")
+  }
 }
