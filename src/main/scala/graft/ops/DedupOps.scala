@@ -67,7 +67,7 @@ object DedupOps {
   /** Exact Jaccard over candidate pairs given per-doc shingle arrays:
     * |A ∩ B| / |A ∪ B| computed from array_intersect on the joined
     * arrays. `pairs` must have (doc_a, doc_b). */
-  private def exactJaccard(pairs: DataFrame, arrays: DataFrame): DataFrame = {
+  private[ops] def exactJaccard(pairs: DataFrame, arrays: DataFrame): DataFrame = {
     val a = arrays.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = arrays.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     pairs.join(a, "doc_a").join(b, "doc_b")
@@ -586,12 +586,22 @@ object DedupOps {
     * convergence claim DIRECTLY (a 64-chain, diameter 63, must close
     * in ~log₂ rounds, where label propagation needs 63). */
   private[ops] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    // every vertex that appears in ≥1 pair (output coverage contract)
-    val vertices = pairs.select(col("doc_a").as("v"))
-      .unionByName(pairs.select(col("doc_b").as("v")))
-      .distinct().localCheckpoint()
+    // Materialize the pair graph ONCE before deriving anything from it:
+    // vertices and the initial edge orientation both consume `pairs`,
+    // and for every registered caller `pairs` is the WHOLE upstream
+    // candidates→verify pipeline — without this checkpoint that
+    // pipeline ran twice before the first star round even started
+    // (measured at sf0.1: CC wall-clock was ~2× the verify stage for a
+    // 1-round graph; guide §2.4 / §5 — cut the shared subtree, the pair
+    // graph is verified-duplicates-sized, far smaller than the corpus).
+    val base = pairs.localCheckpoint()
+    // every vertex that appears in ≥1 pair (output coverage contract) —
+    // lineage is one hop off `base`, no checkpoint of its own needed
+    val vertices = base.select(col("doc_a").as("v"))
+      .unionByName(base.select(col("doc_b").as("v")))
+      .distinct()
     // canonical child→parent orientation (u > p), self-loops dropped
-    var edges = pairs.filter(col("doc_a") =!= col("doc_b"))
+    var edges = base.filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("p"))
       .distinct().localCheckpoint()

@@ -120,17 +120,24 @@ object RelationalQueries {
       .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
         count_distinct(col("l_partkey")).as("exact_m"))
       .withColumn("est_m", hll_sketch_estimate(col("sk")))
-    val monthlyOk = monthly.agg(
+    // ONE global aggregate carries all three monthly reductions (month
+    // count, per-month ok flag, sketch union): the previous shape split
+    // them over two .agg() consumers of `monthly`, and the two physical
+    // aggregation trees differ (count_distinct expands one of them), so
+    // nothing was reusable — lineitem was scanned and the per-month HLL
+    // aggregation computed TWICE (guide §2.4: don't compute things
+    // twice that one pass can carry). Output columns and values are
+    // byte-identical; the DuckDB oracle hash pins it.
+    val combined = monthly.agg(
       count(lit(1)).as("n_months"),
       min(when(abs(col("est_m") - col("exact_m")) * lit(100) <= col("exact_m") * lit(5), 1L)
-        .otherwise(0L)).as("all_ok"))
-      .select(col("n_months"), (col("all_ok") === 1L).as("monthly_ok"))
-    val merged = monthly.agg(
+        .otherwise(0L)).as("all_ok"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"))
     val exactTotal = li.select(col("l_partkey")).distinct()
       .agg(count(lit(1)).as("exact_total"))
-    monthlyOk.crossJoin(merged).crossJoin(exactTotal)
-      .select(col("n_months"), col("exact_total"), col("monthly_ok"),
+    combined.crossJoin(exactTotal)
+      .select(col("n_months"), col("exact_total"),
+        (col("all_ok") === 1L).as("monthly_ok"),
         (abs(col("est_total") - col("exact_total")) * lit(100)
           <= col("exact_total") * lit(5)).as("merged_ok"))
   }
@@ -162,25 +169,63 @@ object RelationalQueries {
     * 1 %·exact flags at p50/p90/p99. A hash match proves the t-digest
     * ran inside its error band; the exact companion exists only to
     * measure it. */
-  val q_approx_percentile: Q = (s, d) =>
-    lineitem(s, d)
+  val q_approx_percentile: Q = (s, d) => {
+    val li = lineitem(s, d)
       .withColumn("price_cents", round(col("l_extendedprice") * 100).cast("long"))
-      .agg(
-        count(lit(1)).as("n"),
-        // ONE t-digest and ONE exact buffer each serving all three
-        // quantiles — three separate percentile calls each build (and
-        // merge) their own 600k-entry state, 3× the work for nothing
-        percentile_approx(col("price_cents"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
-        percentile(col("price_cents"),
-          array(lit(0.5), lit(0.9), lit(0.99))).as("e"))
+    val pcts = Seq(0.5, 0.9, 0.99)
+    // ONE t-digest serving all three quantiles (three separate calls
+    // each build and merge their own state, 3× the work for nothing)
+    val ap = li.agg(
+      count(lit(1)).as("n"),
+      percentile_approx(col("price_cents"),
+        array(pcts.map(lit): _*), lit(10000)).as("ap"))
+    // EXACT side, distributed: the global `percentile` aggregate
+    // collects EVERY value into one buffer and merges + sorts it in a
+    // single final task — the one genuinely non-scaling operator this
+    // witness had (measured sf0.1: ~3.5 s of the query's ~4 s; at
+    // 100 TB it is an executor OOM). Equivalent plan from codegen'd
+    // primitives (guide §1.2.1, change the algorithm before the
+    // config): value histogram (map-side-combinable groupBy) →
+    // cumulative counts (one ordered window over DISTINCT values,
+    // 583k rows at sf0.1, not 600k raw — and histogram-sized, never
+    // corpus-sized, at any scale) → rank straddle per percentile.
+    // Interpolation replicates Percentile.getPercentile term order
+    // exactly — (higher−pos)·lowerVal + (pos−lower)·higherVal, with
+    // both equal-key short-circuits — so the result is bit-identical
+    // to the aggregate it replaces (probe-checked at sf0.1; the
+    // `percentile` aggregate itself stays exercised by q_percentiles /
+    // q_window_quartiles per group, where per-group buffers are the
+    // right shape).
+    val hist = li.groupBy(col("price_cents")).agg(count(lit(1)).as("freq"))
+    val tot = hist.agg(sum(col("freq")).as("nn"))
+    val cum = hist.withColumn("cum",
+      sum(col("freq")).over(Window.orderBy(col("price_cents"))))
+    val sels = pcts.zipWithIndex.flatMap { case (p, i) =>
+      val pos = (col("nn") - 1).cast("double") * lit(p)
+      Seq(min(when(col("cum") >= floor(pos) + 1, col("price_cents")))
+            .as(s"lo_$i"),
+          min(when(col("cum") >= ceil(pos) + 1, col("price_cents")))
+            .as(s"hi_$i"))
+    }
+    val ex = cum.crossJoin(broadcast(tot))
+      .agg(first(col("nn")).as("nn"), sels: _*)
+    val es = pcts.zipWithIndex.map { case (p, i) =>
+      val pos = (col("nn") - 1).cast("double") * lit(p)
+      val lo = col(s"lo_$i").cast("double")
+      val hi = col(s"hi_$i").cast("double")
+      when(floor(pos) === ceil(pos) || lo === hi, lo)
+        .otherwise((ceil(pos) - pos) * lo + (pos - floor(pos)) * hi)
+        .as(s"e_$i")
+    }
+    ap.crossJoin(ex.select(es: _*))
       .select(col("n"),
-        (abs(element_at(col("ap"), 1) - element_at(col("e"), 1))
-          <= lit(0.01) * element_at(col("e"), 1)).as("p50_within_1pct"),
-        (abs(element_at(col("ap"), 2) - element_at(col("e"), 2))
-          <= lit(0.01) * element_at(col("e"), 2)).as("p90_within_1pct"),
-        (abs(element_at(col("ap"), 3) - element_at(col("e"), 3))
-          <= lit(0.01) * element_at(col("e"), 3)).as("p99_within_1pct"))
+        (abs(element_at(col("ap"), 1) - col("e_0"))
+          <= lit(0.01) * col("e_0")).as("p50_within_1pct"),
+        (abs(element_at(col("ap"), 2) - col("e_1"))
+          <= lit(0.01) * col("e_1")).as("p90_within_1pct"),
+        (abs(element_at(col("ap"), 3) - col("e_2"))
+          <= lit(0.01) * col("e_2")).as("p99_within_1pct"))
+  }
 
   /** Pivot (long → wide): per-status counts spread over the five
     * priority classes. The value list is EXPLICIT, so the plan is a

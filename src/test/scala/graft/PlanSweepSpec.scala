@@ -30,6 +30,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "t_keyword_topk",   // same 1-row n_docs cross as t_idf_score
     "conv_scale",       // 1-row result-shaping aggregate
     "q_approx_distinct",// bound witness: exact × approx 1-row aggregates
+    "q_approx_percentile", // bound witness: 1-row digest × exact-rank aggregates crossed (r16 distributed-exact rewrite)
     "q_hll_rollup",     // bound witness: 1-row sketch/exact aggregates crossed
     "d_dedup_simhash",  // bound witness
     "s_ann_ivf",        // bound witness
