@@ -212,7 +212,16 @@ object Bench {
                   // asked for: a harness that cannot tail-parse stdout
                   // reads the full contract here (noted in the compact
                   // stdout line below)
-                  root.resolve("bench-contract.json"))) {
+                  root.resolve("bench-contract.json"),
+                  // per-core-count artifact (round-16 verdict item 2):
+                  // the driver runs the bench TWICE (32 then 8 cores)
+                  // and the second run overwrote the paths above,
+                  // losing the 32-core full per-query map every round
+                  // — PERF_r16 ended up with n_common = 0. A
+                  // cpus-suffixed copy survives the scaling run, so
+                  // round-over-round comparisons read the matching
+                  // core count's full map.
+                  root.resolve(s"bench-contract-c$cpus.json"))) {
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, fileLine + "\n")
     }

@@ -116,24 +116,38 @@ object RelationalQueries {
   val q_hll_rollup: Q = (s, d) => {
     val li = lineitem(s, d)
       .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
-    val monthly = li.groupBy(col("m"))
-      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
-        count_distinct(col("l_partkey")).as("exact_m"))
-      .withColumn("est_m", hll_sketch_estimate(col("sk")))
-    // ONE global aggregate carries all three monthly reductions (month
-    // count, per-month ok flag, sketch union): the previous shape split
-    // them over two .agg() consumers of `monthly`, and the two physical
-    // aggregation trees differ (count_distinct expands one of them), so
-    // nothing was reusable — lineitem was scanned and the per-month HLL
-    // aggregation computed TWICE (guide §2.4: don't compute things
-    // twice that one pass can carry). Output columns and values are
+    // ONE lineitem scan: the distinct (month, partkey) PAIR SET is a
+    // sufficient statistic for everything this witness emits. An HLL
+    // register state depends only on the SET of inserted values
+    // (duplicate inserts re-hit the same bucket with the same rho, and
+    // the register keeps the max), so sketching the deduplicated pairs
+    // yields bit-identical estimates to sketching the raw stream;
+    // exact_m is a plain count over the pairs; exact_total is the
+    // distinct partkey count of the same pair set. The previous shape
+    // (a) computed count_distinct INSIDE the monthly agg, whose Expand
+    // doubled the rows feeding the sketch ObjectHashAggregate — which
+    // falls back to sort-based past 128 groups
+    // (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`) —
+    // and (b) re-scanned lineitem for the exact total (guide §2.3/§2.4:
+    // shuffle fewer bytes, don't compute twice what one pass carries).
+    // The pair set is consumed by BOTH the monthly rollup and the
+    // exact-total distinct, so it is localCheckpoint'd once (same
+    // shared-subtree cut as the dedup CC pipeline). At 100 TB the pair
+    // set is months × |parts| — bounded by the key domain, never by
+    // fact-table row count. Output columns and values are
     // byte-identical; the DuckDB oracle hash pins it.
+    val pairs = li.select(col("m"), col("l_partkey")).distinct()
+      .localCheckpoint()
+    val monthly = pairs.groupBy(col("m"))
+      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
+        count(lit(1)).as("exact_m"))
+      .withColumn("est_m", hll_sketch_estimate(col("sk")))
     val combined = monthly.agg(
       count(lit(1)).as("n_months"),
       min(when(abs(col("est_m") - col("exact_m")) * lit(100) <= col("exact_m") * lit(5), 1L)
         .otherwise(0L)).as("all_ok"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"))
-    val exactTotal = li.select(col("l_partkey")).distinct()
+    val exactTotal = pairs.select(col("l_partkey")).distinct()
       .agg(count(lit(1)).as("exact_total"))
     combined.crossJoin(exactTotal)
       .select(col("n_months"), col("exact_total"),
@@ -186,9 +200,9 @@ object RelationalQueries {
     // 100 TB it is an executor OOM). Equivalent plan from codegen'd
     // primitives (guide §1.2.1, change the algorithm before the
     // config): value histogram (map-side-combinable groupBy) →
-    // cumulative counts (one ordered window over DISTINCT values,
-    // 583k rows at sf0.1, not 600k raw — and histogram-sized, never
-    // corpus-sized, at any scale) → rank straddle per percentile.
+    // cumulative counts over DISTINCT values (583k rows at sf0.1, not
+    // 600k raw — and histogram-sized, never corpus-sized, at any
+    // scale) → rank straddle per percentile.
     // Interpolation replicates Percentile.getPercentile term order
     // exactly — (higher−pos)·lowerVal + (pos−lower)·higherVal, with
     // both equal-key short-circuits — so the result is bit-identical
@@ -196,10 +210,47 @@ object RelationalQueries {
     // `percentile` aggregate itself stays exercised by q_percentiles /
     // q_window_quartiles per group, where per-group buffers are the
     // right shape).
+    // Two-level cumulative count (round-16 verdict item 7, guide §2.4):
+    // the histogram's running sum previously ran as ONE
+    // `Exchange SinglePartition` + single-task Sort+Window over every
+    // distinct value (583k rows at sf0.1), and a third lineitem scan
+    // (`hist.agg(sum(freq))`) fetched the total. Now the histogram is
+    // range-bucketed by pure arithmetic (`price_cents DIV 4096` —
+    // monotone for the positive price domain, so bucket order == value
+    // order), ONE repartition(bkt) exchange feeds BOTH the per-bucket
+    // running sum (window clustered by bkt — parallel, no global sort)
+    // and the per-bucket totals (agg clustered by bkt); only the
+    // ~#buckets-sized offsets table (price domain / 4096 rows — 2.6k at
+    // sf0.1, bounded by the DOMAIN at any corpus size) crosses a
+    // SinglePartition window; its two consumers (total + broadcast
+    // join) stay lazy in the ONE job so the repartition exchange is
+    // computed once and ReusedExchange feeds every consumer (an eager
+    // localCheckpoint here measured 0.6 s SLOWER — it splits the job
+    // and recomputes the histogram). cum = within-bucket running sum + sum of all
+    // preceding buckets — the same integer for every row regardless of
+    // partitioning, so lo/hi/interpolation are bit-identical and the
+    // oracle hash pins it. The total `nn` now comes from the offsets
+    // table (off+bt of the last bucket), not a rescan: lineitem is
+    // scanned once for the t-digest and once for the histogram.
     val hist = li.groupBy(col("price_cents")).agg(count(lit(1)).as("freq"))
-    val tot = hist.agg(sum(col("freq")).as("nn"))
-    val cum = hist.withColumn("cum",
-      sum(col("freq")).over(Window.orderBy(col("price_cents"))))
+      .withColumn("bkt", expr("price_cents DIV 4096"))
+    val rep = hist.repartition(col("bkt"))
+    val cumIn = rep.withColumn("cum_in",
+      sum(col("freq")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("price_cents"))))
+    val wOffs = Window.orderBy(col("bkt"))
+    val offs = rep.groupBy(col("bkt")).agg(sum(col("freq")).as("bt"))
+      .withColumn("off",
+        coalesce(sum(col("bt")).over(
+          wOffs.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // grand total rides the SAME tiny sort+window (full frame), so
+      // `offs` has exactly ONE consumer — no duplicated subtree, no
+      // separate total scan
+      .withColumn("nn",
+        sum(col("bt")).over(
+          wOffs.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cum = cumIn.join(broadcast(offs.select(col("bkt"), col("off"), col("nn"))), "bkt")
+      .withColumn("cum", col("cum_in") + col("off"))
     val sels = pcts.zipWithIndex.flatMap { case (p, i) =>
       val pos = (col("nn") - 1).cast("double") * lit(p)
       Seq(min(when(col("cum") >= floor(pos) + 1, col("price_cents")))
@@ -207,8 +258,7 @@ object RelationalQueries {
           min(when(col("cum") >= ceil(pos) + 1, col("price_cents")))
             .as(s"hi_$i"))
     }
-    val ex = cum.crossJoin(broadcast(tot))
-      .agg(first(col("nn")).as("nn"), sels: _*)
+    val ex = cum.agg(max(col("nn")).as("nn"), sels: _*)
     val es = pcts.zipWithIndex.map { case (p, i) =>
       val pos = (col("nn") - 1).cast("double") * lit(p)
       val lo = col(s"lo_$i").cast("double")

@@ -519,7 +519,7 @@ class StreamingOpsSpec extends AnyFunSuite {
   test("scd join: dim really changes between micro-batches, per-batch as-of resolution") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val res = graft.streaming.StreamingOps.st_scd_join_run(spark, sf,
-      (id, dimRows) => seen.synchronized { seen += ((id, dimRows)); () })
+      (id, dimRows) => { val n = dimRows(); seen.synchronized { seen += ((id, n)); () } })
     val byBatch = seen.sortBy(_._1)
     // three real micro-batches, one per arrival file
     assert(byBatch.map(_._1) == Seq(0L, 1L, 2L), s"batches: $byBatch")
