@@ -540,20 +540,26 @@ object SimilarityOps {
     }
 
   /** Banded sign signatures as a NARROW codegen'd map (mirror of
-    * [[assignNearest]]'s no-join philosophy): the planes are plan
-    * literals, each row computes its 16 sign bits and explodes into
-    * [[LshBands]] (band, sig) keys. One pass, no shuffle. */
+    * [[assignNearest]]'s no-join philosophy): ONE native
+    * [[graft.functions.LshBandSigs]] expression computes every band's
+    * signature in a tight primitive loop (the plane matrix rides the
+    * plan as one boxed reference), then `posexplode` fans the
+    * nBands-int array into (band, sig) keys. One pass, no shuffle,
+    * O(1) plan size. The previous form — one `DotProduct` tree per
+    * plane (96 of them) feeding 24 struct constructors inside one
+    * explode — blew the generated projection past janino/JIT method
+    * limits and re-paid a multi-second compile-then-fall-back on
+    * EVERY run (probed at 2.9 s/run for the projection alone at
+    * sf0.1; see plans/r17/s_ann_lsh_*). Band order, signature bit
+    * order, dot association, and the ≥ 0 sign rule are bit-identical
+    * (asserted by SimilarityOpsSpec's plane-determinism tests and the
+    * oracle hash). */
   private[graft] def lshBandKeys(df: DataFrame, vecCol: String,
                                  planes: Seq[Array[Double]]): DataFrame = {
-    val bits = planes.map(h => (dot(col(vecCol), typedLit(h.toSeq)) >= 0).cast("int"))
-    val bandKeys = (0 until LshBands).map { b =>
-      val sig = (0 until LshRowsPerBand)
-        .map(r => bits(b * LshRowsPerBand + r) * lit(1 << r))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), sig.as("sig"))
-    }
-    df.withColumn("bk", explode(array(bandKeys: _*)))
-      .select(df.columns.toSeq.map(col) :+ col("bk.band").as("band") :+ col("bk.sig").as("sig"): _*)
+    val sigsCol = graft.functions.LshBandSigs.lshBandSigs(
+      col(vecCol), typedLit(planes.map(_.toSeq)), lit(LshRowsPerBand))
+    df.select(df.columns.toSeq.map(col) :+
+      posexplode(sigsCol).as(Seq("band", "sig")): _*)
   }
 
   /** Sign-random-projection (SimHash-for-vectors) LSH top-k — the
