@@ -594,9 +594,11 @@ object DumpConverter {
         // Exact per-table counts read back from the COMMITTED parquet —
         // transformation-side accumulators double-count on task retry or
         // cache-eviction recompute, and the CLI prints these totals as
-        // authoritative (the reference's counters are exact). A count()
-        // over a freshly-written snappy parquet is a column-less scan:
-        // cheap relative to the write it follows.
+        // authoritative (the reference's counters are exact). The count
+        // comes from the committed files' FOOTERS ([[committedRowCount]]
+        // — parquet num_rows is exact by format contract), not a scan
+        // job: the column-less count() it replaces was ~20 % of the
+        // whole sf0.1 convert (two extra jobs per run, round-17 probe).
         val writeOrder =
           if (quarantine) tableOrder :+ QuarantineTable else tableOrder
         val rowCounts = writeOrder.zipWithIndex.map { case (table, ti) =>
@@ -620,7 +622,7 @@ object DumpConverter {
                 .write.mode("overwrite").option("compression", codec)
                 .parquet(s"$outDir/$table"))
               val n = phase(s"count:$table")(
-                spark.read.parquet(s"$outDir/$table").count())
+                committedRowCount(spark, s"$outDir/$table"))
               // manifest AFTER the parquet commit and count: a crash in
               // between leaves no entry, so resume safely redoes the
               // table (overwrite) rather than trusting a torn write
@@ -645,6 +647,30 @@ object DumpConverter {
       // still draining asynchronously — that overlap was half the
       // measured ×100 OOM
       segs.unpersist(blocking = true)
+  }
+
+  /** Exact row count of a COMMITTED parquet table directory from file
+    * footers: parquet's `num_rows` is authoritative for committed
+    * files, so summing footers equals the column-less `count()` scan
+    * it replaces while reading only metadata (round-17: the two
+    * post-write count jobs were ~20 % of the sf0.1 convert). Driver-
+    * side footer reads are O(#files) metadata I/O — fine up to the
+    * bar below; a table fanned into more files than that (the 100 TB
+    * regime) falls back to the distributed scan, whose cost is then
+    * amortized by the write it follows. */
+  private def committedRowCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val parts = fs.listStatus(p).filter(st => st.isFile &&
+      st.getPath.getName.startsWith("part-") &&
+      st.getPath.getName.endsWith(".parquet"))
+    if (parts.length > 1024) spark.read.parquet(dir).count()
+    else parts.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Raw statement bytes per packed block: large enough that LZ4's
