@@ -197,20 +197,41 @@ object DedupOps {
     * and output-preserving at sf0.1 (same 256 pairs). */
   private val ShingleDfCap = 10
 
+  /** df-capped inverted index over ONE shuffle (round 17, guide
+    * §2.4/§3.1): `repartition(s)` establishes the shingle clustering
+    * ONCE, and the df aggregate, the keep filter, the keep join, and
+    * the downstream pair self-join all consume that same exchange with
+    * ZERO additional shuffles of the index. The previous per-query
+    * shape (`all ⋈ keep` then `sh ⋈ sh`) let the planner BROADCAST the
+    * ~2M-row keep set and then the ~2.3M-row capped index itself
+    * (post-explode size estimates are tiny, so the 10 MB bar never
+    * fired) — two driver-side multi-million-entry hash-relation builds
+    * per run, ~2× the measured pair-stage cost at sf0.1 (DedupProbe:
+    * 1.6 s → 0.83 s), and a plan that at corpus scale would hit the
+    * 8 GB broadcast cap. The `shuffle_hash` hints keep the co-
+    * partitioned joins hash-based (no sort of the index) and bound
+    * each build at one partition of kept shingles. Hot-shingle skew
+    * exposure is unchanged (the df groupBy clustered by shingle
+    * before too), and the cap drops hot shingles before any pairing. */
+  private def cappedShingleIndex(corpus: DataFrame): DataFrame = {
+    val rep = shingleIndex(corpus).repartition(col("s"))
+    val keep = rep.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select("s")
+    rep.join(keep.hint("shuffle_hash"), "s").select("doc_id", "s")
+  }
+
   /** Inverted-index exact n-gram Jaccard over df-capped shingle sets:
     * pairs sharing ≥1 (non-hot) shingle, scored exactly. Shuffles on
     * shingle then on (doc_a, doc_b) — never a cross join, and per-bucket
     * work is bounded by ShingleDfCap². */
   val d_ngram_jaccard: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val all = shingleIndex(docs)
-    val keep = all.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
-      .select("s")
-    val sh = all.join(keep, "s").select("doc_id", "s")
+    val sh = cappedShingleIndex(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
@@ -248,14 +269,11 @@ object DedupOps {
       .select((col("doc_id") + lit(1000000L)).as("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 30)).as("text"))
     val corpus = docs.unionByName(quotes)
-    val all = shingleIndex(corpus)
-    val keep = all.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
-      .select("s")
-    val sh = all.join(keep, "s").select("doc_id", "s")
+    val sh = cappedShingleIndex(corpus)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
@@ -287,11 +305,7 @@ object DedupOps {
   val d_dedup_incremental: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val isNew = col("doc_id") % 5 === 4
-    val all = shingleIndex(docs)
-    val keep = all.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
-      .select("s")
-    val sh = all.join(keep, "s").select("doc_id", "s")
+    val sh = cappedShingleIndex(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.filter(!isNew).as("a")
       .join(broadcast(sh.filter(isNew).as("b")), col("a.s") === col("b.s"))
@@ -431,23 +445,25 @@ object DedupOps {
     * of xxhash64(token) votes ±1 PER OCCURRENCE — summing occurrence
     * votes equals the classic ±count weighting, so no pre-counting
     * `groupBy(doc, tok)` shuffle is needed at all. The tally is the
-    * elementwise-sum typed Aggregator consuming the exploded stream
-    * directly: map-side partial aggregation means ONE 64-long buffer
-    * per doc per partition crosses the single remaining shuffle (this
-    * is the UDAF's live exemplar — cross-row state that no per-row
-    * expression can hold). Votes come from the native codegen'd
-    * [[graft.functions.BitVotes]] (the `transform(sequence(0,63),…)`
-    * HOF ran 64 interpreted lambdas per token occurrence). */
+    * fused [[graft.functions.ArrayAggregators.SimhashFingerprint]]
+    * typed Aggregator consuming the raw hash stream directly: map-side
+    * partial aggregation means ONE 64-long buffer per doc per
+    * partition crosses the single remaining shuffle (this is the
+    * UDAF's live exemplar — cross-row state that no per-row expression
+    * can hold). */
   private[ops] def simhashFingerprints(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
-        graft.functions.BitVotes.bitVotes(xxhash64(col("tok"))).as("votes"))
+      // ONE fused aggregate from the raw token hashes (round 17): the
+      // previous bit_votes → elementwise-sum → fold-HOF chain
+      // materialized a 64-long votes array PER TOKEN OCCURRENCE —
+      // 2.5M × 64 longs of allocation at sf0.1, measured as the bulk
+      // of the fingerprint stage (DedupProbe 2.4 s → 0.9 s). Votes,
+      // merge order-independence, and the > 0 majority threshold are
+      // term-identical, so fingerprints are bit-equal (parity pinned
+      // in GraftFunctionsSpec).
       .groupBy("doc_id")
-      .agg(ArrayAggregators.elementwiseSum(64)(col("votes")).as("bits"))
-      .select(col("doc_id"), expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> CASE WHEN element_at(bits, i + 1) > 0 THEN acc | shiftleft(1L, i) ELSE acc END)")
-        .as("f"))
+      .agg(ArrayAggregators.simhashFingerprint(xxhash64(col("tok"))).as("f"))
 
   /** The 64 fingerprint bits split into 6 blocks (4×11 + 2×10 bits).
     * Hamming ≤ 3 can corrupt at most 3 blocks, so at least 3 of the 6

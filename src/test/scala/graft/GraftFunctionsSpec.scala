@@ -71,6 +71,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("gf_emb"): Unit
   }
 
+  test("fused simhash fingerprint aggregate equals the bit_votes pipeline") {
+    // parity for the round-17 fusion: SimhashFingerprint(xxhash64(tok))
+    // must reproduce the bit_votes -> elementwise-sum -> majority-fold
+    // chain bit for bit on real fixture token streams
+    val toks = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val fused = toks.groupBy("doc_id")
+      .agg(ArrayAggregators.simhashFingerprint(xxhash64(col("tok"))).as("f"))
+    val reference = toks
+      .select(col("doc_id"), BitVotes.bitVotes(xxhash64(col("tok"))).as("votes"))
+      .groupBy("doc_id")
+      .agg(ArrayAggregators.elementwiseSum(64)(col("votes")).as("bits"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> CASE WHEN element_at(bits, i + 1) > 0 THEN acc | shiftleft(1L, i) ELSE acc END)")
+        .as("f"))
+    val got = fused.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = reference.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.size == want.size)
+    want.foreach { case (id, f) => assert(got(id) == f, s"doc $id") }
+  }
+
   test("literal-config contract: a non-literal shingle width fails pointedly") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("gf_docs_bad")

@@ -46,6 +46,18 @@ object DedupProbe {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("c"))
     }
+    time("selfjoin_pairs_v2") {
+      val rep = DedupOps.shingleIndex(docs).repartition(col("s"))
+      val keep = rep.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10).select("s")
+      val sh = rep.join(keep.hint("shuffle_hash"), "s").select("doc_id", "s")
+      sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+    }
+    time("simhash_fps")(DedupOps.simhashFingerprints(docs))
+    time("simhash_pairs")(DedupOps.simhashPairs(docs))
     time("full_ngram_jaccard")(graft.SparkEntry.queries("d_ngram_jaccard")(spark, sf))
     time("full_simhash")(graft.SparkEntry.queries("d_dedup_simhash")(spark, sf))
     time("full_fuzzy_join")(graft.SparkEntry.queries("d_fuzzy_join")(spark, sf))
