@@ -933,18 +933,30 @@ object DedupOps {
 
   // ----------------------------------------------------- fuzzy join
 
-  /** Edit-distance (Levenshtein ≤ 1) join via PassJoin-style segment
-    * blocking — the entity-resolution primitive (typo'd names, OCR'd
-    * strings, crawl-url variants) in its never-all-pairs shape. The
-    * pigeonhole rule for threshold k: split each indexed string into
-    * k+1 segments; any string within distance k must contain one
-    * segment EXACTLY, shifted by at most k. So the index side emits
-    * k+1 = 2 (segment_idx, segment, length) keys per name, the probe
-    * side emits its substrings at the segment positions for each
-    * plausible target length (±k) and shift (±k), and candidates come
-    * from a plain EQUI-join on those keys — shuffled by segment
-    * content, per-key work bounded by segment frequency, never |A|×|B|.
-    * Survivors are verified with the real `levenshtein` (codegen'd).
+  /** Edit-distance (Levenshtein ≤ 1) join via the FastSS deletion
+    * neighborhood — the entity-resolution primitive (typo'd names,
+    * OCR'd strings, crawl-url variants) in its never-all-pairs shape.
+    * Each side emits the string itself plus every single-character
+    * deletion (len+1 variants); two strings are within distance 1 IFF
+    * their variant sets intersect (substitution: delete the differing
+    * position from both; insertion/deletion: the longer side's
+    * deletion equals the shorter side verbatim; identity: the string
+    * itself) — so a plain EQUI-join on the variant recovers EVERY
+    * qualifying pair, and the real `levenshtein` (codegen'd) verifies
+    * survivors. Candidates travel as id pairs only; text joins back
+    * late (guide §2.3).
+    *
+    * Round 17 replaced PassJoin-style half-segment blocking here: on
+    * TEMPLATED corpora (these names share the 9-char "Supplier#"
+    * prefix and differ only in trailing digits — exactly like real
+    * entity tables share "Inc."/"GmbH" boilerplate) a half or even a
+    * ¾-length segment is corpus-common, so segment buckets went
+    * quadratic: the candidate join produced ~|A|×|B| pairs at sf0.1
+    * and the query spent a steady 2.1 s on 1 000 rows (measured,
+    * DedupProbe). Deletion variants keep every distinguishing digit
+    * in the key, so bucket sizes track true near-dup degree; at
+    * threshold 1 the neighborhood is len+1 keys/row — linear state,
+    * shuffled by variant content, never |A|×|B|.
     *
     * Probes are planted deterministically from supplier names — one
     * substitution, deletion or insertion at a key-dependent position —
@@ -968,39 +980,27 @@ object DedupOps {
         expr("substring(s_name, 1, CAST(s_suppkey % 17 AS INT))"), lit("x"),
         expr("substring(s_name, CAST(s_suppkey % 17 AS INT) + 1)")))
     val probes = sup.select(col("s_suppkey").as("probe_id"), mkProbe.as("probe"))
-    // index side: 2 segments per name (halves), keyed by (L, idx, seg)
-    val canonKeys = sup.select(col("s_suppkey"), col("s_name"),
-        length(col("s_name")).as("L"),
-        explode(array(
-          struct(lit(0).as("i"),
-            expr("substring(s_name, 1, length(s_name) DIV 2)").as("seg")),
-          struct(lit(1).as("i"),
-            expr("substring(s_name, length(s_name) DIV 2 + 1)").as("seg")))).as("k"))
-      .select(col("s_suppkey"), col("s_name"), col("L"),
-        col("k.i").as("i"), col("k.seg").as("seg"))
-    // probe side: for each target length L ∈ len±1, segment, shift ∈ ±1
-    val pl = length(col("probe"))
-    val keyStructs: Seq[Column] = for {
-      dl <- Seq(-1, 0, 1); i <- Seq(0, 1); sh <- Seq(-1, 0, 1)
-    } yield {
-      val tl = pl + lit(dl)
-      val l0 = expr(s"(length(probe) + $dl) DIV 2")
-      val segLen = if (i == 0) l0 else tl - l0
-      val start = (if (i == 0) lit(1) else l0 + lit(1)) + lit(sh)
-      val ok = start >= 1 && segLen >= 1 && start + segLen - lit(1) <= pl
-      struct(tl.as("L"), lit(i).as("i"),
-        col("probe").substr(start, segLen).as("seg"), ok.as("ok"))
-    }
+    // deletion neighborhood of a string column: the string itself plus
+    // every single-character deletion — len+1 variants, built in-row
+    def delVariants(name: String): Column = array_distinct(
+      expr(s"concat(array($name), transform(sequence(1, length($name)), " +
+        s"i -> concat(substring($name, 1, i - 1), substring($name, i + 1))))"))
     val probeKeys = probes
-      .select(col("probe_id"), col("probe"), explode(array(keyStructs: _*)).as("k"))
-      .filter(col("k.ok"))
-      .select(col("probe_id"), col("probe"),
-        col("k.L").as("L"), col("k.i").as("i"), col("k.seg").as("seg"))
-    probeKeys.join(canonKeys, Seq("L", "i", "seg"))
-      .select(col("probe_id"), col("probe"), col("s_suppkey"), col("s_name"))
+      .select(col("probe_id"), explode(delVariants("probe")).as("v"))
+    val canonKeys = sup
+      .select(col("s_suppkey"), explode(delVariants("s_name")).as("v"))
+    // candidates travel as id pairs only; names (functionally
+    // dependent on the ids) join back late, so the distinct-pair set —
+    // and every levenshtein evaluation and final row — is unchanged
+    val cand = probeKeys.join(canonKeys, "v")
+      .select(col("probe_id"), col("s_suppkey"))
       .distinct()
+    cand
+      .join(broadcast(probes), "probe_id")
+      .join(broadcast(sup), "s_suppkey")
       .withColumn("dist", levenshtein(col("probe"), col("s_name")))
       .filter(col("dist") <= 1)
+      .select(col("probe_id"), col("probe"), col("s_suppkey"), col("s_name"), col("dist"))
       .orderBy(col("probe_id"), col("s_suppkey"))
   }
 

@@ -369,7 +369,7 @@ class DedupOpsSpec extends AnyFunSuite {
       "cap changed the fixture's candidate set — it must be inert at this scale")
   }
 
-  test("fuzzy join: segment blocking recovers exactly the naive levenshtein<=1 pairs") {
+  test("fuzzy join: deletion-neighborhood blocking recovers exactly the naive levenshtein<=1 pairs") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
         if (i == 0) j else if (j == 0) i else 0))

@@ -61,6 +61,24 @@ object DedupProbe {
     time("full_ngram_jaccard")(graft.SparkEntry.queries("d_ngram_jaccard")(spark, sf))
     time("full_simhash")(graft.SparkEntry.queries("d_dedup_simhash")(spark, sf))
     time("full_fuzzy_join")(graft.SparkEntry.queries("d_fuzzy_join")(spark, sf))
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries("d_fuzzy_join")(spark, sf)
+      df.queryExecution.executedPlan
+      val t1 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val t2 = System.nanoTime()
+      println(f"#DDP# fuzzy_split run$i plan=${(t1 - t0) / 1e9}%.3f exec=${(t2 - t1) / 1e9}%.3f s")
+    }
+    // how big is the candidate space really?
+    locally {
+      val sup = Tables.supplier(spark, sf)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+      println(s"#DDP# suppliers=${sup.count()}")
+      val nameLen = sup.select(length(col("s_name")).as("l"))
+        .groupBy("l").count().collect().toSeq
+      println(s"#DDP# name_lengths=$nameLen")
+    }
     spark.stop()
   }
 }
