@@ -799,23 +799,33 @@ object PipelineOps {
       .repartition(col("src")).cache()
     val hosts = edges.select(col("src").as("h"))
       .union(edges.select(col("dst"))).distinct().cache()
+    // out-degrees are loop-invariant: materialize ONCE (the loop used
+    // to re-aggregate them from the cached edge list every iteration —
+    // one extra aggregate + exchange per round, round 17)
     val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint()
     val n = hosts.count()
     val teleport = ((PrScale * 15) / 100) / n
     var ranks = hosts.withColumn("r", lit(PrScale / n))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = edges.join(ranks, edges("src") === ranks("h"))
         .join(outd, "src")
         .groupBy(col("dst")).agg(sum(expr("r DIV od")).as("c"))
+      ranks = hosts.join(contrib, hosts("h") === contrib("dst"), "left")
+        .select(col("h"),
+          (lit(teleport) + expr("85 * coalesce(c, 0L) DIV 100")).as("r"))
       // rank tables are O(#hosts) — collapse to iterWidth(n) partitions
       // before materializing so each round's checkpoint is sized to the
       // rank table (32 near-empty partitions cost ~2× the whole query
       // at fixture scale; one partition is a single-task wall at 10⁹
-      // hosts), and the next round's join broadcasts it either way
-      ranks = hosts.join(contrib, hosts("h") === contrib("dst"), "left")
-        .select(col("h"),
-          (lit(teleport) + expr("85 * coalesce(c, 0L) DIV 100")).as("r"))
-        .coalesce(iterWidth(n)).localCheckpoint()
+      // hosts), and the next round's join broadcasts it either way.
+      // Checkpoint every OTHER round (round 17): each eager
+      // localCheckpoint is a full Spark job, and halving the job count
+      // keeps plan depth bounded at ≤ 2 join-aggregates — period-2, so
+      // PipelineOpsSpec's iteration-invariance assertion still holds
+      // (any even iteration count ends on a checkpoint).
+      if (it % 2 == 0 || it == iters)
+        ranks = ranks.coalesce(iterWidth(n)).localCheckpoint()
     }
     ranks.join(outd, ranks("h") === outd("src"), "left")
       .select(col("h").as("host"), coalesce(col("od"), lit(0L)).as("outdeg"),
@@ -1002,13 +1012,15 @@ object PipelineOps {
     var labels = edges.select(col("u").as("h")).distinct()
       .withColumn("lbl", col("h"))
     val n = labels.count()
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       labels = edges.join(labels, edges("v") === labels("h"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("u"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("u").as("h"), (-col("m.nl")).as("lbl"))
-        .coalesce(iterWidth(n)).localCheckpoint()  // O(#hosts) rows — see hostRank
+      // O(#hosts) rows — see hostRank (checkpoint every other round)
+      if (it % 2 == 0 || it == iters)
+        labels = labels.coalesce(iterWidth(n)).localCheckpoint()
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
     labels.join(sizes, "lbl")
