@@ -1456,7 +1456,8 @@ object StreamingOps {
                           stateDir: java.nio.file.Path, ckpt: String): Unit = {
     val dataCols = Seq("tus", "event_type", "cents", "eid") ++
       (if (withProp) Seq("prop_k") else Nil)
-    val schema = ss.read.parquet(srcDir).schema
+    val schema = perSession(sourceSchemas, ss).getOrElseUpdate(s"evolve:$srcDir",
+      ss.read.parquet(srcDir).schema)
     val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(s"$srcDir/part-*.parquet")
     val q = stream.writeStream
